@@ -1,16 +1,8 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
-
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+The driver calls ``ray.init`` itself; nothing here (or in the library)
+initialises or shuts down Ray. See SURVEY.md §2 for the operator inventory
+each ``queries()`` entry maps to.
 """
 
 from __future__ import annotations
@@ -18,27 +10,55 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+from scylla_cdc_source_connector_ray.config import EngineConfig
+from scylla_cdc_source_connector_ray.pipelines import capture as cap
+from scylla_cdc_source_connector_ray import oracles
+
+_CFG = EngineConfig(num_shards=32)
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline: CDC capture over the sf0.001 transcript log
+    (derived from events), returning the change-event Dataset flattened."""
+    ds = cap.read_transcripts_from_events("/root/testdata/sf0.001")
+    return cap.capture_flat(ds, _CFG)
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def _q_cdc_capture_flat(sf_dir: str):
+    ds = cap.read_transcripts_from_events(sf_dir)
+    return cap.capture_flat(ds, _CFG)
+
+
+def _q_cdc_op_counts(sf_dir: str):
+    ds = cap.read_transcripts_from_events(sf_dir)
+    flat = cap.capture_flat(ds, _CFG)
+    from ray.data.aggregate import Count
+
+    return flat.groupby("op").aggregate(Count(alias_name="n"))
+
+
+def _q_cdc_modified_cols(sf_dir: str):
+    ds = cap.read_transcripts_from_events(sf_dir)
+    flat = cap.derive_stage(ds, _CFG)
+    return flat.select_columns(["conv_id", "turn_idx", "seq", "modified_cols"])
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "cdc_capture_flat": _q_cdc_capture_flat,
+        "cdc_op_counts": _q_cdc_op_counts,
+        "cdc_modified_cols": _q_cdc_modified_cols,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "cdc_capture_flat": oracles.CDC_CAPTURE_FLAT,
+        "cdc_op_counts": oracles.CDC_OP_COUNTS,
+        "cdc_modified_cols": oracles.CDC_MODIFIED_COLS,
+    }

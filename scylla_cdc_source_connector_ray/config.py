@@ -1,0 +1,94 @@
+"""Engine configuration (≙ the reference's ``ScyllaConnectorConfig``).
+
+The reference exposes ~40 typed Kafka Connect config fields with defaults and
+validation (``ScyllaConnectorConfig.java:45-566``). We keep the ones with a
+meaning in the Ray rebuild, at the same defaults, plus the fields our
+streaming additions (watermarks, windows, exactly-once sink) need.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+
+
+class IncludeMode(str, enum.Enum):
+    """``cdc.include.before`` / ``cdc.include.after`` modes
+    (reference ``ScyllaConnectorConfig.java`` + ``README.md:1184-1198``)."""
+
+    NONE = "none"
+    FULL = "full"
+    ONLY_UPDATED = "only-updated"
+
+
+class PkPlacement(str, enum.Enum):
+    """Where primary-key columns are (additionally) placed
+    (reference enum ``ScyllaConnectorConfig.java:909-959``)."""
+
+    KAFKA_KEY = "kafka-key"  # the `key` struct column (always present here)
+    PAYLOAD_BEFORE = "payload-before"
+    PAYLOAD_AFTER = "payload-after"
+    PAYLOAD_KEY = "payload-key"  # a dedicated flat payload field
+
+
+@dataclasses.dataclass
+class EngineConfig:
+    """Validated engine configuration.
+
+    Defaults mirror the reference where a field has a direct analogue:
+
+    * ``window_size_us``      ≙ ``scylla.query.time.window.size`` (30 s)
+    * ``confidence_window_us``≙ ``scylla.confidence.window.size`` (30 s)
+    * ``straggler_timeout_us``≙ ``cdc.incomplete.task.timeout.ms`` (15 s),
+      re-based to event time so runs are deterministic (SURVEY.md §7.4)
+    * ``num_shards``          ≙ number of stream-id groups / ``tasks.max``
+    * ``include_before/after``≙ ``cdc.include.before/after``
+    """
+
+    # --- sharding / parallelism -------------------------------------------
+    num_shards: int = 64
+    #: actor-pool size for stateful stages; None → let Ray size it
+    state_concurrency: int | None = None
+    #: rows per map_batches batch in the hot path
+    batch_size: int = 65536
+
+    # --- windows / watermark ----------------------------------------------
+    window_size_us: int = 30_000_000
+    confidence_window_us: int = 30_000_000
+    #: event-time lateness allowed before a row is dropped to the late output
+    allowed_lateness_us: int = 30_000_000
+    straggler_timeout_us: int = 15_000_000
+
+    # --- envelope ----------------------------------------------------------
+    include_before: IncludeMode = IncludeMode.FULL
+    include_after: IncludeMode = IncludeMode.FULL
+    pk_placements: tuple[PkPlacement, ...] = (PkPlacement.KAFKA_KEY,)
+    table_name: str = "transcripts"
+
+    # --- sink / checkpoint --------------------------------------------------
+    #: output epoch; bumped when topology (num_shards / cluster size) changes,
+    #: ≙ the reference's CDC generation (SURVEY.md §1.1)
+    epoch: int = 0
+    sink_dir: str = "/tmp/scylla_cdc_ray/out"
+    checkpoint_dir: str = "/tmp/scylla_cdc_ray/checkpoint"
+
+    # --- skew ---------------------------------------------------------------
+    #: conv_ids with more than this many rows in one micro-batch are salted
+    #: across sub-shards and re-merged (north_star skew clause)
+    hot_key_threshold: int = 100_000
+    salt_factor: int = 8
+
+    def __post_init__(self) -> None:
+        if self.num_shards < 1:
+            raise ValueError("num_shards must be >= 1")
+        if self.window_size_us <= 0:
+            raise ValueError("window_size_us must be > 0")
+        if self.confidence_window_us < 0 or self.allowed_lateness_us < 0:
+            raise ValueError("windows must be >= 0")
+        if self.batch_size < 1:
+            raise ValueError("batch_size must be >= 1")
+        if self.salt_factor < 1:
+            raise ValueError("salt_factor must be >= 1")
+        self.include_before = IncludeMode(self.include_before)
+        self.include_after = IncludeMode(self.include_after)
+        self.pk_placements = tuple(PkPlacement(p) for p in self.pk_placements)

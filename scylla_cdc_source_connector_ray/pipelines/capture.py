@@ -1,0 +1,65 @@
+"""The flagship CDC capture pipeline, Ray-Data-first.
+
+Batch-mode capture (one logical window over a whole Dataset):
+
+    read_parquet → map_batches(with_shard)           (stateless, zero-copy)
+    → groupby("shard").map_groups(derive_ops)        (the ONE keyed shuffle)
+    → map_batches(build_envelope)                    (stateless)
+    → write_parquet / downstream stages
+
+The groupby-on-shard shuffle co-locates every row of a conversation
+(``hash(conv_id) % num_shards``) exactly like the reference's stream-id →
+Vnode → task assignment (``ConfigSerializerUtil.java:39-52``), and the
+within-shard ``(conv_id, turn_idx, ts, seq)`` sort enforces the ordering
+invariant the reference inherits from Scylla's per-stream ``cdc$time`` order
+(SURVEY.md §2.6). ``num_shards`` — not cluster size — bounds per-task memory:
+at 100 TB set ``num_shards`` so one shard's window ≪ worker heap; shards are
+processed independently so the streaming executor pipelines them.
+
+The windowed / checkpointed micro-batch loop lives in
+:mod:`..pipelines.runner`; this module is the pure data-plane.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+
+import ray.data
+
+from ..config import EngineConfig
+from ..schema import with_shard
+from ..sources.events_adapter import events_to_transcripts
+from ..stages.envelope import build_envelope, flatten_envelope
+from ..stages.op_derive import derive_ops
+
+
+def read_transcripts_from_events(sf_dir: str) -> ray.data.Dataset:
+    """Transcript CDC log derived from the testdata ``events`` table
+    (see :mod:`..sources.events_adapter` for the deterministic mapping)."""
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"))
+    return ds.map_batches(events_to_transcripts, batch_format="pyarrow")
+
+
+def derive_stage(ds: ray.data.Dataset, cfg: EngineConfig) -> ray.data.Dataset:
+    """shard → groupby(shard) → per-shard sort + op-derive (flat columns)."""
+    ds = ds.map_batches(lambda b: with_shard(b, cfg.num_shards), batch_format="pyarrow")
+    return ds.groupby("shard").map_groups(
+        lambda t: derive_ops(t), batch_format="pyarrow"
+    )
+
+
+def capture(ds: ray.data.Dataset, cfg: EngineConfig) -> ray.data.Dataset:
+    """Transcript log Dataset → envelope change-event Dataset."""
+    flat = derive_stage(ds, cfg)
+    return flat.map_batches(
+        lambda t: build_envelope(t, cfg), batch_format="pyarrow", batch_size=cfg.batch_size
+    )
+
+
+def capture_flat(ds: ray.data.Dataset, cfg: EngineConfig) -> ray.data.Dataset:
+    """Capture, then flatten the envelope back to plain columns — the shape
+    the DuckDB oracle emits (drops engine-internal shard/modified cols)."""
+    ev = capture(ds, cfg)
+    return ev.map_batches(flatten_envelope, batch_format="pyarrow", batch_size=cfg.batch_size)

@@ -1,0 +1,162 @@
+"""Deterministic synthetic transcript CDC-log generator (FIXTURES.md).
+
+Seeded, wall-clock-free (fixed ``EPOCH0``), fully vectorized (numpy) so the
+bench harness can generate millions of rows in seconds. The generated table is
+the *CDC log*: per ``(conv_id, turn_idx)`` key the first occurrence is the
+insert, later re-emissions (bumped ``version`` text) are updates, and a final
+``text = NULL`` row is the delete tombstone — mirroring the reference's
+ROW_INSERT/ROW_UPDATE/ROW_DELETE ops (``ScyllaChangesConsumer.java:200-219``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..schema import SEQ_COL, TRANSCRIPTS
+
+#: Fixed epoch origin (FIXTURES.md §2) — never ``now()``.
+EPOCH0_US = np.int64(pd.Timestamp("2026-01-01T00:00:00Z").value // 1000)
+
+ROLES = np.array(["user", "assistant", "tool", "system"])
+TOOLS = np.array([None, "search", "python", "browser"], dtype=object)
+VOCAB = np.array(
+    [
+        "alpha beta gamma",
+        "delta epsilon zeta eta",
+        "theta iota kappa",
+        "lambda mu nu xi omicron",
+        "pi rho sigma",
+        "tau upsilon phi chi psi omega",
+    ]
+)
+
+
+def generate(
+    num_convs: int = 20,
+    turns_per_conv: int = 10,
+    update_pct: int = 30,
+    delete_pct: int = 10,
+    hot_convs: int = 0,
+    hot_turns: int = 0,
+    step_us: int = 1_000_000,
+    conv_stagger_us: int = 137_000,
+    text_pad: int = 0,
+) -> pa.Table:
+    """Build the transcript CDC log as one Arrow table sorted by arrival.
+
+    Selection of updated/deleted keys is arithmetic (no RNG) so any scale of
+    the same parameters nests deterministically. ``hot_convs`` of the convs get
+    ``hot_turns`` turns instead, to model long-conversation skew (fixture T5).
+    """
+    # --- turns per conv ----------------------------------------------------
+    tpc = np.full(num_convs, turns_per_conv, dtype=np.int64)
+    if hot_convs:
+        tpc[:hot_convs] = hot_turns
+    conv = np.repeat(np.arange(num_convs, dtype=np.int64), tpc)
+    offs = np.concatenate([np.arange(n, dtype=np.int64) for n in tpc]) if len(tpc) else np.array([], dtype=np.int64)
+    turn = offs.astype(np.int32)
+
+    ins_ts = EPOCH0_US + conv * conv_stagger_us + offs * step_us
+
+    key_mix = conv * 31 + offs * 7
+    upd_mask = (key_mix % 100) < update_pct
+    del_mask = ((conv * 17 + offs * 13) % 100) < delete_pct
+
+    # --- assemble insert / update / delete event blocks --------------------
+    blocks = []
+
+    def block(c, t, ts, version):
+        n = len(c)
+        blocks.append(
+            {
+                "conv": c,
+                "turn": t,
+                "ts": ts,
+                "version": np.full(n, version, dtype=np.int64),
+            }
+        )
+
+    block(conv, turn, ins_ts, 0)
+    block(conv[upd_mask], turn[upd_mask], ins_ts[upd_mask] + np.int64(90 * step_us), 1)
+    block(conv[del_mask], turn[del_mask], ins_ts[del_mask] + np.int64(180 * step_us), -1)
+
+    c = np.concatenate([b["conv"] for b in blocks])
+    t = np.concatenate([b["turn"] for b in blocks])
+    ts = np.concatenate([b["ts"] for b in blocks])
+    version = np.concatenate([b["version"] for b in blocks])
+
+    # --- arrival order = ts, tie-broken by (conv, turn) --------------------
+    order = np.lexsort((t, c, ts))
+    c, t, ts, version = c[order], t[order], ts[order], version[order]
+    seq = np.arange(len(c), dtype=np.int64)
+
+    # --- value columns (vectorized) ----------------------------------------
+    role = ROLES[(t % 4)]
+    tool = TOOLS[np.where(role == "tool", 1 + (t % 3), 0)]
+    base = pd.Series(VOCAB[(c * 13 + t * 5 + version * 3) % len(VOCAB)])
+    text = (
+        "c" + pd.Series(c).astype(str) + ".t" + pd.Series(t).astype(str) + ".v" + pd.Series(version).astype(str) + " " + base
+    )
+    if text_pad:
+        # log-normal-ish width by index so skew fixtures also exercise wide rows
+        pad_len = (np.abs(np.sin(c * 0.7 + t * 0.3)) * text_pad).astype(np.int64)
+        text = text + pd.Series([("x" * int(p)) for p in pad_len])
+    text = text.where(pd.Series(version) >= 0, other=None)  # tombstones
+    role = pd.Series(role).where(pd.Series(version) >= 0, other="__tombstone__")
+
+    tbl = pa.table(
+        {
+            "conv_id": pa.array(np.char.add("conv", c.astype(str)), type=pa.string()),
+            "turn_idx": pa.array(t, type=pa.int32()),
+            "role": pa.array(role, type=pa.string()),
+            "text": pa.array(text, type=pa.string()),
+            "tool": pa.array(tool, type=pa.string()),
+            "ts": pa.array(ts, type=pa.timestamp("us")),
+            SEQ_COL: pa.array(seq, type=pa.int64()),
+        }
+    )
+    return tbl
+
+
+def write_windowed(
+    tbl: pa.Table,
+    out_dir: str,
+    num_files: int = 4,
+) -> list[str]:
+    """Write the log as ``num_files`` Parquet files split on arrival ``seq``.
+
+    One file per micro-batch window (FIXTURES.md §2) so the windowed reader
+    (SURVEY.md §2.1 S1) has natural "new data" boundaries.
+    """
+    import os
+
+    import pyarrow.parquet as pq
+
+    os.makedirs(out_dir, exist_ok=True)
+    n = tbl.num_rows
+    paths = []
+    bounds = [round(i * n / num_files) for i in range(num_files + 1)]
+    for i in range(num_files):
+        lo, hi = bounds[i], bounds[i + 1]
+        path = os.path.join(out_dir, f"window-{i:05d}.parquet")
+        pq.write_table(tbl.slice(lo, hi - lo), path)
+        paths.append(path)
+    return paths
+
+
+def scale_for_sf(sf: float) -> dict:
+    """Generator parameters proportional to a testdata scale factor.
+
+    sf=0.1 → ~840k CDC events (tens of seconds of engine work at 8 CPUs).
+    """
+    num_convs = max(20, int(6000 * sf))
+    return {
+        "num_convs": num_convs,
+        "turns_per_conv": 1000 if sf >= 0.1 else 100,
+        "update_pct": 30,
+        "delete_pct": 10,
+        "hot_convs": max(1, num_convs // 200),
+        "hot_turns": 20000 if sf >= 0.1 else 2000,
+    }

@@ -1,0 +1,147 @@
+"""Op classification + before/after image synthesis (reference M1/M3/M5/M6).
+
+Deterministic CDC semantics over the transcript log (the spec every oracle
+query mirrors):
+
+    Partition rows by key ``(conv_id, turn_idx)`` and order each partition by
+    ``(ts, seq)``. A row with ``text IS NULL`` is a tombstone. Then, per row:
+
+    * ``op``     = ``'d'`` if tombstone, ``'c'`` if first row for the key,
+                   else ``'u'``                      (≙ ScyllaChangesConsumer.java:195-249)
+    * ``after``  = the row's value columns, or NULL state for ``'d'``
+                   (≙ ScyllaChangeRecordEmitter.java:145-343: DELETE → after=null)
+    * ``before`` = previous ``after`` for the key (NULL if none)
+                   — the per-key state machine ``state -> (before=state, state=after)``,
+                   the full-row analogue of the reference's preimage synthesis
+                   ``before = pre[modified] ∪ post[unchanged]``
+                   (ScyllaChangeRecordEmitter.java:529-575): our log re-emits
+                   full rows, so the previous full state IS that union.
+
+    ``modified_cols`` = comma-joined sorted list of value columns whose value
+    differs between before and after (reference M3,
+    ``ScyllaChangeRecordEmitter.java:361-398``: NULL-to-NULL is unmodified).
+
+All kernels are vectorized (pyarrow.compute / numpy over the sorted block) —
+no per-row Python in the hot path. The caller guarantees each input block
+contains *all* rows of the keys it holds (hash-sharded by ``conv_id``), which
+is the same co-location contract the reference gets from stream-id → task
+assignment (``ConfigSerializerUtil.java:39-52``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..schema import SEQ_COL, VALUE_COLS
+
+#: columns produced per value column
+BEFORE_PREFIX = "before_"
+AFTER_PREFIX = "after_"
+
+
+def sort_log(tbl: pa.Table) -> pa.Table:
+    """Stable total order: (conv_id, turn_idx, ts, seq)."""
+    keys = [("conv_id", "ascending"), ("turn_idx", "ascending"), ("ts", "ascending")]
+    if SEQ_COL in tbl.column_names:
+        keys.append((SEQ_COL, "ascending"))
+    return tbl.sort_by(keys)
+
+
+def _lag(arr: pa.ChunkedArray | pa.Array, first_mask: pa.Array) -> pa.Array:
+    """Vectorized per-partition lag over a key-sorted column: shift down one,
+    NULL where the row is the first of its key partition."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    shifted = pa.concat_arrays([pa.nulls(1, arr.type), arr.slice(0, n - 1)])
+    return pc.if_else(first_mask, pa.nulls(n, arr.type), shifted)
+
+
+def derive_ops(tbl: pa.Table, sorted_input: bool = False) -> pa.Table:
+    """Classify ops and synthesize before/after images for one co-located block.
+
+    Input: transcript CDC-log columns (+ optional ``seq``). Output: input key
+    columns + ``op`` + ``after_*`` / ``before_*`` flat value columns +
+    ``modified_cols`` + ``ts``/``seq`` passthrough, sorted by
+    (conv_id, turn_idx, ts, seq).
+    """
+    if tbl.num_rows == 0:
+        return _empty_out(tbl)
+    if not sorted_input:
+        tbl = sort_log(tbl)
+
+    conv = tbl["conv_id"].combine_chunks()
+    turn = tbl["turn_idx"].combine_chunks()
+    n = tbl.num_rows
+
+    # first-row-of-key mask: row 0, or key differs from previous row
+    prev_conv = pa.concat_arrays([conv.slice(0, 1), conv.slice(0, n - 1)])
+    prev_turn = pa.concat_arrays([turn.slice(0, 1), turn.slice(0, n - 1)])
+    same = pc.and_(pc.equal(conv, prev_conv), pc.equal(turn, prev_turn))
+    first = same.to_numpy(zero_copy_only=False).copy()
+    np.logical_not(first, out=first)
+    first[0] = True
+    first_mask = pa.array(first)
+
+    is_del = pc.is_null(tbl["text"]).combine_chunks()
+
+    op = pc.if_else(
+        is_del,
+        pa.scalar("d"),
+        pc.if_else(first_mask, pa.scalar("c"), pa.scalar("u")),
+    )
+
+    cols: dict[str, pa.Array | pa.ChunkedArray] = {
+        "conv_id": conv,
+        "turn_idx": turn,
+        "op": op,
+    }
+
+    null_state = is_del  # rows whose "after" state is NULL for every column
+    modified_parts = []
+    for vc in VALUE_COLS:
+        col = tbl[vc].combine_chunks()
+        after = pc.if_else(null_state, pa.nulls(n, col.type), col)
+        before = _lag(after, first_mask)
+        cols[AFTER_PREFIX + vc] = after
+        cols[BEFORE_PREFIX + vc] = before
+        if vc != "ts":  # ts always "changes"; modified set tracks payload cols
+            neq = pc.fill_null(pc.not_equal(after, before), False)
+            one_null = pc.xor(pc.is_null(after), pc.is_null(before))
+            modified_parts.append((vc, pc.or_(neq, one_null)))
+
+    # modified_cols: comma-joined sorted names. With k payload columns there
+    # are only 2^k combinations — precompute them and index with a bitmask
+    # (fully vectorized; no per-row string building).
+    modified_parts.sort()
+    combo = np.zeros(n, dtype=np.int64)
+    for bit, (_, mask) in enumerate(modified_parts):
+        m = mask.to_numpy(zero_copy_only=False).astype(np.int64)
+        combo |= m << bit
+    names = [vc for vc, _ in modified_parts]
+    lookup = np.array(
+        [",".join(nm for b, nm in enumerate(names) if i & (1 << b)) for i in range(1 << len(names))],
+        dtype=object,
+    )
+    cols["modified_cols"] = pa.array(lookup[combo], type=pa.string())
+
+    cols["ts"] = tbl["ts"].combine_chunks()
+    for passthrough in (SEQ_COL, "shard"):
+        if passthrough in tbl.column_names:
+            cols[passthrough] = tbl[passthrough].combine_chunks()
+    return pa.table(cols)
+
+
+def _empty_out(tbl: pa.Table) -> pa.Table:
+    fields = [("conv_id", pa.string()), ("turn_idx", pa.int32()), ("op", pa.string())]
+    for vc in VALUE_COLS:
+        t = tbl.schema.field(vc).type
+        fields.append((AFTER_PREFIX + vc, t))
+        fields.append((BEFORE_PREFIX + vc, t))
+    fields.append(("modified_cols", pa.string()))
+    fields.append(("ts", pa.timestamp("us")))
+    if SEQ_COL in tbl.column_names:
+        fields.append((SEQ_COL, pa.int64()))
+    return pa.table({name: pa.nulls(0, t) for name, t in fields})
