@@ -1,0 +1,259 @@
+"""Micro-batch capture runner: the streaming control plane.
+
+≙ the reference's task lifecycle (``ScyllaConnectorTask.java`` §3.2 of
+SURVEY.md): restore offsets → loop windows → consume → advance offsets, with
+our upgrades — exactly-once idempotent sink and event-time watermarks.
+
+Each micro-batch is one Ray Data pipeline::
+
+    read_parquet(batch files) → map_batches(with_shard)
+    → groupby("shard").map_groups(_ShardTask)       # the one keyed shuffle
+    → tiny per-shard metrics rows → driver commit
+
+``_ShardTask`` (a Ray task per shard, scheduled by the streaming executor)
+does, fully vectorized:
+
+1. read the shard's checkpointed state (last CDC-log row per key) and inject
+   it as *seed rows* (``seq = -1``) — the cross-batch analogue of the
+   reference's image-correlation accumulator map
+   (``ScyllaChangesConsumer.java:104-139``), but stored as Parquet so any
+   worker on any node can pick up any shard (no actor affinity problem);
+2. run the same :func:`..stages.op_derive.derive_ops` kernel used in batch
+   mode — seeds make the per-key state machine continue seamlessly;
+3. write the change events to a deterministic ``batch-K/shard=S.parquet``
+   (temp + rename) — replays overwrite byte-identically ⇒ exactly-once;
+4. write the shard's new state file, return a one-row metrics table.
+
+The driver then atomically commits the manifest (offsets + per-shard
+watermarks). Crash anywhere before the commit ⇒ next run replays the batch
+onto the same file names. Empty batches still commit (heartbeat semantics,
+``ScyllaConnectorConfig.java:350-363``).
+
+Scale notes: state I/O is per-shard and proportional to live keys per shard —
+choose ``num_shards ≫ cores`` so state files stay small and the executor can
+pipeline shards; the per-batch shuffle moves only that batch's rows, never
+the accumulated state.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray.data
+
+from ..config import EngineConfig
+from ..schema import SEQ_COL, with_shard
+from ..sources.windowed import discover, plan_batches
+from ..stages.envelope import build_envelope
+from ..stages.op_derive import derive_ops
+from ..state.checkpoint import Checkpoint
+
+_STATE_COLS = ["conv_id", "turn_idx", "role", "text", "tool", "ts", SEQ_COL, "shard"]
+
+
+def _shard_task(
+    group: pa.Table,
+    *,
+    batch_id: int,
+    cfg: EngineConfig,
+    ckpt_dir: str,
+    out_dir: str,
+    prev_watermarks: dict[str, int],
+) -> pa.Table:
+    shard = group["shard"][0].as_py()
+    ckpt = Checkpoint(ckpt_dir)
+
+    # --- late-row metric vs the shard watermark of the previous commit -----
+    ts_us = group["ts"].cast(pa.int64())
+    wm_prev = prev_watermarks.get(str(shard))
+    n_late = 0
+    if wm_prev is not None:
+        import pyarrow.compute as pc
+
+        n_late = pc.sum(
+            pc.less(ts_us, wm_prev - cfg.allowed_lateness_us).cast(pa.int8())
+        ).as_py() or 0
+
+    # --- seed with checkpointed per-key state ------------------------------
+    if SEQ_COL not in group.column_names:
+        group = group.append_column(SEQ_COL, pa.array(range(group.num_rows), pa.int64()))
+    seed_path = ckpt.latest_state_path(shard, batch_id)
+    log = group.select(_STATE_COLS)
+    if seed_path is not None:
+        seed = pq.read_table(seed_path).select(_STATE_COLS)
+        log = pa.concat_tables([seed, log])
+
+    derived = derive_ops(log)
+
+    # --- roll state forward: last row per key, stored log-shaped -----------
+    # derived is sorted by (conv_id, turn_idx, ts, seq) ⇒ last row per key is
+    # where the next row's key differs (vectorized mask).
+    import numpy as np
+    import pyarrow.compute as pc
+
+    n = derived.num_rows
+    conv = derived["conv_id"].combine_chunks()
+    turn = derived["turn_idx"].combine_chunks()
+    if n:
+        nxt_same = pc.and_(
+            pc.equal(conv.slice(0, n - 1), conv.slice(1)),
+            pc.equal(turn.slice(0, n - 1), turn.slice(1)),
+        ).to_numpy(zero_copy_only=False)
+        is_last = np.ones(n, dtype=bool)
+        is_last[:-1] = ~nxt_same
+    else:
+        is_last = np.zeros(0, dtype=bool)
+    last = derived.filter(pa.array(is_last))
+    new_state = pa.table(
+        {
+            "conv_id": last["conv_id"],
+            "turn_idx": last["turn_idx"],
+            # tombstone state keeps role marker + NULL text; live state keeps after image
+            "role": pc.if_else(
+                pc.equal(last["op"], "d"),
+                pa.scalar("__tombstone__"),
+                last["after_role"].combine_chunks(),
+            ),
+            "text": last["after_text"],
+            "tool": last["after_tool"],
+            "ts": last["ts"],  # event ts (present for tombstones too: keeps seed order)
+            SEQ_COL: pa.array(np.full(last.num_rows, -1, dtype=np.int64)),
+            "shard": last["shard"],
+        }
+    )
+    ckpt.write_state(shard, batch_id, new_state)
+
+    # --- emit change events for real rows only (drop seed re-derivations) --
+    real = derived.filter(pc.greater_equal(derived[SEQ_COL], 0))
+    env = build_envelope(real, cfg)
+    out_path = os.path.join(out_dir, f"batch-{batch_id:06d}", f"shard={shard}.parquet")
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    tmp = out_path + ".tmp"
+    pq.write_table(env, tmp)
+    os.rename(tmp, out_path)
+
+    max_ts = pc.max(real["ts"].cast(pa.int64())).as_py() if real.num_rows else None
+    return pa.table(
+        {
+            "shard": pa.array([shard], pa.int32()),
+            "n_events": pa.array([real.num_rows], pa.int64()),
+            "n_late": pa.array([int(n_late)], pa.int64()),
+            "max_ts_us": pa.array([max_ts], pa.int64()),
+        }
+    )
+
+
+class CaptureRunner:
+    """Checkpointed micro-batch CDC capture over an append-only log dir."""
+
+    def __init__(
+        self,
+        log_dir: str,
+        cfg: EngineConfig,
+        out_dir: str | None = None,
+        ckpt_dir: str | None = None,
+    ):
+        self.log_dir = log_dir
+        self.cfg = cfg
+        self.out_dir = out_dir or cfg.sink_dir
+        self.ckpt = Checkpoint(ckpt_dir or cfg.checkpoint_dir)
+        self.metrics: list[dict] = []
+
+    def run(
+        self,
+        max_batches: int | None = None,
+        files_per_batch: int = 1,
+        crash_before_commit_at: int | None = None,
+        log_complete: bool = True,
+    ) -> dict:
+        """Consume unconsumed log files; returns run totals.
+
+        ``crash_before_commit_at=k``: simulate a hard kill after the k-th
+        processed batch's data+state writes but BEFORE its manifest commit
+        (the worst-case crash point for exactly-once).
+        """
+        last = self.ckpt.last_committed()
+        consumed = last["consumed_files"] if last else 0
+        next_batch = (last["batch_id"] + 1) if last else 0
+        watermarks: dict[str, int] = dict(last["watermarks"]) if last else {}
+
+        files = discover(self.log_dir)
+        batches = plan_batches(
+            files,
+            consumed,
+            files_per_batch,
+            self.cfg.confidence_window_us,
+            log_complete,
+        )
+        if max_batches is not None:
+            batches = batches[:max_batches]
+
+        totals = {"batches": 0, "events": 0, "late": 0}
+        for i, bfiles in enumerate(batches):
+            batch_id = next_batch + i
+            t0 = time.perf_counter()
+            stats = self._process_batch(batch_id, [f.path for f in bfiles], watermarks)
+            for row in stats:
+                if row["max_ts_us"] is not None:
+                    k = str(row["shard"])
+                    watermarks[k] = max(watermarks.get(k, 0), row["max_ts_us"])
+                totals["events"] += row["n_events"]
+                totals["late"] += row["n_late"]
+            if crash_before_commit_at is not None and i >= crash_before_commit_at:
+                totals["crashed"] = True
+                return totals
+            consumed += len(bfiles)
+            self.ckpt.commit(
+                batch_id,
+                {
+                    "consumed_files": consumed,
+                    "watermarks": watermarks,
+                    "epoch": self.cfg.epoch,
+                    "num_shards": self.cfg.num_shards,
+                    "events": totals["events"],
+                },
+            )
+            self.ckpt.gc_state(keep_batches=2)
+            totals["batches"] += 1
+            self.metrics.append(
+                {
+                    "batch_id": batch_id,
+                    "events": sum(r["n_events"] for r in stats),
+                    "sec": time.perf_counter() - t0,
+                }
+            )
+        return totals
+
+    def _process_batch(self, batch_id: int, paths: list[str], watermarks: dict) -> list[dict]:
+        if not paths:
+            return []
+        cfg, ckpt_dir, out_dir = self.cfg, self.ckpt.dir, self.out_dir
+        ds = ray.data.read_parquet(paths)
+        ds = ds.map_batches(lambda b: with_shard(b, cfg.num_shards), batch_format="pyarrow")
+        wm = dict(watermarks)  # tiny; captured by closure (ray.put for huge shard counts)
+        stats_ds = ds.groupby("shard").map_groups(
+            lambda g: _shard_task(
+                g,
+                batch_id=batch_id,
+                cfg=cfg,
+                ckpt_dir=ckpt_dir,
+                out_dir=out_dir,
+                prev_watermarks=wm,
+            ),
+            batch_format="pyarrow",
+        )
+        return stats_ds.take_all()
+
+    # --- output inspection (tests / small results only) --------------------
+
+    def read_output(self) -> pa.Table:
+        parts = []
+        for root, _dirs, fnames in os.walk(self.out_dir):
+            for f in sorted(fnames):
+                if f.endswith(".parquet"):
+                    parts.append(pq.read_table(os.path.join(root, f)))
+        return pa.concat_tables(parts) if parts else pa.table({})

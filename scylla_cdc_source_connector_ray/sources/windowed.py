@@ -1,0 +1,82 @@
+"""Windowed CDC-log reader (reference S1 — the per-task windowed SELECT loop,
+``ScyllaStreamingChangeEventSource.java:84-95,151``, ``README.md:1357-1359``).
+
+The transcript CDC log is an append-only directory of Parquet files. A
+micro-batch = the next group of not-yet-consumed files in arrival (name)
+order — the analogue of the reference's query time window, with the file
+boundary playing the role of ``[window_start, window_end)``.
+
+The confidence window (``ScyllaConnectorConfig.java:171-184``) maps to: a file
+is only eligible once ``max(ts) of the newest file − confidence_window``
+passes the file's own ``max(ts)`` — i.e. we never consume data that newer
+arrivals could still interleave with, except for the newest frontier when the
+log is declared complete (batch mode).
+
+File-level ``ts`` min/max come from Parquet footer statistics — no data read.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+
+import pyarrow.parquet as pq
+
+
+@dataclasses.dataclass(frozen=True)
+class LogFile:
+    path: str
+    min_ts_us: int | None
+    max_ts_us: int | None
+    num_rows: int
+
+
+def _ts_stats(path: str, ts_col: str = "ts") -> LogFile:
+    md = pq.read_metadata(path)
+    schema = md.schema.to_arrow_schema()
+    try:
+        idx = schema.names.index(ts_col)
+    except ValueError:
+        return LogFile(path, None, None, md.num_rows)
+    mn, mx = None, None
+    for rg in range(md.num_row_groups):
+        col = md.row_group(rg).column(idx)
+        st = col.statistics
+        if st is None or not st.has_min_max:
+            return LogFile(path, None, None, md.num_rows)
+        lo = st.min.value if hasattr(st.min, "value") else st.min
+        hi = st.max.value if hasattr(st.max, "value") else st.max
+        lo = int(lo.timestamp() * 1e6) if hasattr(lo, "timestamp") else int(lo)
+        hi = int(hi.timestamp() * 1e6) if hasattr(hi, "timestamp") else int(hi)
+        mn = lo if mn is None else min(mn, lo)
+        mx = hi if mx is None else max(mx, hi)
+    return LogFile(path, mn, mx, md.num_rows)
+
+
+def discover(log_dir: str) -> list[LogFile]:
+    """All log files in deterministic arrival order (lexicographic name)."""
+    names = sorted(
+        f for f in os.listdir(log_dir) if f.endswith(".parquet") and not f.startswith("_")
+    )
+    return [_ts_stats(os.path.join(log_dir, f)) for f in names]
+
+
+def plan_batches(
+    files: list[LogFile],
+    consumed: int,
+    files_per_batch: int = 1,
+    confidence_window_us: int = 0,
+    log_complete: bool = True,
+) -> list[list[LogFile]]:
+    """Split the unconsumed tail of the log into micro-batches.
+
+    ``consumed`` = number of files already committed (from the checkpoint
+    manifest). With ``log_complete=False`` (live tailing), files whose
+    ``max_ts`` is newer than ``frontier − confidence_window`` are held back —
+    the reference's "never read into the confidence window".
+    """
+    tail = files[consumed:]
+    if not log_complete and tail:
+        frontier = max((f.max_ts_us or 0) for f in files)
+        tail = [f for f in tail if f.max_ts_us is not None and f.max_ts_us <= frontier - confidence_window_us]
+    return [tail[i : i + files_per_batch] for i in range(0, len(tail), files_per_batch)]

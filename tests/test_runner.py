@@ -1,0 +1,136 @@
+"""Micro-batch runner: checkpointing, exactly-once kill-resume, heartbeats,
+watermarks (fixtures T6/T4 of FIXTURES.md; reference offset-resume semantics
+``ScyllaConnectorTask.java:163-211`` upgraded to exactly-once)."""
+
+import os
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from scylla_cdc_source_connector_ray.config import EngineConfig
+from scylla_cdc_source_connector_ray.pipelines.runner import CaptureRunner
+from scylla_cdc_source_connector_ray.sources.synthetic import generate, write_windowed
+from scylla_cdc_source_connector_ray.stages.envelope import flatten_envelope
+from tests.oracle import cdc_oracle
+
+
+def _cfg(tmp_path, **kw):
+    kw.setdefault("num_shards", 8)
+    return EngineConfig(
+        sink_dir=str(tmp_path / "out"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        **kw,
+    )
+
+
+def _flat_output(runner) -> pd.DataFrame:
+    env = runner.read_output()
+    df = flatten_envelope(env).to_pandas()
+    return df.sort_values(["conv_id", "turn_idx", "seq"]).reset_index(drop=True)
+
+
+def _golden(t: pa.Table) -> pd.DataFrame:
+    g = cdc_oracle(t.to_pandas())
+    return g.sort_values(["conv_id", "turn_idx", "seq"]).reset_index(drop=True)
+
+
+def _assert_matches_golden(out: pd.DataFrame, golden: pd.DataFrame):
+    assert len(out) == len(golden)
+    for c in ("op", "after_text", "before_text", "after_role"):
+        assert out[c].fillna("~").tolist() == golden[c].fillna("~").tolist(), c
+
+
+def test_runner_matches_batch_oracle(tmp_path):
+    t = generate(num_convs=30, turns_per_conv=10, update_pct=40, delete_pct=15)
+    write_windowed(t, str(tmp_path / "log"), num_files=4)
+    runner = CaptureRunner(str(tmp_path / "log"), _cfg(tmp_path))
+    totals = runner.run()
+    assert totals["batches"] == 4
+    _assert_matches_golden(_flat_output(runner), _golden(t))
+
+
+def test_kill_resume_no_dups_no_gaps(tmp_path):
+    """Crash after batch 1's data+state writes but before its manifest commit
+    (worst case), then resume: output must equal the golden with unique
+    (conv_id, turn_idx, seq) keys — exactly-once."""
+    t = generate(num_convs=25, turns_per_conv=8, update_pct=40, delete_pct=15)
+    write_windowed(t, str(tmp_path / "log"), num_files=3)
+    cfg = _cfg(tmp_path)
+
+    r1 = CaptureRunner(str(tmp_path / "log"), cfg)
+    totals1 = r1.run(crash_before_commit_at=1)
+    assert totals1.get("crashed")
+    assert totals1["batches"] == 1  # only batch 0 committed
+
+    r2 = CaptureRunner(str(tmp_path / "log"), cfg)
+    totals2 = r2.run()
+    assert totals2["batches"] == 2  # batches 1 (replayed) and 2
+
+    out = _flat_output(r2)
+    golden = _golden(t)
+    _assert_matches_golden(out, golden)
+    # exactly-once key uniqueness
+    keys = out[["conv_id", "turn_idx", "seq"]]
+    assert not keys.duplicated().any()
+
+
+def test_heartbeat_on_empty_batch(tmp_path):
+    """An empty log file still advances the manifest (reference heartbeat
+    rationale ScyllaConnectorConfig.java:350-363)."""
+    t = generate(num_convs=5, turns_per_conv=4)
+    log = tmp_path / "log"
+    write_windowed(t, str(log), num_files=2)
+    # middle file: valid schema, zero rows
+    empty = t.slice(0, 0)
+    pq.write_table(empty, str(log / "window-00001a-empty.parquet"))
+    runner = CaptureRunner(str(log), _cfg(tmp_path))
+    totals = runner.run()
+    assert totals["batches"] == 3
+    last = runner.ckpt.last_committed()
+    assert last["consumed_files"] == 3
+    _assert_matches_golden(_flat_output(runner), _golden(t))
+
+
+def test_watermarks_and_late_metric(tmp_path):
+    """Rows older than (shard watermark − allowed_lateness) arriving in a
+    later batch are counted late (fixture T4 semantics: the CDC events are
+    still emitted — lateness gates WINDOWED aggregation, not capture)."""
+    log = tmp_path / "log"
+    os.makedirs(log)
+    base = pd.Timestamp("2026-01-01").value // 1000
+
+    def tbl(rows, seq0):
+        return pa.table(
+            {
+                "conv_id": pa.array([r[0] for r in rows], pa.string()),
+                "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+                "role": pa.array(["user"] * len(rows), pa.string()),
+                "text": pa.array([r[2] for r in rows], pa.string()),
+                "tool": pa.array([None] * len(rows), pa.string()),
+                "ts": pa.array([base + r[3] for r in rows], pa.timestamp("us")),
+                "seq": pa.array(range(seq0, seq0 + len(rows)), pa.int64()),
+            }
+        )
+
+    hour = 3_600_000_000
+    pq.write_table(tbl([("a", 0, "x", 0), ("a", 1, "y", 2 * hour)], 0), str(log / "f0.parquet"))
+    # one row 2h older than the shard's watermark → late (lateness default 30s)
+    pq.write_table(tbl([("a", 2, "z", 1), ("a", 3, "w", 3 * hour)], 2), str(log / "f1.parquet"))
+    cfg = _cfg(tmp_path, num_shards=1)
+    runner = CaptureRunner(str(log), cfg)
+    totals = runner.run()
+    assert totals["late"] == 1
+    wm = runner.ckpt.last_committed()["watermarks"]
+    assert wm["0"] == base + 3 * hour
+
+
+def test_resume_is_noop_when_fully_consumed(tmp_path):
+    t = generate(num_convs=5, turns_per_conv=4)
+    write_windowed(t, str(tmp_path / "log"), num_files=2)
+    cfg = _cfg(tmp_path)
+    CaptureRunner(str(tmp_path / "log"), cfg).run()
+    r2 = CaptureRunner(str(tmp_path / "log"), cfg)
+    totals = r2.run()
+    assert totals == {"batches": 0, "events": 0, "late": 0}
+    _assert_matches_golden(_flat_output(r2), _golden(t))
