@@ -56,6 +56,69 @@ GROUP BY op
 """
 )
 
+HOUR_US = 3_600_000_000
+MIN15_US = 900_000_000
+GAP30M_US = 1_800_000_000
+
+WIN_TUMBLING_ROLE = f"""
+WITH transcripts AS ({TRANSCRIPTS_SQL})
+SELECT role, epoch_us(ts) - epoch_us(ts) % {HOUR_US} AS window_start_us,
+       count(*) AS n_events,
+       sum(coalesce(length(text), 0)) AS n_chars,
+       min(epoch_us(ts)) AS min_ts_us, max(epoch_us(ts)) AS max_ts_us
+FROM transcripts GROUP BY 1, 2
+"""
+
+WIN_SLIDING = f"""
+WITH transcripts AS ({TRANSCRIPTS_SQL})
+SELECT epoch_us(ts) - epoch_us(ts) % {MIN15_US} - {MIN15_US} * i AS window_start_us,
+       count(*) AS n_events,
+       sum(coalesce(length(text), 0)) AS n_chars,
+       min(epoch_us(ts)) AS min_ts_us, max(epoch_us(ts)) AS max_ts_us
+FROM transcripts CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i) s
+GROUP BY 1
+"""
+
+WIN_SESSION = f"""
+WITH transcripts AS ({TRANSCRIPTS_SQL}),
+marks AS (
+    SELECT conv_id, epoch_us(ts) AS ts_us,
+           CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                     OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > {GAP30M_US}
+                THEN 1 ELSE 0 END AS is_start
+    FROM transcripts WINDOW w AS (PARTITION BY conv_id ORDER BY ts)
+),
+sess AS (
+    SELECT conv_id, ts_us,
+           sum(is_start) OVER (PARTITION BY conv_id ORDER BY ts_us
+                               ROWS UNBOUNDED PRECEDING) AS sid
+    FROM marks
+)
+SELECT conv_id, min(ts_us) AS session_start_us,
+       max(ts_us) AS session_end_us, count(*) AS n_turns
+FROM sess GROUP BY conv_id, sid
+"""
+
+JOIN_CONV_STATE = f"""
+WITH transcripts AS ({TRANSCRIPTS_SQL})
+SELECT conv_id, turn_idx, seq,
+       count(*) OVER w_prior AS prior_turns,
+       coalesce(sum(length(coalesce(text, ''))) OVER w_prior, 0) AS prior_chars,
+       lag(role) OVER w AS prev_role,
+       lag(epoch_us(ts)) OVER w AS prev_ts_us
+FROM transcripts
+WINDOW w AS (PARTITION BY conv_id ORDER BY ts, seq),
+       w_prior AS (PARTITION BY conv_id ORDER BY ts, seq
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+"""
+
+JOIN_ENRICH_CUSTOMER = f"""
+WITH transcripts AS ({TRANSCRIPTS_SQL})
+SELECT t.conv_id, t.turn_idx, t.seq, c.c_name, c.c_mktsegment
+FROM transcripts t
+LEFT JOIN customer c ON c.c_custkey = CAST(substr(t.conv_id, 5) AS BIGINT)
+"""
+
 CDC_MODIFIED_COLS = (
     CDC_EVENTS_CTE
     + """

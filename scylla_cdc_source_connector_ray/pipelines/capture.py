@@ -58,6 +58,31 @@ def capture(ds: ray.data.Dataset, cfg: EngineConfig) -> ray.data.Dataset:
     )
 
 
+def capture_salted(
+    ds: ray.data.Dataset, cfg: EngineConfig, hot_convs: list[str] | None = None
+) -> ray.data.Dataset:
+    """Capture with hot-conversation salting (see :mod:`..stages.salt`):
+    one cheap count pre-aggregation finds hot convs, then the normal
+    derive/envelope path runs on the salted sharding. Output content is
+    identical to :func:`capture`; only placement differs."""
+    from ..stages.salt import detect_hot_convs, with_salted_shard
+
+    if hot_convs is None:
+        hot_convs = detect_hot_convs(ds, cfg.hot_key_threshold)
+    hot = frozenset(hot_convs)
+    salt_chunk = max(1, cfg.hot_key_threshold // cfg.salt_factor)
+    sharded = ds.map_batches(
+        lambda b: with_salted_shard(b, cfg.num_shards, hot, salt_chunk),
+        batch_format="pyarrow",
+    )
+    flat = sharded.groupby("shard").map_groups(
+        lambda t: derive_ops(t), batch_format="pyarrow"
+    )
+    return flat.map_batches(
+        lambda t: build_envelope(t, cfg), batch_format="pyarrow", batch_size=cfg.batch_size
+    )
+
+
 def capture_flat(ds: ray.data.Dataset, cfg: EngineConfig) -> ray.data.Dataset:
     """Capture, then flatten the envelope back to plain columns — the shape
     the DuckDB oracle emits (drops engine-internal shard/modified cols)."""
