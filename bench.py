@@ -1,0 +1,185 @@
+"""Benchmark harness (driver contract: prints ONE JSON line).
+
+Headline: the streaming CDC capture pipeline (micro-batch runner with
+checkpointing + exactly-once sink) over a deterministic synthetic transcript
+CDC log sized by $GRAFT_SF_DIR's scale factor, plus per-operator timings for
+the window/join/dedup pipelines over the same log and testdata tables.
+
+``--scaling``: run the headline twice in fresh processes at num_cpus=4 and 16 (4x)
+on the same input and report both throughputs + scaling efficiency
+(sandbox stand-in for the N vs 4N cluster-size criterion in BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+
+def sf_from_dir(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+BENCH_SHARDS = 64  # fixed across CPU levels so both run the same job
+
+
+def ensure_log(sf: float) -> tuple[str, str]:
+    """Generate (once) the synthetic CDC log for this scale under /tmp.
+    Returns (bucketed_dir, flat_dir): the bucketed layout feeds the
+    shuffle-free runner fast path (the production layout — CDC logs are
+    per-stream partitioned at the source); the flat layout feeds the
+    shuffle-path comparison."""
+    from scylla_cdc_source_connector_ray.sources.synthetic import (
+        generate,
+        scale_for_sf,
+        write_bucketed,
+        write_windowed,
+    )
+
+    params = scale_for_sf(sf)
+    base = f"/tmp/scylla_cdc_bench/sf{sf}"
+    stamp = os.path.join(base, "_PARAMS.json")
+    want = json.dumps({**params, "shards": BENCH_SHARDS}, sort_keys=True)
+    if not (os.path.exists(stamp) and open(stamp).read() == want):
+        shutil.rmtree(base, ignore_errors=True)
+        os.makedirs(base, exist_ok=True)
+        t = generate(**params)
+        write_bucketed(t, f"{base}/blog", num_shards=BENCH_SHARDS, num_files=8)
+        write_windowed(t, f"{base}/log", num_files=8)
+        with open(stamp, "w") as f:
+            f.write(want)
+    return f"{base}/blog", f"{base}/log"
+
+
+def run_bench(sf_dir: str, num_cpus: int) -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    import ray.data
+
+    from scylla_cdc_source_connector_ray.config import EngineConfig
+    from scylla_cdc_source_connector_ray.pipelines import capture as cap
+    from scylla_cdc_source_connector_ray.pipelines.runner import CaptureRunner
+    from scylla_cdc_source_connector_ray.stages import windows as W
+    from scylla_cdc_source_connector_ray.stages.join import enrich_with_conv_state
+
+    sf = sf_from_dir(sf_dir)
+    blog_dir, log_dir = ensure_log(sf)
+    scratch = f"/tmp/scylla_cdc_bench/sf{sf}/run_{num_cpus}"
+    shutil.rmtree(scratch, ignore_errors=True)
+
+    queries: dict[str, float] = {}
+    num_shards = BENCH_SHARDS  # fixed: same job at every CPU level
+
+    # warm page cache (untimed)
+    ray.data.read_parquet(log_dir).count()
+    ray.data.read_parquet(blog_dir).count()
+
+    # --- headline: streaming capture+score runner over the pre-partitioned
+    # log (shuffle-free fast path; the production CDC layout) ---------------
+    cfg = EngineConfig(
+        num_shards=num_shards,
+        score_text=True,
+        sink_dir=f"{scratch}/out",
+        checkpoint_dir=f"{scratch}/ckpt",
+    )
+    t0 = time.perf_counter()
+    runner = CaptureRunner(blog_dir, cfg)
+    totals = runner.run(files_per_batch=4)
+    headline = time.perf_counter() - t0
+    queries["capture_stream"] = round(headline, 3)
+    events = totals["events"]
+
+    # --- batch-mode capture over the UNpartitioned log (includes the one
+    # keyed shuffle) --------------------------------------------------------
+    cfg_batch = EngineConfig(num_shards=num_shards)
+    t0 = time.perf_counter()
+    n = cap.capture(
+        ray.data.read_parquet(log_dir, override_num_blocks=2 * num_cpus), cfg_batch
+    ).count()
+    queries["capture_batch_shuffle"] = round(time.perf_counter() - t0, 3)
+    assert n == events, (n, events)
+
+    # --- windows / join over the log --------------------------------------
+    HOUR, MIN15 = 3_600_000_000, 900_000_000
+    t0 = time.perf_counter()
+    W.tumbling(ray.data.read_parquet(log_dir, override_num_blocks=2 * num_cpus), HOUR, keys=["role"]).count()
+    queries["win_tumbling"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    W.sliding(ray.data.read_parquet(log_dir, override_num_blocks=2 * num_cpus), HOUR, MIN15).count()
+    queries["win_sliding"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    W.session(ray.data.read_parquet(log_dir, override_num_blocks=2 * num_cpus), gap_us=60_000_000, num_shards=num_shards).count()
+    queries["win_session"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    enrich_with_conv_state(ray.data.read_parquet(log_dir, override_num_blocks=2 * num_cpus), num_shards=num_shards).count()
+    queries["join_conv_state"] = round(time.perf_counter() - t0, 3)
+
+    result = {
+        "metric": "cdc_capture_stream_sec",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "num_cpus": num_cpus,
+        "events": events,
+        "events_per_sec": round(events / headline, 1),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling(sf_dir: str, lo: int = 4, hi: int = 16) -> dict:
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=sf_dir)
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    r_lo, r_hi = one(lo), one(hi)
+    thr_lo, thr_hi = r_lo["events_per_sec"], r_hi["events_per_sec"]
+    eff = (thr_hi / thr_lo) / (hi / lo)
+    return {
+        "sf_dir": sf_dir,
+        f"sec_{lo}": r_lo["value"],
+        f"sec_{hi}": r_hi["value"],
+        f"events_per_sec_{lo}": thr_lo,
+        f"events_per_sec_{hi}": thr_hi,
+        "scaling_efficiency": round(eff, 3),
+    }
+
+
+if __name__ == "__main__":
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling(sf_dir)))
+    else:
+        num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+        print(json.dumps(run_bench(sf_dir, num_cpus)))

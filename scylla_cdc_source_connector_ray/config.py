@@ -60,6 +60,10 @@ class EngineConfig:
     straggler_timeout_us: int = 15_000_000
 
     # --- envelope ----------------------------------------------------------
+    #: score after-images with text quality/token stats inside the capture
+    #: shard task (flagship "capture + score" pipeline)
+    score_text: bool = False
+
     include_before: IncludeMode = IncludeMode.FULL
     include_after: IncludeMode = IncludeMode.FULL
     pk_placements: tuple[PkPlacement, ...] = (PkPlacement.KAFKA_KEY,)

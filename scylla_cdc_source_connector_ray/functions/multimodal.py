@@ -1,0 +1,175 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Media travel as opaque ``binary`` columns with typed metadata; decode /
+feature-extract / resize / frame-sample run as actor-pool ``map_batches``
+stages. The actual codec libraries (Pillow, ffmpeg, torchaudio) are NOT in
+this container, so the decode kernel is STUBBED: ``decoder="real"`` raises
+``NotImplementedError`` at actor construction; ``decoder="fake"`` produces a
+deterministic pseudo-decode (seeded from the payload bytes) so the Ray-side
+plumbing — schema, batch sizing, actor signature, output layout — is real and
+tested end-to-end.
+
+Memory note (ray_guide): binary payloads dominate block size — use small
+``batch_size`` (e.g. 32–256) and let actor ``concurrency × num_cpus`` match
+the node rather than splitting blocks absurdly small.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+MEDIA_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.int64()),
+        ("kind", pa.string()),  # "image" | "audio" | "video"
+        ("payload", pa.binary()),
+        ("width", pa.int32()),  # metadata as known at ingest (nullable)
+        ("height", pa.int32()),
+        ("duration_ms", pa.int32()),
+    ]
+)
+
+
+def synthesize_media(n: int = 64, kind: str = "image", payload_bytes: int = 4096) -> pa.Table:
+    """Deterministic fake media table (seeded payload bytes) for tests."""
+    rng = np.random.RandomState(42)
+    payloads = [rng.randint(0, 256, size=payload_bytes, dtype=np.uint8).tobytes() for _ in range(n)]
+    return pa.table(
+        {
+            "media_id": pa.array(range(n), pa.int64()),
+            "kind": pa.array([kind] * n, pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+            "width": pa.array([64] * n, pa.int32()),
+            "height": pa.array([48] * n, pa.int32()),
+            "duration_ms": pa.array([1000] * n, pa.int32()),
+        }
+    )
+
+
+class Decoder:
+    """Actor-pool decode stage. Construction fails fast for the real decoder
+    (library absent) — the documented extension point."""
+
+    def __init__(self, decoder: str = "fake"):
+        if decoder == "real":
+            raise NotImplementedError(
+                "real decode needs Pillow/ffmpeg, not present in this container; "
+                "plug your codec here — the Ray plumbing is identical"
+            )
+        self.decoder = decoder
+
+    def _fake_pixels(self, payload: bytes, w: int, h: int) -> np.ndarray:
+        seed = int.from_bytes(hashlib.md5(payload).digest()[:4], "little")
+        rng = np.random.RandomState(seed)
+        return rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        pixels = []
+        for payload, w, h in zip(
+            batch["payload"].to_pylist(),
+            batch["width"].to_pylist(),
+            batch["height"].to_pylist(),
+        ):
+            pixels.append(self._fake_pixels(payload, w or 64, h or 48))
+        arr = np.stack(pixels)
+        flat = pa.FixedSizeListArray.from_arrays(
+            pa.array(arr.reshape(len(pixels), -1).ravel(), pa.uint8()),
+            arr.shape[1] * arr.shape[2] * arr.shape[3],
+        )
+        return batch.drop_columns(["payload"]).append_column("pixels", flat)
+
+
+class Resizer:
+    """Nearest-neighbour resize on decoded pixel tensors (pure numpy —
+    real and vectorized; works on fake or real decodes alike)."""
+
+    def __init__(self, out_w: int = 32, out_h: int = 24):
+        self.out_w, self.out_h = out_w, out_h
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        w = batch["width"].to_pylist()
+        h = batch["height"].to_pylist()
+        px = batch["pixels"].combine_chunks()
+        out = np.empty((n, self.out_h, self.out_w, 3), dtype=np.uint8)
+        for i in range(n):
+            W, H = w[i] or 64, h[i] or 48
+            img = np.asarray(px[i].values, dtype=np.uint8).reshape(H, W, 3)
+            yi = (np.arange(self.out_h) * H // self.out_h)[:, None]
+            xi = (np.arange(self.out_w) * W // self.out_w)[None, :]
+            out[i] = img[yi, xi]
+        flat = pa.FixedSizeListArray.from_arrays(
+            pa.array(out.reshape(n, -1).ravel(), pa.uint8()), self.out_h * self.out_w * 3
+        )
+        t = batch.drop_columns(["pixels"]).append_column("pixels", flat)
+        t = t.set_column(t.column_names.index("width"), "width", pa.array([self.out_w] * n, pa.int32()))
+        return t.set_column(t.column_names.index("height"), "height", pa.array([self.out_h] * n, pa.int32()))
+
+
+class FeatureExtractor:
+    """Mean-color + luma-histogram features per image (numpy, vectorized
+    across the batch tensor) — the stand-in for a real embedding model;
+    model load would live here in ``__init__`` (once per actor)."""
+
+    def __init__(self, bins: int = 8):
+        self.bins = bins
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        feats = np.empty((n, 3 + self.bins), dtype=np.float32)
+        px = batch["pixels"].combine_chunks()
+        w = batch["width"].to_pylist()
+        h = batch["height"].to_pylist()
+        for i in range(n):
+            img = np.asarray(px[i].values, dtype=np.float32).reshape(h[i], w[i], 3)
+            feats[i, :3] = img.mean(axis=(0, 1)) / 255.0
+            luma = img.mean(axis=2).ravel() / 255.0
+            hist, _ = np.histogram(luma, bins=self.bins, range=(0, 1))
+            feats[i, 3:] = hist / max(1, luma.size)
+        flat = pa.FixedSizeListArray.from_arrays(
+            pa.array(feats.ravel(), pa.float32()), 3 + self.bins
+        )
+        return batch.select(["media_id", "kind"]).append_column("features", flat)
+
+
+def frame_sample_ids(batch: pa.Table, every_ms: int = 250) -> pa.Table:
+    """Video frame-sampling plan: explode each video row into (media_id,
+    frame_ms) rows — the shape a real frame extractor consumes."""
+    ids = batch["media_id"].to_pylist()
+    durs = batch["duration_ms"].to_pylist()
+    out_ids, out_ms = [], []
+    for mid, d in zip(ids, durs):
+        ts = list(range(0, (d or 0), every_ms))
+        out_ids.extend([mid] * len(ts))
+        out_ms.extend(ts)
+    return pa.table(
+        {"media_id": pa.array(out_ids, pa.int64()), "frame_ms": pa.array(out_ms, pa.int32())}
+    )
+
+
+def decode_pipeline(
+    ds: ray.data.Dataset,
+    decoder: str = "fake",
+    batch_size: int = 64,
+    concurrency: int | tuple = (1, 4),
+) -> ray.data.Dataset:
+    """decode → resize → feature-extract, all actor pools with small batches
+    (binary payloads dominate memory)."""
+    ds = ds.map_batches(
+        Decoder,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        fn_constructor_kwargs={"decoder": decoder},
+    )
+    ds = ds.map_batches(
+        Resizer, batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency
+    )
+    return ds.map_batches(
+        FeatureExtractor, batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency
+    )

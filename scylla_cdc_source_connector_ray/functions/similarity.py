@@ -1,0 +1,194 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+* :func:`ann_bruteforce` — exact top-k cosine: numpy matmul per batch against
+  a broadcast query matrix (``ray.put`` once), partial top-k per batch, merge
+  on the tiny (query × k × batches) result. The baseline every ANN variant is
+  measured against.
+* :class:`IVFIndex` / :func:`ann_ivf` — the scale path: coarse k-means
+  centroids (deterministic seeded Lloyd on a sample), vectors bucketed by
+  nearest centroid (one ``map_batches`` pass), queries probe only the
+  ``nprobe`` nearest buckets.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+
+def _normalize(M: np.ndarray) -> np.ndarray:
+    return M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+
+
+def _stack(col) -> np.ndarray:
+    return np.stack([np.asarray(v, dtype=np.float64) for v in col])
+
+
+def ann_bruteforce(
+    ds: ray.data.Dataset,
+    queries: np.ndarray,
+    query_ids: np.ndarray,
+    k: int = 5,
+) -> pd.DataFrame:
+    """Exact top-k cosine neighbours for each query row.
+
+    Per batch: (B×d) @ (d×Q) matmul → per-batch top-k partials (B rows never
+    leave the task; only Q×k partial rows do) → final merge on the driver
+    over Q×k×num_batches rows (tiny).
+    Returns (query_id, vec_id, cosine, rank) with rank 1..k, deterministic
+    ties broken by vec_id.
+    """
+    Q = _normalize(np.asarray(queries, dtype=np.float64))
+    qref = ray.put((np.asarray(query_ids, dtype=np.int64), Q))
+
+    class PartialTopK:
+        def __init__(self):
+            self.qids, self.Q = ray.get(qref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            M = _normalize(_stack(batch["embedding"].values))
+            sims = self.Q @ M.T  # (Q, B)
+            ids = batch["vec_id"].values.astype(np.int64)
+            kk = min(k, sims.shape[1])
+            # per query: top-k of this batch (argpartition, then exact sort)
+            part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            rows = []
+            for qi in range(sims.shape[0]):
+                sel = part[qi]
+                rows.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": self.qids[qi],
+                            "vec_id": ids[sel],
+                            "cosine": sims[qi, sel],
+                        }
+                    )
+                )
+            return pd.concat(rows, ignore_index=True)
+
+    partials = ds.map_batches(
+        PartialTopK, batch_format="pandas", batch_size=4096, concurrency=(1, 8)
+    ).to_pandas()
+    # final exact top-k per query (tiny)
+    partials = partials.sort_values(
+        ["query_id", "cosine", "vec_id"], ascending=[True, False, True]
+    )
+    out = partials.groupby("query_id", as_index=False).head(k).reset_index(drop=True)
+    out["rank"] = out.groupby("query_id").cumcount() + 1
+    return out
+
+
+class IVFIndex:
+    """Coarse quantizer: deterministic seeded k-means on a driver-side sample
+    (sample stays small; assignment is distributed)."""
+
+    def __init__(self, n_centroids: int = 16, iters: int = 10, seed: int = 42):
+        self.n_centroids = n_centroids
+        self.iters = iters
+        self.seed = seed
+        self.centroids: np.ndarray | None = None
+
+    def fit(self, sample: np.ndarray) -> "IVFIndex":
+        X = _normalize(np.asarray(sample, dtype=np.float64))
+        rng = np.random.RandomState(self.seed)
+        C = X[rng.choice(len(X), size=min(self.n_centroids, len(X)), replace=False)]
+        for _ in range(self.iters):
+            assign = np.argmax(X @ C.T, axis=1)
+            for c in range(len(C)):
+                members = X[assign == c]
+                if len(members):
+                    C[c] = members.mean(axis=0)
+            C = _normalize(C)
+        self.centroids = C
+        return self
+
+    def assign_batches(self, ds: ray.data.Dataset) -> ray.data.Dataset:
+        cref = ray.put(self.centroids)
+
+        class Assign:
+            def __init__(self):
+                self.C = ray.get(cref)
+
+            def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+                M = _normalize(_stack(batch["embedding"].values))
+                batch = batch.copy()
+                batch["bucket"] = np.argmax(M @ self.C.T, axis=1).astype(np.int64)
+                return batch
+
+        return ds.map_batches(Assign, batch_format="pandas", concurrency=(1, 8))
+
+
+def ann_ivf(
+    ds: ray.data.Dataset,
+    queries: np.ndarray,
+    query_ids: np.ndarray,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    sample_size: int = 2048,
+) -> pd.DataFrame:
+    """Approximate top-k: probe only the ``nprobe`` nearest IVF buckets per
+    query. Same output schema as :func:`ann_bruteforce`; recall measured in
+    tests against the brute-force baseline."""
+    sample = _stack(ds.limit(sample_size).to_pandas()["embedding"].values)
+    index = IVFIndex(n_centroids=n_centroids).fit(sample)
+    assigned = index.assign_batches(ds)
+
+    Q = _normalize(np.asarray(queries, dtype=np.float64))
+    probes = np.argsort(-(Q @ index.centroids.T), axis=1)[:, :nprobe]  # (Q, nprobe)
+    # queries grouped per bucket they probe
+    bucket_to_queries: dict[int, list[int]] = {}
+    for qi, bs in enumerate(probes):
+        for b in bs:
+            bucket_to_queries.setdefault(int(b), []).append(qi)
+    qref = ray.put((np.asarray(query_ids, dtype=np.int64), Q, bucket_to_queries))
+
+    class ProbeTopK:
+        def __init__(self):
+            self.qids, self.Q, self.b2q = ray.get(qref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            out = []
+            for b, g in batch.groupby("bucket"):
+                qis = self.b2q.get(int(b))
+                if not qis:
+                    continue
+                M = _normalize(_stack(g["embedding"].values))
+                sims = self.Q[qis] @ M.T
+                ids = g["vec_id"].values.astype(np.int64)
+                kk = min(k, sims.shape[1])
+                part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+                for row, qi in enumerate(qis):
+                    sel = part[row]
+                    out.append(
+                        pd.DataFrame(
+                            {
+                                "query_id": self.qids[qi],
+                                "vec_id": ids[sel],
+                                "cosine": sims[row, sel],
+                            }
+                        )
+                    )
+            if not out:
+                return pd.DataFrame(
+                    {
+                        "query_id": pd.Series(dtype="int64"),
+                        "vec_id": pd.Series(dtype="int64"),
+                        "cosine": pd.Series(dtype="float64"),
+                    }
+                )
+            return pd.concat(out, ignore_index=True)
+
+    partials = assigned.map_batches(
+        ProbeTopK, batch_format="pandas", batch_size=4096, concurrency=(1, 8)
+    ).to_pandas()
+    partials = partials.drop_duplicates(["query_id", "vec_id"]).sort_values(
+        ["query_id", "cosine", "vec_id"], ascending=[True, False, True]
+    )
+    out = partials.groupby("query_id", as_index=False).head(k).reset_index(drop=True)
+    out["rank"] = out.groupby("query_id").cumcount() + 1
+    return out

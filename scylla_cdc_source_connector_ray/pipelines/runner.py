@@ -47,12 +47,46 @@ import ray.data
 
 from ..config import EngineConfig
 from ..schema import SEQ_COL, with_shard
-from ..sources.windowed import discover, plan_batches
+from ..sources.windowed import discover, discover_bucketed, is_bucketed, plan_batches
 from ..stages.envelope import build_envelope
 from ..stages.op_derive import derive_ops
 from ..state.checkpoint import Checkpoint
 
 _STATE_COLS = ["conv_id", "turn_idx", "role", "text", "tool", "ts", SEQ_COL, "shard"]
+
+
+def _shard_task_from_files(
+    item_batch,
+    *,
+    batch_id: int,
+    cfg: EngineConfig,
+    ckpt_dir: str,
+    out_dir: str,
+    prev_watermarks: dict[str, int],
+) -> pa.Table:
+    """Bucketed fast path: one work item = one shard's files for this batch.
+    The task reads only its own shard's Parquet (column-pruned, no shuffle) —
+    the direct analogue of a reference task SELECTing only its streams."""
+    outs = []
+    for item in item_batch["item"]:
+        paths = list(item["paths"])
+        tables = [pq.read_table(p) for p in paths]
+        group = pa.concat_tables(tables, promote_options="default")
+        if "shard" not in group.column_names:
+            group = group.append_column(
+                "shard", pa.array([int(item["shard"])] * group.num_rows, pa.int32())
+            )
+        outs.append(
+            _shard_task(
+                group,
+                batch_id=batch_id,
+                cfg=cfg,
+                ckpt_dir=ckpt_dir,
+                out_dir=out_dir,
+                prev_watermarks=prev_watermarks,
+            )
+        )
+    return pa.concat_tables(outs)
 
 
 def _shard_task(
@@ -130,6 +164,14 @@ def _shard_task(
     # --- emit change events for real rows only (drop seed re-derivations) --
     real = derived.filter(pc.greater_equal(derived[SEQ_COL], 0))
     env = build_envelope(real, cfg)
+    if cfg.score_text:
+        from ..functions.textops import quality_score
+
+        scored = quality_score(
+            real.select(["conv_id"]).append_column("text", real["after_text"]), "text"
+        )
+        for c in ("stat_chars", "stat_words", "stat_punct", "stat_stop", "quality"):
+            env = env.append_column(c, scored[c])
     out_path = os.path.join(out_dir, f"batch-{batch_id:06d}", f"shard={shard}.parquet")
     os.makedirs(os.path.dirname(out_path), exist_ok=True)
     tmp = out_path + ".tmp"
@@ -181,22 +223,37 @@ class CaptureRunner:
         next_batch = (last["batch_id"] + 1) if last else 0
         watermarks: dict[str, int] = dict(last["watermarks"]) if last else {}
 
-        files = discover(self.log_dir)
-        batches = plan_batches(
-            files,
-            consumed,
-            files_per_batch,
-            self.cfg.confidence_window_us,
-            log_complete,
-        )
+        bucketed = is_bucketed(self.log_dir)
+        if bucketed:
+            windows = discover_bucketed(self.log_dir)
+            tail = windows[consumed:]
+            batches = [
+                tail[i : i + files_per_batch] for i in range(0, len(tail), files_per_batch)
+            ]
+        else:
+            files = discover(self.log_dir)
+            batches = plan_batches(
+                files,
+                consumed,
+                files_per_batch,
+                self.cfg.confidence_window_us,
+                log_complete,
+            )
         if max_batches is not None:
             batches = batches[:max_batches]
 
         totals = {"batches": 0, "events": 0, "late": 0}
-        for i, bfiles in enumerate(batches):
+        for i, bwork in enumerate(batches):
             batch_id = next_batch + i
             t0 = time.perf_counter()
-            stats = self._process_batch(batch_id, [f.path for f in bfiles], watermarks)
+            if bucketed:
+                shard_paths: dict[int, list[str]] = {}
+                for _name, by_shard in bwork:
+                    for k, p in by_shard.items():
+                        shard_paths.setdefault(k, []).append(p)
+                stats = self._process_batch_bucketed(batch_id, shard_paths, watermarks)
+            else:
+                stats = self._process_batch(batch_id, [f.path for f in bwork], watermarks)
             for row in stats:
                 if row["max_ts_us"] is not None:
                     k = str(row["shard"])
@@ -206,7 +263,7 @@ class CaptureRunner:
             if crash_before_commit_at is not None and i >= crash_before_commit_at:
                 totals["crashed"] = True
                 return totals
-            consumed += len(bfiles)
+            consumed += len(bwork)
             self.ckpt.commit(
                 batch_id,
                 {
@@ -227,6 +284,34 @@ class CaptureRunner:
                 }
             )
         return totals
+
+    def _process_batch_bucketed(
+        self, batch_id: int, shard_paths: dict[int, list[str]], watermarks: dict
+    ) -> list[dict]:
+        """Shuffle-free path for pre-partitioned logs: one Ray Data work item
+        per shard, each task reads only its shard's files."""
+        if not shard_paths:
+            return []
+        cfg, ckpt_dir, out_dir = self.cfg, self.ckpt.dir, self.out_dir
+        wm = dict(watermarks)
+        items = [
+            {"item": {"shard": k, "paths": paths}}
+            for k, paths in sorted(shard_paths.items())
+        ]
+        ds = ray.data.from_items(items)
+        stats_ds = ds.map_batches(
+            lambda b: _shard_task_from_files(
+                b,
+                batch_id=batch_id,
+                cfg=cfg,
+                ckpt_dir=ckpt_dir,
+                out_dir=out_dir,
+                prev_watermarks=wm,
+            ),
+            batch_size=1,
+            batch_format="pandas",
+        )
+        return stats_ds.take_all()
 
     def _process_batch(self, batch_id: int, paths: list[str], watermarks: dict) -> list[dict]:
         if not paths:

@@ -100,9 +100,14 @@ def generate(
         "c" + pd.Series(c).astype(str) + ".t" + pd.Series(t).astype(str) + ".v" + pd.Series(version).astype(str) + " " + base
     )
     if text_pad:
-        # log-normal-ish width by index so skew fixtures also exercise wide rows
+        # deterministic width by index so skew fixtures also exercise wide
+        # rows; vectorized via repeat-from-vocab (no per-row Python)
         pad_len = (np.abs(np.sin(c * 0.7 + t * 0.3)) * text_pad).astype(np.int64)
-        text = text + pd.Series([("x" * int(p)) for p in pad_len])
+        filler = " lorem ipsum dolor sit amet and the rest of it is padding" * (
+            text_pad // 16 + 1
+        )
+        prefixes = {k: filler[:k] for k in np.unique(pad_len)}
+        text = text + pd.Series(pad_len).map(prefixes)
     text = text.where(pd.Series(version) >= 0, other=None)  # tombstones
     role = pd.Series(role).where(pd.Series(version) >= 0, other="__tombstone__")
 
@@ -146,17 +151,60 @@ def write_windowed(
     return paths
 
 
+def write_bucketed(
+    tbl: pa.Table,
+    out_dir: str,
+    num_shards: int,
+    num_files: int = 4,
+) -> list[str]:
+    """Write the log pre-partitioned by stream shard:
+    ``out_dir/shard=K/window-NNNNN.parquet`` — the layout a production CDC
+    log already has (Scylla partitions its CDC log by stream-id; the
+    reference's tasks each read only their own streams, `README.md:7`).
+    The shuffle-free runner fast path consumes this layout."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from ..schema import shard_of
+
+    shard = shard_of(tbl["conv_id"], num_shards)
+    tbl = tbl.append_column("shard", shard)
+    n = tbl.num_rows
+    bounds = [round(i * n / num_files) for i in range(num_files + 1)]
+    paths = []
+    for i in range(num_files):
+        window = tbl.slice(bounds[i], bounds[i + 1] - bounds[i])
+        by_shard = window.sort_by([("shard", "ascending")])
+        sh = by_shard["shard"].to_numpy(zero_copy_only=False)
+        import numpy as np
+
+        edges = np.flatnonzero(np.diff(sh)) + 1
+        starts = np.concatenate([[0], edges])
+        ends = np.concatenate([edges, [len(sh)]])
+        for s, e in zip(starts, ends):
+            k = int(sh[s])
+            d = os.path.join(out_dir, f"shard={k}")
+            os.makedirs(d, exist_ok=True)
+            path = os.path.join(d, f"window-{i:05d}.parquet")
+            pq.write_table(by_shard.slice(s, e - s), path)
+            paths.append(path)
+    return paths
+
+
 def scale_for_sf(sf: float) -> dict:
     """Generator parameters proportional to a testdata scale factor.
 
-    sf=0.1 → ~840k CDC events (tens of seconds of engine work at 8 CPUs).
+    sf=0.1 → ~8.7M CDC events with ~400-char texts (≈2.6 GB raw) so the
+    bench run is compute-dominated (tens of seconds at the low CPU level).
     """
-    num_convs = max(20, int(6000 * sf))
+    num_convs = max(20, int(12000 * sf))
     return {
         "num_convs": num_convs,
-        "turns_per_conv": 1000 if sf >= 0.1 else 100,
+        "turns_per_conv": 5000 if sf >= 0.1 else 100,
         "update_pct": 30,
         "delete_pct": 10,
         "hot_convs": max(1, num_convs // 200),
-        "hot_turns": 20000 if sf >= 0.1 else 2000,
+        "hot_turns": 50000 if sf >= 0.1 else 2000,
+        "text_pad": 400,
     }

@@ -61,6 +61,26 @@ def discover(log_dir: str) -> list[LogFile]:
     return [_ts_stats(os.path.join(log_dir, f)) for f in names]
 
 
+def is_bucketed(log_dir: str) -> bool:
+    """True when the log uses the pre-partitioned ``shard=K/window-N.parquet``
+    layout (see ``synthetic.write_bucketed``) — the shuffle-free fast path."""
+    return any(f.startswith("shard=") for f in os.listdir(log_dir))
+
+
+def discover_bucketed(log_dir: str) -> list[tuple[str, dict[int, str]]]:
+    """Bucketed layout → ordered list of (window_name, {shard: path}).
+    One 'file' in offset accounting = one window across all shards."""
+    windows: dict[str, dict[int, str]] = {}
+    for d in sorted(os.listdir(log_dir)):
+        if not d.startswith("shard="):
+            continue
+        shard = int(d.split("=", 1)[1])
+        for f in sorted(os.listdir(os.path.join(log_dir, d))):
+            if f.endswith(".parquet"):
+                windows.setdefault(f, {})[shard] = os.path.join(log_dir, d, f)
+    return sorted(windows.items())
+
+
 def plan_batches(
     files: list[LogFile],
     consumed: int,

@@ -1,0 +1,235 @@
+"""Training-data ops: text analysis, dedup family, ANN, multimodal plumbing."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+import ray.data
+
+from scylla_cdc_source_connector_ray.functions import dedup as D
+from scylla_cdc_source_connector_ray.functions import multimodal as MM
+from scylla_cdc_source_connector_ray.functions import similarity as S
+from scylla_cdc_source_connector_ray.functions import textops as T
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs():
+    return ray.data.read_parquet(f"{SF}/documents.parquet")
+
+
+def _emb():
+    return ray.data.read_parquet(f"{SF}/embeddings.parquet")
+
+
+# --- textops ---------------------------------------------------------------
+
+
+def test_text_stats_matches_sql():
+    out = _docs().map_batches(T.text_stats, batch_format="pyarrow").to_pandas()
+    con = duckdb.connect()
+    sql = con.sql(
+        f"""
+        SELECT doc_id,
+               coalesce(length(text), 0) AS stat_chars,
+               coalesce(length(regexp_extract_all(text, '\\S+')), 0) AS stat_words,
+               coalesce(length(regexp_extract_all(text, '[.,;:!?]')), 0) AS stat_punct,
+               coalesce(length(regexp_extract_all(text, '\\b(the|and|of|a|to|in|is)\\b')), 0) AS stat_stop
+        FROM '{SF}/documents.parquet'
+        """
+    ).df()
+    m = out[["doc_id", "stat_chars", "stat_words", "stat_punct", "stat_stop"]].sort_values("doc_id").reset_index(drop=True)
+    s = sql.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(m, s, check_dtype=False)
+
+
+def test_quality_score_range_and_determinism():
+    a = _docs().map_batches(T.quality_score, batch_format="pyarrow").to_pandas()
+    b = _docs().map_batches(T.quality_score, batch_format="pyarrow").to_pandas()
+    assert ((a["quality"] >= 0) & (a["quality"] <= 1)).all()
+    pd.testing.assert_series_equal(
+        a.sort_values("doc_id")["quality"].reset_index(drop=True),
+        b.sort_values("doc_id")["quality"].reset_index(drop=True),
+    )
+
+
+def test_lang_id_on_planted_samples():
+    # testdata's `lang` label is synthetic and uncorrelated with the text, so
+    # plant genuine per-language sentences and check the heuristic on those
+    planted = pd.DataFrame(
+        {
+            "doc_id": range(4),
+            "text": [
+                "the cat sat on the mat and it is happy that you came for it",
+                "der Hund ist nicht zu Hause und ich habe ein Problem mit der Katze",
+                "le chat est dans la maison et les enfants sont pour une promenade",
+                "el perro está en la casa y los niños van por la calle con una pelota",
+            ],
+            "lang": ["en", "de", "fr", "es"],
+        }
+    )
+    out = (
+        ray.data.from_pandas(planted)
+        .map_batches(T.LangId, batch_format="pandas", concurrency=2)
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert out["lang_pred"].tolist() == ["en", "de", "fr", "es"]
+
+
+def test_fingerprints():
+    out = _docs().map_batches(T.fingerprint, batch_format="pandas").to_pandas()
+    assert out["fp"].str.len().eq(32).all()
+    r = _docs().map_batches(T.rolling_fingerprint, batch_format="pandas").to_pandas()
+    assert r["rolling_fp"].nunique() > len(r) * 0.9  # near-unique on distinct docs
+
+
+# --- dedup -----------------------------------------------------------------
+
+
+def test_exact_dedup_matches_sql():
+    out = D.exact_dedup(_docs()).to_pandas()
+    con = duckdb.connect()
+    sql = con.sql(
+        f"SELECT text, min(doc_id) AS keep_id, count(*) AS n_copies FROM '{SF}/documents.parquet' GROUP BY text"
+    ).df()
+    m = out.sort_values("keep_id").reset_index(drop=True)
+    s = sql.sort_values("keep_id").reset_index(drop=True)
+    assert len(m) == len(s)
+    assert m["keep_id"].tolist() == s["keep_id"].tolist()
+    assert m["n_copies"].tolist() == s["n_copies"].tolist()
+
+
+def test_exact_dedup_hashed_equivalent():
+    plain = D.exact_dedup(_docs()).to_pandas()
+    hashed = D.exact_dedup_hashed(_docs()).to_pandas()
+    # same number of distinct groups (md5 collisions ~impossible) but hashed
+    # normalizes whitespace/case — compare group counts loosely
+    assert abs(len(plain) - len(hashed)) <= len(plain) * 0.05
+
+
+def test_minhash_lsh_finds_planted_near_dups():
+    docs = _docs().to_pandas()[["doc_id", "text"]]
+    base = docs.iloc[0]["text"] or "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    long_base = (base + " ") * 3
+    planted = pd.DataFrame(
+        {
+            "doc_id": [100001, 100002, 100003],
+            "text": [
+                long_base,
+                long_base + " tail tweak",  # near-dup of 100001
+                "completely different content about unrelated matters entirely xyz",
+            ],
+        }
+    )
+    ds = ray.data.from_pandas(pd.concat([docs, planted], ignore_index=True))
+    pairs = D.minhash_lsh_dedup(ds, threshold=0.5).to_pandas()
+    assert ((pairs["a"] == 100001) & (pairs["b"] == 100002)).any()
+    assert not ((pairs["a"] == 100001) & (pairs["b"] == 100003)).any()
+    assert (pairs["jaccard"] >= 0.5).all()
+
+
+def test_simhash_near_dups_planted():
+    docs = _docs().to_pandas()[["doc_id", "text"]]
+    words = "the quick brown fox jumps over the lazy dog again and again today".split()
+    base = " ".join(words * 12)  # enough shingles that a small edit ⇒ small Hamming
+    planted = pd.DataFrame(
+        {
+            "doc_id": [200001, 200002],
+            "text": [base, base + " minor suffix"],
+        }
+    )
+    ds = ray.data.from_pandas(pd.concat([docs, planted], ignore_index=True))
+    pairs = D.simhash_near_dups(ds, max_hamming=6).to_pandas()
+    assert ((pairs["a"] == 200001) & (pairs["b"] == 200002)).any()
+
+
+def test_embedding_near_dups_matches_sql():
+    out = D.embedding_near_dups(_emb(), threshold=0.35).to_pandas()
+    con = duckdb.connect()
+    sql = con.sql(
+        f"""
+        SELECT a.vec_id AS a, b.vec_id AS b,
+               list_cosine_similarity(a.embedding, b.embedding) AS cosine
+        FROM '{SF}/embeddings.parquet' a JOIN '{SF}/embeddings.parquet' b
+          ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35
+        """
+    ).df()
+    m = out.sort_values(["a", "b"]).reset_index(drop=True)
+    s = sql.sort_values(["a", "b"]).reset_index(drop=True)
+    assert m[["a", "b"]].values.tolist() == s[["a", "b"]].values.tolist()
+    assert np.allclose(m["cosine"], s["cosine"], atol=1e-6)
+
+
+# --- similarity ------------------------------------------------------------
+
+
+def _queries(n=5):
+    df = _emb().limit(n).to_pandas()
+    return np.stack(df["embedding"].values), df["vec_id"].values
+
+
+def test_ann_bruteforce_matches_sql_topk():
+    Q, qids = _queries(5)
+    out = S.ann_bruteforce(_emb(), Q, qids, k=4)
+    con = duckdb.connect()
+    sql = con.sql(
+        f"""
+        WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+                   FROM '{SF}/embeddings.parquet' WHERE vec_id < 5),
+        scored AS (
+            SELECT q.query_id, e.vec_id,
+                   list_cosine_similarity(q.qe, e.embedding) AS cosine,
+                   row_number() OVER (PARTITION BY q.query_id
+                                      ORDER BY list_cosine_similarity(q.qe, e.embedding) DESC,
+                                               e.vec_id) AS rank
+            FROM q CROSS JOIN '{SF}/embeddings.parquet' e
+        )
+        SELECT query_id, vec_id, cosine, rank FROM scored WHERE rank <= 4
+        """
+    ).df()
+    m = out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    s = sql.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert m[["query_id", "vec_id", "rank"]].values.tolist() == s[["query_id", "vec_id", "rank"]].values.tolist()
+
+
+def test_ann_ivf_recall():
+    Q, qids = _queries(10)
+    exact = S.ann_bruteforce(_emb(), Q, qids, k=5)
+    approx = S.ann_ivf(_emb(), Q, qids, k=5, n_centroids=8, nprobe=4)
+    exact_sets = exact.groupby("query_id")["vec_id"].apply(set)
+    approx_sets = approx.groupby("query_id")["vec_id"].apply(set)
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q]) for q in exact_sets.index
+    ]
+    assert np.mean(recalls) >= 0.6, recalls
+
+
+# --- multimodal ------------------------------------------------------------
+
+
+def test_multimodal_pipeline_plumbing():
+    media = MM.synthesize_media(n=32)
+    ds = ray.data.from_arrow(media)
+    out = MM.decode_pipeline(ds, decoder="fake", batch_size=8, concurrency=2).to_pandas()
+    assert len(out) == 32
+    assert len(out["features"].iloc[0]) == 11
+    # deterministic across runs
+    out2 = MM.decode_pipeline(ray.data.from_arrow(media), decoder="fake", batch_size=16, concurrency=2).to_pandas()
+    a = np.stack(out.sort_values("media_id")["features"].values)
+    b = np.stack(out2.sort_values("media_id")["features"].values)
+    assert np.allclose(a, b)
+
+
+def test_multimodal_real_decoder_raises():
+    with pytest.raises(NotImplementedError):
+        MM.Decoder(decoder="real")
+
+
+def test_frame_sampling():
+    media = MM.synthesize_media(n=4, kind="video")
+    plan = MM.frame_sample_ids(media, every_ms=250)
+    assert plan.num_rows == 4 * 4  # 1000ms / 250ms

@@ -134,3 +134,32 @@ def test_resume_is_noop_when_fully_consumed(tmp_path):
     totals = r2.run()
     assert totals == {"batches": 0, "events": 0, "late": 0}
     _assert_matches_golden(_flat_output(r2), _golden(t))
+
+
+def test_bucketed_log_fast_path(tmp_path):
+    """Pre-partitioned (shard=K) log layout: shuffle-free path must produce
+    the same events as the shuffle path on the same data."""
+    from scylla_cdc_source_connector_ray.sources.synthetic import write_bucketed
+
+    t = generate(num_convs=30, turns_per_conv=10, update_pct=40, delete_pct=15)
+    cfg = _cfg(tmp_path)
+    write_bucketed(t, str(tmp_path / "blog"), num_shards=cfg.num_shards, num_files=3)
+    runner = CaptureRunner(str(tmp_path / "blog"), cfg)
+    totals = runner.run()
+    assert totals["batches"] == 3
+    _assert_matches_golden(_flat_output(runner), _golden(t))
+
+
+def test_bucketed_kill_resume(tmp_path):
+    from scylla_cdc_source_connector_ray.sources.synthetic import write_bucketed
+
+    t = generate(num_convs=20, turns_per_conv=8, update_pct=40, delete_pct=15)
+    cfg = _cfg(tmp_path)
+    write_bucketed(t, str(tmp_path / "blog"), num_shards=cfg.num_shards, num_files=3)
+    r1 = CaptureRunner(str(tmp_path / "blog"), cfg)
+    assert r1.run(crash_before_commit_at=1).get("crashed")
+    r2 = CaptureRunner(str(tmp_path / "blog"), cfg)
+    r2.run()
+    out = _flat_output(r2)
+    _assert_matches_golden(out, _golden(t))
+    assert not out[["conv_id", "turn_idx", "seq"]].duplicated().any()
