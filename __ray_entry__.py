@@ -97,6 +97,139 @@ def _q_join_enrich_customer(sf_dir: str):
     return out.select_columns(["conv_id", "turn_idx", "seq", "c_name", "c_mktsegment"])
 
 
+def _q_cdc_compaction(sf_dir: str):
+    ds = cap.read_transcripts_from_events(sf_dir)
+    return cap.compaction(ds, _CFG)
+
+
+def _q_relational(fn_name: str):
+    def q(sf_dir: str):
+        from scylla_cdc_source_connector_ray.pipelines import relational as R
+
+        return getattr(R, fn_name)(sf_dir)
+
+    return q
+
+
+def _docs(sf_dir: str):
+    import ray.data
+
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(sf_dir: str):
+    import ray.data
+
+    return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _q_text_stats(sf_dir: str):
+    from scylla_cdc_source_connector_ray.functions.textops import text_stats
+
+    out = _docs(sf_dir).map_batches(text_stats, batch_format="pyarrow")
+    return out.select_columns(["doc_id", "stat_chars", "stat_words", "stat_punct", "stat_stop"])
+
+
+def _q_quality(sf_dir: str):
+    import numpy as np
+    import pyarrow as pa
+
+    from scylla_cdc_source_connector_ray.functions.textops import quality_score
+
+    def micro(t):
+        q = t["quality"].to_numpy(zero_copy_only=False)
+        return t.select(["doc_id"]).append_column(
+            "quality_micro", pa.array(np.floor(q * 1e6).astype("int64"))
+        )
+
+    return (
+        _docs(sf_dir)
+        .map_batches(quality_score, batch_format="pyarrow")
+        .map_batches(micro, batch_format="pyarrow")
+    )
+
+
+def _q_fingerprint(sf_dir: str):
+    from scylla_cdc_source_connector_ray.functions.textops import fingerprint
+
+    out = _docs(sf_dir).map_batches(fingerprint, batch_format="pandas")
+    return out.select_columns(["doc_id", "fp"])
+
+
+def _q_dedup_exact(sf_dir: str):
+    from scylla_cdc_source_connector_ray.functions.dedup import exact_dedup
+
+    return exact_dedup(_docs(sf_dir))
+
+
+def _q_dedup_exact_hashed(sf_dir: str):
+    from scylla_cdc_source_connector_ray.functions.dedup import exact_dedup_hashed
+
+    return exact_dedup_hashed(_docs(sf_dir))
+
+
+def _q_dedup_embedding(sf_dir: str):
+    from scylla_cdc_source_connector_ray.functions.dedup import embedding_near_dups
+
+    out = embedding_near_dups(_emb(sf_dir), threshold=0.35, id_limit=2000)
+    return out.select_columns(["a", "b"])
+
+
+def _q_ann_topk(sf_dir: str):
+    import numpy as np
+
+    from scylla_cdc_source_connector_ray.functions.similarity import ann_bruteforce
+
+    q = _emb(sf_dir).filter(lambda r: r["vec_id"] < 8).to_pandas()
+    out = ann_bruteforce(
+        _emb(sf_dir), np.stack(q["embedding"].values), q["vec_id"].values, k=5
+    )
+    return out[["query_id", "vec_id", "rank"]]
+
+
+def _q_dedup_minhash(sf_dir: str):
+    from scylla_cdc_source_connector_ray.functions.dedup import minhash_lsh_dedup
+
+    return minhash_lsh_dedup(_docs(sf_dir), threshold=0.7).select_columns(["a", "b"])
+
+
+def _q_dedup_simhash(sf_dir: str):
+    from scylla_cdc_source_connector_ray.functions.dedup import simhash_near_dups
+
+    return simhash_near_dups(_docs(sf_dir), max_hamming=3)
+
+
+def _q_lang_id(sf_dir: str):
+    from scylla_cdc_source_connector_ray.functions.textops import LangId
+
+    out = _docs(sf_dir).map_batches(LangId, batch_format="pandas", concurrency=2)
+    return out.select_columns(["doc_id", "lang_pred"])
+
+
+def _q_multimodal_features(sf_dir: str):
+    import ray.data
+
+    from scylla_cdc_source_connector_ray.functions.multimodal import (
+        decode_pipeline,
+        synthesize_media,
+    )
+
+    import numpy as np
+    import pyarrow as pa
+
+    media = synthesize_media(n=128)
+    out = decode_pipeline(ray.data.from_arrow(media), decoder="fake", batch_size=32)
+
+    def flatten(t: pa.Table) -> pa.Table:
+        feats = np.stack([np.asarray(v) for v in t["features"].to_pylist()])
+        cols = {"media_id": t["media_id"], "kind": t["kind"]}
+        for j in range(feats.shape[1]):
+            cols[f"f{j:02d}"] = pa.array(np.floor(feats[:, j] * 1e6).astype("int64"))
+        return pa.table(cols)
+
+    return out.map_batches(flatten, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "cdc_capture_flat": _q_cdc_capture_flat,
@@ -107,6 +240,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "win_session": _q_win_session,
         "join_conv_state": _q_join_conv_state,
         "join_enrich_customer": _q_join_enrich_customer,
+        "cdc_compaction": _q_cdc_compaction,
+        "q1_pricing_summary": _q_relational("q1_pricing_summary"),
+        "nation_revenue": _q_relational("nation_revenue"),
+        "top_orders": _q_relational("top_orders"),
+        "segment_stats": _q_relational("segment_stats"),
+        "event_type_stats": _q_relational("event_type_stats"),
+        "text_stats": _q_text_stats,
+        "quality_score": _q_quality,
+        "fingerprint_md5": _q_fingerprint,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_exact_hashed": _q_dedup_exact_hashed,
+        "dedup_embedding_cosine": _q_dedup_embedding,
+        "ann_bruteforce_topk": _q_ann_topk,
+        "dedup_minhash_lsh": _q_dedup_minhash,
+        "dedup_simhash": _q_dedup_simhash,
+        "lang_id": _q_lang_id,
+        "multimodal_features": _q_multimodal_features,
     }
 
 
@@ -120,4 +270,20 @@ def oracle_sql() -> dict[str, str]:
         "win_session": oracles.WIN_SESSION,
         "join_conv_state": oracles.JOIN_CONV_STATE,
         "join_enrich_customer": oracles.JOIN_ENRICH_CUSTOMER,
+        "cdc_compaction": oracles.CDC_COMPACTION,
+        "q1_pricing_summary": oracles.Q1_PRICING,
+        "nation_revenue": oracles.NATION_REVENUE,
+        "top_orders": oracles.TOP_ORDERS,
+        "segment_stats": oracles.SEGMENT_STATS,
+        "event_type_stats": oracles.EVENT_TYPE_STATS,
+        "text_stats": oracles.TEXT_STATS,
+        "quality_score": oracles.QUALITY_SCORE,
+        "fingerprint_md5": oracles.FINGERPRINT,
+        "dedup_exact": oracles.DEDUP_EXACT,
+        "dedup_exact_hashed": oracles.DEDUP_EXACT_HASHED,
+        "dedup_embedding_cosine": oracles.EMBEDDING_NEAR_DUPS,
+        "ann_bruteforce_topk": oracles.ANN_TOPK,
+        # dedup_minhash_lsh / dedup_simhash / lang_id / multimodal_features:
+        # intentionally no SQL oracle (LSH banding, simhash bit-mixing, n-gram
+        # heuristics and fake decodes aren't SQL-expressible) → rows-only gate
     }

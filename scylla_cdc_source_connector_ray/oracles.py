@@ -119,6 +119,132 @@ FROM transcripts t
 LEFT JOIN customer c ON c.c_custkey = CAST(substr(t.conv_id, 5) AS BIGINT)
 """
 
+CDC_COMPACTION = (
+    CDC_EVENTS_CTE
+    + """
+, last AS (
+    SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                                 ORDER BY ts DESC, seq DESC) AS rn
+    FROM cdc_events
+)
+SELECT conv_id, turn_idx, after_role AS role, after_text AS text,
+       after_tool AS tool, epoch_us(after_ts) AS ts_us
+FROM last WHERE rn = 1 AND op <> 'd'
+"""
+)
+
+# --- relational coverage (integer-scaled money: exact under any sum order) --
+
+Q1_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       sum(CAST(round(l_quantity) AS BIGINT)) AS sum_qty,
+       sum(CAST(round(l_extendedprice * 100.0) AS BIGINT)) AS sum_base_price_c,
+       sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000.0) AS BIGINT)) AS sum_disc_price_dm,
+       sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000.0) AS BIGINT)) AS sum_charge_um,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+NATION_REVENUE = """
+SELECT n.n_name AS n_name,
+       sum(CAST(round(o.o_totalprice * 100.0) AS BIGINT)) AS revenue_c,
+       count(*) AS n_orders
+FROM orders o
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+WHERE r.r_name = 'ASIA'
+GROUP BY n.n_name
+"""
+
+TOP_ORDERS = """
+SELECT l_orderkey,
+       sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000.0) AS BIGINT)) AS revenue_dm
+FROM lineitem GROUP BY l_orderkey
+ORDER BY revenue_dm DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+SEGMENT_STATS = """
+SELECT c_mktsegment, count(*) AS n,
+       sum(CAST(round(c_acctbal * 100.0) AS BIGINT)) AS sum_bal_c,
+       min(CAST(round(c_acctbal * 100.0) AS BIGINT)) AS min_bal_c,
+       max(CAST(round(c_acctbal * 100.0) AS BIGINT)) AS max_bal_c
+FROM customer GROUP BY c_mktsegment
+"""
+
+EVENT_TYPE_STATS = """
+SELECT event_type, count(*) AS n,
+       sum(CAST(round(value * 100.0) AS BIGINT)) AS sum_value_c
+FROM events GROUP BY event_type
+"""
+
+# --- training-data ops -------------------------------------------------------
+
+TEXT_STATS = r"""
+SELECT doc_id,
+       coalesce(length(text), 0) AS stat_chars,
+       coalesce(length(regexp_extract_all(text, '\S+')), 0) AS stat_words,
+       coalesce(length(regexp_extract_all(text, '[.,;:!?]')), 0) AS stat_punct,
+       coalesce(length(regexp_extract_all(text, '\b(the|and|of|a|to|in|is)\b')), 0) AS stat_stop
+FROM documents
+"""
+
+QUALITY_SCORE = r"""
+WITH s AS (
+    SELECT doc_id,
+           CAST(coalesce(length(text), 0) AS DOUBLE) AS n_chars,
+           CAST(coalesce(length(regexp_extract_all(text, '\S+')), 0) AS DOUBLE) AS n_words,
+           CAST(coalesce(length(regexp_extract_all(text, '[.,;:!?]')), 0) AS DOUBLE) AS n_punct,
+           CAST(coalesce(length(regexp_extract_all(text, '\b(the|and|of|a|to|in|is)\b')), 0) AS DOUBLE) AS n_stop
+    FROM documents
+)
+SELECT doc_id,
+       CAST(floor((least(n_chars / 500.0, 1.0) * 0.4
+                 + least(n_stop / greatest(n_words, 1.0) * 5.0, 1.0) * 0.3
+                 + least(n_punct / greatest(n_words, 1.0) * 10.0, 1.0) * 0.3) * 1000000.0) AS BIGINT)
+           AS quality_micro
+FROM s
+"""
+
+FINGERPRINT = r"""
+SELECT doc_id,
+       md5(trim(lower(regexp_replace(coalesce(text, ''), '\s+', ' ', 'g')))) AS fp
+FROM documents
+"""
+
+DEDUP_EXACT = """
+SELECT text, min(doc_id) AS keep_id, count(*) AS n_copies
+FROM documents GROUP BY text
+"""
+
+DEDUP_EXACT_HASHED = r"""
+SELECT md5(trim(lower(regexp_replace(coalesce(text, ''), '\s+', ' ', 'g')))) AS content_hash,
+       min(doc_id) AS keep_id, count(*) AS n_copies
+FROM documents GROUP BY 1
+"""
+
+EMBEDDING_NEAR_DUPS = """
+SELECT a.vec_id AS a, b.vec_id AS b
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE a.vec_id < 2000 AND b.vec_id < 2000
+  AND list_cosine_similarity(a.embedding, b.embedding) >= 0.35
+"""
+
+ANN_TOPK = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8),
+scored AS (
+    SELECT q.query_id, e.vec_id,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY list_cosine_similarity(q.qe, e.embedding) DESC,
+                                       e.vec_id) AS rank
+    FROM q CROSS JOIN embeddings e
+)
+SELECT query_id, vec_id, rank FROM scored WHERE rank <= 5
+"""
+
 CDC_MODIFIED_COLS = (
     CDC_EVENTS_CTE
     + """

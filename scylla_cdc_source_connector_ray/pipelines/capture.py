@@ -83,6 +83,55 @@ def capture_salted(
     )
 
 
+def compaction(ds: ray.data.Dataset, cfg: EngineConfig) -> ray.data.Dataset:
+    """Materialized current-state view: fold the CDC log per key and keep the
+    last surviving row state (deleted keys drop out) — the engine's answer to
+    "replay the changelog into a table". Same single shuffle as capture."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    def last_per_key(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    "conv_id": pa.nulls(0, pa.string()),
+                    "turn_idx": pa.nulls(0, pa.int32()),
+                    "role": pa.nulls(0, pa.string()),
+                    "text": pa.nulls(0, pa.string()),
+                    "tool": pa.nulls(0, pa.string()),
+                    "ts_us": pa.nulls(0, pa.int64()),
+                }
+            )
+        conv = t["conv_id"].combine_chunks()
+        turn = t["turn_idx"].combine_chunks()
+        nxt_same = pc.and_(
+            pc.equal(conv.slice(0, n - 1), conv.slice(1)),
+            pc.equal(turn.slice(0, n - 1), turn.slice(1)),
+        ).to_numpy(zero_copy_only=False)
+        is_last = np.ones(n, dtype=bool)
+        is_last[:-1] = ~nxt_same
+        last = t.filter(pa.array(is_last))
+        live = last.filter(pc.not_equal(last["op"], "d"))
+        return pa.table(
+            {
+                "conv_id": live["conv_id"],
+                "turn_idx": live["turn_idx"],
+                "role": live["after_role"],
+                "text": live["after_text"],
+                "tool": live["after_tool"],
+                "ts_us": live["after_ts"].combine_chunks().cast(pa.int64()),
+            }
+        )
+
+    # fold inside the same per-shard group task (a map_batches after
+    # derive_stage could split a key across batch boundaries)
+    sharded = ds.map_batches(lambda b: with_shard(b, cfg.num_shards), batch_format="pyarrow")
+    return sharded.groupby("shard").map_groups(
+        lambda t: last_per_key(derive_ops(t)), batch_format="pyarrow"
+    )
+
+
 def capture_flat(ds: ray.data.Dataset, cfg: EngineConfig) -> ray.data.Dataset:
     """Capture, then flatten the envelope back to plain columns — the shape
     the DuckDB oracle emits (drops engine-internal shard/modified cols)."""

@@ -1,0 +1,152 @@
+"""Relational operator coverage over the TPC-H-ish testdata tables:
+grouped aggregation, multi-way joins (broadcast for dimensions), filter,
+sort, top-k, distinct. These are the generic Dataset operators the engine
+composes with CDC/window stages; each has an exact DuckDB oracle.
+
+Join strategy: dimension tables (region/nation/customer at these scales)
+broadcast via ``ray.put`` and merge inside ``map_batches`` — no shuffle;
+the co-partitioned hash-join pattern for large-large joins lives in
+``stages/join.py``.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray
+import ray.data
+from ray.data.aggregate import Count, Max, Min, Sum
+
+
+def _read(sf_dir: str, table: str, columns=None) -> ray.data.Dataset:
+    return ray.data.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+
+
+def q1_pricing_summary(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q1-shaped: filtered grouped aggregation with derived measures
+    (column-pruned read + vectorized compute before the small shuffle)."""
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        columns=[
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_tax",
+            "l_shipdate",
+        ],
+    )
+
+    def prep(t):
+        # integer-scale money measures so distributed partial sums are EXACT
+        # and engine-independent (float sum order differs between Ray's
+        # partial aggregation and DuckDB; integers don't care)
+        t = t.filter(pc.less_equal(t["l_shipdate"], pc.strptime("1998-09-02", "%Y-%m-%d", "us")))
+        disc = pc.multiply(t["l_extendedprice"], pc.subtract(1.0, t["l_discount"]))
+        charge = pc.multiply(disc, pc.add(1.0, t["l_tax"]))
+        out = t.select(["l_returnflag", "l_linestatus"])
+        out = out.append_column("qty", pc.round(t["l_quantity"]).cast("int64"))
+        out = out.append_column(
+            "base_price_c", pc.round(pc.multiply(t["l_extendedprice"], 100.0)).cast("int64")
+        )
+        out = out.append_column(
+            "disc_price_dm", pc.round(pc.multiply(disc, 10000.0)).cast("int64")
+        )
+        out = out.append_column(
+            "charge_um", pc.round(pc.multiply(charge, 1000000.0)).cast("int64")
+        )
+        return out
+
+    ds = ds.map_batches(prep, batch_format="pyarrow")
+    return ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("qty", alias_name="sum_qty"),
+        Sum("base_price_c", alias_name="sum_base_price_c"),
+        Sum("disc_price_dm", alias_name="sum_disc_price_dm"),
+        Sum("charge_um", alias_name="sum_charge_um"),
+        Count(alias_name="count_order"),
+    )
+
+
+def nation_revenue(sf_dir: str) -> ray.data.Dataset:
+    """orders ⋈ customer ⋈ nation ⋈ region (all joins broadcast): total order
+    value per nation within one region, sorted."""
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_nationkey"]
+    ).to_pandas()
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet")).to_pandas()
+    region = pq.read_table(os.path.join(sf_dir, "region.parquet")).to_pandas()
+    dim = cust.merge(nation, left_on="c_nationkey", right_on="n_nationkey").merge(
+        region, left_on="n_regionkey", right_on="r_regionkey"
+    )
+    dim = dim[dim["r_name"] == "ASIA"][["c_custkey", "n_name"]]
+    ref = ray.put(dim.set_index("c_custkey"))
+
+    class Join:
+        def __init__(self):
+            self.dim = ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            j = batch.join(self.dim, on="o_custkey", how="inner")
+            j = j.assign(totalprice_c=(j["o_totalprice"] * 100).round().astype("int64"))
+            return j[["n_name", "totalprice_c"]]
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    joined = orders.map_batches(Join, batch_format="pandas", concurrency=(1, 4))
+    agg = joined.groupby("n_name").aggregate(
+        Sum("totalprice_c", alias_name="revenue_c"), Count(alias_name="n_orders")
+    )
+    return agg.sort("revenue_c", descending=True)
+
+
+def top_orders(sf_dir: str, k: int = 10) -> ray.data.Dataset:
+    """Per-order lineitem revenue → global top-k (partial agg per batch,
+    small global groupby, sort+limit)."""
+    ds = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def prep(t):
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(1.0, t["l_discount"]))
+        return t.select(["l_orderkey"]).append_column(
+            "revenue_dm", pc.round(pc.multiply(rev, 10000.0)).cast("int64")
+        )
+
+    ds = ds.map_batches(prep, batch_format="pyarrow")
+    agg = ds.groupby("l_orderkey").aggregate(Sum("revenue_dm", alias_name="revenue_dm"))
+    return agg.sort(["revenue_dm", "l_orderkey"], descending=[True, False]).limit(k)
+
+
+def segment_stats(sf_dir: str) -> ray.data.Dataset:
+    """Distinct + per-group stats on a dimension column."""
+    ds = _read(sf_dir, "customer", columns=["c_mktsegment", "c_acctbal"])
+
+    def cents(t):
+        return t.select(["c_mktsegment"]).append_column(
+            "bal_c", pc.round(pc.multiply(t["c_acctbal"], 100.0)).cast("int64")
+        )
+
+    ds = ds.map_batches(cents, batch_format="pyarrow")
+    return ds.groupby("c_mktsegment").aggregate(
+        Count(alias_name="n"),
+        Sum("bal_c", alias_name="sum_bal_c"),
+        Min("bal_c", alias_name="min_bal_c"),
+        Max("bal_c", alias_name="max_bal_c"),
+    )
+
+
+def event_type_stats(sf_dir: str) -> ray.data.Dataset:
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def cents(t):
+        return t.select(["event_type"]).append_column(
+            "value_c", pc.round(pc.multiply(t["value"], 100.0)).cast("int64")
+        )
+
+    ds = ds.map_batches(cents, batch_format="pyarrow")
+    return ds.groupby("event_type").aggregate(
+        Count(alias_name="n"), Sum("value_c", alias_name="sum_value_c")
+    )
