@@ -99,12 +99,16 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     cfg = EngineConfig(
         num_shards=num_shards,
         score_text=True,
+        window_agg=True,
+        enrich_conv_state=True,
+        window_size_us=3_600_000_000,
         sink_dir=f"{scratch}/out",
         checkpoint_dir=f"{scratch}/ckpt",
     )
     t0 = time.perf_counter()
     runner = CaptureRunner(blog_dir, cfg)
     totals = runner.run(files_per_batch=4)
+    runner.flush_windows()
     headline = time.perf_counter() - t0
     queries["capture_stream"] = round(headline, 3)
     events = totals["events"]

@@ -63,6 +63,13 @@ class EngineConfig:
     #: score after-images with text quality/token stats inside the capture
     #: shard task (flagship "capture + score" pipeline)
     score_text: bool = False
+    #: maintain tumbling-window pane state per shard and emit panes once the
+    #: shard watermark passes window_end + allowed_lateness (north_star
+    #: windowed aggregation); late rows route to the late output
+    window_agg: bool = False
+    #: join every event against the persistent per-conversation state store
+    #: (prior_turns/prior_chars/prev_role columns on the envelope)
+    enrich_conv_state: bool = False
 
     include_before: IncludeMode = IncludeMode.FULL
     include_after: IncludeMode = IncludeMode.FULL

@@ -164,6 +164,7 @@ def _shard_task(
     # --- emit change events for real rows only (drop seed re-derivations) --
     real = derived.filter(pc.greater_equal(derived[SEQ_COL], 0))
     env = build_envelope(real, cfg)
+
     if cfg.score_text:
         from ..functions.textops import quality_score
 
@@ -172,6 +173,32 @@ def _shard_task(
         )
         for c in ("stat_chars", "stat_words", "stat_punct", "stat_stop", "quality"):
             env = env.append_column(c, scored[c])
+
+    # --- watermark-gated tumbling-window panes (north_star windows) --------
+    n_late_dropped = 0
+    if cfg.window_agg and real.num_rows:
+        n_late_dropped = _window_panes(real, shard, batch_id, cfg, ckpt, out_dir, wm_prev)
+
+    # --- persistent per-conversation state join (north_star join) ----------
+    if cfg.enrich_conv_state:
+        from ..stages.join import CONV_STATE_SCHEMA, conv_state_prefix
+
+        cseed_path = ckpt.latest_state_path(shard, batch_id, kind="cstate")
+        cseed = pq.read_table(cseed_path) if cseed_path else None
+        enriched, new_cstate = conv_state_prefix(group, seed=cseed)
+        ckpt.write_state(
+            shard, batch_id, new_cstate.select(CONV_STATE_SCHEMA.names), kind="cstate"
+        )
+        # align by seq with a vectorized searchsorted (pyarrow join can't
+        # carry struct payload columns)
+        import numpy as np
+
+        ex_seq = enriched[SEQ_COL].combine_chunks().to_numpy(zero_copy_only=False)
+        env_seq = env[SEQ_COL].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.argsort(ex_seq)
+        pos = pa.array(order[np.searchsorted(ex_seq[order], env_seq)], pa.int64())
+        for c in ("prior_turns", "prior_chars", "prev_role"):
+            env = env.append_column(c, pc.take(enriched[c].combine_chunks(), pos))
     out_path = os.path.join(out_dir, f"batch-{batch_id:06d}", f"shard={shard}.parquet")
     os.makedirs(os.path.dirname(out_path), exist_ok=True)
     tmp = out_path + ".tmp"
@@ -184,9 +211,99 @@ def _shard_task(
             "shard": pa.array([shard], pa.int32()),
             "n_events": pa.array([real.num_rows], pa.int64()),
             "n_late": pa.array([int(n_late)], pa.int64()),
+            "n_late_dropped": pa.array([int(n_late_dropped)], pa.int64()),
             "max_ts_us": pa.array([max_ts], pa.int64()),
         }
     )
+
+
+_PANE_COLS = ["window_start_us", "n_events", "n_chars"]
+
+
+def _window_panes(
+    real: pa.Table,
+    shard: int,
+    batch_id: int,
+    cfg: EngineConfig,
+    ckpt: Checkpoint,
+    out_dir: str,
+    wm_prev: int | None,
+) -> int:
+    """Merge this batch's rows into the shard's tumbling-window pane state,
+    emit panes finalized by the new watermark, route too-late rows aside.
+
+    Deterministic on replay: inputs are (batch rows, pane state from the
+    previous COMMITTED batch, manifest watermark) — all stable under replay.
+    Returns the number of late-dropped rows (reference analogue: straggler
+    drop + error log, ``ScyllaChangesConsumer.java:147-174``; ours routes
+    them to a ``late/`` side output instead of losing them).
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    W = cfg.window_size_us
+    ts_us = real["ts"].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+    win = ts_us - (ts_us % W)
+
+    # rows whose window was finalized before this batch → late side-output
+    prev_thr = (wm_prev - cfg.allowed_lateness_us) if wm_prev is not None else None
+    late_mask = (win + W <= prev_thr) if prev_thr is not None else np.zeros(len(win), dtype=bool)
+    n_late_dropped = int(late_mask.sum())
+    if n_late_dropped:
+        late_rows = real.filter(pa.array(late_mask))
+        late_path = os.path.join(out_dir, "late", f"batch-{batch_id:06d}", f"shard={shard}.parquet")
+        os.makedirs(os.path.dirname(late_path), exist_ok=True)
+        tmp = late_path + ".tmp"
+        pq.write_table(late_rows, tmp)
+        os.rename(tmp, late_path)
+
+    ontime = real.filter(pa.array(~late_mask)) if n_late_dropped else real
+    win_ok = win[~late_mask]
+    chars = (
+        pc.fill_null(pc.utf8_length(ontime["after_text"].combine_chunks()), 0)
+        .cast(pa.int64())
+        .to_numpy(zero_copy_only=False)
+    )
+    partial = (
+        pa.table(
+            {
+                "window_start_us": pa.array(win_ok, pa.int64()),
+                "n_events": pa.array(np.ones(len(win_ok), dtype=np.int64)),
+                "n_chars": pa.array(chars, pa.int64()),
+            }
+        )
+        .group_by(["window_start_us"])
+        .aggregate([("n_events", "sum"), ("n_chars", "sum")])
+        .rename_columns(_PANE_COLS)
+    )
+
+    seed_path = ckpt.latest_state_path(shard, batch_id, kind="wstate")
+    if seed_path is not None:
+        seed = pq.read_table(seed_path)
+        partial = (
+            pa.concat_tables([seed.select(_PANE_COLS), partial])
+            .group_by(["window_start_us"])
+            .aggregate([("n_events", "sum"), ("n_chars", "sum")])
+            .rename_columns(_PANE_COLS)
+        )
+
+    new_wm = max(wm_prev or 0, int(ts_us.max()))
+    thr = new_wm - cfg.allowed_lateness_us
+    ws = partial["window_start_us"].to_numpy(zero_copy_only=False)
+    final_mask = ws + W <= thr
+    finalized = partial.filter(pa.array(final_mask)).sort_by([("window_start_us", "ascending")])
+    remaining = partial.filter(pa.array(~final_mask))
+    if finalized.num_rows:
+        wpath = os.path.join(out_dir, "windows", f"batch-{batch_id:06d}", f"shard={shard}.parquet")
+        os.makedirs(os.path.dirname(wpath), exist_ok=True)
+        finalized = finalized.append_column(
+            "shard", pa.array([shard] * finalized.num_rows, pa.int32())
+        )
+        tmp = wpath + ".tmp"
+        pq.write_table(finalized, tmp)
+        os.rename(tmp, wpath)
+    ckpt.write_state(shard, batch_id, remaining, kind="wstate")
+    return n_late_dropped
 
 
 class CaptureRunner:
@@ -260,6 +377,9 @@ class CaptureRunner:
                     watermarks[k] = max(watermarks.get(k, 0), row["max_ts_us"])
                 totals["events"] += row["n_events"]
                 totals["late"] += row["n_late"]
+                totals["late_dropped"] = totals.get("late_dropped", 0) + row.get(
+                    "n_late_dropped", 0
+                )
             if crash_before_commit_at is not None and i >= crash_before_commit_at:
                 totals["crashed"] = True
                 return totals
@@ -333,12 +453,75 @@ class CaptureRunner:
         )
         return stats_ds.take_all()
 
+    def flush_windows(self) -> None:
+        """End-of-log pane flush: once the (complete) log is fully consumed,
+        emit every residual pane to ``windows/final/`` — the batch-mode
+        equivalent of the watermark advancing to +∞."""
+        last = self.ckpt.last_committed()
+        if last is None:
+            return
+        nb = last["batch_id"] + 1
+        wdir = os.path.join(self.ckpt.dir, "wstate")
+        if not os.path.isdir(wdir):
+            return
+        for sd in sorted(os.listdir(wdir)):
+            shard = int(sd.split("=", 1)[1])
+            path = self.ckpt.latest_state_path(shard, nb, kind="wstate")
+            if path is None:
+                continue
+            panes = pq.read_table(path)
+            if panes.num_rows == 0:
+                continue
+            panes = panes.sort_by([("window_start_us", "ascending")]).append_column(
+                "shard", pa.array([shard] * panes.num_rows, pa.int32())
+            )
+            out = os.path.join(self.out_dir, "windows", "final", f"shard={shard}.parquet")
+            os.makedirs(os.path.dirname(out), exist_ok=True)
+            tmp = out + ".tmp"
+            pq.write_table(panes, tmp)
+            os.rename(tmp, out)
+
     # --- output inspection (tests / small results only) --------------------
 
-    def read_output(self) -> pa.Table:
+    def read_windows(self) -> pa.Table:
         parts = []
-        for root, _dirs, fnames in os.walk(self.out_dir):
+        wroot = os.path.join(self.out_dir, "windows")
+        for root, _d, fnames in os.walk(wroot):
             for f in sorted(fnames):
                 if f.endswith(".parquet"):
                     parts.append(pq.read_table(os.path.join(root, f)))
+        return (
+            pa.concat_tables(parts)
+            if parts
+            else pa.table(
+                {
+                    "window_start_us": pa.nulls(0, pa.int64()),
+                    "n_events": pa.nulls(0, pa.int64()),
+                    "n_chars": pa.nulls(0, pa.int64()),
+                    "shard": pa.nulls(0, pa.int32()),
+                }
+            )
+        )
+
+    def read_late(self) -> pa.Table:
+        parts = []
+        lroot = os.path.join(self.out_dir, "late")
+        for root, _d, fnames in os.walk(lroot):
+            for f in sorted(fnames):
+                if f.endswith(".parquet"):
+                    parts.append(pq.read_table(os.path.join(root, f)))
+        return pa.concat_tables(parts) if parts else pa.table({})
+
+    def read_output(self) -> pa.Table:
+        """Change-event output only (batch-*/ dirs; windows/ and late/ side
+        outputs have their own readers)."""
+        parts = []
+        if os.path.isdir(self.out_dir):
+            for d in sorted(os.listdir(self.out_dir)):
+                if not d.startswith("batch-"):
+                    continue
+                bd = os.path.join(self.out_dir, d)
+                for f in sorted(os.listdir(bd)):
+                    if f.endswith(".parquet"):
+                        parts.append(pq.read_table(os.path.join(bd, f)))
         return pa.concat_tables(parts) if parts else pa.table({})

@@ -151,6 +151,53 @@ def write_windowed(
     return paths
 
 
+def to_image_log(tbl: pa.Table, shuffle_seed: int | None = None) -> pa.Table:
+    """Row-level CDC log → image-mode log: each event becomes up to three rows
+    (PRE_IMAGE / delta / POST_IMAGE) sharing the event's ``ts``
+    (fixture for the reference's pre/postimage pipelines; the misalignment
+    regression shuffles rows within the log with ``shuffle_seed``)."""
+    from ..stages.op_derive import derive_ops
+
+    ev = derive_ops(tbl)
+    parts = []
+
+    def img(mask_tbl, op_kind, prefix):
+        cols = {
+            "conv_id": mask_tbl["conv_id"],
+            "turn_idx": mask_tbl["turn_idx"],
+            "op_kind": pa.array([op_kind] * mask_tbl.num_rows, pa.string()),
+            "role": mask_tbl[prefix + "role"],
+            "text": mask_tbl[prefix + "text"],
+            "tool": mask_tbl[prefix + "tool"],
+            "ts": mask_tbl["ts"],
+            SEQ_COL: mask_tbl[SEQ_COL],
+        }
+        return pa.table(cols)
+
+    import pyarrow.compute as pc
+
+    ins = ev.filter(pc.equal(ev["op"], "c"))
+    upd = ev.filter(pc.equal(ev["op"], "u"))
+    dele = ev.filter(pc.equal(ev["op"], "d"))
+    parts += [img(ins, "INSERT", "after_"), img(ins, "POST_IMAGE", "after_")]
+    parts += [img(upd, "PRE_IMAGE", "before_"), img(upd, "UPDATE", "after_"), img(upd, "POST_IMAGE", "after_")]
+    parts += [img(dele, "PRE_IMAGE", "before_"), img(dele, "DELETE", "before_")]
+    out = pa.concat_tables(parts)
+    # delta DELETE rows carry the pre values only as placeholders; blank text
+    # is irrelevant — correlation nulls after for deletes
+    n = out.num_rows
+    if shuffle_seed is not None:
+        rng = np.random.RandomState(shuffle_seed)
+        order = rng.permutation(n)
+        out = out.take(pa.array(order, pa.int64()))
+    else:
+        out = out.sort_by([("ts", "ascending"), (SEQ_COL, "ascending")])
+    # unique per-row arrival id
+    return out.set_column(
+        out.column_names.index(SEQ_COL), SEQ_COL, pa.array(np.arange(n), pa.int64())
+    )
+
+
 def write_bucketed(
     tbl: pa.Table,
     out_dir: str,

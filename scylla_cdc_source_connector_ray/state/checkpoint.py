@@ -66,13 +66,15 @@ class Checkpoint:
 
     # --- per-shard state files ---------------------------------------------
 
-    def state_path(self, shard: int, batch_id: int) -> str:
-        return os.path.join(self.state_dir, f"shard={shard}", f"batch-{batch_id:06d}.parquet")
+    def state_path(self, shard: int, batch_id: int, kind: str = "state") -> str:
+        return os.path.join(self.dir, kind, f"shard={shard}", f"batch-{batch_id:06d}.parquet")
 
-    def latest_state_path(self, shard: int, before_batch: int) -> str | None:
+    def latest_state_path(self, shard: int, before_batch: int, kind: str = "state") -> str | None:
         """Newest state file for ``shard`` with batch_id < ``before_batch``
-        (a shard with no rows in a batch writes no file — fall back further)."""
-        d = os.path.join(self.state_dir, f"shard={shard}")
+        (a shard with no rows in a batch writes no file — fall back further).
+        ``kind`` namespaces independent state tables: "state" (per-key row
+        state), "wstate" (window panes), "cstate" (per-conversation store)."""
+        d = os.path.join(self.dir, kind, f"shard={shard}")
         if not os.path.isdir(d):
             return None
         best = None
@@ -83,11 +85,11 @@ class Checkpoint:
                     best = b
         return os.path.join(d, f"batch-{best:06d}.parquet") if best is not None else None
 
-    def write_state(self, shard: int, batch_id: int, table) -> None:
+    def write_state(self, shard: int, batch_id: int, table, kind: str = "state") -> None:
         """Atomic per-shard state write (temp + rename)."""
         import pyarrow.parquet as pq
 
-        path = self.state_path(shard, batch_id)
+        path = self.state_path(shard, batch_id, kind)
         os.makedirs(os.path.dirname(path), exist_ok=True)
         tmp = path + ".tmp"
         pq.write_table(table, tmp)
@@ -95,10 +97,12 @@ class Checkpoint:
 
     def gc_state(self, keep_batches: int = 2) -> None:
         """Drop state files older than the newest ``keep_batches`` per shard."""
-        if not os.path.isdir(self.state_dir):
-            return
-        for sd in os.listdir(self.state_dir):
-            d = os.path.join(self.state_dir, sd)
-            files = sorted(f for f in os.listdir(d) if f.endswith(".parquet"))
-            for f in files[:-keep_batches]:
-                os.unlink(os.path.join(d, f))
+        for kind in ("state", "wstate", "cstate"):
+            kd = os.path.join(self.dir, kind)
+            if not os.path.isdir(kd):
+                continue
+            for sd in os.listdir(kd):
+                d = os.path.join(kd, sd)
+                files = sorted(f for f in os.listdir(d) if f.endswith(".parquet"))
+                for f in files[:-keep_batches]:
+                    os.unlink(os.path.join(d, f))

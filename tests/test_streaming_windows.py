@@ -1,0 +1,145 @@
+"""Streaming windowed aggregation with watermark-gated pane emission and the
+persistent conversation-state join inside the runner (fixtures T7/T8/T4)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from scylla_cdc_source_connector_ray.config import EngineConfig
+from scylla_cdc_source_connector_ray.pipelines.runner import CaptureRunner
+from scylla_cdc_source_connector_ray.sources.synthetic import generate, write_windowed
+
+MIN = 60_000_000
+
+
+def _cfg(tmp_path, **kw):
+    kw.setdefault("num_shards", 4)
+    return EngineConfig(
+        sink_dir=str(tmp_path / "out"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        **kw,
+    )
+
+
+def _batch_panes(t: pa.Table, cfg) -> pd.DataFrame:
+    """Single-threaded oracle: tumbling panes over ALL rows per shard."""
+    from scylla_cdc_source_connector_ray.schema import shard_of
+
+    df = t.to_pandas()
+    df["shard"] = shard_of(t["conv_id"], cfg.num_shards).to_pylist()
+    ts = df["ts"].astype("int64") // 1  # ns → careful: arrow us → pandas ns
+    ts_us = df["ts"].values.astype("datetime64[us]").astype("int64")
+    df["window_start_us"] = ts_us - (ts_us % cfg.window_size_us)
+    df["chars"] = df["text"].fillna("").str.len()
+    g = (
+        df.groupby(["shard", "window_start_us"])
+        .agg(n_events=("conv_id", "size"), n_chars=("chars", "sum"))
+        .reset_index()
+    )
+    return g.sort_values(["shard", "window_start_us"]).reset_index(drop=True)
+
+
+def test_streaming_panes_equal_batch_after_flush(tmp_path):
+    t = generate(num_convs=12, turns_per_conv=30, update_pct=20, delete_pct=10, step_us=20_000_000)
+    write_windowed(t, str(tmp_path / "log"), num_files=4)
+    cfg = _cfg(tmp_path, window_agg=True, window_size_us=MIN, allowed_lateness_us=MIN)
+    runner = CaptureRunner(str(tmp_path / "log"), cfg)
+    totals = runner.run()
+    runner.flush_windows()
+    got = (
+        runner.read_windows()
+        .to_pandas()[["shard", "window_start_us", "n_events", "n_chars"]]
+        .sort_values(["shard", "window_start_us"])
+        .reset_index(drop=True)
+    )
+    want = _batch_panes(t, cfg)
+    assert totals["late_dropped"] == 0  # in-order log: nothing late
+    pd.testing.assert_frame_equal(got.astype("int64"), want.astype("int64"))
+    # panes were emitted progressively, not only at flush
+    import os
+
+    emitted_dirs = [d for d in os.listdir(tmp_path / "out" / "windows") if d.startswith("batch-")]
+    assert emitted_dirs, "no watermark-gated emission happened before flush"
+
+
+def test_late_rows_routed_to_side_output(tmp_path):
+    import os
+
+    log = tmp_path / "log"
+    os.makedirs(log)
+    base = pd.Timestamp("2026-01-01").value // 1000
+    hour = 3_600_000_000
+
+    def tbl(rows, seq0):
+        return pa.table(
+            {
+                "conv_id": pa.array([r[0] for r in rows], pa.string()),
+                "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+                "role": pa.array(["user"] * len(rows), pa.string()),
+                "text": pa.array([r[2] for r in rows], pa.string()),
+                "tool": pa.array([None] * len(rows), pa.string()),
+                "ts": pa.array([base + r[3] for r in rows], pa.timestamp("us")),
+                "seq": pa.array(range(seq0, seq0 + len(rows)), pa.int64()),
+            }
+        )
+
+    pq.write_table(tbl([("a", 0, "x", 0), ("a", 1, "y", 5 * hour)], 0), str(log / "f0.parquet"))
+    # arrives after watermark hit 5h: window [0,1m) finalized long ago → late
+    pq.write_table(tbl([("a", 2, "z", 30_000_000), ("a", 3, "w", 6 * hour)], 2), str(log / "f1.parquet"))
+    cfg = _cfg(tmp_path, num_shards=1, window_agg=True, window_size_us=MIN, allowed_lateness_us=MIN)
+    runner = CaptureRunner(str(log), cfg)
+    totals = runner.run()
+    runner.flush_windows()
+    assert totals["late_dropped"] == 1
+    late = runner.read_late().to_pandas()
+    assert late["conv_id"].tolist() == ["a"] and late["turn_idx"].tolist() == [2]
+    # the late row is NOT in any pane, but IS still in the capture output
+    panes = runner.read_windows().to_pandas()
+    assert panes["n_events"].sum() == 3
+    assert runner.read_output().num_rows == 4
+
+
+def test_streaming_windows_kill_resume_deterministic(tmp_path):
+    t = generate(num_convs=10, turns_per_conv=20, update_pct=30, delete_pct=10, step_us=20_000_000)
+    write_windowed(t, str(tmp_path / "log"), num_files=3)
+    kw = dict(window_agg=True, enrich_conv_state=True, window_size_us=MIN, allowed_lateness_us=MIN)
+
+    cfg1 = _cfg(tmp_path, **kw)
+    r1 = CaptureRunner(str(tmp_path / "log"), cfg1)
+    assert r1.run(crash_before_commit_at=1).get("crashed")
+    r2 = CaptureRunner(str(tmp_path / "log"), cfg1)
+    r2.run()
+    r2.flush_windows()
+
+    other = tmp_path / "clean"
+    cfg2 = EngineConfig(
+        num_shards=4,
+        sink_dir=str(other / "out"),
+        checkpoint_dir=str(other / "ckpt"),
+        **kw,
+    )
+    r3 = CaptureRunner(str(tmp_path / "log"), cfg2)
+    r3.run()
+    r3.flush_windows()
+
+    a = r2.read_windows().to_pandas().sort_values(["shard", "window_start_us"]).reset_index(drop=True)
+    b = r3.read_windows().to_pandas().sort_values(["shard", "window_start_us"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_conv_state_enrichment_in_runner(tmp_path):
+    t = generate(num_convs=8, turns_per_conv=12, update_pct=25, delete_pct=10)
+    write_windowed(t, str(tmp_path / "log"), num_files=3)
+    cfg = _cfg(tmp_path, enrich_conv_state=True)
+    runner = CaptureRunner(str(tmp_path / "log"), cfg)
+    runner.run()
+    out = runner.read_output().to_pandas()
+    assert {"prior_turns", "prior_chars", "prev_role"} <= set(out.columns)
+
+    # oracle: exclusive per-conv prefix over the whole log in (ts, seq) order
+    df = t.to_pandas().sort_values(["conv_id", "ts", "seq"])
+    df["prior_turns_g"] = df.groupby("conv_id").cumcount()
+    got = out.set_index("seq")["prior_turns"]
+    want = df.set_index("seq")["prior_turns_g"]
+    assert got.sort_index().tolist() == want.sort_index().tolist()
