@@ -97,6 +97,44 @@ def _q_join_enrich_customer(sf_dir: str):
     return out.select_columns(["conv_id", "turn_idx", "seq", "c_name", "c_mktsegment"])
 
 
+def _q_cdc_image_correlation(sf_dir: str):
+    """Image-mode path: expand the transcript log to PRE/delta/POST rows,
+    shuffle them within the window, correlate back (reference ST1)."""
+    import pyarrow as pa
+
+    from scylla_cdc_source_connector_ray.sources.synthetic import to_image_log
+    from scylla_cdc_source_connector_ray.stages.correlate import correlate_images
+
+    ds = cap.read_transcripts_from_events(sf_dir)
+    cfg = _CFG
+
+    def _shard(b):
+        from scylla_cdc_source_connector_ray.schema import with_shard
+
+        return with_shard(b, cfg.num_shards)
+
+    def _img_and_correlate(g: pa.Table) -> pa.Table:
+        img = to_image_log(g.drop_columns(["shard"]), shuffle_seed=13)
+        events, residual, dropped = correlate_images(img)
+        assert residual.num_rows == 0 and dropped == 0
+        return events.drop_columns([c for c in ("seq", "shard") if c in events.column_names])
+
+    sharded = ds.map_batches(_shard, batch_format="pyarrow")
+    return sharded.groupby("shard").map_groups(_img_and_correlate, batch_format="pyarrow")
+
+
+def _q_cdc_extract_new_state(sf_dir: str):
+    from scylla_cdc_source_connector_ray.stages.transforms import (
+        apply_post_transforms,
+        extract_new_record_state,
+    )
+
+    ds = cap.read_transcripts_from_events(sf_dir)
+    env = cap.capture(ds, _CFG)
+    flat = apply_post_transforms(env, [extract_new_record_state])
+    return flat
+
+
 def _q_cdc_compaction(sf_dir: str):
     ds = cap.read_transcripts_from_events(sf_dir)
     return cap.compaction(ds, _CFG)
@@ -241,6 +279,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_conv_state": _q_join_conv_state,
         "join_enrich_customer": _q_join_enrich_customer,
         "cdc_compaction": _q_cdc_compaction,
+        "cdc_image_correlation": _q_cdc_image_correlation,
+        "cdc_extract_new_state": _q_cdc_extract_new_state,
         "q1_pricing_summary": _q_relational("q1_pricing_summary"),
         "nation_revenue": _q_relational("nation_revenue"),
         "top_orders": _q_relational("top_orders"),
@@ -271,6 +311,8 @@ def oracle_sql() -> dict[str, str]:
         "join_conv_state": oracles.JOIN_CONV_STATE,
         "join_enrich_customer": oracles.JOIN_ENRICH_CUSTOMER,
         "cdc_compaction": oracles.CDC_COMPACTION,
+        "cdc_image_correlation": oracles.CDC_IMAGE_CORRELATION,
+        "cdc_extract_new_state": oracles.CDC_EXTRACT_NEW_STATE,
         "q1_pricing_summary": oracles.Q1_PRICING,
         "nation_revenue": oracles.NATION_REVENUE,
         "top_orders": oracles.TOP_ORDERS,

@@ -119,6 +119,28 @@ FROM transcripts t
 LEFT JOIN customer c ON c.c_custkey = CAST(substr(t.conv_id, 5) AS BIGINT)
 """
 
+CDC_IMAGE_CORRELATION = (
+    CDC_EVENTS_CTE
+    + """
+SELECT conv_id, turn_idx, op,
+       before_role, before_text, before_tool, before_ts,
+       after_role, after_text, after_tool, after_ts,
+       ts
+FROM cdc_events
+"""
+)
+
+CDC_EXTRACT_NEW_STATE = (
+    CDC_EVENTS_CTE
+    + """
+SELECT conv_id, turn_idx,
+       after_role AS role, after_text AS text, after_tool AS tool,
+       after_ts AS ts, op,
+       epoch_us(ts) // 1000 AS ts_ms
+FROM cdc_events
+"""
+)
+
 CDC_COMPACTION = (
     CDC_EVENTS_CTE
     + """

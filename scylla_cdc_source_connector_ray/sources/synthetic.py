@@ -169,7 +169,11 @@ def to_image_log(tbl: pa.Table, shuffle_seed: int | None = None) -> pa.Table:
             "role": mask_tbl[prefix + "role"],
             "text": mask_tbl[prefix + "text"],
             "tool": mask_tbl[prefix + "tool"],
+            # correlation/ordering key (≙ cdc$time): the event's ts, shared by
+            # all images of one change; the image's own row-state ts
+            # (≙ writetime) travels separately as row_ts
             "ts": mask_tbl["ts"],
+            "row_ts": mask_tbl[prefix + "ts"],
             SEQ_COL: mask_tbl[SEQ_COL],
         }
         return pa.table(cols)

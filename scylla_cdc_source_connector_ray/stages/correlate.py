@@ -134,7 +134,10 @@ def correlate_images(
     pre_rows = row_of[PRE_IMAGE][emit]
     has_pre = has[PRE_IMAGE][emit] & want_preimage
     for vc in VALUE_COLS:
-        col = tbl[vc].combine_chunks()
+        # the row-state ts value (≙ writetime) is carried as ``row_ts`` when
+        # the log separates it from the correlation key ``ts`` (≙ cdc$time)
+        src_name = "row_ts" if vc == "ts" and "row_ts" in tbl.column_names else vc
+        col = tbl[src_name].combine_chunks()
         after = pc.take(col, take(after_src))
         after = pc.if_else(pa.array(is_del), pa.nulls(len(emit), col.type), after)
         before = pc.take(col, take(pre_rows))
