@@ -1,0 +1,140 @@
+"""CLI entry point: ``python -m scylla_cdc_source_connector_ray``.
+
+The user-facing analogue of deploying the reference connector: point it at a
+CDC log directory, get change events (+ optional windows / enrichment /
+scoring) in the sink directory, resumable from the checkpoint. Owns its Ray
+session (the library never calls ``ray.init``).
+
+    python -m scylla_cdc_source_connector_ray run \
+        --log-dir /tmp/log --out /tmp/out --checkpoint /tmp/ckpt \
+        --num-shards 64 --windows --enrich --score
+
+    python -m scylla_cdc_source_connector_ray validate --log-dir /tmp/log
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _build_cfg(args) -> "EngineConfig":
+    from .config import EngineConfig
+
+    return EngineConfig(
+        num_shards=args.num_shards,
+        epoch=args.epoch,
+        window_size_us=args.window_size_ms * 1000,
+        confidence_window_us=args.confidence_window_ms * 1000,
+        allowed_lateness_us=args.allowed_lateness_ms * 1000,
+        score_text=args.score,
+        window_agg=args.windows,
+        enrich_conv_state=args.enrich,
+        sink_dir=args.out,
+        checkpoint_dir=args.checkpoint,
+    )
+
+
+def cmd_validate(args) -> int:
+    """Dry-run validation (≙ ``ScyllaConnector.validate``,
+    ``ScyllaConnector.java:136-259``): config field validation + log dir
+    probe + schema check of the first file. No Ray needed."""
+    import pyarrow.parquet as pq
+
+    try:
+        cfg = _build_cfg(args)
+    except ValueError as ex:
+        print(json.dumps({"ok": False, "error": f"config: {ex}"}))
+        return 2
+    problems = []
+    if not os.path.isdir(args.log_dir):
+        problems.append(f"log dir does not exist: {args.log_dir}")
+    else:
+        from .sources.windowed import discover, discover_bucketed, is_bucketed
+
+        files = (
+            [p for _w, m in discover_bucketed(args.log_dir) for p in m.values()]
+            if is_bucketed(args.log_dir)
+            else [f.path for f in discover(args.log_dir)]
+        )
+        if not files:
+            problems.append("log dir contains no parquet files (connector will wait)")
+        else:
+            schema = pq.read_schema(files[0])
+            missing = [c for c in ("conv_id", "turn_idx", "role", "text", "tool", "ts") if c not in schema.names]
+            if missing:
+                problems.append(f"first log file missing columns: {missing}")
+    print(
+        json.dumps(
+            {
+                "ok": not problems,
+                "problems": problems,
+                "num_shards": cfg.num_shards,
+                "epoch": cfg.epoch,
+                "bucketed": os.path.isdir(args.log_dir)
+                and any(f.startswith("shard=") for f in os.listdir(args.log_dir)),
+            }
+        )
+    )
+    return 0 if not problems else 1
+
+
+def cmd_run(args) -> int:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=args.num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    from .pipelines.runner import CaptureRunner
+
+    cfg = _build_cfg(args)
+    runner = CaptureRunner(args.log_dir, cfg)
+    totals = runner.run(
+        max_batches=args.max_batches,
+        files_per_batch=args.files_per_batch,
+        log_complete=not args.tail,
+    )
+    if args.windows and not args.tail:
+        runner.flush_windows()
+    print(json.dumps({"ok": True, **totals, "out": args.out, "checkpoint": args.checkpoint}))
+    ray.shutdown()
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="scylla_cdc_source_connector_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+    for name, fn in (("run", cmd_run), ("validate", cmd_validate)):
+        sp = sub.add_parser(name)
+        sp.add_argument("--log-dir", required=True)
+        sp.add_argument("--out", default="/tmp/scylla_cdc_ray/out")
+        sp.add_argument("--checkpoint", default="/tmp/scylla_cdc_ray/checkpoint")
+        sp.add_argument("--num-shards", type=int, default=64)
+        sp.add_argument("--epoch", type=int, default=0)
+        sp.add_argument("--num-cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
+        sp.add_argument("--window-size-ms", type=int, default=30_000)
+        sp.add_argument("--confidence-window-ms", type=int, default=30_000)
+        sp.add_argument("--allowed-lateness-ms", type=int, default=30_000)
+        sp.add_argument("--files-per-batch", type=int, default=1)
+        sp.add_argument("--max-batches", type=int, default=None)
+        sp.add_argument("--windows", action="store_true", help="tumbling window panes")
+        sp.add_argument("--enrich", action="store_true", help="conv-state join")
+        sp.add_argument("--score", action="store_true", help="text quality scoring")
+        sp.add_argument("--tail", action="store_true", help="live mode: hold back the confidence window")
+        sp.set_defaults(fn=fn)
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

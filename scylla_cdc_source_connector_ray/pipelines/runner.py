@@ -336,6 +336,19 @@ class CaptureRunner:
         (the worst-case crash point for exactly-once).
         """
         last = self.ckpt.last_committed()
+        if last is not None and (
+            last.get("num_shards") != self.cfg.num_shards
+            or last.get("epoch") != self.cfg.epoch
+        ):
+            # ≙ the reference's generation change: a different stream/topology
+            # layout must start a new epoch, never silently mix shard layouts
+            # (stale shard=K state/output files would survive a re-shard)
+            raise ValueError(
+                f"checkpoint was written with num_shards={last.get('num_shards')} "
+                f"epoch={last.get('epoch')} but config has num_shards="
+                f"{self.cfg.num_shards} epoch={self.cfg.epoch}; bump cfg.epoch "
+                "and use a fresh sink/checkpoint dir to re-shard"
+            )
         consumed = last["consumed_files"] if last else 0
         next_batch = (last["batch_id"] + 1) if last else 0
         watermarks: dict[str, int] = dict(last["watermarks"]) if last else {}
