@@ -31,6 +31,10 @@ def _build_cfg(args) -> "EngineConfig":
         allowed_lateness_us=args.allowed_lateness_ms * 1000,
         score_text=args.score,
         window_agg=args.windows,
+        sliding_window_us=(
+            tuple(int(x) * 1000 for x in args.sliding.split(":")) if args.sliding else None
+        ),
+        session_gap_us=args.session_gap_ms * 1000 if args.session_gap_ms else None,
         enrich_conv_state=args.enrich,
         sink_dir=args.out,
         checkpoint_dir=args.checkpoint,
@@ -104,7 +108,7 @@ def cmd_run(args) -> int:
         files_per_batch=args.files_per_batch,
         log_complete=not args.tail,
     )
-    if args.windows and not args.tail:
+    if (args.windows or args.sliding or args.session_gap_ms) and not args.tail:
         runner.flush_windows()
     print(json.dumps({"ok": True, **totals, "out": args.out, "checkpoint": args.checkpoint}))
     ray.shutdown()
@@ -128,6 +132,10 @@ def main(argv=None) -> int:
         sp.add_argument("--files-per-batch", type=int, default=1)
         sp.add_argument("--max-batches", type=int, default=None)
         sp.add_argument("--windows", action="store_true", help="tumbling window panes")
+        sp.add_argument("--sliding", type=str, default=None, metavar="SIZE_MS:SLIDE_MS",
+                        help="streaming sliding windows, e.g. 3600000:900000")
+        sp.add_argument("--session-gap-ms", type=int, default=None,
+                        help="streaming session windows with this gap")
         sp.add_argument("--enrich", action="store_true", help="conv-state join")
         sp.add_argument("--score", action="store_true", help="text quality scoring")
         sp.add_argument("--tail", action="store_true", help="live mode: hold back the confidence window")

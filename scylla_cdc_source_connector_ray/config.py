@@ -70,6 +70,10 @@ class EngineConfig:
     #: join every event against the persistent per-conversation state store
     #: (prior_turns/prior_chars/prev_role columns on the envelope)
     enrich_conv_state: bool = False
+    #: streaming sliding windows: (size_us, slide_us) or None
+    sliding_window_us: tuple[int, int] | None = None
+    #: streaming session windows: gap in µs or None
+    session_gap_us: int | None = None
 
     include_before: IncludeMode = IncludeMode.FULL
     include_after: IncludeMode = IncludeMode.FULL
@@ -103,3 +107,7 @@ class EngineConfig:
         self.include_before = IncludeMode(self.include_before)
         self.include_after = IncludeMode(self.include_after)
         self.pk_placements = tuple(PkPlacement(p) for p in self.pk_placements)
+        if self.sliding_window_us is not None:
+            size, slide = self.sliding_window_us
+            if size % slide:
+                raise ValueError("sliding size_us must be a multiple of slide_us")

@@ -142,6 +142,10 @@ class FastMinHasher(MinHasher):
         return sigs
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0 or "doc_id" not in batch.columns:
+            out = pd.DataFrame({"doc_id": pd.Series(dtype="int64")})
+            out["sig"] = pd.Series(dtype=object)
+            return out
         hashes = [_word_ngram_hashes(t, self.ngram) for t in batch["text"].fillna("")]
         offsets = np.zeros(len(hashes) + 1, dtype=np.int64)
         np.cumsum([len(h) for h in hashes], out=offsets[1:])
@@ -187,6 +191,14 @@ def _shift32_mod(v: np.ndarray) -> np.ndarray:
 
 def lsh_bucket_rows(sig_batch: pd.DataFrame, bands: int = 16) -> pd.DataFrame:
     """Explode signatures into (band, band_hash, doc_id) bucket rows."""
+    if len(sig_batch) == 0:
+        return pd.DataFrame(
+            {
+                "band": pd.Series(dtype="int64"),
+                "band_hash": pd.Series(dtype="int64"),
+                "doc_id": pd.Series(dtype="int64"),
+            }
+        )
     sigs = np.stack(sig_batch["sig"].values).astype(np.uint64)
     D, P = sigs.shape
     rows_per_band = P // bands
@@ -256,6 +268,8 @@ def minhash_lsh_dedup(
     # table is the small side at test scale; at 100 TB verify via a
     # co-partitioned join on doc_id instead)
     texts = ds.select_columns(["doc_id", "text"]).to_pandas()
+    if "doc_id" not in texts.columns:  # empty input loses its schema
+        texts = pd.DataFrame({"doc_id": pd.Series(dtype="int64"), "text": pd.Series(dtype=object)})
     ref = ray.put(dict(zip(texts["doc_id"], texts["text"].fillna(""))))
 
     class Verify:
@@ -295,6 +309,10 @@ class SimHasher:
         return out.view(np.uint64)[0]
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0 or "doc_id" not in batch.columns:
+            out = pd.DataFrame({"doc_id": pd.Series(dtype="int64")})
+            out["simhash"] = pd.Series(dtype="int64")
+            return out
         out = pd.DataFrame({"doc_id": batch["doc_id"].values})
         out["simhash"] = [
             np.int64(self.simhash(_word_ngram_hashes(t, self.ngram)).astype(np.int64))

@@ -174,10 +174,23 @@ def _shard_task(
         for c in ("stat_chars", "stat_words", "stat_punct", "stat_stop", "quality"):
             env = env.append_column(c, scored[c])
 
-    # --- watermark-gated tumbling-window panes (north_star windows) --------
+    # --- watermark-gated window aggregation (north_star windows) -----------
     n_late_dropped = 0
     if cfg.window_agg and real.num_rows:
-        n_late_dropped = _window_panes(real, shard, batch_id, cfg, ckpt, out_dir, wm_prev)
+        n_late_dropped += _window_panes(real, shard, batch_id, cfg, ckpt, out_dir, wm_prev)
+    if cfg.sliding_window_us is not None and real.num_rows:
+        from .stream_agg import sliding_panes
+
+        size, slide = cfg.sliding_window_us
+        n_late_dropped += sliding_panes(
+            real, shard, batch_id, cfg, ckpt, out_dir, wm_prev, size, slide
+        )
+    if cfg.session_gap_us is not None and real.num_rows:
+        from .stream_agg import session_state
+
+        n_late_dropped += session_state(
+            real, shard, batch_id, cfg, ckpt, out_dir, wm_prev, cfg.session_gap_us
+        )
 
     # --- persistent per-conversation state join (north_star join) ----------
     if cfg.enrich_conv_state:
@@ -467,38 +480,72 @@ class CaptureRunner:
         return stats_ds.take_all()
 
     def flush_windows(self) -> None:
-        """End-of-log pane flush: once the (complete) log is fully consumed,
-        emit every residual pane to ``windows/final/`` — the batch-mode
-        equivalent of the watermark advancing to +∞."""
+        """End-of-log flush: once the (complete) log is fully consumed, emit
+        every residual tumbling pane / sliding window / open session — the
+        batch-mode equivalent of the watermark advancing to +∞."""
         last = self.ckpt.last_committed()
         if last is None:
             return
         nb = last["batch_id"] + 1
-        wdir = os.path.join(self.ckpt.dir, "wstate")
-        if not os.path.isdir(wdir):
-            return
-        for sd in sorted(os.listdir(wdir)):
-            shard = int(sd.split("=", 1)[1])
-            path = self.ckpt.latest_state_path(shard, nb, kind="wstate")
-            if path is None:
-                continue
-            panes = pq.read_table(path)
-            if panes.num_rows == 0:
-                continue
-            panes = panes.sort_by([("window_start_us", "ascending")]).append_column(
-                "shard", pa.array([shard] * panes.num_rows, pa.int32())
-            )
-            out = os.path.join(self.out_dir, "windows", "final", f"shard={shard}.parquet")
+        wms = last.get("watermarks", {})
+
+        def shards_of(kind):
+            d = os.path.join(self.ckpt.dir, kind)
+            if not os.path.isdir(d):
+                return []
+            return sorted(int(s.split("=", 1)[1]) for s in os.listdir(d) if s.startswith("shard="))
+
+        def emit(table: pa.Table, kind_dir: str, shard: int):
+            if table.num_rows == 0:
+                return
+            table = table.append_column("shard", pa.array([shard] * table.num_rows, pa.int32()))
+            out = os.path.join(self.out_dir, kind_dir, "final", f"shard={shard}.parquet")
             os.makedirs(os.path.dirname(out), exist_ok=True)
             tmp = out + ".tmp"
-            pq.write_table(panes, tmp)
+            pq.write_table(table, tmp)
             os.rename(tmp, out)
+
+        for shard in shards_of("wstate"):
+            path = self.ckpt.latest_state_path(shard, nb, kind="wstate")
+            if path:
+                emit(pq.read_table(path).sort_by([("window_start_us", "ascending")]), "windows", shard)
+
+        if self.cfg.sliding_window_us is not None:
+            from .stream_agg import _emit_sliding
+
+            size, slide = self.cfg.sliding_window_us
+            for shard in shards_of("sstate"):
+                path = self.ckpt.latest_state_path(shard, nb, kind="sstate")
+                if path is None:
+                    continue
+                wm = wms.get(str(shard))
+                thr_last = (wm - self.cfg.allowed_lateness_us) if wm is not None else None
+                emit(
+                    _emit_sliding(pq.read_table(path), size, slide, thr_last, 2**62),
+                    "windows_sliding",
+                    shard,
+                )
+
+        if self.cfg.session_gap_us is not None:
+            from .stream_agg import SESSION_COLS
+
+            for shard in shards_of("sessstate"):
+                path = self.ckpt.latest_state_path(shard, nb, kind="sessstate")
+                if path:
+                    emit(
+                        pq.read_table(path)
+                        .select(SESSION_COLS)
+                        .sort_by([("conv_id", "ascending"), ("session_start_us", "ascending")]),
+                        "windows_session",
+                        shard,
+                    )
 
     # --- output inspection (tests / small results only) --------------------
 
-    def read_windows(self) -> pa.Table:
+    def read_windows(self, kind: str = "windows") -> pa.Table:
+        """kind: "windows" (tumbling) | "windows_sliding" | "windows_session"."""
         parts = []
-        wroot = os.path.join(self.out_dir, "windows")
+        wroot = os.path.join(self.out_dir, kind)
         for root, _d, fnames in os.walk(wroot):
             for f in sorted(fnames):
                 if f.endswith(".parquet"):

@@ -1,0 +1,263 @@
+"""Streaming sliding- and session-window aggregation state for the runner
+(north_star: tumbling/sliding/session windows + watermarks; tumbling panes
+live in ``runner._window_panes``).
+
+Emission contracts (all deterministic under replay — inputs are the batch
+rows, the previous COMMITTED state, and the previous committed watermark):
+
+* **sliding** (size W, slide S): rows partial-aggregate into slide-grained
+  panes (stream-slicing); a window ``[ws, ws+W)`` is emitted in the batch
+  where the finalization threshold ``thr = watermark − lateness`` first
+  passes ``ws+W`` (``thr_prev < ws+W ≤ thr_new``), summing its covering
+  panes; a pane is dropped once ``pane+W ≤ thr`` (its last window emitted).
+  Rows whose *latest* window is already emitted route to the late output.
+
+* **session** (gap G): at most one OPEN session per conv survives in state;
+  a session is emitted once ``last_ts + G ≤ thr`` — no on-time row can
+  extend it afterwards (an on-time row in a later batch has ``ts > thr``).
+  Rows with ``ts ≤ thr_prev`` route to the late output.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from ..config import EngineConfig
+from ..state.checkpoint import Checkpoint
+
+_PANE_COLS = ["window_start_us", "n_events", "n_chars"]
+SESSION_COLS = ["conv_id", "session_start_us", "session_end_us", "n_turns", "n_chars"]
+
+
+def _atomic_pq(table: pa.Table, path: str) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + ".tmp"
+    pq.write_table(table, tmp)
+    os.rename(tmp, path)
+
+
+def _write_late(rows: pa.Table, out_dir: str, kind: str, batch_id: int, shard: int) -> None:
+    _atomic_pq(
+        rows,
+        os.path.join(out_dir, "late", kind, f"batch-{batch_id:06d}", f"shard={shard}.parquet"),
+    )
+
+
+def _chars(t: pa.Table, col: str = "after_text") -> np.ndarray:
+    return (
+        pc.fill_null(pc.utf8_length(t[col].combine_chunks()), 0)
+        .cast(pa.int64())
+        .to_numpy(zero_copy_only=False)
+    )
+
+
+def sliding_panes(
+    real: pa.Table,
+    shard: int,
+    batch_id: int,
+    cfg: EngineConfig,
+    ckpt: Checkpoint,
+    out_dir: str,
+    wm_prev: int | None,
+    size_us: int,
+    slide_us: int,
+) -> int:
+    """Returns late-dropped row count; emits finalized sliding windows to
+    ``out_dir/windows_sliding/batch-K/shard=S.parquet``."""
+    ts = real["ts"].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+    pane = ts - (ts % slide_us)
+    thr_prev = (wm_prev - cfg.allowed_lateness_us) if wm_prev is not None else None
+
+    # a row's LATEST covering window is [pane, pane+W)
+    late_mask = (
+        (pane + size_us <= thr_prev) if thr_prev is not None else np.zeros(len(ts), dtype=bool)
+    )
+    n_late = int(late_mask.sum())
+    if n_late:
+        _write_late(real.filter(pa.array(late_mask)), out_dir, "sliding", batch_id, shard)
+
+    ontime = real.filter(pa.array(~late_mask)) if n_late else real
+    pane_ok = pane[~late_mask]
+    partial = (
+        pa.table(
+            {
+                "window_start_us": pa.array(pane_ok, pa.int64()),
+                "n_events": pa.array(np.ones(len(pane_ok), dtype=np.int64)),
+                "n_chars": pa.array(_chars(ontime), pa.int64()),
+            }
+        )
+        .group_by(["window_start_us"])
+        .aggregate([("n_events", "sum"), ("n_chars", "sum")])
+        .rename_columns(_PANE_COLS)
+    )
+    seed_path = ckpt.latest_state_path(shard, batch_id, kind="sstate")
+    if seed_path is not None:
+        partial = (
+            pa.concat_tables([pq.read_table(seed_path).select(_PANE_COLS), partial])
+            .group_by(["window_start_us"])
+            .aggregate([("n_events", "sum"), ("n_chars", "sum")])
+            .rename_columns(_PANE_COLS)
+        )
+
+    new_wm = max(wm_prev or 0, int(ts.max())) if len(ts) else (wm_prev or 0)
+    thr = new_wm - cfg.allowed_lateness_us
+    emitted = _emit_sliding(partial, size_us, slide_us, thr_prev, thr)
+    if emitted.num_rows:
+        emitted = emitted.append_column("shard", pa.array([shard] * emitted.num_rows, pa.int32()))
+        _atomic_pq(
+            emitted,
+            os.path.join(out_dir, "windows_sliding", f"batch-{batch_id:06d}", f"shard={shard}.parquet"),
+        )
+    # GC panes whose last window has been emitted
+    p = partial["window_start_us"].to_numpy(zero_copy_only=False)
+    keep = p + size_us > thr
+    ckpt.write_state(shard, batch_id, partial.filter(pa.array(keep)), kind="sstate")
+    return n_late
+
+
+def _emit_sliding(
+    panes: pa.Table, size_us: int, slide_us: int, thr_prev: int | None, thr: int
+) -> pa.Table:
+    """Windows with thr_prev < end ≤ thr, summed from their covering panes."""
+    if panes.num_rows == 0:
+        return panes
+    p = panes["window_start_us"].to_numpy(zero_copy_only=False)
+    ne = panes["n_events"].to_numpy(zero_copy_only=False)
+    nc = panes["n_chars"].to_numpy(zero_copy_only=False)
+    k = size_us // slide_us
+    ws_all, ne_all, nc_all = [], [], []
+    for i in range(k):
+        ws_all.append(p - i * slide_us)
+        ne_all.append(ne)
+        nc_all.append(nc)
+    ws = np.concatenate(ws_all)
+    sel = (ws + size_us <= thr) & ((thr_prev is None) | (ws + size_us > (thr_prev if thr_prev is not None else -(2**62))))
+    if not sel.any():
+        return panes.slice(0, 0)
+    df = pd.DataFrame(
+        {
+            "window_start_us": ws[sel],
+            "n_events": np.concatenate(ne_all)[sel],
+            "n_chars": np.concatenate(nc_all)[sel],
+        }
+    )
+    out = df.groupby("window_start_us", as_index=False).sum().sort_values("window_start_us")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def session_state(
+    real: pa.Table,
+    shard: int,
+    batch_id: int,
+    cfg: EngineConfig,
+    ckpt: Checkpoint,
+    out_dir: str,
+    wm_prev: int | None,
+    gap_us: int,
+) -> int:
+    """Session windows per conv with watermark-gated emission. Returns the
+    late-dropped row count; emits closed sessions to
+    ``out_dir/windows_session/batch-K/shard=S.parquet``."""
+    ts_all = real["ts"].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+    thr_prev = (wm_prev - cfg.allowed_lateness_us) if wm_prev is not None else None
+    late_mask = (ts_all <= thr_prev) if thr_prev is not None else np.zeros(len(ts_all), dtype=bool)
+    n_late = int(late_mask.sum())
+    if n_late:
+        _write_late(real.filter(pa.array(late_mask)), out_dir, "session", batch_id, shard)
+    ontime = real.filter(pa.array(~late_mask)) if n_late else real
+
+    # batch sessions per conv (vectorized islands on the sorted block)
+    t = ontime.sort_by([("conv_id", "ascending"), ("ts", "ascending")])
+    n = t.num_rows
+    sessions = pd.DataFrame(columns=SESSION_COLS)
+    if n:
+        conv = t["conv_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        ts = t["ts"].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        chars = _chars(t)
+        new_conv = np.ones(n, dtype=bool)
+        new_conv[1:] = conv[1:] != conv[:-1]
+        brk = np.ones(n, dtype=bool)
+        brk[1:] = (ts[1:] - ts[:-1]) > gap_us
+        start = new_conv | brk
+        idx = np.flatnonzero(start)
+        ends = np.append(idx[1:] - 1, n - 1)
+        counts = np.diff(np.append(idx, n))
+        csum = np.concatenate([[0], np.cumsum(chars)])
+        sessions = pd.DataFrame(
+            {
+                "conv_id": conv[idx],
+                "session_start_us": ts[idx],
+                "session_end_us": ts[ends],
+                "n_turns": counts,
+                "n_chars": csum[ends + 1] - csum[idx],
+            }
+        )
+
+    # merge the conv's newest carried session into its first batch session
+    # when the gap allows; carried sessions live in state until the
+    # watermark emits them (several unemitted sessions per conv can coexist)
+    seed_path = ckpt.latest_state_path(shard, batch_id, kind="sessstate")
+    carried = (
+        pq.read_table(seed_path).to_pandas() if seed_path is not None else pd.DataFrame(columns=SESSION_COLS)
+    )
+    if len(carried) and len(sessions):
+        carried = carried.sort_values(["conv_id", "session_start_us"]).reset_index(drop=True)
+        last_carried = carried.groupby("conv_id").tail(1).set_index("conv_id")
+        firsts = ~sessions.duplicated("conv_id", keep="first")
+        drop_carried = []
+        for i in np.flatnonzero(firsts.values):
+            cid = sessions.at[i, "conv_id"]
+            if cid in last_carried.index:
+                lc = last_carried.loc[cid]
+                if sessions.at[i, "session_start_us"] - lc["session_end_us"] <= gap_us:
+                    sessions.at[i, "session_start_us"] = lc["session_start_us"]
+                    sessions.at[i, "n_turns"] += lc["n_turns"]
+                    sessions.at[i, "n_chars"] += lc["n_chars"]
+                    drop_carried.append((cid, lc["session_start_us"]))
+        if drop_carried:
+            keymask = ~carried.set_index(["conv_id", "session_start_us"]).index.isin(drop_carried)
+            carried = carried[keymask]
+
+    new_wm = max(wm_prev or 0, int(ts_all.max())) if len(ts_all) else (wm_prev or 0)
+    thr = new_wm - cfg.allowed_lateness_us
+    candidates = pd.concat([carried, sessions], ignore_index=True)
+    if len(candidates):
+        emit_mask = (candidates["session_end_us"] + gap_us <= thr).values
+        emitted = candidates[emit_mask].sort_values(["conv_id", "session_start_us"])
+        remaining = candidates[~emit_mask]
+    else:
+        emitted = candidates
+        remaining = candidates
+    if len(emitted):
+        out = pa.Table.from_pandas(emitted[SESSION_COLS], preserve_index=False).append_column(
+            "shard", pa.array([shard] * len(emitted), pa.int32())
+        )
+        _atomic_pq(
+            out,
+            os.path.join(out_dir, "windows_session", f"batch-{batch_id:06d}", f"shard={shard}.parquet"),
+        )
+    ckpt.write_state(
+        shard,
+        batch_id,
+        pa.Table.from_pandas(remaining[SESSION_COLS], preserve_index=False)
+        if len(remaining)
+        else pa.Table.from_pandas(pd.DataFrame(columns=SESSION_COLS)).cast(
+            pa.schema(
+                [
+                    ("conv_id", pa.string()),
+                    ("session_start_us", pa.int64()),
+                    ("session_end_us", pa.int64()),
+                    ("n_turns", pa.int64()),
+                    ("n_chars", pa.int64()),
+                ]
+            )
+        ),
+        kind="sessstate",
+    )
+    return n_late

@@ -143,3 +143,95 @@ def test_conv_state_enrichment_in_runner(tmp_path):
     got = out.set_index("seq")["prior_turns"]
     want = df.set_index("seq")["prior_turns_g"]
     assert got.sort_index().tolist() == want.sort_index().tolist()
+
+
+def test_streaming_sliding_equals_batch(tmp_path):
+    import ray.data
+
+    from scylla_cdc_source_connector_ray.stages import windows as W
+
+    t = generate(num_convs=10, turns_per_conv=25, update_pct=20, delete_pct=10, step_us=20_000_000)
+    write_windowed(t, str(tmp_path / "log"), num_files=4)
+    SIZE, SLIDE = 4 * MIN, MIN
+    cfg = _cfg(tmp_path, sliding_window_us=(SIZE, SLIDE), allowed_lateness_us=MIN)
+    runner = CaptureRunner(str(tmp_path / "log"), cfg)
+    runner.run()
+    runner.flush_windows()
+    got = (
+        runner.read_windows("windows_sliding")
+        .to_pandas()
+        .groupby("window_start_us", as_index=False)[["n_events", "n_chars"]]
+        .sum()  # batch oracle is global; streaming emits per shard
+        .sort_values("window_start_us")
+        .reset_index(drop=True)
+    )
+    want = (
+        W.sliding(ray.data.from_arrow(t), SIZE, SLIDE)
+        .to_pandas()[["window_start_us", "n_events", "n_chars"]]
+        .sort_values("window_start_us")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got.astype("int64"), want.astype("int64"))
+    # each window emitted exactly once across batches+flush
+    raw = runner.read_windows("windows_sliding").to_pandas()
+    assert not raw.duplicated(["shard", "window_start_us"]).any()
+
+
+def test_streaming_session_equals_batch(tmp_path):
+    import ray.data
+
+    from scylla_cdc_source_connector_ray.stages import windows as W
+
+    t = generate(num_convs=8, turns_per_conv=30, update_pct=20, delete_pct=10, step_us=40_000_000)
+    write_windowed(t, str(tmp_path / "log"), num_files=4)
+    GAP = 30_000_000
+    cfg = _cfg(tmp_path, session_gap_us=GAP, allowed_lateness_us=MIN)
+    runner = CaptureRunner(str(tmp_path / "log"), cfg)
+    runner.run()
+    runner.flush_windows()
+    got = (
+        runner.read_windows("windows_session")
+        .to_pandas()[["conv_id", "session_start_us", "session_end_us", "n_turns"]]
+        .sort_values(["conv_id", "session_start_us"])
+        .reset_index(drop=True)
+    )
+    want = (
+        W.session(ray.data.from_arrow(t), gap_us=GAP, num_shards=cfg.num_shards)
+        .to_pandas()[["conv_id", "session_start_us", "session_end_us", "n_turns"]]
+        .sort_values(["conv_id", "session_start_us"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got.astype({"n_turns": "int64"}), want.astype({"n_turns": "int64"}))
+    assert len(got) > got["conv_id"].nunique()  # sessions actually split
+
+
+def test_all_streaming_aggs_kill_resume(tmp_path):
+    t = generate(num_convs=8, turns_per_conv=20, update_pct=30, delete_pct=10, step_us=25_000_000)
+    write_windowed(t, str(tmp_path / "log"), num_files=3)
+    kw = dict(
+        window_agg=True,
+        sliding_window_us=(4 * MIN, MIN),
+        session_gap_us=30_000_000,
+        enrich_conv_state=True,
+        allowed_lateness_us=MIN,
+    )
+    cfg1 = _cfg(tmp_path, **kw)
+    r1 = CaptureRunner(str(tmp_path / "log"), cfg1)
+    assert r1.run(crash_before_commit_at=1).get("crashed")
+    r2 = CaptureRunner(str(tmp_path / "log"), cfg1)
+    r2.run()
+    r2.flush_windows()
+
+    clean = tmp_path / "clean"
+    cfg2 = EngineConfig(num_shards=4, sink_dir=str(clean / "out"), checkpoint_dir=str(clean / "ckpt"), **kw)
+    r3 = CaptureRunner(str(tmp_path / "log"), cfg2)
+    r3.run()
+    r3.flush_windows()
+
+    for kind in ("windows", "windows_sliding", "windows_session"):
+        a = r2.read_windows(kind).to_pandas()
+        b = r3.read_windows(kind).to_pandas()
+        keys = [c for c in a.columns]
+        a = a.sort_values(keys).reset_index(drop=True)
+        b = b.sort_values(keys).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b), kind
