@@ -74,6 +74,11 @@ class EngineConfig:
     sliding_window_us: tuple[int, int] | None = None
     #: streaming session windows: gap in µs or None
     session_gap_us: int | None = None
+    #: input log is image-mode (PRE_IMAGE/delta/POST_IMAGE rows with an
+    #: op_kind column) — the runner correlates instead of deriving ops;
+    #: incomplete changes carry over as residual state with the straggler
+    #: timeout (only-updated include modes are not supported here)
+    image_mode: bool = False
 
     include_before: IncludeMode = IncludeMode.FULL
     include_after: IncludeMode = IncludeMode.FULL

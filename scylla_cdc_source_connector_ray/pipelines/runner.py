@@ -112,24 +112,41 @@ def _shard_task(
             pc.less(ts_us, wm_prev - cfg.allowed_lateness_us).cast(pa.int8())
         ).as_py() or 0
 
-    # --- seed with checkpointed per-key state ------------------------------
     if SEQ_COL not in group.column_names:
         group = group.append_column(SEQ_COL, pa.array(range(group.num_rows), pa.int64()))
-    seed_path = ckpt.latest_state_path(shard, batch_id)
-    log = group.select(_STATE_COLS)
-    if seed_path is not None:
-        seed = pq.read_table(seed_path).select(_STATE_COLS)
-        log = pa.concat_tables([seed, log])
 
-    derived = derive_ops(log)
+    n_stragglers = 0
+    if cfg.image_mode:
+        # --- image-mode: correlate PRE/delta/POST; incomplete changes carry
+        # over as residual state (reference ST1/ST3) -------------------------
+        from ..stages.correlate import correlate_images
+
+        carry_path = ckpt.latest_state_path(shard, batch_id, kind="imgstate")
+        carry = pq.read_table(carry_path) if carry_path else None
+        derived, residual, n_stragglers = correlate_images(
+            group,
+            straggler_timeout_us=cfg.straggler_timeout_us,
+            carry=carry,
+        )
+        ckpt.write_state(shard, batch_id, residual, kind="imgstate")
+    else:
+        # --- row-mode: seed with checkpointed per-key state -----------------
+        seed_path = ckpt.latest_state_path(shard, batch_id)
+        log = group.select(_STATE_COLS)
+        if seed_path is not None:
+            seed = pq.read_table(seed_path).select(_STATE_COLS)
+            log = pa.concat_tables([seed, log])
+
+        derived = derive_ops(log)
 
     # --- roll state forward: last row per key, stored log-shaped -----------
     # derived is sorted by (conv_id, turn_idx, ts, seq) ⇒ last row per key is
-    # where the next row's key differs (vectorized mask).
+    # where the next row's key differs (vectorized mask). (Image mode keeps
+    # its residual as imgstate instead — preimages travel in the log.)
     import numpy as np
     import pyarrow.compute as pc
 
-    n = derived.num_rows
+    n = derived.num_rows if not cfg.image_mode else 0
     conv = derived["conv_id"].combine_chunks()
     turn = derived["turn_idx"].combine_chunks()
     if n:
@@ -141,7 +158,7 @@ def _shard_task(
         is_last[:-1] = ~nxt_same
     else:
         is_last = np.zeros(0, dtype=bool)
-    last = derived.filter(pa.array(is_last))
+    last = derived.filter(pa.array(is_last)) if not cfg.image_mode else derived.slice(0, 0)
     new_state = pa.table(
         {
             "conv_id": last["conv_id"],
@@ -159,7 +176,8 @@ def _shard_task(
             "shard": last["shard"],
         }
     )
-    ckpt.write_state(shard, batch_id, new_state)
+    if not cfg.image_mode:
+        ckpt.write_state(shard, batch_id, new_state)
 
     # --- emit change events for real rows only (drop seed re-derivations) --
     real = derived.filter(pc.greater_equal(derived[SEQ_COL], 0))
@@ -225,6 +243,7 @@ def _shard_task(
             "n_events": pa.array([real.num_rows], pa.int64()),
             "n_late": pa.array([int(n_late)], pa.int64()),
             "n_late_dropped": pa.array([int(n_late_dropped)], pa.int64()),
+            "n_stragglers": pa.array([int(n_stragglers)], pa.int64()),
             "max_ts_us": pa.array([max_ts], pa.int64()),
         }
     )

@@ -97,7 +97,7 @@ class Checkpoint:
 
     def gc_state(self, keep_batches: int = 2) -> None:
         """Drop state files older than the newest ``keep_batches`` per shard."""
-        for kind in ("state", "wstate", "cstate", "sstate", "sessstate"):
+        for kind in ("state", "wstate", "cstate", "sstate", "sessstate", "imgstate"):
             kd = os.path.join(self.dir, kind)
             if not os.path.isdir(kd):
                 continue

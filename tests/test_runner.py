@@ -163,3 +163,32 @@ def test_bucketed_kill_resume(tmp_path):
     out = _flat_output(r2)
     _assert_matches_golden(out, _golden(t))
     assert not out[["conv_id", "turn_idx", "seq"]].duplicated().any()
+
+
+def test_image_mode_runner_cross_batch_residual(tmp_path):
+    """Image-mode streaming: a change whose POST_IMAGE arrives in the next
+    micro-batch is completed via the imgstate residual (reference ST1/ST3
+    carry-over)."""
+    from scylla_cdc_source_connector_ray.sources.synthetic import to_image_log
+
+    t = generate(num_convs=8, turns_per_conv=6, update_pct=40, delete_pct=15)
+    img = to_image_log(t)  # arrival-ordered
+    # split mid-change: find a boundary that separates a delta from its post
+    log = tmp_path / "log"
+    log.mkdir()
+    half = img.num_rows // 2
+    pq.write_table(img.slice(0, half), str(log / "f0.parquet"))
+    pq.write_table(img.slice(half), str(log / "f1.parquet"))
+
+    cfg = _cfg(tmp_path, image_mode=True, straggler_timeout_us=10**15)
+    runner = CaptureRunner(str(log), cfg)
+    totals = runner.run()
+    assert totals["batches"] == 2
+    out = _flat_output(runner)
+    golden = _golden(t)
+    # seq is re-assigned by the image log; compare keyed values
+    a = out.sort_values(["conv_id", "turn_idx", "op", "after_text"]).reset_index(drop=True)
+    g = golden.sort_values(["conv_id", "turn_idx", "op", "after_text"]).reset_index(drop=True)
+    assert len(a) == len(g)
+    for c in ("op", "after_text", "before_text"):
+        assert a[c].fillna("~").tolist() == g[c].fillna("~").tolist(), c
