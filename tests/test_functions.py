@@ -111,7 +111,9 @@ def test_exact_dedup_hashed_equivalent():
 
 
 def test_minhash_lsh_finds_planted_near_dups():
-    docs = _docs().to_pandas()[["doc_id", "text"]]
+    # 150 docs keep the LSH bucket-groupby overhead small; coverage is the
+    # pipeline shape, not corpus size
+    docs = _docs().to_pandas()[["doc_id", "text"]].head(150)
     base = docs.iloc[0]["text"] or "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     long_base = (base + " ") * 3
     planted = pd.DataFrame(
@@ -132,7 +134,7 @@ def test_minhash_lsh_finds_planted_near_dups():
 
 
 def test_simhash_near_dups_planted():
-    docs = _docs().to_pandas()[["doc_id", "text"]]
+    docs = _docs().to_pandas()[["doc_id", "text"]].head(150)
     words = "the quick brown fox jumps over the lazy dog again and again today".split()
     base = " ".join(words * 12)  # enough shingles that a small edit ⇒ small Hamming
     planted = pd.DataFrame(

@@ -1,0 +1,109 @@
+"""Property-based tests (hypothesis): the vectorized CDC state machine must
+agree with the single-threaded oracle on arbitrary logs, and micro-batch
+splitting must never change the result (split-invariance = the essence of
+correct streaming state)."""
+
+import hypothesis.strategies as st
+import pandas as pd
+import pyarrow as pa
+from hypothesis import given, settings
+
+from scylla_cdc_source_connector_ray.stages.op_derive import derive_ops
+from tests.oracle import cdc_oracle
+
+ROLES = ["user", "assistant", "tool"]
+
+
+@st.composite
+def logs(draw):
+    n = draw(st.integers(1, 40))
+    rows = []
+    for i in range(n):
+        conv = draw(st.sampled_from(["a", "b", "c"]))
+        turn = draw(st.integers(0, 3))
+        tomb = draw(st.booleans()) and draw(st.booleans())  # ~25% deletes
+        text = None if tomb else draw(st.sampled_from(["x", "y", "z", ""]))
+        role = "__tombstone__" if tomb else draw(st.sampled_from(ROLES))
+        tool = draw(st.sampled_from([None, "search"]))
+        ts = draw(st.integers(0, 10)) * 1_000_000
+        rows.append((conv, turn, role, text, tool, ts, i))
+    return rows
+
+
+def _table(rows):
+    return pa.table(
+        {
+            "conv_id": pa.array([r[0] for r in rows], pa.string()),
+            "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+            "role": pa.array([r[2] for r in rows], pa.string()),
+            "text": pa.array([r[3] for r in rows], pa.string()),
+            "tool": pa.array([r[4] for r in rows], pa.string()),
+            "ts": pa.array([r[5] for r in rows], pa.timestamp("us")),
+            "seq": pa.array([r[6] for r in rows], pa.int64()),
+        }
+    )
+
+
+def _norm(df: pd.DataFrame) -> list:
+    cols = ["conv_id", "turn_idx", "seq", "op", "before_text", "after_text", "before_role", "after_role"]
+    df = df[cols].sort_values(["conv_id", "turn_idx", "seq"]).reset_index(drop=True)
+    return df.fillna("~").values.tolist()
+
+
+@settings(max_examples=60, deadline=None)
+@given(logs())
+def test_derive_matches_oracle_on_random_logs(rows):
+    t = _table(rows)
+    assert _norm(derive_ops(t).to_pandas()) == _norm(cdc_oracle(t.to_pandas()))
+
+
+@settings(max_examples=40, deadline=None)
+@given(logs(), st.integers(0, 39))
+def test_split_invariance_via_seeded_state(rows, cut_raw):
+    """Processing [0:cut] then [cut:] with the carried last-row-per-key state
+    must equal processing the whole log — for ANY cut point — provided the
+    log is per-key ordered across the cut (we sort rows by (ts, seq) first,
+    the arrival-order contract of the runner)."""
+    rows = sorted(rows, key=lambda r: (r[5], r[6]))
+    cut = min(cut_raw, len(rows))
+    whole = derive_ops(_table(rows)).to_pandas()
+
+    first = derive_ops(_table(rows[:cut]))
+    # carry state exactly like the runner: last row per key, tombstone-marked
+    import numpy as np
+    import pyarrow.compute as pc
+
+    n = first.num_rows
+    if n:
+        conv = first["conv_id"].combine_chunks()
+        turn = first["turn_idx"].combine_chunks()
+        nxt = pc.and_(
+            pc.equal(conv.slice(0, n - 1), conv.slice(1)),
+            pc.equal(turn.slice(0, n - 1), turn.slice(1)),
+        ).to_numpy(zero_copy_only=False)
+        is_last = np.ones(n, dtype=bool)
+        is_last[:-1] = ~nxt
+        last = first.filter(pa.array(is_last))
+        seed = pa.table(
+            {
+                "conv_id": last["conv_id"],
+                "turn_idx": last["turn_idx"],
+                "role": pc.if_else(
+                    pc.equal(last["op"], "d"), pa.scalar("__tombstone__"), last["after_role"].combine_chunks()
+                ),
+                "text": last["after_text"],
+                "tool": last["after_tool"],
+                "ts": last["ts"],
+                "seq": pa.array(np.full(last.num_rows, -1, dtype=np.int64)),
+            }
+        )
+    else:
+        seed = None
+    second_in = _table(rows[cut:])
+    log2 = pa.concat_tables([seed, second_in]) if seed is not None else second_in
+    second = derive_ops(log2)
+    second = second.filter(pa.compute.greater_equal(second["seq"], 0))
+    merged = pd.concat(
+        [first.to_pandas(), second.to_pandas()], ignore_index=True
+    )
+    assert _norm(merged) == _norm(whole)
