@@ -141,6 +141,44 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     enrich_with_conv_state(ray.data.read_parquet(log_dir, override_num_blocks=2 * num_cpus), num_shards=num_shards).count()
     queries["join_conv_state"] = round(time.perf_counter() - t0, 3)
 
+    # --- training-data ops over the testdata tables at this sf -------------
+    import numpy as np
+
+    from scylla_cdc_source_connector_ray.functions.dedup import (
+        exact_dedup_hashed,
+        minhash_lsh_dedup,
+    )
+    from scylla_cdc_source_connector_ray.functions.similarity import ann_bruteforce
+    from scylla_cdc_source_connector_ray.functions.textops import quality_score
+
+    docs_path = os.path.join(sf_dir, "documents.parquet")
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    if os.path.exists(docs_path):
+        t0 = time.perf_counter()
+        ray.data.read_parquet(docs_path).map_batches(
+            quality_score, batch_format="pyarrow"
+        ).count()
+        queries["quality_score"] = round(time.perf_counter() - t0, 3)
+
+        t0 = time.perf_counter()
+        exact_dedup_hashed(ray.data.read_parquet(docs_path)).count()
+        queries["dedup_exact_hashed"] = round(time.perf_counter() - t0, 3)
+
+        t0 = time.perf_counter()
+        minhash_lsh_dedup(ray.data.read_parquet(docs_path), threshold=0.7).count()
+        queries["dedup_minhash_lsh"] = round(time.perf_counter() - t0, 3)
+
+    if os.path.exists(emb_path):
+        qdf = ray.data.read_parquet(emb_path).limit(16).to_pandas()
+        t0 = time.perf_counter()
+        ann_bruteforce(
+            ray.data.read_parquet(emb_path),
+            np.stack(qdf["embedding"].values),
+            qdf["vec_id"].values,
+            k=10,
+        )
+        queries["ann_bruteforce"] = round(time.perf_counter() - t0, 3)
+
     result = {
         "metric": "cdc_capture_stream_sec",
         "value": round(headline, 3),

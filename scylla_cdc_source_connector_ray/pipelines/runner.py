@@ -67,10 +67,13 @@ def _shard_task_from_files(
     """Bucketed fast path: one work item = one shard's files for this batch.
     The task reads only its own shard's Parquet (column-pruned, no shuffle) —
     the direct analogue of a reference task SELECTing only its streams."""
+    from ..state.retry import RetryPolicy
+
+    retry = RetryPolicy()
     outs = []
     for item in item_batch["item"]:
         paths = list(item["paths"])
-        tables = [pq.read_table(p) for p in paths]
+        tables = [retry.call(lambda p=p: pq.read_table(p)) for p in paths]
         group = pa.concat_tables(tables, promote_options="default")
         if "shard" not in group.column_names:
             group = group.append_column(
@@ -360,12 +363,21 @@ class CaptureRunner:
         files_per_batch: int = 1,
         crash_before_commit_at: int | None = None,
         log_complete: bool = True,
+        hot_convs: list[str] | None = None,
     ) -> dict:
         """Consume unconsumed log files; returns run totals.
 
         ``crash_before_commit_at=k``: simulate a hard kill after the k-th
         processed batch's data+state writes but BEFORE its manifest commit
         (the worst-case crash point for exactly-once).
+
+        ``hot_convs``: conversations to salt across sub-shards (north_star
+        skew clause). Recorded in the manifest at the first commit and FIXED
+        for the epoch (keyed state lives per shard — reassigning a key's
+        shard mid-epoch would orphan its state; changing the hot set is a
+        generation change, like ``num_shards``). Only meaningful for the
+        unpartitioned (shuffle) log layout — a pre-bucketed log fixed its
+        placement at write time.
         """
         last = self.ckpt.last_committed()
         if last is not None and (
@@ -384,6 +396,15 @@ class CaptureRunner:
         consumed = last["consumed_files"] if last else 0
         next_batch = (last["batch_id"] + 1) if last else 0
         watermarks: dict[str, int] = dict(last["watermarks"]) if last else {}
+        if last is not None:
+            committed_hot = last.get("hot_convs", [])
+            if hot_convs is not None and sorted(hot_convs) != committed_hot:
+                raise ValueError(
+                    "hot_convs differs from the checkpointed set; changing the "
+                    "hot set is an epoch bump (fresh checkpoint dir)"
+                )
+            hot_convs = committed_hot
+        self._hot = frozenset(hot_convs or [])
 
         bucketed = is_bucketed(self.log_dir)
         if bucketed:
@@ -436,6 +457,7 @@ class CaptureRunner:
                     "watermarks": watermarks,
                     "epoch": self.cfg.epoch,
                     "num_shards": self.cfg.num_shards,
+                    "hot_convs": sorted(self._hot),
                     "events": totals["events"],
                 },
             )
@@ -483,7 +505,17 @@ class CaptureRunner:
             return []
         cfg, ckpt_dir, out_dir = self.cfg, self.ckpt.dir, self.out_dir
         ds = ray.data.read_parquet(paths)
-        ds = ds.map_batches(lambda b: with_shard(b, cfg.num_shards), batch_format="pyarrow")
+        hot = self._hot
+        if hot:
+            from ..stages.salt import with_salted_shard
+
+            salt_chunk = max(1, cfg.hot_key_threshold // cfg.salt_factor)
+            ds = ds.map_batches(
+                lambda b: with_salted_shard(b, cfg.num_shards, hot, salt_chunk),
+                batch_format="pyarrow",
+            )
+        else:
+            ds = ds.map_batches(lambda b: with_shard(b, cfg.num_shards), batch_format="pyarrow")
         wm = dict(watermarks)  # tiny; captured by closure (ray.put for huge shard counts)
         stats_ds = ds.groupby("shard").map_groups(
             lambda g: _shard_task(

@@ -192,3 +192,44 @@ def test_image_mode_runner_cross_batch_residual(tmp_path):
     assert len(a) == len(g)
     for c in ("op", "after_text", "before_text"):
         assert a[c].fillna("~").tolist() == g[c].fillna("~").tolist(), c
+
+
+def test_runner_with_hot_conv_salting(tmp_path):
+    """Streaming capture with a salted hot conversation: output equals the
+    golden, the hot conv spans multiple sub-shards, and the hot set is pinned
+    in the manifest (changing it on resume is rejected)."""
+    import pytest
+
+    hot = generate(num_convs=1, turns_per_conv=2000, update_pct=20, delete_pct=5)
+    cold = generate(num_convs=40, turns_per_conv=6, update_pct=20, delete_pct=5)
+    import pyarrow.compute as pc
+
+    cold = cold.set_column(
+        cold.column_names.index("conv_id"),
+        "conv_id",
+        pc.binary_join_element_wise(pa.array(["z"] * cold.num_rows), cold["conv_id"].combine_chunks(), ""),
+    )
+    t = pa.concat_tables([hot, cold]).sort_by([("ts", "ascending"), ("seq", "ascending")])
+    import numpy as np
+
+    t = t.set_column(t.column_names.index("seq"), "seq", pa.array(np.arange(t.num_rows), pa.int64()))
+    write_windowed(t, str(tmp_path / "log"), num_files=3)
+
+    cfg = _cfg(tmp_path, hot_key_threshold=500, salt_factor=4)
+    runner = CaptureRunner(str(tmp_path / "log"), cfg)
+    runner.run(hot_convs=["conv0"])
+    out = _flat_output(runner)
+    _assert_matches_golden(out, _golden(t))
+    env = runner.read_output()
+    src = env["source"].combine_chunks()
+    import pyarrow.compute as pc2
+
+    key = env["key"].combine_chunks()
+    hot_shards = pd.Series(pc2.struct_field(src, "shard").to_pylist())[
+        pd.Series(pc2.struct_field(key, "conv_id").to_pylist()) == "conv0"
+    ].nunique()
+    assert hot_shards > 1
+
+    r2 = CaptureRunner(str(tmp_path / "log"), cfg)
+    with pytest.raises(ValueError, match="hot_convs"):
+        r2.run(hot_convs=["conv0", "zconv1"])
