@@ -65,18 +65,16 @@ def _q_win_sliding(sf_dir: str):
 def _q_win_session(sf_dir: str):
     from scylla_cdc_source_connector_ray.stages import windows as W
 
-    ds = cap.read_transcripts_from_events(sf_dir)
+    # prune at the read: sessions only need (conv_id, ts)
+    ds = cap.read_transcripts_from_events(sf_dir, columns=["conv_id", "ts"])
     return W.session(ds, gap_us=oracles.GAP30M_US, num_shards=_CFG.num_shards)
 
 
 def _q_join_conv_state(sf_dir: str):
-    from scylla_cdc_source_connector_ray.stages.join import enrich_with_conv_state
+    from scylla_cdc_source_connector_ray.stages.join import conv_state_features
 
     ds = cap.read_transcripts_from_events(sf_dir)
-    out = enrich_with_conv_state(ds, num_shards=_CFG.num_shards)
-    return out.select_columns(
-        ["conv_id", "turn_idx", "seq", "prior_turns", "prior_chars", "prev_role", "prev_ts_us"]
-    )
+    return conv_state_features(ds, num_shards=_CFG.num_shards)
 
 
 def _q_join_enrich_customer(sf_dir: str):

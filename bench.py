@@ -80,7 +80,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     from scylla_cdc_source_connector_ray.pipelines import capture as cap
     from scylla_cdc_source_connector_ray.pipelines.runner import CaptureRunner
     from scylla_cdc_source_connector_ray.stages import windows as W
-    from scylla_cdc_source_connector_ray.stages.join import enrich_with_conv_state
+    from scylla_cdc_source_connector_ray.stages.join import conv_state_features
 
     sf = sf_from_dir(sf_dir)
     blog_dir, log_dir = ensure_log(sf)
@@ -134,11 +134,15 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     queries["win_sliding"] = round(time.perf_counter() - t0, 3)
 
     t0 = time.perf_counter()
-    W.session(ray.data.read_parquet(log_dir, override_num_blocks=2 * num_cpus), gap_us=60_000_000, num_shards=num_shards).count()
+    W.session(
+        ray.data.read_parquet(log_dir, columns=["conv_id", "ts"], override_num_blocks=2 * num_cpus),
+        gap_us=60_000_000,
+        num_shards=num_shards,
+    ).count()
     queries["win_session"] = round(time.perf_counter() - t0, 3)
 
     t0 = time.perf_counter()
-    enrich_with_conv_state(ray.data.read_parquet(log_dir, override_num_blocks=2 * num_cpus), num_shards=num_shards).count()
+    conv_state_features(ray.data.read_parquet(log_dir, override_num_blocks=2 * num_cpus), num_shards=num_shards).count()
     queries["join_conv_state"] = round(time.perf_counter() - t0, 3)
 
     # --- training-data ops over the testdata tables at this sf -------------

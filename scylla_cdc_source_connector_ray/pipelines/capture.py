@@ -35,11 +35,35 @@ from ..stages.envelope import build_envelope, flatten_envelope
 from ..stages.op_derive import derive_ops
 
 
-def read_transcripts_from_events(sf_dir: str) -> ray.data.Dataset:
+#: which events columns each transcript column derives from (for read pruning)
+_EVENT_DEPS = {
+    "conv_id": ["user_id"],
+    "turn_idx": ["event_id"],
+    "role": ["event_type"],
+    "text": ["props", "event_type"],
+    "tool": ["event_type"],
+    "ts": ["ts"],
+    "seq": ["event_id"],
+}
+
+
+def read_transcripts_from_events(
+    sf_dir: str, columns: list[str] | None = None
+) -> ray.data.Dataset:
     """Transcript CDC log derived from the testdata ``events`` table
-    (see :mod:`..sources.events_adapter` for the deterministic mapping)."""
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"))
-    return ds.map_batches(events_to_transcripts, batch_format="pyarrow")
+    (see :mod:`..sources.events_adapter` for the deterministic mapping).
+
+    ``columns``: transcript columns actually needed downstream — prunes the
+    events READ to their source columns (a 2-column consumer must not pay for
+    the text payload leaving storage)."""
+    src_cols = None
+    if columns is not None:
+        src_cols = sorted({c for col in columns for c in _EVENT_DEPS[col]})
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=src_cols)
+    out = ds.map_batches(
+        lambda b: events_to_transcripts(b, columns=columns), batch_format="pyarrow"
+    )
+    return out
 
 
 def derive_stage(ds: ray.data.Dataset, cfg: EngineConfig) -> ray.data.Dataset:

@@ -49,32 +49,36 @@ TRANSCRIPTS_SQL = """
 """
 
 
-def events_to_transcripts(batch: pa.Table) -> pa.Table:
+def events_to_transcripts(batch: pa.Table, columns: list[str] | None = None) -> pa.Table:
     """Vectorized Arrow implementation of :data:`TRANSCRIPTS_SQL`.
 
-    Use as ``ray.data.read_parquet(events).map_batches(events_to_transcripts,
-    batch_format="pyarrow")``.
+    ``columns`` restricts the output (and the work) to the requested
+    transcript columns — pair with a pruned events read.
     """
-    et = batch["event_type"]
-    idx = pc.index_in(et, value_set=_EVENT_TYPES)
-    role = pc.take(_ROLE_FOR, idx)
-    is_err = pc.equal(et, "error")
-    is_buy = pc.equal(et, "purchase")
     n = batch.num_rows
-    return pa.table(
-        {
-            "conv_id": pc.binary_join_element_wise(
-                pa.array(["conv"] * n, type=pa.string()),
-                batch["user_id"].cast(pa.string()),
-                "",
-            ),
-            "turn_idx": pa.array(
-                (batch["event_id"].to_numpy(zero_copy_only=False) % 20).astype("int32")
-            ),
-            "role": role,
-            "text": pc.if_else(is_err, pa.nulls(n, pa.string()), batch["props"]),
-            "tool": pc.if_else(is_buy, pa.scalar("search"), pa.nulls(n, pa.string())),
-            "ts": batch["ts"],
-            SEQ_COL: batch["event_id"].cast(pa.int64()),
-        }
-    )
+    want = columns or ["conv_id", "turn_idx", "role", "text", "tool", "ts", SEQ_COL]
+    cols: dict[str, object] = {}
+    if "conv_id" in want:
+        cols["conv_id"] = pc.binary_join_element_wise(
+            pa.array(["conv"] * n, type=pa.string()),
+            batch["user_id"].cast(pa.string()),
+            "",
+        )
+    if "turn_idx" in want:
+        cols["turn_idx"] = pa.array(
+            (batch["event_id"].to_numpy(zero_copy_only=False) % 20).astype("int32")
+        )
+    if "role" in want:
+        idx = pc.index_in(batch["event_type"], value_set=_EVENT_TYPES)
+        cols["role"] = pc.take(_ROLE_FOR, idx)
+    if "text" in want:
+        is_err = pc.equal(batch["event_type"], "error")
+        cols["text"] = pc.if_else(is_err, pa.nulls(n, pa.string()), batch["props"])
+    if "tool" in want:
+        is_buy = pc.equal(batch["event_type"], "purchase")
+        cols["tool"] = pc.if_else(is_buy, pa.scalar("search"), pa.nulls(n, pa.string()))
+    if "ts" in want:
+        cols["ts"] = batch["ts"]
+    if SEQ_COL in want:
+        cols[SEQ_COL] = batch["event_id"].cast(pa.int64())
+    return pa.table(cols)

