@@ -133,6 +133,42 @@ def _q_cdc_extract_new_state(sf_dir: str):
     return flat
 
 
+def _q_cdc_capture_salted(sf_dir: str):
+    """Skew-salted capture: hot conversations spread across sub-shards;
+    values must equal plain capture exactly (same oracle)."""
+    from scylla_cdc_source_connector_ray.stages.envelope import flatten_envelope
+
+    ds = cap.read_transcripts_from_events(sf_dir)
+    # force salting to engage: every conv at sf0.01 has ~65 rows
+    cfg = EngineConfig(num_shards=32, hot_key_threshold=50, salt_factor=4)
+    ev = cap.capture_salted(ds, cfg)
+    return ev.map_batches(flatten_envelope, batch_format="pyarrow")
+
+
+def _q_win_ops_by_window(sf_dir: str):
+    """Windowed change aggregation: events per op per hour (SURVEY §2.5) —
+    capture composed with the tumbling stage."""
+    from ray.data.aggregate import Count
+
+    import pyarrow as pa
+
+    ds = cap.read_transcripts_from_events(sf_dir)
+    flat = cap.derive_stage(ds, _CFG)
+
+    def win(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ts = t["ts"].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        w = ts - (ts % 3_600_000_000)
+        return t.select(["op"]).append_column("window_start_us", pa.array(w, pa.int64()))
+
+    return (
+        flat.map_batches(win, batch_format="pyarrow")
+        .groupby(["op", "window_start_us"])
+        .aggregate(Count(alias_name="n_events"))
+    )
+
+
 def _q_cdc_compaction(sf_dir: str):
     ds = cap.read_transcripts_from_events(sf_dir)
     return cap.compaction(ds, _CFG)
@@ -277,6 +313,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_conv_state": _q_join_conv_state,
         "join_enrich_customer": _q_join_enrich_customer,
         "cdc_compaction": _q_cdc_compaction,
+        "cdc_capture_salted": _q_cdc_capture_salted,
+        "win_ops_by_window": _q_win_ops_by_window,
         "cdc_image_correlation": _q_cdc_image_correlation,
         "cdc_extract_new_state": _q_cdc_extract_new_state,
         "q1_pricing_summary": _q_relational("q1_pricing_summary"),
@@ -309,6 +347,8 @@ def oracle_sql() -> dict[str, str]:
         "join_conv_state": oracles.JOIN_CONV_STATE,
         "join_enrich_customer": oracles.JOIN_ENRICH_CUSTOMER,
         "cdc_compaction": oracles.CDC_COMPACTION,
+        "cdc_capture_salted": oracles.CDC_CAPTURE_SALTED,
+        "win_ops_by_window": oracles.WIN_OPS_BY_WINDOW,
         "cdc_image_correlation": oracles.CDC_IMAGE_CORRELATION,
         "cdc_extract_new_state": oracles.CDC_EXTRACT_NEW_STATE,
         "q1_pricing_summary": oracles.Q1_PRICING,

@@ -141,6 +141,20 @@ FROM cdc_events
 """
 )
 
+#: salted capture must produce byte-identical values to plain capture —
+#: salting changes placement, never content (north_star skew clause)
+CDC_CAPTURE_SALTED = CDC_CAPTURE_FLAT
+
+WIN_OPS_BY_WINDOW = (
+    CDC_EVENTS_CTE
+    + f"""
+SELECT op, epoch_us(ts) - epoch_us(ts) % {3_600_000_000} AS window_start_us,
+       count(*) AS n_events
+FROM cdc_events
+GROUP BY 1, 2
+"""
+)
+
 CDC_COMPACTION = (
     CDC_EVENTS_CTE
     + """

@@ -233,3 +233,23 @@ def test_runner_with_hot_conv_salting(tmp_path):
     r2 = CaptureRunner(str(tmp_path / "log"), cfg)
     with pytest.raises(ValueError, match="hot_convs"):
         r2.run(hot_convs=["conv0", "zconv1"])
+
+
+def test_schema_evolution_extra_column_mid_stream(tmp_path):
+    """A later log file carrying an extra column must not break the runner —
+    the engine selects the canonical transcript columns and carries on
+    (reference: schema changes mid-stream handled seamlessly, README.md:22;
+    ScyllaInconsistentSchemaHandler)."""
+    t = generate(num_convs=6, turns_per_conv=6, update_pct=30, delete_pct=10)
+    log = tmp_path / "log"
+    log.mkdir()
+    half = t.num_rows // 2
+    pq.write_table(t.slice(0, half), str(log / "f0.parquet"))
+    evolved = t.slice(half).append_column(
+        "lang", pa.array(["en"] * (t.num_rows - half), pa.string())
+    )
+    pq.write_table(evolved, str(log / "f1.parquet"))
+    runner = CaptureRunner(str(tmp_path / "log"), _cfg(tmp_path))
+    totals = runner.run()
+    assert totals["batches"] == 2
+    _assert_matches_golden(_flat_output(runner), _golden(t))
