@@ -145,6 +145,37 @@ def _q_cdc_capture_salted(sf_dir: str):
     return ev.map_batches(flatten_envelope, batch_format="pyarrow")
 
 
+def _q_cdc_capture_only_updated(sf_dir: str):
+    """only-updated include mode flattened to ou_* columns (untouched payload
+    fields NULL), gated against the lag-diff SQL twin."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from scylla_cdc_source_connector_ray.config import IncludeMode
+
+    ds = cap.read_transcripts_from_events(sf_dir)
+    cfg = EngineConfig(num_shards=32, include_after=IncludeMode.ONLY_UPDATED)
+    env = cap.capture(ds, cfg)
+
+    def flat(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.not_equal(t["op"], "d"))
+        key = t["key"].combine_chunks()
+        after = t["after"].combine_chunks()
+        return pa.table(
+            {
+                "conv_id": pc.struct_field(key, "conv_id"),
+                "turn_idx": pc.struct_field(key, "turn_idx"),
+                "op": t["op"].combine_chunks(),
+                "seq": t["seq"].combine_chunks(),
+                "ou_after_role": pc.struct_field(after, "role"),
+                "ou_after_text": pc.struct_field(after, "text"),
+                "ou_after_tool": pc.struct_field(after, "tool"),
+            }
+        )
+
+    return env.map_batches(flat, batch_format="pyarrow")
+
+
 def _q_win_ops_by_window(sf_dir: str):
     """Windowed change aggregation: events per op per hour (SURVEY §2.5) —
     capture composed with the tumbling stage."""
@@ -314,6 +345,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_enrich_customer": _q_join_enrich_customer,
         "cdc_compaction": _q_cdc_compaction,
         "cdc_capture_salted": _q_cdc_capture_salted,
+        "cdc_capture_only_updated": _q_cdc_capture_only_updated,
         "win_ops_by_window": _q_win_ops_by_window,
         "cdc_image_correlation": _q_cdc_image_correlation,
         "cdc_extract_new_state": _q_cdc_extract_new_state,
@@ -348,6 +380,7 @@ def oracle_sql() -> dict[str, str]:
         "join_enrich_customer": oracles.JOIN_ENRICH_CUSTOMER,
         "cdc_compaction": oracles.CDC_COMPACTION,
         "cdc_capture_salted": oracles.CDC_CAPTURE_SALTED,
+        "cdc_capture_only_updated": oracles.CDC_CAPTURE_ONLY_UPDATED,
         "win_ops_by_window": oracles.WIN_OPS_BY_WINDOW,
         "cdc_image_correlation": oracles.CDC_IMAGE_CORRELATION,
         "cdc_extract_new_state": oracles.CDC_EXTRACT_NEW_STATE,

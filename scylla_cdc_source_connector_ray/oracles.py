@@ -145,6 +145,20 @@ FROM cdc_events
 #: salting changes placement, never content (north_star skew clause)
 CDC_CAPTURE_SALTED = CDC_CAPTURE_FLAT
 
+#: only-updated include mode, flattened: payload fields appear only when the
+#: event modified them (README.md:1184-1198); pk/ts always carried
+CDC_CAPTURE_ONLY_UPDATED = (
+    CDC_EVENTS_CTE
+    + """
+SELECT conv_id, turn_idx, op, seq,
+       CASE WHEN after_role IS DISTINCT FROM before_role THEN after_role END AS ou_after_role,
+       CASE WHEN after_text IS DISTINCT FROM before_text THEN after_text END AS ou_after_text,
+       CASE WHEN after_tool IS DISTINCT FROM before_tool THEN after_tool END AS ou_after_tool
+FROM cdc_events
+WHERE op <> 'd'
+"""
+)
+
 WIN_OPS_BY_WINDOW = (
     CDC_EVENTS_CTE
     + f"""

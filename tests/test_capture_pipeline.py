@@ -94,3 +94,44 @@ def test_events_adapter_pipeline_runs():
     out = cap.capture_flat(ds, EngineConfig(num_shards=8)).to_pandas()
     assert len(out) == 1000
     assert set(out["op"].unique()) <= {"c", "u", "d"}
+
+
+import itertools
+
+import pytest
+
+
+@pytest.mark.parametrize(
+    "before_mode,after_mode",
+    list(itertools.product(["none", "full", "only-updated"], repeat=2)),
+)
+def test_include_mode_matrix(before_mode, after_mode):
+    """Every cdc.include.before × cdc.include.after combination (reference
+    CdcIncludeBeforeAfter{None,Full,OnlyUpdated,...}IT matrix)."""
+    t = generate(num_convs=5, turns_per_conv=6, update_pct=50, delete_pct=20)
+    cfg = EngineConfig(include_before=before_mode, include_after=after_mode)
+    flat = derive_ops(t)
+    env = build_envelope(flat, cfg)
+    pc = pa.compute
+    before = env["before"].combine_chunks()
+    after = env["after"].combine_chunks()
+    ops = env["op"].to_pylist()
+    if before_mode == "none":
+        assert before.null_count == env.num_rows
+    else:
+        # creates (no prior state) have NULL before; updates/deletes have one
+        n_with_before = sum(1 for i, op in enumerate(ops) if before.is_valid()[i].as_py())
+        assert n_with_before == sum(1 for i, op in enumerate(ops) if op in ("u", "d") and flat["before_ts"][i].is_valid)
+    if after_mode == "none":
+        assert after.null_count == env.num_rows
+    else:
+        assert all(
+            (not after.is_valid()[i].as_py()) == (op == "d") for i, op in enumerate(ops)
+        )
+    if after_mode == "only-updated":
+        # untouched payload fields are NULLed inside present structs
+        mods = flat["modified_cols"].to_pylist()
+        vals = pc.struct_field(after, "role").to_pylist()
+        for i, op in enumerate(ops):
+            if op == "u" and "role" not in mods[i]:
+                assert vals[i] is None
