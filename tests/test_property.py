@@ -107,3 +107,66 @@ def test_split_invariance_via_seeded_state(rows, cut_raw):
         [first.to_pandas(), second.to_pandas()], ignore_index=True
     )
     assert _norm(merged) == _norm(whole)
+
+
+@st.composite
+def image_logs(draw):
+    """Random image-mode logs: changes with optional pre/post, shuffled."""
+    n_changes = draw(st.integers(1, 15))
+    rows = []
+    seq = 0
+    truth = []
+    for i in range(n_changes):
+        conv = draw(st.sampled_from(["a", "b"]))
+        turn = draw(st.integers(0, 2))
+        ts = (i + 1) * 1_000_000  # unique per change
+        kind = draw(st.sampled_from(["INSERT", "UPDATE", "DELETE"]))
+        text = draw(st.sampled_from(["p", "q", "r"]))
+        pre_text = draw(st.sampled_from(["o1", "o2"]))
+        if kind in ("UPDATE", "DELETE"):
+            rows.append((conv, turn, "PRE_IMAGE", pre_text, ts, seq)); seq += 1
+        rows.append((conv, turn, kind, text, ts, seq)); seq += 1
+        if kind in ("INSERT", "UPDATE"):
+            rows.append((conv, turn, "POST_IMAGE", text, ts, seq)); seq += 1
+        truth.append((conv, turn, ts, {"INSERT": "c", "UPDATE": "u", "DELETE": "d"}[kind],
+                      pre_text if kind in ("UPDATE", "DELETE") else None,
+                      None if kind == "DELETE" else text))
+    perm = draw(st.permutations(range(len(rows))))
+    rows = [rows[i] for i in perm]
+    return rows, truth
+
+
+@settings(max_examples=50, deadline=None)
+@given(image_logs())
+def test_correlate_random_interleavings(data):
+    """Arbitrary interleavings of complete pre/delta/post sets always
+    correlate to exactly the intended events (ST1 under chaos)."""
+    from scylla_cdc_source_connector_ray.stages.correlate import correlate_images
+
+    rows, truth = data
+    tbl = pa.table(
+        {
+            "conv_id": pa.array([r[0] for r in rows], pa.string()),
+            "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+            "op_kind": pa.array([r[2] for r in rows], pa.string()),
+            "role": pa.array(["user"] * len(rows), pa.string()),
+            "text": pa.array([r[3] for r in rows], pa.string()),
+            "tool": pa.array([None] * len(rows), pa.string()),
+            "ts": pa.array([r[4] for r in rows], pa.timestamp("us")),
+            "seq": pa.array([r[5] for r in rows], pa.int64()),
+        }
+    )
+    events, residual, dropped = correlate_images(tbl, straggler_timeout_us=10**15)
+    assert residual.num_rows == 0 and dropped == 0
+    got = sorted(
+        zip(
+            events["conv_id"].to_pylist(),
+            events["turn_idx"].to_pylist(),
+            [t.timestamp() for t in events["ts"].to_pylist()],
+            events["op"].to_pylist(),
+            events["before_text"].to_pylist(),
+            events["after_text"].to_pylist(),
+        )
+    )
+    want = sorted((c, t, ts / 1e6, op, bt, at) for c, t, ts, op, bt, at in truth)
+    assert got == want
