@@ -463,12 +463,28 @@ class CaptureRunner:
             )
             self.ckpt.gc_state(keep_batches=2)
             totals["batches"] += 1
-            self.metrics.append(
-                {
-                    "batch_id": batch_id,
-                    "events": sum(r["n_events"] for r in stats),
-                    "sec": time.perf_counter() - t0,
-                }
+            sec = time.perf_counter() - t0
+            m = {
+                "batch_id": batch_id,
+                "events": sum(r["n_events"] for r in stats),
+                "late": sum(r["n_late"] for r in stats),
+                "late_dropped": sum(r.get("n_late_dropped", 0) for r in stats),
+                "stragglers": sum(r.get("n_stragglers", 0) for r in stats),
+                "shards_active": len(stats),
+                "sec": round(sec, 3),
+                "events_per_sec": round(sum(r["n_events"] for r in stats) / max(sec, 1e-9), 1),
+                "watermark_min_us": min(watermarks.values()) if watermarks else None,
+                "watermark_max_us": max(watermarks.values()) if watermarks else None,
+            }
+            self.metrics.append(m)
+            # per-batch metrics file (north_rule: lineage + metrics); atomic
+            import json as _json
+
+            from ..state.checkpoint import _atomic_write
+
+            _atomic_write(
+                os.path.join(self.ckpt.dir, "metrics", f"batch-{batch_id:06d}.json"),
+                _json.dumps(m, sort_keys=True).encode(),
             )
         return totals
 
@@ -590,6 +606,29 @@ class CaptureRunner:
                         "windows_session",
                         shard,
                     )
+
+    def read_current_state(self) -> pa.Table:
+        """The compacted current-state table — a free byproduct of the
+        checkpoint: the per-shard key-state files ARE the materialized view
+        of the changelog (live keys only; tombstoned keys drop out). The
+        streaming twin of ``pipelines.capture.compaction``."""
+        last = self.ckpt.last_committed()
+        if last is None:
+            return pa.table({})
+        nb = last["batch_id"] + 1
+        sdir = os.path.join(self.ckpt.dir, "state")
+        parts = []
+        if os.path.isdir(sdir):
+            for sd in sorted(os.listdir(sdir)):
+                shard = int(sd.split("=", 1)[1])
+                path = self.ckpt.latest_state_path(shard, nb)
+                if path:
+                    t = pq.read_table(path)
+                    import pyarrow.compute as pc
+
+                    live = t.filter(pc.is_valid(t["text"]))  # drop tombstones
+                    parts.append(live.select(["conv_id", "turn_idx", "role", "text", "tool", "ts"]))
+        return pa.concat_tables(parts) if parts else pa.table({})
 
     # --- output inspection (tests / small results only) --------------------
 

@@ -253,3 +253,41 @@ def test_schema_evolution_extra_column_mid_stream(tmp_path):
     totals = runner.run()
     assert totals["batches"] == 2
     _assert_matches_golden(_flat_output(runner), _golden(t))
+
+
+def test_metrics_files_and_current_state(tmp_path):
+    """Per-batch metrics JSON (north_rule: lineage + metrics) and the
+    state-as-compacted-table reader must match the batch compaction query."""
+    import json
+
+    import ray.data
+
+    from scylla_cdc_source_connector_ray.pipelines.capture import compaction
+
+    t = generate(num_convs=10, turns_per_conv=8, update_pct=40, delete_pct=20)
+    write_windowed(t, str(tmp_path / "log"), num_files=3)
+    cfg = _cfg(tmp_path)
+    runner = CaptureRunner(str(tmp_path / "log"), cfg)
+    runner.run()
+
+    mdir = tmp_path / "ckpt" / "metrics"
+    files = sorted(mdir.iterdir())
+    assert len(files) == 3
+    m0 = json.loads(files[0].read_text())
+    assert {"events", "events_per_sec", "late", "watermark_max_us"} <= set(m0)
+
+    got = (
+        runner.read_current_state()
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    want = (
+        compaction(ray.data.from_arrow(t), cfg)
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    assert got["text"].tolist() == want["text"].tolist()
+    assert got["conv_id"].tolist() == want["conv_id"].tolist()
