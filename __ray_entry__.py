@@ -354,6 +354,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_orders": _q_relational("top_orders"),
         "segment_stats": _q_relational("segment_stats"),
         "event_type_stats": _q_relational("event_type_stats"),
+        "part_type_stats": _q_relational("part_type_stats"),
+        "supplier_nation_join": _q_relational("supplier_nation_join"),
         "text_stats": _q_text_stats,
         "quality_score": _q_quality,
         "fingerprint_md5": _q_fingerprint,
@@ -389,6 +391,8 @@ def oracle_sql() -> dict[str, str]:
         "top_orders": oracles.TOP_ORDERS,
         "segment_stats": oracles.SEGMENT_STATS,
         "event_type_stats": oracles.EVENT_TYPE_STATS,
+        "part_type_stats": oracles.PART_TYPE_STATS,
+        "supplier_nation_join": oracles.SUPPLIER_NATION_JOIN,
         "text_stats": oracles.TEXT_STATS,
         "quality_score": oracles.QUALITY_SCORE,
         "fingerprint_md5": oracles.FINGERPRINT,

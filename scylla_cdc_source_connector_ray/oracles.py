@@ -308,3 +308,17 @@ SELECT conv_id, turn_idx, seq,
 FROM cdc_events
 """
 )
+
+PART_TYPE_STATS = """
+SELECT p_type, count(*) AS n,
+       sum(CAST(round(p_retailprice * 100.0) AS BIGINT)) AS sum_price_c,
+       max(p_size) AS max_size
+FROM part WHERE p_type LIKE '%M%' GROUP BY p_type
+"""
+
+SUPPLIER_NATION_JOIN = """
+SELECT n.n_name AS n_name, count(*) AS n_suppliers,
+       sum(CAST(round(s.s_acctbal * 100.0) AS BIGINT)) AS sum_bal_c
+FROM supplier s JOIN nation n ON n.n_nationkey = s.s_nationkey
+GROUP BY n.n_name
+"""

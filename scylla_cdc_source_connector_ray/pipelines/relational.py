@@ -150,3 +150,45 @@ def event_type_stats(sf_dir: str) -> ray.data.Dataset:
     return ds.groupby("event_type").aggregate(
         Count(alias_name="n"), Sum("value_c", alias_name="sum_value_c")
     )
+
+
+def part_type_stats(sf_dir: str) -> ray.data.Dataset:
+    """Filter + grouped stats on part (LIKE-filter pushed into the batch fn)."""
+    ds = _read(sf_dir, "part", columns=["p_type", "p_size", "p_retailprice"])
+
+    def prep(t):
+        import pyarrow as pa
+
+        keep = pc.match_substring(t["p_type"], "M")  # MEDIUM/ECONOMY/SMALL/PROMO
+        t = t.filter(keep)
+        return t.select(["p_type", "p_size"]).append_column(
+            "price_c", pc.round(pc.multiply(t["p_retailprice"], 100.0)).cast("int64")
+        )
+
+    ds = ds.map_batches(prep, batch_format="pyarrow")
+    return ds.groupby("p_type").aggregate(
+        Count(alias_name="n"),
+        Sum("price_c", alias_name="sum_price_c"),
+        Max("p_size", alias_name="max_size"),
+    )
+
+
+def supplier_nation_join(sf_dir: str) -> ray.data.Dataset:
+    """supplier ⋈ nation broadcast join → per-nation supplier account stats."""
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet")).to_pandas()
+    ref = ray.put(nation.set_index("n_nationkey")[["n_name"]])
+
+    class Join:
+        def __init__(self):
+            self.dim = ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            j = batch.join(self.dim, on="s_nationkey", how="inner")
+            j = j.assign(bal_c=(j["s_acctbal"] * 100).round().astype("int64"))
+            return j[["n_name", "bal_c"]]
+
+    sup = _read(sf_dir, "supplier", columns=["s_nationkey", "s_acctbal"])
+    joined = sup.map_batches(Join, batch_format="pandas", concurrency=(1, 2))
+    return joined.groupby("n_name").aggregate(
+        Count(alias_name="n_suppliers"), Sum("bal_c", alias_name="sum_bal_c")
+    )
