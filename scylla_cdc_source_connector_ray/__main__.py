@@ -70,6 +70,26 @@ def cmd_validate(args) -> int:
             missing = [c for c in ("conv_id", "turn_idx", "role", "text", "tool", "ts") if c not in schema.names]
             if missing:
                 problems.append(f"first log file missing columns: {missing}")
+    checkpoint_info = None
+    manifest_dir = os.path.join(args.checkpoint, "manifest")
+    if os.path.isdir(manifest_dir):
+        from .state.checkpoint import Checkpoint
+
+        last = Checkpoint(args.checkpoint).last_committed()
+        if last:
+            checkpoint_info = {
+                "batch_id": last["batch_id"],
+                "consumed_files": last["consumed_files"],
+                "num_shards": last.get("num_shards"),
+                "epoch": last.get("epoch"),
+                "hot_convs": last.get("hot_convs", []),
+            }
+            if last.get("num_shards") != cfg.num_shards or last.get("epoch") != cfg.epoch:
+                problems.append(
+                    f"checkpoint has num_shards={last.get('num_shards')} "
+                    f"epoch={last.get('epoch')} but config asks "
+                    f"num_shards={cfg.num_shards} epoch={cfg.epoch} (epoch bump required)"
+                )
     print(
         json.dumps(
             {
@@ -77,6 +97,7 @@ def cmd_validate(args) -> int:
                 "problems": problems,
                 "num_shards": cfg.num_shards,
                 "epoch": cfg.epoch,
+                "checkpoint": checkpoint_info,
                 "bucketed": os.path.isdir(args.log_dir)
                 and any(f.startswith("shard=") for f in os.listdir(args.log_dir)),
             }

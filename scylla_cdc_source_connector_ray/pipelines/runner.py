@@ -364,12 +364,17 @@ class CaptureRunner:
         crash_before_commit_at: int | None = None,
         log_complete: bool = True,
         hot_convs: list[str] | None = None,
+        auto_detect_hot: bool = False,
     ) -> dict:
         """Consume unconsumed log files; returns run totals.
 
         ``crash_before_commit_at=k``: simulate a hard kill after the k-th
         processed batch's data+state writes but BEFORE its manifest commit
         (the worst-case crash point for exactly-once).
+
+        ``auto_detect_hot``: on a FRESH start over an unpartitioned log,
+        pre-scan the first batch's ``conv_id`` column (single-column read)
+        and salt conversations exceeding ``cfg.hot_key_threshold`` rows.
 
         ``hot_convs``: conversations to salt across sub-shards (north_star
         skew clause). Recorded in the manifest at the first commit and FIXED
@@ -404,9 +409,15 @@ class CaptureRunner:
                     "hot set is an epoch bump (fresh checkpoint dir)"
                 )
             hot_convs = committed_hot
+        elif hot_convs is None and auto_detect_hot and not is_bucketed(self.log_dir):
+            # fresh start: cheap pre-scan of the FIRST batch's conv_id column
+            # (footer-pruned read, one column) to pick the hot set BEFORE any
+            # state is placed — detection after batch 0 would orphan keys
+            hot_convs = self._detect_hot_first_batch(files_per_batch)
         self._hot = frozenset(hot_convs or [])
 
         bucketed = is_bucketed(self.log_dir)
+        frontier_us = None
         if bucketed:
             windows = discover_bucketed(self.log_dir)
             tail = windows[consumed:]
@@ -415,6 +426,8 @@ class CaptureRunner:
             ]
         else:
             files = discover(self.log_dir)
+            stats = [f.max_ts_us for f in files if f.max_ts_us is not None]
+            frontier_us = max(stats) if stats else None
             batches = plan_batches(
                 files,
                 consumed,
@@ -475,6 +488,13 @@ class CaptureRunner:
                 "events_per_sec": round(sum(r["n_events"] for r in stats) / max(sec, 1e-9), 1),
                 "watermark_min_us": min(watermarks.values()) if watermarks else None,
                 "watermark_max_us": max(watermarks.values()) if watermarks else None,
+                # catch-up lag: newest event available in the log vs newest
+                # event consumed (event-time capture latency proxy)
+                "frontier_lag_us": (
+                    frontier_us - max(watermarks.values())
+                    if frontier_us is not None and watermarks
+                    else None
+                ),
             }
             self.metrics.append(m)
             # per-batch metrics file (north_rule: lineage + metrics); atomic
@@ -487,6 +507,20 @@ class CaptureRunner:
                 _json.dumps(m, sort_keys=True).encode(),
             )
         return totals
+
+    def _detect_hot_first_batch(self, files_per_batch: int) -> list[str]:
+        from collections import Counter
+
+        files = discover(self.log_dir)[:files_per_batch]
+        counts: Counter = Counter()
+        for f in files:
+            t = pq.read_table(f.path, columns=["conv_id"])
+            import pyarrow.compute as pc
+
+            vc = pc.value_counts(t["conv_id"].combine_chunks())
+            for rec in vc.to_pylist():
+                counts[rec["values"]] += rec["counts"]
+        return sorted(c for c, n in counts.items() if n >= self.cfg.hot_key_threshold)
 
     def _process_batch_bucketed(
         self, batch_id: int, shard_paths: dict[int, list[str]], watermarks: dict

@@ -291,3 +291,55 @@ def test_metrics_files_and_current_state(tmp_path):
     assert len(got) == len(want)
     assert got["text"].tolist() == want["text"].tolist()
     assert got["conv_id"].tolist() == want["conv_id"].tolist()
+
+
+def test_auto_detect_hot_convs(tmp_path):
+    """auto_detect_hot pre-scans the first batch and salts hot convs before
+    any state is placed; output still equals the golden."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    hot = generate(num_convs=1, turns_per_conv=1500, update_pct=20, delete_pct=5)
+    cold = generate(num_convs=30, turns_per_conv=6)
+    cold = cold.set_column(
+        cold.column_names.index("conv_id"),
+        "conv_id",
+        pc.binary_join_element_wise(pa.array(["z"] * cold.num_rows), cold["conv_id"].combine_chunks(), ""),
+    )
+    t = pa.concat_tables([hot, cold]).sort_by([("ts", "ascending"), ("seq", "ascending")])
+    t = t.set_column(t.column_names.index("seq"), "seq", pa.array(np.arange(t.num_rows), pa.int64()))
+    write_windowed(t, str(tmp_path / "log"), num_files=3)
+
+    cfg = _cfg(tmp_path, hot_key_threshold=300, salt_factor=4)
+    runner = CaptureRunner(str(tmp_path / "log"), cfg)
+    runner.run(auto_detect_hot=True)
+    assert runner.ckpt.last_committed()["hot_convs"] == ["conv0"]
+    _assert_matches_golden(_flat_output(runner), _golden(t))
+
+
+def test_bucketed_with_windows_and_enrich_kill_resume(tmp_path):
+    """Interaction coverage: bucketed fast path + tumbling panes + conv-state
+    enrichment, deterministic under worst-case kill-resume."""
+    from scylla_cdc_source_connector_ray.sources.synthetic import write_bucketed
+
+    t = generate(num_convs=12, turns_per_conv=15, update_pct=30, delete_pct=10, step_us=20_000_000)
+    kw = dict(window_agg=True, enrich_conv_state=True, window_size_us=60_000_000, allowed_lateness_us=60_000_000)
+    cfg = _cfg(tmp_path, **kw)
+    write_bucketed(t, str(tmp_path / "blog"), num_shards=cfg.num_shards, num_files=3)
+    r1 = CaptureRunner(str(tmp_path / "blog"), cfg)
+    assert r1.run(crash_before_commit_at=1).get("crashed")
+    r2 = CaptureRunner(str(tmp_path / "blog"), cfg)
+    r2.run()
+    r2.flush_windows()
+    _assert_matches_golden(_flat_output(r2), _golden(t))
+
+    clean = tmp_path / "clean"
+    cfg2 = EngineConfig(num_shards=cfg.num_shards, sink_dir=str(clean / "out"), checkpoint_dir=str(clean / "ckpt"), **kw)
+    r3 = CaptureRunner(str(tmp_path / "blog"), cfg2)
+    r3.run()
+    r3.flush_windows()
+    import pandas as pd2
+
+    a = r2.read_windows().to_pandas().sort_values(["shard", "window_start_us"]).reset_index(drop=True)
+    b = r3.read_windows().to_pandas().sort_values(["shard", "window_start_us"]).reset_index(drop=True)
+    pd2.testing.assert_frame_equal(a, b)
