@@ -67,6 +67,10 @@ class EngineConfig:
     #: shard watermark passes window_end + allowed_lateness (north_star
     #: windowed aggregation); late rows route to the late output
     window_agg: bool = False
+    #: extra grouping keys for the streaming tumbling panes (e.g.
+    #: ("conv_id",) for per-conversation windowed aggregation); keys must be
+    #: shard-local columns so pane state stays co-partitioned
+    window_agg_keys: tuple = ()
     #: join every event against the persistent per-conversation state store
     #: (prior_turns/prior_chars/prev_role columns on the envelope)
     enrich_conv_state: bool = False

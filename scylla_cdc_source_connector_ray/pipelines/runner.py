@@ -252,7 +252,8 @@ def _shard_task(
     )
 
 
-_PANE_COLS = ["window_start_us", "n_events", "n_chars"]
+def _pane_cols(cfg) -> list[str]:
+    return [*cfg.window_agg_keys, "window_start_us", "n_events", "n_chars"]
 
 
 def _window_panes(
@@ -299,34 +300,36 @@ def _window_panes(
         .cast(pa.int64())
         .to_numpy(zero_copy_only=False)
     )
+    pane_cols = _pane_cols(cfg)
+    group_keys = [*cfg.window_agg_keys, "window_start_us"]
+    raw = {k: ontime[k] for k in cfg.window_agg_keys}
+    raw["window_start_us"] = pa.array(win_ok, pa.int64())
+    raw["n_events"] = pa.array(np.ones(len(win_ok), dtype=np.int64))
+    raw["n_chars"] = pa.array(chars, pa.int64())
     partial = (
-        pa.table(
-            {
-                "window_start_us": pa.array(win_ok, pa.int64()),
-                "n_events": pa.array(np.ones(len(win_ok), dtype=np.int64)),
-                "n_chars": pa.array(chars, pa.int64()),
-            }
-        )
-        .group_by(["window_start_us"])
+        pa.table(raw)
+        .group_by(group_keys)
         .aggregate([("n_events", "sum"), ("n_chars", "sum")])
-        .rename_columns(_PANE_COLS)
+        .rename_columns(pane_cols)
     )
 
     seed_path = ckpt.latest_state_path(shard, batch_id, kind="wstate")
     if seed_path is not None:
         seed = pq.read_table(seed_path)
         partial = (
-            pa.concat_tables([seed.select(_PANE_COLS), partial])
-            .group_by(["window_start_us"])
+            pa.concat_tables([seed.select(pane_cols), partial])
+            .group_by(group_keys)
             .aggregate([("n_events", "sum"), ("n_chars", "sum")])
-            .rename_columns(_PANE_COLS)
+            .rename_columns(pane_cols)
         )
 
     new_wm = max(wm_prev or 0, int(ts_us.max()))
     thr = new_wm - cfg.allowed_lateness_us
     ws = partial["window_start_us"].to_numpy(zero_copy_only=False)
     final_mask = ws + W <= thr
-    finalized = partial.filter(pa.array(final_mask)).sort_by([("window_start_us", "ascending")])
+    finalized = partial.filter(pa.array(final_mask)).sort_by(
+        [(k, "ascending") for k in group_keys]
+    )
     remaining = partial.filter(pa.array(~final_mask))
     if finalized.num_rows:
         wpath = os.path.join(out_dir, "windows", f"batch-{batch_id:06d}", f"shard={shard}.parquet")
@@ -384,6 +387,20 @@ class CaptureRunner:
         unpartitioned (shuffle) log layout — a pre-bucketed log fixed its
         placement at write time.
         """
+        import fcntl
+
+        # single-writer guard: two runners on one checkpoint would interleave
+        # state files nondeterministically (≙ Kafka Connect's single task
+        # ownership per partition). Advisory flock held for the run.
+        self._lock_f = open(os.path.join(self.ckpt.dir, "runner.lock"), "w")
+        try:
+            fcntl.flock(self._lock_f, fcntl.LOCK_EX | fcntl.LOCK_NB)
+        except OSError:
+            self._lock_f.close()
+            raise RuntimeError(
+                f"another runner holds the checkpoint lock at {self.ckpt.dir}"
+            ) from None
+
         last = self.ckpt.last_committed()
         if last is not None and (
             last.get("num_shards") != self.cfg.num_shards
@@ -461,6 +478,7 @@ class CaptureRunner:
                 )
             if crash_before_commit_at is not None and i >= crash_before_commit_at:
                 totals["crashed"] = True
+                self._release_lock()
                 return totals
             consumed += len(bwork)
             self.ckpt.commit(
@@ -506,7 +524,16 @@ class CaptureRunner:
                 os.path.join(self.ckpt.dir, "metrics", f"batch-{batch_id:06d}.json"),
                 _json.dumps(m, sort_keys=True).encode(),
             )
+        self._release_lock()
         return totals
+
+    def _release_lock(self) -> None:
+        import fcntl
+
+        f = getattr(self, "_lock_f", None)
+        if f is not None and not f.closed:
+            fcntl.flock(f, fcntl.LOCK_UN)
+            f.close()
 
     def _detect_hot_first_batch(self, files_per_batch: int) -> list[str]:
         from collections import Counter

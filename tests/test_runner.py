@@ -343,3 +343,27 @@ def test_bucketed_with_windows_and_enrich_kill_resume(tmp_path):
     a = r2.read_windows().to_pandas().sort_values(["shard", "window_start_us"]).reset_index(drop=True)
     b = r3.read_windows().to_pandas().sort_values(["shard", "window_start_us"]).reset_index(drop=True)
     pd2.testing.assert_frame_equal(a, b)
+
+
+def test_single_writer_checkpoint_lock(tmp_path):
+    """Two concurrent runners on one checkpoint: the second is refused
+    (single-writer ownership; the Kafka Connect task-ownership analogue)."""
+    import fcntl
+    import os
+
+    import pytest
+
+    t = generate(num_convs=4, turns_per_conv=4)
+    write_windowed(t, str(tmp_path / "log"), num_files=1)
+    cfg = _cfg(tmp_path)
+    r1 = CaptureRunner(str(tmp_path / "log"), cfg)
+    # simulate a concurrently-running runner holding the lock
+    holder = open(os.path.join(cfg.checkpoint_dir, "runner.lock"), "w")
+    fcntl.flock(holder, fcntl.LOCK_EX)
+    with pytest.raises(RuntimeError, match="checkpoint lock"):
+        r1.run()
+    fcntl.flock(holder, fcntl.LOCK_UN)
+    holder.close()
+    # lock released → run proceeds, and a SECOND sequential run also works
+    assert r1.run()["batches"] == 1
+    assert CaptureRunner(str(tmp_path / "log"), cfg).run()["batches"] == 0

@@ -235,3 +235,40 @@ def test_all_streaming_aggs_kill_resume(tmp_path):
         a = a.sort_values(keys).reset_index(drop=True)
         b = b.sort_values(keys).reset_index(drop=True)
         pd.testing.assert_frame_equal(a, b), kind
+
+
+def test_keyed_streaming_panes_per_conversation(tmp_path):
+    """window_agg_keys=('conv_id',): per-conversation tumbling panes in the
+    runner equal the batch tumbling(keys=['conv_id']) result."""
+    import ray.data
+
+    from scylla_cdc_source_connector_ray.stages import windows as W
+
+    t = generate(num_convs=8, turns_per_conv=20, update_pct=20, delete_pct=10, step_us=20_000_000)
+    write_windowed(t, str(tmp_path / "log"), num_files=3)
+    cfg = _cfg(
+        tmp_path,
+        window_agg=True,
+        window_agg_keys=("conv_id",),
+        window_size_us=MIN,
+        allowed_lateness_us=MIN,
+    )
+    runner = CaptureRunner(str(tmp_path / "log"), cfg)
+    runner.run()
+    runner.flush_windows()
+    got = (
+        runner.read_windows()
+        .to_pandas()[["conv_id", "window_start_us", "n_events", "n_chars"]]
+        .sort_values(["conv_id", "window_start_us"])
+        .reset_index(drop=True)
+    )
+    want = (
+        W.tumbling(ray.data.from_arrow(t), MIN, keys=["conv_id"])
+        .to_pandas()[["conv_id", "window_start_us", "n_events", "n_chars"]]
+        .sort_values(["conv_id", "window_start_us"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got.astype({"n_events": "int64", "n_chars": "int64"}),
+        want.astype({"n_events": "int64", "n_chars": "int64"}),
+    )
