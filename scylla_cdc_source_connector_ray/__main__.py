@@ -124,11 +124,17 @@ def cmd_run(args) -> int:
 
     cfg = _build_cfg(args)
     runner = CaptureRunner(args.log_dir, cfg)
-    totals = runner.run(
-        max_batches=args.max_batches,
-        files_per_batch=args.files_per_batch,
-        log_complete=not args.tail,
-    )
+    if args.tail:
+        totals = runner.follow(
+            poll_interval_s=args.poll_ms / 1000.0,
+            idle_polls=args.idle_polls,
+            files_per_batch=args.files_per_batch,
+        )
+    else:
+        totals = runner.run(
+            max_batches=args.max_batches,
+            files_per_batch=args.files_per_batch,
+        )
     if (args.windows or args.sliding or args.session_gap_ms) and not args.tail:
         runner.flush_windows()
     print(json.dumps({"ok": True, **totals, "out": args.out, "checkpoint": args.checkpoint}))
@@ -159,7 +165,10 @@ def main(argv=None) -> int:
                         help="streaming session windows with this gap")
         sp.add_argument("--enrich", action="store_true", help="conv-state join")
         sp.add_argument("--score", action="store_true", help="text quality scoring")
-        sp.add_argument("--tail", action="store_true", help="live mode: hold back the confidence window")
+        sp.add_argument("--tail", action="store_true",
+                        help="live tailing: poll for new files, hold back the confidence window")
+        sp.add_argument("--poll-ms", type=int, default=500, help="tail poll interval (reference poll.interval.ms)")
+        sp.add_argument("--idle-polls", type=int, default=10, help="stop tailing after this many empty polls")
         sp.set_defaults(fn=fn)
     args = p.parse_args(argv)
     return args.fn(args)

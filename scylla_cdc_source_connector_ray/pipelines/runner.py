@@ -535,6 +535,36 @@ class CaptureRunner:
             fcntl.flock(f, fcntl.LOCK_UN)
             f.close()
 
+    def follow(
+        self,
+        poll_interval_s: float = 0.5,
+        idle_polls: int = 10,
+        files_per_batch: int = 1,
+        max_wall_s: float | None = None,
+    ) -> dict:
+        """Live tailing (≙ the reference's continuous worker loop with
+        ``poll.interval.ms``): repeatedly discover + consume new log files,
+        holding back the confidence window (``log_complete=False``). Stops
+        after ``idle_polls`` consecutive polls with no new data, or after
+        ``max_wall_s``. Resumable like any run — offsets advance per batch."""
+        totals = {"batches": 0, "events": 0, "late": 0, "polls": 0}
+        idle = 0
+        t0 = time.monotonic()
+        while idle < idle_polls:
+            if max_wall_s is not None and time.monotonic() - t0 > max_wall_s:
+                break
+            tot = self.run(files_per_batch=files_per_batch, log_complete=False)
+            totals["polls"] += 1
+            if tot["batches"] == 0:
+                idle += 1
+                time.sleep(poll_interval_s)
+            else:
+                idle = 0
+                totals["batches"] += tot["batches"]
+                totals["events"] += tot["events"]
+                totals["late"] += tot["late"]
+        return totals
+
     def _detect_hot_first_batch(self, files_per_batch: int) -> list[str]:
         from collections import Counter
 

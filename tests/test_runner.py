@@ -367,3 +367,33 @@ def test_single_writer_checkpoint_lock(tmp_path):
     # lock released → run proceeds, and a SECOND sequential run also works
     assert r1.run()["batches"] == 1
     assert CaptureRunner(str(tmp_path / "log"), cfg).run()["batches"] == 0
+
+
+def test_follow_live_tailing(tmp_path):
+    """follow() consumes files appearing while it runs (live tail with the
+    confidence window held back; reference continuous worker loop)."""
+    import threading
+    import time as time_mod
+
+    t = generate(num_convs=10, turns_per_conv=10, update_pct=20, delete_pct=10)
+    log = tmp_path / "log"
+    log.mkdir()
+    n = t.num_rows
+    a, b = n // 3, 2 * n // 3
+    thirds = [t.slice(0, a), t.slice(a, b - a), t.slice(b)]
+    pq.write_table(thirds[0], str(log / "f0.parquet"))
+
+    def writer():
+        time_mod.sleep(0.8)
+        pq.write_table(thirds[1], str(log / "f1.parquet"))
+        time_mod.sleep(0.8)
+        pq.write_table(thirds[2], str(log / "f2.parquet"))
+
+    cfg = _cfg(tmp_path, confidence_window_us=0)
+    runner = CaptureRunner(str(log), cfg)
+    w = threading.Thread(target=writer)
+    w.start()
+    totals = runner.follow(poll_interval_s=0.2, idle_polls=8)
+    w.join()
+    assert totals["events"] == n, totals
+    _assert_matches_golden(_flat_output(runner), _golden(t))
