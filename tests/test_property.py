@@ -170,3 +170,52 @@ def test_correlate_random_interleavings(data):
     )
     want = sorted((c, t, ts / 1e6, op, bt, at) for c, t, ts, op, bt, at in truth)
     assert got == want
+
+
+@settings(max_examples=25, deadline=None)
+@given(logs(), st.sampled_from([1, 2, 4]))
+def test_windows_match_duckdb_on_random_logs(rows, slide_div):
+    """Tumbling + sliding over arbitrary logs match an independent DuckDB
+    computation, for several size/slide ratios."""
+    import duckdb
+
+    import ray.data
+
+    from scylla_cdc_source_connector_ray.stages import windows as W
+
+    t = _table(rows)
+    SIZE = 4_000_000
+    SLIDE = SIZE // slide_div
+    ds = ray.data.from_arrow(t)
+    got_t = (
+        W.tumbling(ds, SIZE)
+        .to_pandas()
+        .sort_values("window_start_us")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("tr", t)
+    want_t = con.sql(
+        f"""SELECT epoch_us(ts) - epoch_us(ts) % {SIZE} AS window_start_us,
+                  count(*) AS n_events, sum(coalesce(length(text),0)) AS n_chars,
+                  min(epoch_us(ts)) AS min_ts_us, max(epoch_us(ts)) AS max_ts_us
+           FROM tr GROUP BY 1 ORDER BY 1"""
+    ).df().reset_index(drop=True)
+    cols = ["window_start_us", "n_events", "n_chars", "min_ts_us", "max_ts_us"]
+    assert got_t[cols].astype("int64").values.tolist() == want_t[cols].astype("int64").values.tolist()
+
+    got_s = (
+        W.sliding(ray.data.from_arrow(t), SIZE, SLIDE)
+        .to_pandas()
+        .sort_values("window_start_us")
+        .reset_index(drop=True)
+    )
+    want_s = con.sql(
+        f"""SELECT epoch_us(ts) - epoch_us(ts) % {SLIDE} - {SLIDE} * i AS window_start_us,
+                  count(*) AS n_events
+           FROM tr CROSS JOIN (SELECT unnest(generate_series(0, {slide_div - 1})) AS i) s
+           GROUP BY 1 ORDER BY 1"""
+    ).df().reset_index(drop=True)
+    assert got_s[["window_start_us", "n_events"]].astype("int64").values.tolist() == want_s[
+        ["window_start_us", "n_events"]
+    ].astype("int64").values.tolist()
