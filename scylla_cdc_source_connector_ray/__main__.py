@@ -142,10 +142,34 @@ def cmd_run(args) -> int:
     return 0
 
 
+def cmd_ingest(args) -> int:
+    """Repartition an unpartitioned log into the shard=K layout (one
+    distributed keyed exchange; afterwards every run is shuffle-free)."""
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=args.num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    from .sources.ingest import bucketize
+
+    counts = bucketize(args.log_dir, args.out, args.num_shards)
+    print(json.dumps({"ok": True, "shards": len(counts), "rows": sum(counts.values()), "out": args.out}))
+    ray.shutdown()
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="scylla_cdc_source_connector_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
-    for name, fn in (("run", cmd_run), ("validate", cmd_validate)):
+    for name, fn in (("run", cmd_run), ("validate", cmd_validate), ("ingest", cmd_ingest)):
         sp = sub.add_parser(name)
         sp.add_argument("--log-dir", required=True)
         sp.add_argument("--out", default="/tmp/scylla_cdc_ray/out")

@@ -397,3 +397,18 @@ def test_follow_live_tailing(tmp_path):
     w.join()
     assert totals["events"] == n, totals
     _assert_matches_golden(_flat_output(runner), _golden(t))
+
+
+def test_ingest_bucketize_then_fast_path(tmp_path):
+    """Unpartitioned log → bucketize (one distributed exchange) → shuffle-free
+    runner produces the golden output."""
+    from scylla_cdc_source_connector_ray.sources.ingest import bucketize
+
+    t = generate(num_convs=20, turns_per_conv=8, update_pct=30, delete_pct=10)
+    write_windowed(t, str(tmp_path / "flat"), num_files=3)
+    cfg = _cfg(tmp_path)
+    counts = bucketize(str(tmp_path / "flat"), str(tmp_path / "blog"), cfg.num_shards)
+    assert sum(counts.values()) == t.num_rows
+    runner = CaptureRunner(str(tmp_path / "blog"), cfg)
+    runner.run()
+    _assert_matches_golden(_flat_output(runner), _golden(t))
