@@ -283,7 +283,13 @@ def _q_ann_topk(sf_dir: str):
 
     from scylla_cdc_source_connector_ray.functions.similarity import ann_bruteforce
 
-    q = _emb(sf_dir).filter(lambda r: r["vec_id"] < 8).to_pandas()
+    import pyarrow.compute as pc
+
+    q = (
+        _emb(sf_dir)
+        .map_batches(lambda t: t.filter(pc.less(t["vec_id"], 8)), batch_format="pyarrow")
+        .to_pandas()
+    )
     out = ann_bruteforce(
         _emb(sf_dir), np.stack(q["embedding"].values), q["vec_id"].values, k=5
     )
