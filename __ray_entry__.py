@@ -176,6 +176,26 @@ def _q_cdc_capture_only_updated(sf_dir: str):
     return env.map_batches(flat, batch_format="pyarrow")
 
 
+def _q_win_distinct_convs(sf_dir: str):
+    """Exact distinct conversations per hour window (two-level groupby; the
+    HLL sketch in functions/sketches.py is the 100 TB approximate path)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from scylla_cdc_source_connector_ray.functions.sketches import distinct_per_group_exact
+
+    ds = cap.read_transcripts_from_events(sf_dir, columns=["conv_id", "ts"])
+
+    def win(t: pa.Table) -> pa.Table:
+        ts = t["ts"].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        w = ts - (ts % oracles.HOUR_US)
+        return t.select(["conv_id"]).append_column("window_start_us", pa.array(w, pa.int64()))
+
+    return distinct_per_group_exact(
+        ds.map_batches(win, batch_format="pyarrow"), "window_start_us", "conv_id"
+    )
+
+
 def _q_win_ops_by_window(sf_dir: str):
     """Windowed change aggregation: events per op per hour (SURVEY §2.5) —
     capture composed with the tumbling stage."""
@@ -353,6 +373,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_capture_salted": _q_cdc_capture_salted,
         "cdc_capture_only_updated": _q_cdc_capture_only_updated,
         "win_ops_by_window": _q_win_ops_by_window,
+        "win_distinct_convs": _q_win_distinct_convs,
         "cdc_image_correlation": _q_cdc_image_correlation,
         "cdc_extract_new_state": _q_cdc_extract_new_state,
         "q1_pricing_summary": _q_relational("q1_pricing_summary"),
@@ -390,6 +411,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_capture_salted": oracles.CDC_CAPTURE_SALTED,
         "cdc_capture_only_updated": oracles.CDC_CAPTURE_ONLY_UPDATED,
         "win_ops_by_window": oracles.WIN_OPS_BY_WINDOW,
+        "win_distinct_convs": oracles.WIN_DISTINCT_CONVS,
         "cdc_image_correlation": oracles.CDC_IMAGE_CORRELATION,
         "cdc_extract_new_state": oracles.CDC_EXTRACT_NEW_STATE,
         "q1_pricing_summary": oracles.Q1_PRICING,

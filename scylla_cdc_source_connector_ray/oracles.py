@@ -322,3 +322,10 @@ SELECT n.n_name AS n_name, count(*) AS n_suppliers,
 FROM supplier s JOIN nation n ON n.n_nationkey = s.s_nationkey
 GROUP BY n.n_name
 """
+
+WIN_DISTINCT_CONVS = f"""
+WITH transcripts AS ({TRANSCRIPTS_SQL})
+SELECT epoch_us(ts) - epoch_us(ts) % {HOUR_US} AS window_start_us,
+       count(DISTINCT conv_id) AS n_distinct
+FROM transcripts GROUP BY 1
+"""

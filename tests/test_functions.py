@@ -235,3 +235,54 @@ def test_frame_sampling():
     media = MM.synthesize_media(n=4, kind="video")
     plan = MM.frame_sample_ids(media, every_ms=250)
     assert plan.num_rows == 4 * 4  # 1000ms / 250ms
+
+
+# --- sketches --------------------------------------------------------------
+
+
+def test_distinct_per_group_exact_matches_sql():
+    from scylla_cdc_source_connector_ray.functions.sketches import distinct_per_group_exact
+
+    ev = ray.data.read_parquet(f"{SF}/events.parquet")
+    out = distinct_per_group_exact(ev, "event_type", "user_id").to_pandas()
+    con = duckdb.connect()
+    sql = con.sql(
+        f"SELECT event_type, count(DISTINCT user_id) AS n_distinct FROM '{SF}/events.parquet' GROUP BY 1"
+    ).df()
+    a = out.sort_values("event_type").reset_index(drop=True)
+    b = sql.sort_values("event_type").reset_index(drop=True)
+    assert a["event_type"].tolist() == b["event_type"].tolist()
+    assert a["n_distinct"].astype(int).tolist() == b["n_distinct"].astype(int).tolist()
+
+
+def test_hll_sketch_accuracy_and_merge():
+    from scylla_cdc_source_connector_ray.functions.sketches import (
+        HyperLogLog,
+        distinct_per_group_hll,
+    )
+
+    def mix(x):  # splitmix64: proper 64-bit avalanche for test hashes
+        x = (x + np.uint64(0x9E3779B97F4A7C15)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+        x = ((x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+        x = ((x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+        return x ^ (x >> np.uint64(31))
+
+    # accuracy: 50k distinct values → estimate within 5% at p=12
+    h = HyperLogLog(p=12).add_hashed(mix(np.arange(50_000, dtype=np.uint64)))
+    assert abs(h.estimate() - 50_000) / 50_000 < 0.05
+    # merge(a, b) == sketch(a ∪ b)
+    ha = HyperLogLog(12).add_hashed(mix(np.arange(0, 30_000, dtype=np.uint64)))
+    hb = HyperLogLog(12).add_hashed(mix(np.arange(20_000, 60_000, dtype=np.uint64)))
+    hu = HyperLogLog(12).add_hashed(mix(np.arange(0, 60_000, dtype=np.uint64)))
+    assert np.array_equal(ha.merge(hb).registers, hu.registers)
+
+    # distributed per-group sketches within error of the exact counts
+    ev = ray.data.read_parquet(f"{SF}/events.parquet")
+    est = distinct_per_group_hll(ev, "event_type", "user_id").set_index("event_type")
+    con = duckdb.connect()
+    exact = con.sql(
+        f"SELECT event_type, count(DISTINCT user_id) AS n FROM '{SF}/events.parquet' GROUP BY 1"
+    ).df().set_index("event_type")
+    for et in exact.index:
+        e, x = est.loc[et, "n_distinct_est"], exact.loc[et, "n"]
+        assert abs(e - x) / max(x, 1) < 0.1, (et, e, x)
