@@ -392,6 +392,8 @@ class CaptureRunner:
         # single-writer guard: two runners on one checkpoint would interleave
         # state files nondeterministically (≙ Kafka Connect's single task
         # ownership per partition). Advisory flock held for the run.
+        os.makedirs(self.ckpt.dir, exist_ok=True)  # dir may vanish between
+        # Checkpoint construction and run() (tests, operator cleanup)
         self._lock_f = open(os.path.join(self.ckpt.dir, "runner.lock"), "w")
         try:
             fcntl.flock(self._lock_f, fcntl.LOCK_EX | fcntl.LOCK_NB)
