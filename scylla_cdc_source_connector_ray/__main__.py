@@ -135,7 +135,9 @@ def cmd_run(args) -> int:
             max_batches=args.max_batches,
             files_per_batch=args.files_per_batch,
         )
-    if (args.windows or args.sliding or args.session_gap_ms) and not args.tail:
+    # flush only when the complete log is fully consumed (flush = watermark→∞)
+    fully_consumed = args.max_batches is None and not args.tail
+    if (args.windows or args.sliding or args.session_gap_ms) and fully_consumed:
         runner.flush_windows()
     print(json.dumps({"ok": True, **totals, "out": args.out, "checkpoint": args.checkpoint}))
     ray.shutdown()

@@ -116,6 +116,16 @@ def _shard_task(
         ).as_py() or 0
 
     if SEQ_COL not in group.column_names:
+        # DETERMINISTIC fallback seq: post-shuffle row order is not stable, so
+        # derive it from a full-column sort (ties = identical rows, for which
+        # any order yields the same fold). Replays then regenerate identical
+        # bytes, preserving the exactly-once commit protocol.
+        sortable = [
+            (c, "ascending")
+            for c in ("ts", "conv_id", "turn_idx", "role", "text", "tool")
+            if c in group.column_names
+        ]
+        group = group.sort_by(sortable)
         group = group.append_column(SEQ_COL, pa.array(range(group.num_rows), pa.int64()))
 
     n_stragglers = 0
@@ -134,13 +144,34 @@ def _shard_task(
         ckpt.write_state(shard, batch_id, residual, kind="imgstate")
     else:
         # --- row-mode: seed with checkpointed per-key state -----------------
+        # Seeds must fold FIRST per key regardless of event time (arrival-order
+        # semantics, like the reference consuming cdc\$time order): a late row
+        # whose ts precedes the stored state would otherwise sort before the
+        # seed and re-emit a spurious 'c'. We sort with an explicit
+        # arrival-rank column (seed=0, batch=1) and hand derive_ops the
+        # pre-sorted block.
         seed_path = ckpt.latest_state_path(shard, batch_id)
         log = group.select(_STATE_COLS)
         if seed_path is not None:
             seed = pq.read_table(seed_path).select(_STATE_COLS)
             log = pa.concat_tables([seed, log])
+        import numpy as np
 
-        derived = derive_ops(log)
+        arrival = (log[SEQ_COL].combine_chunks().to_numpy(zero_copy_only=False) >= 0).astype(
+            "int8"
+        )
+        log = log.append_column("_arrival", pa.array(arrival))
+        log = log.sort_by(
+            [
+                ("conv_id", "ascending"),
+                ("turn_idx", "ascending"),
+                ("_arrival", "ascending"),
+                ("ts", "ascending"),
+                (SEQ_COL, "ascending"),
+            ]
+        ).drop_columns(["_arrival"])
+
+        derived = derive_ops(log, sorted_input=True)
 
     # --- roll state forward: last row per key, stored log-shaped -----------
     # derived is sorted by (conv_id, turn_idx, ts, seq) ⇒ last row per key is
@@ -233,11 +264,9 @@ def _shard_task(
         pos = pa.array(order[np.searchsorted(ex_seq[order], env_seq)], pa.int64())
         for c in ("prior_turns", "prior_chars", "prev_role"):
             env = env.append_column(c, pc.take(enriched[c].combine_chunks(), pos))
-    out_path = os.path.join(out_dir, f"batch-{batch_id:06d}", f"shard={shard}.parquet")
-    os.makedirs(os.path.dirname(out_path), exist_ok=True)
-    tmp = out_path + ".tmp"
-    pq.write_table(env, tmp)
-    os.rename(tmp, out_path)
+    from .stream_agg import _atomic_pq
+
+    _atomic_pq(env, os.path.join(out_dir, f"batch-{batch_id:06d}", f"shard={shard}.parquet"))
 
     max_ts = pc.max(real["ts"].cast(pa.int64())).as_py() if real.num_rows else None
     return pa.table(
@@ -286,12 +315,12 @@ def _window_panes(
     late_mask = (win + W <= prev_thr) if prev_thr is not None else np.zeros(len(win), dtype=bool)
     n_late_dropped = int(late_mask.sum())
     if n_late_dropped:
-        late_rows = real.filter(pa.array(late_mask))
-        late_path = os.path.join(out_dir, "late", f"batch-{batch_id:06d}", f"shard={shard}.parquet")
-        os.makedirs(os.path.dirname(late_path), exist_ok=True)
-        tmp = late_path + ".tmp"
-        pq.write_table(late_rows, tmp)
-        os.rename(tmp, late_path)
+        from .stream_agg import _atomic_pq
+
+        _atomic_pq(
+            real.filter(pa.array(late_mask)),
+            os.path.join(out_dir, "late", "tumbling", f"batch-{batch_id:06d}", f"shard={shard}.parquet"),
+        )
 
     ontime = real.filter(pa.array(~late_mask)) if n_late_dropped else real
     win_ok = win[~late_mask]
@@ -332,14 +361,15 @@ def _window_panes(
     )
     remaining = partial.filter(pa.array(~final_mask))
     if finalized.num_rows:
-        wpath = os.path.join(out_dir, "windows", f"batch-{batch_id:06d}", f"shard={shard}.parquet")
-        os.makedirs(os.path.dirname(wpath), exist_ok=True)
+        from .stream_agg import _atomic_pq
+
         finalized = finalized.append_column(
             "shard", pa.array([shard] * finalized.num_rows, pa.int32())
         )
-        tmp = wpath + ".tmp"
-        pq.write_table(finalized, tmp)
-        os.rename(tmp, wpath)
+        _atomic_pq(
+            finalized,
+            os.path.join(out_dir, "windows", f"batch-{batch_id:06d}", f"shard={shard}.parquet"),
+        )
     ckpt.write_state(shard, batch_id, remaining, kind="wstate")
     return n_late_dropped
 
@@ -434,6 +464,17 @@ class CaptureRunner:
             # state is placed — detection after batch 0 would orphan keys
             hot_convs = self._detect_hot_first_batch(files_per_batch)
         self._hot = frozenset(hot_convs or [])
+        if self._hot and (
+            self.cfg.session_gap_us is not None
+            or self.cfg.enrich_conv_state
+            or "conv_id" in self.cfg.window_agg_keys
+        ):
+            raise ValueError(
+                "hot-conv salting splits a conversation across shards and is "
+                "incompatible with conversation-level stages (session windows, "
+                "conv-state enrichment, conv-keyed panes) — disable salting or "
+                "those stages"
+            )
 
         bucketed = is_bucketed(self.log_dir)
         frontier_us = None
@@ -458,6 +499,18 @@ class CaptureRunner:
             batches = batches[:max_batches]
 
         totals = {"batches": 0, "events": 0, "late": 0}
+        try:
+            return self._run_batches(
+                batches, next_batch, consumed, watermarks, frontier_us, totals,
+                crash_before_commit_at, bucketed,
+            )
+        finally:
+            self._release_lock()
+
+    def _run_batches(
+        self, batches, next_batch, consumed, watermarks, frontier_us, totals,
+        crash_before_commit_at, bucketed,
+    ) -> dict:
         for i, bwork in enumerate(batches):
             batch_id = next_batch + i
             t0 = time.perf_counter()
@@ -480,7 +533,6 @@ class CaptureRunner:
                 )
             if crash_before_commit_at is not None and i >= crash_before_commit_at:
                 totals["crashed"] = True
-                self._release_lock()
                 return totals
             consumed += len(bwork)
             self.ckpt.commit(
@@ -526,7 +578,6 @@ class CaptureRunner:
                 os.path.join(self.ckpt.dir, "metrics", f"batch-{batch_id:06d}.json"),
                 _json.dumps(m, sort_keys=True).encode(),
             )
-        self._release_lock()
         return totals
 
     def _release_lock(self) -> None:
@@ -658,12 +709,10 @@ class CaptureRunner:
         def emit(table: pa.Table, kind_dir: str, shard: int):
             if table.num_rows == 0:
                 return
+            from .stream_agg import _atomic_pq
+
             table = table.append_column("shard", pa.array([shard] * table.num_rows, pa.int32()))
-            out = os.path.join(self.out_dir, kind_dir, "final", f"shard={shard}.parquet")
-            os.makedirs(os.path.dirname(out), exist_ok=True)
-            tmp = out + ".tmp"
-            pq.write_table(table, tmp)
-            os.rename(tmp, out)
+            _atomic_pq(table, os.path.join(self.out_dir, kind_dir, "final", f"shard={shard}.parquet"))
 
         for shard in shards_of("wstate"):
             path = self.ckpt.latest_state_path(shard, nb, kind="wstate")

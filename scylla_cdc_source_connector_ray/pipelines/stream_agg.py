@@ -12,10 +12,12 @@ rows, the previous COMMITTED state, and the previous committed watermark):
   panes; a pane is dropped once ``pane+W ≤ thr`` (its last window emitted).
   Rows whose *latest* window is already emitted route to the late output.
 
-* **session** (gap G): at most one OPEN session per conv survives in state;
-  a session is emitted once ``last_ts + G ≤ thr`` — no on-time row can
-  extend it afterwards (an on-time row in a later batch has ``ts > thr``).
-  Rows with ``ts ≤ thr_prev`` route to the late output.
+* **session** (gap G): unemitted sessions live in state as intervals; each
+  batch merges carried intervals + new batch sessions with a full per-conv
+  interval sweep (an out-of-order on-time row can BRIDGE two previously
+  separate sessions). A session is emitted once ``last_ts + G ≤ thr`` — no
+  on-time row can extend it afterwards (an on-time row in a later batch has
+  ``ts > thr``). Rows with ``ts ≤ thr_prev`` route to the late output.
 """
 
 from __future__ import annotations
@@ -199,34 +201,40 @@ def session_state(
             }
         )
 
-    # merge the conv's newest carried session into its first batch session
-    # when the gap allows; carried sessions live in state until the
-    # watermark emits them (several unemitted sessions per conv can coexist)
+    # merge carried sessions with this batch's sessions by a full interval
+    # sweep per conv: an on-time out-of-order row can BRIDGE two previously
+    # separate sessions, so pairwise last-session merging is not enough.
+    # Intervals (carried + batch) sorted by start merge while
+    # next.start <= running_max(end) + gap — vectorized with pandas cummax.
     seed_path = ckpt.latest_state_path(shard, batch_id, kind="sessstate")
     carried = (
         pq.read_table(seed_path).to_pandas() if seed_path is not None else pd.DataFrame(columns=SESSION_COLS)
     )
-    if len(carried) and len(sessions):
-        carried = carried.sort_values(["conv_id", "session_start_us"]).reset_index(drop=True)
-        last_carried = carried.groupby("conv_id").tail(1).set_index("conv_id")
-        firsts = ~sessions.duplicated("conv_id", keep="first")
-        drop_carried = []
-        for i in np.flatnonzero(firsts.values):
-            cid = sessions.at[i, "conv_id"]
-            if cid in last_carried.index:
-                lc = last_carried.loc[cid]
-                if sessions.at[i, "session_start_us"] - lc["session_end_us"] <= gap_us:
-                    sessions.at[i, "session_start_us"] = lc["session_start_us"]
-                    sessions.at[i, "n_turns"] += lc["n_turns"]
-                    sessions.at[i, "n_chars"] += lc["n_chars"]
-                    drop_carried.append((cid, lc["session_start_us"]))
-        if drop_carried:
-            keymask = ~carried.set_index(["conv_id", "session_start_us"]).index.isin(drop_carried)
-            carried = carried[keymask]
+    candidates = pd.concat([carried, sessions], ignore_index=True)
+    if len(candidates):
+        candidates = candidates.sort_values(
+            ["conv_id", "session_start_us", "session_end_us"]
+        ).reset_index(drop=True)
+        g = candidates.groupby("conv_id", sort=False)
+        prev_end_cummax = g["session_end_us"].transform(lambda x: x.cummax().shift())
+        new_sess = (
+            prev_end_cummax.isna()
+            | (candidates["session_start_us"] > prev_end_cummax + gap_us)
+        )
+        sid = new_sess.cumsum()
+        candidates = (
+            candidates.assign(_sid=sid)
+            .groupby(["conv_id", "_sid"], as_index=False, sort=False)
+            .agg(
+                session_start_us=("session_start_us", "min"),
+                session_end_us=("session_end_us", "max"),
+                n_turns=("n_turns", "sum"),
+                n_chars=("n_chars", "sum"),
+            )[SESSION_COLS]
+        )
 
     new_wm = max(wm_prev or 0, int(ts_all.max())) if len(ts_all) else (wm_prev or 0)
     thr = new_wm - cfg.allowed_lateness_us
-    candidates = pd.concat([carried, sessions], ignore_index=True)
     if len(candidates):
         emit_mask = (candidates["session_end_us"] + gap_us <= thr).values
         emitted = candidates[emit_mask].sort_values(["conv_id", "session_start_us"])

@@ -19,8 +19,13 @@ from __future__ import annotations
 
 import dataclasses
 import os
+from datetime import timezone
 
 import pyarrow.parquet as pq
+
+#: footer-stat cache keyed by (path, mtime_ns, size) — a long tail session
+#: must not re-open every consumed file's footer on every poll
+_STATS_CACHE: dict[tuple, "LogFile"] = {}
 
 
 @dataclasses.dataclass(frozen=True)
@@ -46,19 +51,38 @@ def _ts_stats(path: str, ts_col: str = "ts") -> LogFile:
             return LogFile(path, None, None, md.num_rows)
         lo = st.min.value if hasattr(st.min, "value") else st.min
         hi = st.max.value if hasattr(st.max, "value") else st.max
-        lo = int(lo.timestamp() * 1e6) if hasattr(lo, "timestamp") else int(lo)
-        hi = int(hi.timestamp() * 1e6) if hasattr(hi, "timestamp") else int(hi)
+        # naive datetimes from parquet stats are UTC; naive .timestamp() would
+        # interpret them in LOCAL time (verified +5h drift under TZ=US/Eastern)
+        if hasattr(lo, "timestamp"):
+            lo = int(lo.replace(tzinfo=timezone.utc).timestamp() * 1e6)
+        else:
+            lo = int(lo)
+        if hasattr(hi, "timestamp"):
+            hi = int(hi.replace(tzinfo=timezone.utc).timestamp() * 1e6)
+        else:
+            hi = int(hi)
         mn = lo if mn is None else min(mn, lo)
         mx = hi if mx is None else max(mx, hi)
     return LogFile(path, mn, mx, md.num_rows)
 
 
 def discover(log_dir: str) -> list[LogFile]:
-    """All log files in deterministic arrival order (lexicographic name)."""
+    """All log files in deterministic arrival order (lexicographic name).
+    Footer stats are cached by (path, mtime, size)."""
     names = sorted(
         f for f in os.listdir(log_dir) if f.endswith(".parquet") and not f.startswith("_")
     )
-    return [_ts_stats(os.path.join(log_dir, f)) for f in names]
+    out = []
+    for f in names:
+        path = os.path.join(log_dir, f)
+        st = os.stat(path)
+        key = (path, st.st_mtime_ns, st.st_size)
+        lf = _STATS_CACHE.get(key)
+        if lf is None:
+            lf = _ts_stats(path)
+            _STATS_CACHE[key] = lf
+        out.append(lf)
+    return out
 
 
 def is_bucketed(log_dir: str) -> bool:
@@ -98,5 +122,14 @@ def plan_batches(
     tail = files[consumed:]
     if not log_complete and tail:
         frontier = max((f.max_ts_us or 0) for f in files)
-        tail = [f for f in tail if f.max_ts_us is not None and f.max_ts_us <= frontier - confidence_window_us]
+        # offset accounting is POSITIONAL (consumed = file count), so only the
+        # CONTIGUOUS eligible prefix may be consumed — filtering the middle
+        # would permanently skip held-back files and re-consume later ones
+        eligible = 0
+        for f in tail:
+            if f.max_ts_us is not None and f.max_ts_us <= frontier - confidence_window_us:
+                eligible += 1
+            else:
+                break
+        tail = tail[:eligible]
     return [tail[i : i + files_per_batch] for i in range(0, len(tail), files_per_batch)]

@@ -412,3 +412,79 @@ def test_ingest_bucketize_then_fast_path(tmp_path):
     runner = CaptureRunner(str(tmp_path / "blog"), cfg)
     runner.run()
     _assert_matches_golden(_flat_output(runner), _golden(t))
+
+
+def test_holdback_is_contiguous_prefix():
+    """Out-of-order file eligibility must not skip a held-back middle file
+    (offset accounting is positional — found by code review)."""
+    from scylla_cdc_source_connector_ray.sources.windowed import LogFile, plan_batches
+
+    files = [
+        LogFile("f0", 0, 10, 1),
+        LogFile("f1", 10, 95, 1),  # inside the confidence window → held back
+        LogFile("f2", 20, 30, 1),  # would be eligible but must wait for f1
+    ]
+    batches = plan_batches(files, 0, confidence_window_us=10, log_complete=False)
+    assert [f.path for b in batches for f in b] == ["f0"]
+
+
+def test_cross_batch_late_row_folds_after_state(tmp_path):
+    """A batch-2 row with ts EARLIER than the stored state folds AFTER the
+    seed (arrival-order semantics): op 'u' with the state as before image,
+    never a second 'c' (found by code review)."""
+    log = tmp_path / "log"
+    os.makedirs(log)
+    base = pd.Timestamp("2026-01-01").value // 1000
+
+    def tbl(rows, seq0):
+        return pa.table(
+            {
+                "conv_id": pa.array([r[0] for r in rows], pa.string()),
+                "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+                "role": pa.array(["user"] * len(rows), pa.string()),
+                "text": pa.array([r[2] for r in rows], pa.string()),
+                "tool": pa.array([None] * len(rows), pa.string()),
+                "ts": pa.array([base + r[3] for r in rows], pa.timestamp("us")),
+                "seq": pa.array(range(seq0, seq0 + len(rows)), pa.int64()),
+            }
+        )
+
+    pq.write_table(tbl([("a", 0, "v1", 100)], 0), str(log / "f0.parquet"))
+    pq.write_table(tbl([("a", 0, "late", 50)], 1), str(log / "f1.parquet"))  # ts regressed
+    runner = CaptureRunner(str(log), _cfg(tmp_path, num_shards=1))
+    runner.run()
+    out = _flat_output(runner).sort_values("seq").reset_index(drop=True)
+    assert out["op"].tolist() == ["c", "u"]
+    assert out.loc[1, "before_text"] == "v1"
+
+
+def test_lock_released_on_midrun_exception(tmp_path):
+    """An exception inside the batch loop must release the checkpoint lock
+    (found by code review)."""
+    t = generate(num_convs=4, turns_per_conv=4)
+    write_windowed(t, str(tmp_path / "log"), num_files=2)
+    cfg = _cfg(tmp_path)
+    r = CaptureRunner(str(tmp_path / "log"), cfg)
+    import pytest
+
+    orig = r._process_batch
+
+    def boom(*a, **k):
+        raise OSError("storage hiccup")
+
+    r._process_batch = boom
+    with pytest.raises(OSError):
+        r.run()
+    # lock must be free: a fresh runner proceeds
+    r2 = CaptureRunner(str(tmp_path / "log"), cfg)
+    assert r2.run()["batches"] == 2
+
+
+def test_salting_incompatible_with_conv_level_stages(tmp_path):
+    import pytest
+
+    t = generate(num_convs=4, turns_per_conv=4)
+    write_windowed(t, str(tmp_path / "log"), num_files=1)
+    cfg = _cfg(tmp_path, session_gap_us=1_000_000)
+    with pytest.raises(ValueError, match="salting"):
+        CaptureRunner(str(tmp_path / "log"), cfg).run(hot_convs=["conv0"])

@@ -272,3 +272,39 @@ def test_keyed_streaming_panes_per_conversation(tmp_path):
         got.astype({"n_events": "int64", "n_chars": "int64"}),
         want.astype({"n_events": "int64", "n_chars": "int64"}),
     )
+
+
+def test_session_merge_bounds_with_out_of_order_on_time_row(tmp_path):
+    """A carried session merged with an EARLIER-ending on-time row must keep
+    max(end) / min(start) (found by code review: end was being shrunk)."""
+    log = tmp_path / "log"
+    log.mkdir()
+    base = pd.Timestamp("2026-01-01").value // 1000
+
+    def tbl(rows, seq0):
+        return pa.table(
+            {
+                "conv_id": pa.array([r[0] for r in rows], pa.string()),
+                "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+                "role": pa.array(["user"] * len(rows), pa.string()),
+                "text": pa.array([r[2] for r in rows], pa.string()),
+                "tool": pa.array([None] * len(rows), pa.string()),
+                "ts": pa.array([base + r[3] for r in rows], pa.timestamp("us")),
+                "seq": pa.array(range(seq0, seq0 + len(rows)), pa.int64()),
+            }
+        )
+
+    S = 1_000_000
+    # batch 1: session spanning [100s, 200s]
+    pq.write_table(tbl([("a", 0, "x", 100 * S), ("a", 1, "y", 200 * S)], 0), str(log / "f0.parquet"))
+    # batch 2: on-time row at 150s (lateness 60s, wm=200s → thr=140s; 150>140)
+    pq.write_table(tbl([("a", 2, "z", 150 * S)], 2), str(log / "f1.parquet"))
+    cfg = _cfg(tmp_path, num_shards=1, session_gap_us=60 * S, allowed_lateness_us=60 * S)
+    runner = CaptureRunner(str(log), cfg)
+    runner.run()
+    runner.flush_windows()
+    sess = runner.read_windows("windows_session").to_pandas()
+    assert len(sess) == 1
+    assert sess.loc[0, "session_start_us"] == base + 100 * S
+    assert sess.loc[0, "session_end_us"] == base + 200 * S
+    assert sess.loc[0, "n_turns"] == 3
