@@ -120,6 +120,7 @@ def cmd_run(args) -> int:
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
+    DataContext.get_current().use_polars_sort = True
     from .pipelines.runner import CaptureRunner
 
     cfg = _build_cfg(args)
@@ -160,6 +161,7 @@ def cmd_ingest(args) -> int:
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
+    DataContext.get_current().use_polars_sort = True
     from .sources.ingest import bucketize
 
     counts = bucketize(args.log_dir, args.out, args.num_shards)

@@ -15,5 +15,6 @@ def ray_session():
 
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
+    ctx.use_polars_sort = True
     yield
     ray.shutdown()

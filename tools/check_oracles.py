@@ -45,6 +45,7 @@ def main() -> int:
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
+    DataContext.get_current().use_polars_sort = True
 
     sys.path.insert(0, "/root/repo")
     import __ray_entry__ as e
