@@ -66,17 +66,21 @@ def read_transcripts_from_events(
     return out
 
 
-def derive_stage(ds: ray.data.Dataset, cfg: EngineConfig) -> ray.data.Dataset:
-    """shard → groupby(shard) → per-shard sort + op-derive (flat columns)."""
-    ds = ds.map_batches(lambda b: with_shard(b, cfg.num_shards), batch_format="pyarrow")
+def derive_stage(ds: ray.data.Dataset, cfg: EngineConfig, shard_fn=None) -> ray.data.Dataset:
+    """shard → groupby(shard) → per-shard sort + op-derive (flat columns).
+    ``shard_fn(batch) -> batch-with-shard`` defaults to plain hash sharding;
+    the salted variant passes its own."""
+    if shard_fn is None:
+        shard_fn = lambda b: with_shard(b, cfg.num_shards)  # noqa: E731
+    ds = ds.map_batches(shard_fn, batch_format="pyarrow")
     return ds.groupby("shard").map_groups(
         lambda t: derive_ops(t), batch_format="pyarrow"
     )
 
 
-def capture(ds: ray.data.Dataset, cfg: EngineConfig) -> ray.data.Dataset:
+def capture(ds: ray.data.Dataset, cfg: EngineConfig, shard_fn=None) -> ray.data.Dataset:
     """Transcript log Dataset → envelope change-event Dataset."""
-    flat = derive_stage(ds, cfg)
+    flat = derive_stage(ds, cfg, shard_fn)
     return flat.map_batches(
         lambda t: build_envelope(t, cfg), batch_format="pyarrow", batch_size=cfg.batch_size
     )
@@ -95,15 +99,8 @@ def capture_salted(
         hot_convs = detect_hot_convs(ds, cfg.hot_key_threshold)
     hot = frozenset(hot_convs)
     salt_chunk = max(1, cfg.hot_key_threshold // cfg.salt_factor)
-    sharded = ds.map_batches(
-        lambda b: with_salted_shard(b, cfg.num_shards, hot, salt_chunk),
-        batch_format="pyarrow",
-    )
-    flat = sharded.groupby("shard").map_groups(
-        lambda t: derive_ops(t), batch_format="pyarrow"
-    )
-    return flat.map_batches(
-        lambda t: build_envelope(t, cfg), batch_format="pyarrow", batch_size=cfg.batch_size
+    return capture(
+        ds, cfg, shard_fn=lambda b: with_salted_shard(b, cfg.num_shards, hot, salt_chunk)
     )
 
 

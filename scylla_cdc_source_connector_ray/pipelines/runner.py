@@ -115,6 +115,10 @@ def _shard_task(
             pc.less(ts_us, wm_prev - cfg.allowed_lateness_us).cast(pa.int8())
         ).as_py() or 0
 
+    if SEQ_COL in group.column_names and group[SEQ_COL].null_count:
+        # schema promotion (some files lack seq) yields NULL seq values that
+        # would be misread as state seeds — regenerate for the whole block
+        group = group.drop_columns([SEQ_COL])
     if SEQ_COL not in group.column_names:
         # DETERMINISTIC fallback seq: post-shuffle row order is not stable, so
         # derive it from a full-column sort (ties = identical rows, for which
@@ -122,7 +126,7 @@ def _shard_task(
         # bytes, preserving the exactly-once commit protocol.
         sortable = [
             (c, "ascending")
-            for c in ("ts", "conv_id", "turn_idx", "role", "text", "tool")
+            for c in ("ts", "conv_id", "turn_idx", "role", "text", "tool", "op_kind", "row_ts")
             if c in group.column_names
         ]
         group = group.sort_by(sortable)
@@ -314,21 +318,14 @@ def _window_panes(
     prev_thr = (wm_prev - cfg.allowed_lateness_us) if wm_prev is not None else None
     late_mask = (win + W <= prev_thr) if prev_thr is not None else np.zeros(len(win), dtype=bool)
     n_late_dropped = int(late_mask.sum())
-    if n_late_dropped:
-        from .stream_agg import _atomic_pq
+    from .stream_agg import _chars, _write_late
 
-        _atomic_pq(
-            real.filter(pa.array(late_mask)),
-            os.path.join(out_dir, "late", "tumbling", f"batch-{batch_id:06d}", f"shard={shard}.parquet"),
-        )
+    if n_late_dropped:
+        _write_late(real.filter(pa.array(late_mask)), out_dir, "tumbling", batch_id, shard)
 
     ontime = real.filter(pa.array(~late_mask)) if n_late_dropped else real
     win_ok = win[~late_mask]
-    chars = (
-        pc.fill_null(pc.utf8_length(ontime["after_text"].combine_chunks()), 0)
-        .cast(pa.int64())
-        .to_numpy(zero_copy_only=False)
-    )
+    chars = _chars(ontime)
     pane_cols = _pane_cols(cfg)
     group_keys = [*cfg.window_agg_keys, "window_start_us"]
     raw = {k: ontime[k] for k in cfg.window_agg_keys}
@@ -432,6 +429,43 @@ class CaptureRunner:
             raise RuntimeError(
                 f"another runner holds the checkpoint lock at {self.ckpt.dir}"
             ) from None
+        try:
+            return self._run_locked(
+                max_batches,
+                files_per_batch,
+                crash_before_commit_at,
+                log_complete,
+                hot_convs,
+                auto_detect_hot,
+            )
+        finally:
+            self._release_lock()
+
+    def _run_locked(
+        self,
+        max_batches,
+        files_per_batch,
+        crash_before_commit_at,
+        log_complete,
+        hot_convs,
+        auto_detect_hot,
+    ) -> dict:
+        # 2/7) config combinations the data plane cannot compute correctly
+        if self.cfg.image_mode and self.cfg.enrich_conv_state:
+            raise ValueError(
+                "image_mode treats each PRE/delta/POST row as a physical row; "
+                "conv-state enrichment would triple-count turns — disable one"
+            )
+        from ..config import IncludeMode
+
+        if self.cfg.image_mode and IncludeMode.ONLY_UPDATED in (
+            self.cfg.include_before,
+            self.cfg.include_after,
+        ):
+            raise ValueError(
+                "image_mode emits no modified_cols; only-updated include modes "
+                "are unsupported with it"
+            )
 
         last = self.ckpt.last_committed()
         if last is not None and (
@@ -480,7 +514,36 @@ class CaptureRunner:
         frontier_us = None
         if bucketed:
             windows = discover_bucketed(self.log_dir)
-            tail = windows[consumed:]
+            if not log_complete and windows:
+                # confidence-window holdback at window granularity: a window's
+                # max ts = max over its per-shard files' footer stats (cached)
+                from ..sources.windowed import _ts_stats
+
+                wmax = [
+                    max(
+                        (x for x in (
+                            _ts_stats(p).max_ts_us for p in by_shard.values()
+                        ) if x is not None),
+                        default=None,
+                    )
+                    for _name, by_shard in windows
+                ]
+                known = [x for x in wmax if x is not None]
+                frontier = max(known) if known else None
+                eligible = consumed
+                for i in range(consumed, len(windows)):
+                    mx = wmax[i]
+                    if (
+                        frontier is not None
+                        and mx is not None
+                        and mx <= frontier - self.cfg.confidence_window_us
+                    ):
+                        eligible = i + 1
+                    else:
+                        break
+                tail = windows[consumed:eligible]
+            else:
+                tail = windows[consumed:]
             batches = [
                 tail[i : i + files_per_batch] for i in range(0, len(tail), files_per_batch)
             ]
@@ -499,13 +562,10 @@ class CaptureRunner:
             batches = batches[:max_batches]
 
         totals = {"batches": 0, "events": 0, "late": 0}
-        try:
-            return self._run_batches(
-                batches, next_batch, consumed, watermarks, frontier_us, totals,
-                crash_before_commit_at, bucketed,
-            )
-        finally:
-            self._release_lock()
+        return self._run_batches(
+            batches, next_batch, consumed, watermarks, frontier_us, totals,
+            crash_before_commit_at, bucketed,
+        )
 
     def _run_batches(
         self, batches, next_batch, consumed, watermarks, frontier_us, totals,
@@ -665,6 +725,15 @@ class CaptureRunner:
             return []
         cfg, ckpt_dir, out_dir = self.cfg, self.ckpt.dir, self.out_dir
         ds = ray.data.read_parquet(paths)
+
+        def normalize(b: pa.Table) -> pa.Table:
+            # blocks from files with/without seq must share one schema or the
+            # sort-shuffle merge fails; NULL seqs are regenerated per shard
+            if SEQ_COL not in b.column_names:
+                b = b.append_column(SEQ_COL, pa.nulls(b.num_rows, pa.int64()))
+            return b
+
+        ds = ds.map_batches(normalize, batch_format="pyarrow")
         hot = self._hot
         if hot:
             from ..stages.salt import with_salted_shard

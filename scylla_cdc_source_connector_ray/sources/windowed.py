@@ -48,7 +48,9 @@ def _ts_stats(path: str, ts_col: str = "ts") -> LogFile:
         col = md.row_group(rg).column(idx)
         st = col.statistics
         if st is None or not st.has_min_max:
-            return LogFile(path, None, None, md.num_rows)
+            # writer disabled stats: read just the ts column once rather than
+            # permanently stalling the tail holdback on an unknowable file
+            return _ts_stats_by_read(path, ts_col, md.num_rows)
         lo = st.min.value if hasattr(st.min, "value") else st.min
         hi = st.max.value if hasattr(st.max, "value") else st.max
         # naive datetimes from parquet stats are UTC; naive .timestamp() would
@@ -66,6 +68,16 @@ def _ts_stats(path: str, ts_col: str = "ts") -> LogFile:
     return LogFile(path, mn, mx, md.num_rows)
 
 
+def _ts_stats_by_read(path: str, ts_col: str, num_rows: int) -> LogFile:
+    import pyarrow.compute as pc
+
+    t = pq.read_table(path, columns=[ts_col])
+    if t.num_rows == 0 or t[ts_col].null_count == t.num_rows:
+        return LogFile(path, None, None, num_rows)
+    col = t[ts_col].combine_chunks().cast("int64")
+    return LogFile(path, pc.min(col).as_py(), pc.max(col).as_py(), num_rows)
+
+
 def discover(log_dir: str) -> list[LogFile]:
     """All log files in deterministic arrival order (lexicographic name).
     Footer stats are cached by (path, mtime, size)."""
@@ -73,15 +85,21 @@ def discover(log_dir: str) -> list[LogFile]:
         f for f in os.listdir(log_dir) if f.endswith(".parquet") and not f.startswith("_")
     )
     out = []
+    live_keys = set()
     for f in names:
         path = os.path.join(log_dir, f)
         st = os.stat(path)
         key = (path, st.st_mtime_ns, st.st_size)
+        live_keys.add(key)
         lf = _STATS_CACHE.get(key)
         if lf is None:
             lf = _ts_stats(path)
             _STATS_CACHE[key] = lf
         out.append(lf)
+    # evict superseded versions of this dir's files (rewrites/compaction)
+    prefix = os.path.join(log_dir, "")
+    for k in [k for k in _STATS_CACHE if k[0].startswith(prefix) and k not in live_keys]:
+        del _STATS_CACHE[k]
     return out
 
 

@@ -488,3 +488,63 @@ def test_salting_incompatible_with_conv_level_stages(tmp_path):
     cfg = _cfg(tmp_path, session_gap_us=1_000_000)
     with pytest.raises(ValueError, match="salting"):
         CaptureRunner(str(tmp_path / "log"), cfg).run(hot_convs=["conv0"])
+
+
+def test_lock_released_on_validation_error(tmp_path):
+    """Even pre-loop validation errors must release the lock (review find)."""
+    import pytest
+
+    t = generate(num_convs=4, turns_per_conv=4)
+    write_windowed(t, str(tmp_path / "log"), num_files=1)
+    cfg8 = _cfg(tmp_path)
+    CaptureRunner(str(tmp_path / "log"), cfg8).run()
+    cfg16 = EngineConfig(num_shards=16, sink_dir=cfg8.sink_dir, checkpoint_dir=cfg8.checkpoint_dir)
+    r = CaptureRunner(str(tmp_path / "log"), cfg16)
+    with pytest.raises(ValueError, match="num_shards"):
+        r.run()
+    # the failed validation must not leave the lock held
+    assert CaptureRunner(str(tmp_path / "log"), cfg8).run()["batches"] == 0
+
+
+def test_null_seq_from_schema_promotion(tmp_path):
+    """A batch mixing files with and without seq must not silently drop the
+    seq-less file's rows (review find: NULL seq misread as seeds)."""
+    t = generate(num_convs=6, turns_per_conv=5, update_pct=30, delete_pct=10)
+    log = tmp_path / "log"
+    log.mkdir()
+    half = t.num_rows // 2
+    pq.write_table(t.slice(0, half), str(log / "f0.parquet"))
+    pq.write_table(t.slice(half).drop_columns(["seq"]), str(log / "f1.parquet"))
+    runner = CaptureRunner(str(log), _cfg(tmp_path))
+    totals = runner.run(files_per_batch=2)  # both files in ONE batch → promotion
+    assert totals["events"] == t.num_rows
+
+
+def test_image_mode_config_guards(tmp_path):
+    import pytest
+
+    t = generate(num_convs=3, turns_per_conv=3)
+    write_windowed(t, str(tmp_path / "log"), num_files=1)
+    with pytest.raises(ValueError, match="enrichment"):
+        CaptureRunner(str(tmp_path / "log"), _cfg(tmp_path, image_mode=True, enrich_conv_state=True)).run()
+    with pytest.raises(ValueError, match="only-updated"):
+        CaptureRunner(
+            str(tmp_path / "log"),
+            _cfg(tmp_path, image_mode=True, include_after="only-updated"),
+        ).run()
+
+
+def test_stats_less_file_does_not_stall_tail(tmp_path):
+    """A file written without footer stats must still become eligible in tail
+    mode (review find: permanent stall)."""
+    from scylla_cdc_source_connector_ray.sources.windowed import discover, plan_batches
+
+    t = generate(num_convs=4, turns_per_conv=4)
+    log = tmp_path / "log"
+    log.mkdir()
+    pq.write_table(t.slice(0, 10), str(log / "f0.parquet"), write_statistics=False)
+    pq.write_table(t.slice(10), str(log / "f1.parquet"))
+    files = discover(str(log))
+    assert files[0].max_ts_us is not None  # recovered by reading the ts column
+    batches = plan_batches(files, 0, confidence_window_us=0, log_complete=False)
+    assert sum(len(b) for b in batches) == 2
