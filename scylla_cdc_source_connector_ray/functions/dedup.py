@@ -49,10 +49,12 @@ def exact_dedup(
 
 
 def with_content_hash(batch: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
-    """md5 of the normalized text — the 16-byte shuffle key for exact dedup."""
-    norm = batch[text_col].fillna("").str.replace(r"\s+", " ", regex=True).str.lower().str.strip()
+    """md5 of the normalized text — the 16-byte shuffle key for exact dedup.
+    Shares the oracle-critical normalization with ``textops.fingerprint``."""
+    from .textops import md5_normalized
+
     batch = batch.copy()
-    batch["content_hash"] = [hashlib.md5(s.encode()).hexdigest() for s in norm]
+    batch["content_hash"] = md5_normalized(batch[text_col])
     return batch
 
 
@@ -173,9 +175,7 @@ def _mulmod_mersenne(x: np.ndarray, a: np.uint64) -> np.ndarray:
     # 2^64 mod p = 8 ; 2^32 mod p = 2^32
     hh = fold(x_hi * a_hi * np.uint64(8))
     mid = x_hi * a_lo + x_lo * a_hi  # < 2^63, no overflow
-    mid = fold((mid << np.uint64(32)) & np.uint64(0xFFFFFFFFFFFFFFFF)) + fold(
-        mid >> np.uint64(32)
-    ) * np.uint64(8) if False else fold(_shift32_mod(mid))
+    mid = fold(_shift32_mod(mid))
     ll = fold(x_lo * a_lo)
     s = fold(hh + mid + ll)
     s = np.where(s >= _MERSENNE, s - _MERSENNE, s)

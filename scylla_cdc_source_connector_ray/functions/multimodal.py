@@ -69,18 +69,24 @@ class Decoder:
         return rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        # variable per-row dimensions are legal (MEDIA_SCHEMA carries w/h per
+        # row) → a variable-length list column, never np.stack
         pixels = []
+        offsets = [0]
         for payload, w, h in zip(
             batch["payload"].to_pylist(),
             batch["width"].to_pylist(),
             batch["height"].to_pylist(),
         ):
-            pixels.append(self._fake_pixels(payload, w or 64, h or 48))
-        arr = np.stack(pixels)
-        flat = pa.FixedSizeListArray.from_arrays(
-            pa.array(arr.reshape(len(pixels), -1).ravel(), pa.uint8()),
-            arr.shape[1] * arr.shape[2] * arr.shape[3],
+            px = self._fake_pixels(payload, w or 64, h or 48)
+            pixels.append(px.ravel())
+            offsets.append(offsets[-1] + px.size)
+        values = (
+            pa.array(np.concatenate(pixels), pa.uint8())
+            if pixels
+            else pa.array([], pa.uint8())
         )
+        flat = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), values)
         return batch.drop_columns(["payload"]).append_column("pixels", flat)
 
 
@@ -103,8 +109,9 @@ class Resizer:
             yi = (np.arange(self.out_h) * H // self.out_h)[:, None]
             xi = (np.arange(self.out_w) * W // self.out_w)[None, :]
             out[i] = img[yi, xi]
-        flat = pa.FixedSizeListArray.from_arrays(
-            pa.array(out.reshape(n, -1).ravel(), pa.uint8()), self.out_h * self.out_w * 3
+        flat = pa.ListArray.from_arrays(
+            pa.array(range(0, (n + 1) * self.out_h * self.out_w * 3, self.out_h * self.out_w * 3), pa.int32()),
+            pa.array(out.reshape(-1), pa.uint8()),
         )
         t = batch.drop_columns(["pixels"]).append_column("pixels", flat)
         t = t.set_column(t.column_names.index("width"), "width", pa.array([self.out_w] * n, pa.int32()))

@@ -54,11 +54,13 @@ def ann_bruteforce(
             sims = self.Q @ M.T  # (Q, B)
             ids = batch["vec_id"].values.astype(np.int64)
             kk = min(k, sims.shape[1])
-            # per query: top-k of this batch (argpartition, then exact sort)
-            part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            # per query: DETERMINISTIC batch-local top-k — full tie-break by
+            # (-cosine, vec_id) so equal-cosine candidates at the k boundary
+            # never drop arbitrarily (duplicate docs have exactly-equal sims)
             rows = []
             for qi in range(sims.shape[0]):
-                sel = part[qi]
+                order = np.lexsort((ids, -sims[qi]))
+                sel = order[:kk]
                 rows.append(
                     pd.DataFrame(
                         {
@@ -161,9 +163,9 @@ def ann_ivf(
                 sims = self.Q[qis] @ M.T
                 ids = g["vec_id"].values.astype(np.int64)
                 kk = min(k, sims.shape[1])
-                part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
                 for row, qi in enumerate(qis):
-                    sel = part[row]
+                    order = np.lexsort((ids, -sims[row]))
+                    sel = order[:kk]
                     out.append(
                         pd.DataFrame(
                             {

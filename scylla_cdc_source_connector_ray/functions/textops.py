@@ -89,18 +89,18 @@ class LangId:
         return batch
 
 
+def md5_normalized(texts: pd.Series) -> list[str]:
+    """THE oracle normalization (one definition for fingerprint + dedup):
+    collapse whitespace, lower, strip, md5 — matches the DuckDB
+    ``md5(trim(lower(regexp_replace(text,'\\s+',' ','g'))))`` twin exactly."""
+    norm = texts.fillna("").str.replace(r"\s+", " ", regex=True).str.lower().str.strip()
+    return [hashlib.md5(s.encode()).hexdigest() for s in norm]
+
+
 def fingerprint(batch: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
-    """Whitespace-normalized md5 content fingerprint (matches the SQL
-    ``md5(lower(regexp_replace(text,'\\s+',' ','g')))`` oracle exactly)."""
-    norm = (
-        batch[text_col]
-        .fillna("")
-        .str.replace(r"\s+", " ", regex=True)
-        .str.lower()
-        .str.strip()
-    )
+    """Whitespace-normalized md5 content fingerprint (see ``md5_normalized``)."""
     batch = batch.copy()
-    batch["fp"] = [hashlib.md5(s.encode()).hexdigest() for s in norm]
+    batch["fp"] = md5_normalized(batch[text_col])
     return batch
 
 

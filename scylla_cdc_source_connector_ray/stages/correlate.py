@@ -56,7 +56,7 @@ def correlate_images(
     if carry is not None and carry.num_rows:
         tbl = pa.concat_tables([carry.select(tbl.column_names), tbl])
     if tbl.num_rows == 0:
-        return _empty_events(), tbl, 0
+        return _empty_events(tbl), tbl, 0
 
     tbl = tbl.sort_by(
         [("conv_id", "ascending"), ("turn_idx", "ascending"), ("ts", "ascending"), (SEQ_COL, "ascending")]
@@ -115,7 +115,7 @@ def correlate_images(
 
     emit = np.flatnonzero(complete)
     if len(emit) == 0:
-        return _empty_events(), residual, n_dropped
+        return _empty_events(tbl), residual, n_dropped
 
     take = lambda rows: pa.array(rows, pa.int64())  # noqa: E731
     d_rows = row_of["delta"][emit]
@@ -151,7 +151,9 @@ def correlate_images(
     return pa.table(cols), residual, n_dropped
 
 
-def _empty_events() -> pa.Table:
+def _empty_events(src: pa.Table | None = None) -> pa.Table:
+    """Zero-row output with the SAME schema as non-empty output (incl. the
+    shard passthrough) — empty and non-empty blocks must concat/unify."""
     cols: dict[str, pa.Array] = {
         "conv_id": pa.nulls(0, pa.string()),
         "turn_idx": pa.nulls(0, pa.int32()),
@@ -167,4 +169,6 @@ def _empty_events() -> pa.Table:
         cols["before_" + vc] = pa.nulls(0, t)
     cols["ts"] = pa.nulls(0, pa.timestamp("us"))
     cols[SEQ_COL] = pa.nulls(0, pa.int64())
+    if src is not None and "shard" in src.column_names:
+        cols["shard"] = pa.nulls(0, src.schema.field("shard").type)
     return pa.table(cols)

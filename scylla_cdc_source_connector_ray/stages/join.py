@@ -89,11 +89,11 @@ def conv_state_prefix(
     # base at conv start = cumulative value just before the conv's first row
     base_n = np.zeros(n, dtype=np.int64)
     base_c = np.zeros(n, dtype=np.int64)
+    idx = np.maximum.accumulate(np.where(new_conv, np.arange(n), 0)) if n else None
     if n:
         base_n[starts] = cum_n[starts] - 1
         base_c[starts] = cum_c[starts] - chars[starts]
         # propagate each conv's base forward across its rows
-        idx = np.maximum.accumulate(np.where(new_conv, np.arange(n), 0))
         base_n = base_n[idx]
         base_c = base_c[idx]
     prior_turns = cum_n - 1 - base_n
@@ -118,8 +118,7 @@ def conv_state_prefix(
             else:
                 last_role[s] = None
                 last_ts[s] = np.nan
-        # propagate seed offsets across the conv's rows
-        idx = np.maximum.accumulate(np.where(new_conv, np.arange(n), 0))
+        # propagate seed offsets across the conv's rows (idx computed above)
         seed_n = seed_n[idx]
         seed_c = seed_c[idx]
 

@@ -142,6 +142,7 @@ def _empty_out(tbl: pa.Table) -> pa.Table:
         fields.append((BEFORE_PREFIX + vc, t))
     fields.append(("modified_cols", pa.string()))
     fields.append(("ts", pa.timestamp("us")))
-    if SEQ_COL in tbl.column_names:
-        fields.append((SEQ_COL, pa.int64()))
+    for passthrough in (SEQ_COL, "shard"):
+        if passthrough in tbl.column_names:
+            fields.append((passthrough, tbl.schema.field(passthrough).type))
     return pa.table({name: pa.nulls(0, t) for name, t in fields})

@@ -7,7 +7,10 @@ Design for scale:
 * **Tumbling/sliding** pre-aggregate per Arrow batch (``Table.group_by`` inside
   ``map_batches`` — one partial row per (key, window) per batch) and only then
   run the global ``groupby().aggregate`` — the shuffle moves partials, not
-  rows (ray_guide: "Aggregation at scale").
+  rows (ray_guide: "Aggregation at scale"). Caveat: pyarrow's multi-key
+  group_by emits one row per NULL-key *run*, so NULL grouping keys degrade the
+  pre-aggregation (results stay correct via the global merge) — fill NULL
+  keys with a sentinel upstream if they are common.
 * **Sliding** explodes each partial into ``size/slide`` window copies
   *after* partial aggregation (cheap: copies of partials, not of rows).
 * **Session** windows need per-key gap detection: hash-shard by ``conv_id``,

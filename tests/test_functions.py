@@ -286,3 +286,18 @@ def test_hll_sketch_accuracy_and_merge():
     for et in exact.index:
         e, x = est.loc[et, "n_distinct_est"], exact.loc[et, "n"]
         assert abs(e - x) / max(x, 1) < 0.1, (et, e, x)
+
+
+def test_multimodal_mixed_dimensions():
+    """A batch mixing image sizes must decode (variable-length pixel lists;
+    review find: np.stack required uniform shapes)."""
+    import pyarrow as pa
+
+    a = MM.synthesize_media(n=3)
+    b = MM.synthesize_media(n=2)
+    b = b.set_column(b.column_names.index("width"), "width", pa.array([32, 32], pa.int32()))
+    b = b.set_column(b.column_names.index("height"), "height", pa.array([32, 32], pa.int32()))
+    b = b.set_column(b.column_names.index("media_id"), "media_id", pa.array([100, 101], pa.int64()))
+    mixed = pa.concat_tables([a, b])
+    out = MM.decode_pipeline(ray.data.from_arrow(mixed), decoder="fake", batch_size=8, concurrency=2).to_pandas()
+    assert len(out) == 5 and all(len(f) == 11 for f in out["features"])
