@@ -114,7 +114,11 @@ def _q_cdc_image_correlation(sf_dir: str):
     def _img_and_correlate(g: pa.Table) -> pa.Table:
         img = to_image_log(g.drop_columns(["shard"]), shuffle_seed=13)
         events, residual, dropped = correlate_images(img)
-        assert residual.num_rows == 0 and dropped == 0
+        if residual.num_rows or dropped:  # never assert: -O must not hide loss
+            raise RuntimeError(
+                f"incomplete correlation: {residual.num_rows} residual rows, "
+                f"{dropped} stragglers dropped"
+            )
         return events.drop_columns([c for c in ("seq", "shard") if c in events.column_names])
 
     sharded = ds.map_batches(_shard, batch_format="pyarrow")
@@ -179,7 +183,6 @@ def _q_cdc_capture_only_updated(sf_dir: str):
 def _q_win_distinct_convs(sf_dir: str):
     """Exact distinct conversations per hour window (two-level groupby; the
     HLL sketch in functions/sketches.py is the 100 TB approximate path)."""
-    import numpy as np
     import pyarrow as pa
 
     from scylla_cdc_source_connector_ray.functions.sketches import distinct_per_group_exact
@@ -207,10 +210,8 @@ def _q_win_ops_by_window(sf_dir: str):
     flat = cap.derive_stage(ds, _CFG)
 
     def win(t: pa.Table) -> pa.Table:
-        import numpy as np
-
         ts = t["ts"].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
-        w = ts - (ts % 3_600_000_000)
+        w = ts - (ts % oracles.HOUR_US)
         return t.select(["op"]).append_column("window_start_us", pa.array(w, pa.int64()))
 
     return (

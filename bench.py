@@ -91,9 +91,17 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     queries: dict[str, float] = {}
     num_shards = BENCH_SHARDS  # fixed: same job at every CPU level
 
-    # warm page cache (untimed)
-    ray.data.read_parquet(log_dir).count()
-    ray.data.read_parquet(blog_dir).count()
+    # warm page cache (untimed) — count() alone is a metadata fast path and
+    # reads NO data; force a real scan of every block
+    import pyarrow as _pa
+
+    def _warm(path):
+        ray.data.read_parquet(path).map_batches(
+            lambda t: _pa.table({"n": [t.num_rows]}), batch_format="pyarrow"
+        ).count()
+
+    _warm(log_dir)
+    _warm(blog_dir)
 
     # --- headline: streaming capture+score runner over the pre-partitioned
     # log (shuffle-free fast path; the production CDC layout) ---------------

@@ -26,6 +26,9 @@ class PkPlacement(str, enum.Enum):
     (reference enum ``ScyllaConnectorConfig.java:909-959``)."""
 
     KAFKA_KEY = "kafka-key"  # the `key` struct column (always present here)
+    #: NOTE: our before/after ROW_STRUCT always carries the pk fields
+    #: (conv_id, turn_idx), so payload-before/after placement is inherently
+    #: satisfied — accepted for config compatibility, no extra work needed
     PAYLOAD_BEFORE = "payload-before"
     PAYLOAD_AFTER = "payload-after"
     PAYLOAD_KEY = "payload-key"  # a dedicated flat payload field
@@ -118,5 +121,7 @@ class EngineConfig:
         self.pk_placements = tuple(PkPlacement(p) for p in self.pk_placements)
         if self.sliding_window_us is not None:
             size, slide = self.sliding_window_us
+            if slide <= 0 or size <= 0:
+                raise ValueError("sliding size_us and slide_us must be > 0")
             if size % slide:
                 raise ValueError("sliding size_us must be a multiple of slide_us")

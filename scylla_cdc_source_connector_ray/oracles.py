@@ -162,7 +162,7 @@ WHERE op <> 'd'
 WIN_OPS_BY_WINDOW = (
     CDC_EVENTS_CTE
     + f"""
-SELECT op, epoch_us(ts) - epoch_us(ts) % {3_600_000_000} AS window_start_us,
+SELECT op, epoch_us(ts) - epoch_us(ts) % {HOUR_US} AS window_start_us,
        count(*) AS n_events
 FROM cdc_events
 GROUP BY 1, 2

@@ -467,7 +467,18 @@ class CaptureRunner:
                 "are unsupported with it"
             )
 
+        import polars as _pl
+
+        hash_impl = f"polars-{_pl.__version__}"
         last = self.ckpt.last_committed()
+        if last is not None and last.get("hash_impl", hash_impl) != hash_impl:
+            # the stable shard hash is stable per polars version; a different
+            # version could remap keys to other shards and orphan their state
+            raise ValueError(
+                f"checkpoint used shard hash {last.get('hash_impl')} but this "
+                f"session has {hash_impl}; bump cfg.epoch and re-shard"
+            )
+        self._hash_impl = hash_impl
         if last is not None and (
             last.get("num_shards") != self.cfg.num_shards
             or last.get("epoch") != self.cfg.epoch
@@ -603,6 +614,7 @@ class CaptureRunner:
                     "epoch": self.cfg.epoch,
                     "num_shards": self.cfg.num_shards,
                     "hot_convs": sorted(self._hot),
+                    "hash_impl": self._hash_impl,
                     "events": totals["events"],
                 },
             )

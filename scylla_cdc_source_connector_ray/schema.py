@@ -109,13 +109,6 @@ def shard_of(conv_id: pa.ChunkedArray | pa.Array, num_shards: int) -> pa.Array:
     return pl.Series(h % num_shards).cast(pl.Int32).to_arrow()
 
 
-def as_array(col: pa.ChunkedArray | pa.Array) -> pa.Array:
-    """Flatten a (possibly chunked) column to a single contiguous Array."""
-    if isinstance(col, pa.ChunkedArray):
-        return col.combine_chunks()
-    return col
-
-
 def with_shard(batch: pa.Table, num_shards: int, col: str = "shard") -> pa.Table:
     """Append the shard column to a transcript batch (vectorized)."""
     if col in batch.column_names:

@@ -174,6 +174,9 @@ def to_image_log(tbl: pa.Table, shuffle_seed: int | None = None) -> pa.Table:
             # (≙ writetime) travels separately as row_ts
             "ts": mask_tbl["ts"],
             "row_ts": mask_tbl[prefix + "ts"],
+            # change identity shared by this change's pre/delta/post rows —
+            # disambiguates distinct changes that collide on (conv,turn,ts)
+            "change_id": mask_tbl[SEQ_COL],
             SEQ_COL: mask_tbl[SEQ_COL],
         }
         return pa.table(cols)

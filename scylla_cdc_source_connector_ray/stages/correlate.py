@@ -58,16 +58,21 @@ def correlate_images(
     if tbl.num_rows == 0:
         return _empty_events(tbl), tbl, 0
 
-    tbl = tbl.sort_by(
-        [("conv_id", "ascending"), ("turn_idx", "ascending"), ("ts", "ascending"), (SEQ_COL, "ascending")]
-    )
+    has_cid = "change_id" in tbl.column_names
+    sort_keys = [("conv_id", "ascending"), ("turn_idx", "ascending"), ("ts", "ascending")]
+    if has_cid:
+        sort_keys.append(("change_id", "ascending"))
+    sort_keys.append((SEQ_COL, "ascending"))
+    tbl = tbl.sort_by(sort_keys)
     n = tbl.num_rows
     conv = tbl["conv_id"].combine_chunks()
     turn = tbl["turn_idx"].combine_chunks()
     ts = tbl["ts"].combine_chunks().cast(pa.int64())
     kind = tbl["op_kind"].combine_chunks().to_numpy(zero_copy_only=False)
 
-    # group id per (conv_id, turn_idx, ts) — one logical change
+    # group id per (conv_id, turn_idx, ts[, change_id]) — one logical change;
+    # change_id (when the log carries it) keeps two changes that collide on
+    # the same event time distinct, like cdc$time timeuuid uniqueness
     same = pc.and_(
         pc.and_(
             pc.equal(conv.slice(0, n - 1), conv.slice(1)),
@@ -75,6 +80,9 @@ def correlate_images(
         ),
         pc.equal(ts.slice(0, n - 1), ts.slice(1)),
     ).to_numpy(zero_copy_only=False)
+    if has_cid:
+        cid = tbl["change_id"].combine_chunks()
+        same &= pc.equal(cid.slice(0, n - 1), cid.slice(1)).to_numpy(zero_copy_only=False)
     new_group = np.ones(n, dtype=bool)
     new_group[1:] = ~same
     gid = np.cumsum(new_group) - 1

@@ -16,10 +16,7 @@ import ray
 
 def to_pandas(res) -> pd.DataFrame:
     if hasattr(res, "to_pandas"):
-        try:
-            return res.to_pandas()
-        except TypeError:
-            return res.to_pandas()
+        return res.to_pandas()
     return pd.DataFrame(res)
 
 

@@ -2,7 +2,7 @@
 "wall-time dominated by useful compute" evidence loop.
 
 Usage: python tools/profile_stats.py [sf_dir] [pipeline ...]
-Pipelines: capture windows session conv_state quality
+Pipelines: capture windows session
 """
 
 from __future__ import annotations
