@@ -64,7 +64,7 @@ WIN_TUMBLING_ROLE = f"""
 WITH transcripts AS ({TRANSCRIPTS_SQL})
 SELECT role, epoch_us(ts) - epoch_us(ts) % {HOUR_US} AS window_start_us,
        count(*) AS n_events,
-       sum(coalesce(length(text), 0)) AS n_chars,
+       CAST(sum(coalesce(length(text), 0)) AS BIGINT) AS n_chars,
        min(epoch_us(ts)) AS min_ts_us, max(epoch_us(ts)) AS max_ts_us
 FROM transcripts GROUP BY 1, 2
 """
@@ -73,7 +73,7 @@ WIN_SLIDING = f"""
 WITH transcripts AS ({TRANSCRIPTS_SQL})
 SELECT epoch_us(ts) - epoch_us(ts) % {MIN15_US} - {MIN15_US} * i AS window_start_us,
        count(*) AS n_events,
-       sum(coalesce(length(text), 0)) AS n_chars,
+       CAST(sum(coalesce(length(text), 0)) AS BIGINT) AS n_chars,
        min(epoch_us(ts)) AS min_ts_us, max(epoch_us(ts)) AS max_ts_us
 FROM transcripts CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i) s
 GROUP BY 1
@@ -103,7 +103,7 @@ JOIN_CONV_STATE = f"""
 WITH transcripts AS ({TRANSCRIPTS_SQL})
 SELECT conv_id, turn_idx, seq,
        count(*) OVER w_prior AS prior_turns,
-       coalesce(sum(length(coalesce(text, ''))) OVER w_prior, 0) AS prior_chars,
+       CAST(coalesce(sum(length(coalesce(text, ''))) OVER w_prior, 0) AS BIGINT) AS prior_chars,
        lag(role) OVER w AS prev_role,
        lag(epoch_us(ts)) OVER w AS prev_ts_us
 FROM transcripts
@@ -187,10 +187,10 @@ FROM last WHERE rn = 1 AND op <> 'd'
 
 Q1_PRICING = """
 SELECT l_returnflag, l_linestatus,
-       sum(CAST(round(l_quantity) AS BIGINT)) AS sum_qty,
-       sum(CAST(round(l_extendedprice * 100.0) AS BIGINT)) AS sum_base_price_c,
-       sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000.0) AS BIGINT)) AS sum_disc_price_dm,
-       sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000.0) AS BIGINT)) AS sum_charge_um,
+       CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(sum(CAST(round(l_extendedprice * 100.0) AS BIGINT)) AS BIGINT) AS sum_base_price_c,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000.0) AS BIGINT)) AS BIGINT) AS sum_disc_price_dm,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000.0) AS BIGINT)) AS BIGINT) AS sum_charge_um,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -199,7 +199,7 @@ GROUP BY l_returnflag, l_linestatus
 
 NATION_REVENUE = """
 SELECT n.n_name AS n_name,
-       sum(CAST(round(o.o_totalprice * 100.0) AS BIGINT)) AS revenue_c,
+       CAST(sum(CAST(round(o.o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS revenue_c,
        count(*) AS n_orders
 FROM orders o
 JOIN customer c ON c.c_custkey = o.o_custkey
@@ -211,7 +211,7 @@ GROUP BY n.n_name
 
 TOP_ORDERS = """
 SELECT l_orderkey,
-       sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000.0) AS BIGINT)) AS revenue_dm
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000.0) AS BIGINT)) AS BIGINT) AS revenue_dm
 FROM lineitem GROUP BY l_orderkey
 ORDER BY revenue_dm DESC, l_orderkey ASC
 LIMIT 10
@@ -219,7 +219,7 @@ LIMIT 10
 
 SEGMENT_STATS = """
 SELECT c_mktsegment, count(*) AS n,
-       sum(CAST(round(c_acctbal * 100.0) AS BIGINT)) AS sum_bal_c,
+       CAST(sum(CAST(round(c_acctbal * 100.0) AS BIGINT)) AS BIGINT) AS sum_bal_c,
        min(CAST(round(c_acctbal * 100.0) AS BIGINT)) AS min_bal_c,
        max(CAST(round(c_acctbal * 100.0) AS BIGINT)) AS max_bal_c
 FROM customer GROUP BY c_mktsegment
@@ -227,7 +227,7 @@ FROM customer GROUP BY c_mktsegment
 
 EVENT_TYPE_STATS = """
 SELECT event_type, count(*) AS n,
-       sum(CAST(round(value * 100.0) AS BIGINT)) AS sum_value_c
+       CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT) AS sum_value_c
 FROM events GROUP BY event_type
 """
 
@@ -311,14 +311,14 @@ FROM cdc_events
 
 PART_TYPE_STATS = """
 SELECT p_type, count(*) AS n,
-       sum(CAST(round(p_retailprice * 100.0) AS BIGINT)) AS sum_price_c,
+       CAST(sum(CAST(round(p_retailprice * 100.0) AS BIGINT)) AS BIGINT) AS sum_price_c,
        max(p_size) AS max_size
 FROM part WHERE p_type LIKE '%M%' GROUP BY p_type
 """
 
 SUPPLIER_NATION_JOIN = """
 SELECT n.n_name AS n_name, count(*) AS n_suppliers,
-       sum(CAST(round(s.s_acctbal * 100.0) AS BIGINT)) AS sum_bal_c
+       CAST(sum(CAST(round(s.s_acctbal * 100.0) AS BIGINT)) AS BIGINT) AS sum_bal_c
 FROM supplier s JOIN nation n ON n.n_nationkey = s.s_nationkey
 GROUP BY n.n_name
 """

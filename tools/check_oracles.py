@@ -76,7 +76,10 @@ def main() -> int:
         ok_vals = False
         if ok_cols and ok_rows:
             try:
-                pd.testing.assert_frame_equal(mine, oracle, check_dtype=False, check_exact=False, atol=1e-6)
+                # dtype-strict: the driver's value hash distinguishes int64 from
+                # float64 (DuckDB HUGEINT -> float64 burned round 1) — after the
+                # int-width normalization above, any remaining dtype gap is real.
+                pd.testing.assert_frame_equal(mine, oracle, check_dtype=True, check_exact=True)
                 ok_vals = True
             except AssertionError as ex:
                 print(f"  value diff: {str(ex).splitlines()[0]}")
