@@ -320,7 +320,9 @@ def _q_ann_topk(sf_dir: str):
 def _q_dedup_minhash(sf_dir: str):
     from scylla_cdc_source_connector_ray.functions.dedup import minhash_lsh_dedup
 
-    return minhash_lsh_dedup(_docs(sf_dir), threshold=0.7).select_columns(["a", "b"])
+    return minhash_lsh_dedup(_docs(sf_dir), threshold=0.7).select_columns(
+        ["a", "b", "jaccard_micro"]
+    )
 
 
 def _q_dedup_simhash(sf_dir: str):
@@ -332,32 +334,63 @@ def _q_dedup_simhash(sf_dir: str):
 def _q_lang_id(sf_dir: str):
     from scylla_cdc_source_connector_ray.functions.textops import LangId
 
-    out = _docs(sf_dir).map_batches(LangId, batch_format="pandas", concurrency=2)
+    out = _docs(sf_dir).map_batches(LangId, batch_format="pyarrow", concurrency=2)
     return out.select_columns(["doc_id", "lang_pred"])
 
 
-def _q_multimodal_features(sf_dir: str):
-    import ray.data
-
-    from scylla_cdc_source_connector_ray.functions.multimodal import (
-        decode_pipeline,
-        synthesize_media,
-    )
-
-    import numpy as np
+def _q_multimodal_frame_plan(sf_dir: str):
+    """Video frame-sampling plan over the documents-derived media table —
+    the metadata half of the multimodal pipeline, exactly SQL-recomputable
+    (pixel features stay under pytest: the fake decode is not SQL)."""
     import pyarrow as pa
 
-    media = synthesize_media(n=128)
-    out = decode_pipeline(ray.data.from_arrow(media), decoder="fake", batch_size=32)
+    from scylla_cdc_source_connector_ray.functions.multimodal import (
+        frame_sample_ids,
+        media_from_documents,
+    )
 
-    def flatten(t: pa.Table) -> pa.Table:
-        feats = np.stack([np.asarray(v) for v in t["features"].to_pylist()])
-        cols = {"media_id": t["media_id"], "kind": t["kind"]}
-        for j in range(feats.shape[1]):
-            cols[f"f{j:02d}"] = pa.array(np.floor(feats[:, j] * 1e6).astype("int64"))
-        return pa.table(cols)
+    media = media_from_documents(_docs(sf_dir))
+    plan = media.map_batches(
+        lambda t: frame_sample_ids(t, every_ms=250), batch_format="pyarrow"
+    )
+    return plan.map_batches(
+        lambda t: t.set_column(
+            t.column_names.index("frame_ms"), "frame_ms", t["frame_ms"].cast(pa.int64())
+        ),
+        batch_format="pyarrow",
+    )
 
-    return out.map_batches(flatten, batch_format="pyarrow")
+
+def _q_multimodal_resize_dims(sf_dir: str):
+    """Decode(fake) → resize over variable input dims; gate the output-shape
+    invariants (dims + actual pixel-tensor length) the resize must uphold."""
+    import pyarrow as pa
+
+    from scylla_cdc_source_connector_ray.functions.multimodal import (
+        Decoder,
+        Resizer,
+        media_from_documents,
+    )
+
+    media = media_from_documents(_docs(sf_dir))
+    out = media.map_batches(
+        Decoder, batch_format="pyarrow", batch_size=64, concurrency=(1, 4),
+        fn_constructor_kwargs={"decoder": "fake"},
+    ).map_batches(Resizer, batch_format="pyarrow", batch_size=64, concurrency=(1, 4))
+
+    def dims(t: pa.Table) -> pa.Table:
+        px = t["pixels"].combine_chunks()
+        n_px = pa.compute.list_value_length(px).cast(pa.int64())
+        return pa.table(
+            {
+                "media_id": t["media_id"].combine_chunks().cast(pa.int64()),
+                "width": t["width"].combine_chunks().cast(pa.int64()),
+                "height": t["height"].combine_chunks().cast(pa.int64()),
+                "n_px": n_px,
+            }
+        )
+
+    return out.map_batches(dims, batch_format="pyarrow")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -384,6 +417,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_type_stats": _q_relational("event_type_stats"),
         "part_type_stats": _q_relational("part_type_stats"),
         "supplier_nation_join": _q_relational("supplier_nation_join"),
+        "order_priority_revenue": _q_relational("order_priority_revenue"),
         "text_stats": _q_text_stats,
         "quality_score": _q_quality,
         "fingerprint_md5": _q_fingerprint,
@@ -394,7 +428,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash_lsh": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
         "lang_id": _q_lang_id,
-        "multimodal_features": _q_multimodal_features,
+        "multimodal_frame_plan": _q_multimodal_frame_plan,
+        "multimodal_resize_dims": _q_multimodal_resize_dims,
     }
 
 
@@ -422,6 +457,7 @@ def oracle_sql() -> dict[str, str]:
         "event_type_stats": oracles.EVENT_TYPE_STATS,
         "part_type_stats": oracles.PART_TYPE_STATS,
         "supplier_nation_join": oracles.SUPPLIER_NATION_JOIN,
+        "order_priority_revenue": oracles.ORDER_PRIORITY_REVENUE,
         "text_stats": oracles.TEXT_STATS,
         "quality_score": oracles.QUALITY_SCORE,
         "fingerprint_md5": oracles.FINGERPRINT,
@@ -429,7 +465,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact_hashed": oracles.DEDUP_EXACT_HASHED,
         "dedup_embedding_cosine": oracles.EMBEDDING_NEAR_DUPS,
         "ann_bruteforce_topk": oracles.ANN_TOPK,
-        # dedup_minhash_lsh / dedup_simhash / lang_id / multimodal_features:
-        # intentionally no SQL oracle (LSH banding, simhash bit-mixing, n-gram
-        # heuristics and fake decodes aren't SQL-expressible) → rows-only gate
+        "lang_id": oracles.LANG_ID,
+        "multimodal_frame_plan": oracles.MULTIMODAL_FRAME_PLAN,
+        "multimodal_resize_dims": oracles.MULTIMODAL_RESIZE_DIMS,
+        "dedup_minhash_lsh": oracles.DEDUP_MINHASH_LSH,
+        "dedup_simhash": oracles.DEDUP_SIMHASH,
     }

@@ -69,26 +69,109 @@ def exact_dedup_hashed(ds: ray.data.Dataset, id_col: str = "doc_id") -> ray.data
 # ---------------------------------------------------------------------------
 
 _MERSENNE = (1 << 61) - 1
+_GRAM_B = np.uint64(1000003)  # polynomial base for the word-hash fold
+
+
+def _word_hash(word: str) -> int:
+    """Word hash shared with the SQL oracle: little-endian uint64 of the
+    first 8 md5 bytes (DuckDB ``md5_number_upper``), reduced mod 2^61-1."""
+    return int.from_bytes(hashlib.md5(word.encode()).digest()[:8], "little") % _MERSENNE
 
 
 def _word_ngram_hashes(text: str, n: int) -> np.ndarray:
-    """Stable 64-bit hashes of word n-gram shingles."""
+    """Unique shingle hashes of ``text``: polynomial fold (base 1000003,
+    mod 2^61-1) over md5 word hashes in each n-word window; docs shorter
+    than ``n`` contribute one fold over all their words; empty docs none.
+
+    Reference implementation (tests + Jaccard verify); the batch hot path is
+    :func:`_batch_gram_hashes`. Exactly mirrored by the DuckDB oracle in
+    ``oracles.DEDUP_MINHASH_LSH`` — change both together or neither."""
     words = text.lower().split()
-    if len(words) < n:
-        grams = [" ".join(words)] if words else []
-    else:
-        grams = [" ".join(words[i : i + n]) for i in range(len(words) - n + 1)]
-    if not grams:
+    if not words:
         return np.zeros(0, dtype=np.uint64)
-    raw = b"".join(hashlib.md5(g.encode()).digest()[:8] for g in grams)
-    return np.unique(np.frombuffer(raw, dtype=np.uint64))
+    wh = [_word_hash(w) for w in words]
+    windows = [wh] if len(wh) < n else [wh[i : i + n] for i in range(len(wh) - n + 1)]
+    grams = []
+    for win in windows:
+        h = 0
+        for v in win:
+            h = (h * int(_GRAM_B) + v) % _MERSENNE
+        grams.append(h)
+    return np.unique(np.array(grams, dtype=np.uint64))
+
+
+def _addmod(h: np.ndarray, w: np.ndarray) -> np.ndarray:
+    """(h*B + w) mod 2^61-1 on uint64 arrays, overflow-safe."""
+    s = _mulmod_mersenne(h, _GRAM_B) + w  # both < 2^61 -> sum < 2^62, no overflow
+    return np.where(s >= _MERSENNE, s - np.uint64(_MERSENNE), s)
+
+
+def _batch_gram_hashes(texts, n: int) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized :func:`_word_ngram_hashes` over a whole batch: md5 once per
+    *unique word* (the only Python loop), polynomial fold and per-doc dedup in
+    numpy. Returns (flat sorted-unique gram hashes, doc offsets len D+1)."""
+    words_per_doc = [t.lower().split() for t in texts]
+    lens = np.array([len(w) for w in words_per_doc], dtype=np.int64)
+    D = len(lens)
+    flat_words = [w for ws in words_per_doc for w in ws]
+    if not flat_words:
+        return np.zeros(0, dtype=np.uint64), np.zeros(D + 1, dtype=np.int64)
+    codes, uniques = pd.factorize(np.asarray(flat_words, dtype=object), sort=False)
+    uh = np.fromiter((_word_hash(w) for w in uniques), dtype=np.uint64, count=len(uniques))
+    wh = uh[codes]  # word hash per occurrence, already mod M
+    doc_of_word = np.repeat(np.arange(D), lens)
+    word_off = np.zeros(D + 1, dtype=np.int64)
+    np.cumsum(lens, out=word_off[1:])
+
+    # full n-windows: starts whose window stays inside one doc (L >= n)
+    full = lens >= n
+    starts_list, gram_doc_list = [], []
+    if full.any():
+        counts = np.where(full, lens - n + 1, 0)
+        starts = np.repeat(word_off[:-1], counts) + _ranges(counts)
+        h = wh[starts].copy()
+        for j in range(1, n):
+            h = _addmod(h, wh[starts + j])
+        starts_list.append(h)
+        gram_doc_list.append(np.repeat(np.arange(D), counts))
+    # short docs (0 < L < n): one fold over all words
+    short = (lens > 0) & (lens < n)
+    if short.any():
+        s_idx = np.nonzero(short)[0]
+        s_off = word_off[:-1][s_idx]
+        s_len = lens[s_idx]
+        h = wh[s_off].copy()
+        for j in range(1, n - 1):
+            m = s_len > j
+            h[m] = _addmod(h[m], wh[s_off[m] + j])
+        starts_list.append(h)
+        gram_doc_list.append(s_idx)
+    grams = np.concatenate(starts_list)
+    gdoc = np.concatenate(gram_doc_list)
+    # per-doc unique: sort by (doc, gram), drop consecutive dups
+    order = np.lexsort((grams, gdoc))
+    grams, gdoc = grams[order], gdoc[order]
+    keep = np.ones(len(grams), dtype=bool)
+    keep[1:] = (gdoc[1:] != gdoc[:-1]) | (grams[1:] != grams[:-1])
+    grams, gdoc = grams[keep], gdoc[keep]
+    offsets = np.zeros(D + 1, dtype=np.int64)
+    np.cumsum(np.bincount(gdoc, minlength=D), out=offsets[1:])
+    return grams, offsets
+
+
+def _ranges(counts: np.ndarray) -> np.ndarray:
+    """[0..c0), [0..c1), ... concatenated (vectorized arange per segment)."""
+    total = int(counts.sum())
+    if total == 0:
+        return np.zeros(0, dtype=np.int64)
+    starts_at = np.cumsum(counts) - counts
+    return np.arange(total, dtype=np.int64) - np.repeat(starts_at, counts)
 
 
 class MinHasher:
-    """Actor-pool stage: num_perm universal hash params built once per actor.
-
-    __call__: docs batch → one signature row per doc
-    (vectorized (a*x+b) mod p over the doc's shingle set per permutation)."""
+    """Permutation parameters for MinHash, built once per actor — the single
+    source of truth shared with the SQL oracle (``oracles.DEDUP_MINHASH_LSH``
+    embeds ``a``/``b`` as literals from this same constructor)."""
 
     def __init__(self, num_perm: int = 64, ngram: int = 3, seed: int = 42):
         rng = np.random.RandomState(seed)
@@ -97,32 +180,13 @@ class MinHasher:
         self.num_perm = num_perm
         self.ngram = ngram
 
-    def signature(self, shingles: np.ndarray) -> np.ndarray:
-        if len(shingles) == 0:
-            return np.full(self.num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
-        # (P, S) universal hashing in uint128-safe arithmetic via object-free trick:
-        # (a*x+b) mod p with p = 2^61-1 using float-free numpy on uint64 (overflow-safe
-        # because we reduce with the Mersenne-prime fold).
-        x = shingles.astype(np.uint64)
-        out = np.empty(self.num_perm, dtype=np.uint64)
-        for i in range(self.num_perm):  # small loop over perms; inner op vectorized
-            v = (int(self.a[i]) * x.astype(object) + int(self.b[i])) % _MERSENNE
-            out[i] = np.uint64(min(v))
-        return out
-
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        sigs = []
-        for text in batch["text"].fillna(""):
-            sigs.append(self.signature(_word_ngram_hashes(text, self.ngram)))
-        out = pd.DataFrame({"doc_id": batch["doc_id"].values})
-        out["sig"] = [s.astype("int64") for s in sigs]
-        return out
-
 
 class FastMinHasher(MinHasher):
-    """Vectorized variant: processes the whole batch's shingles as one flat
-    array per permutation (no Python bigints) using the split multiply-mod
-    trick on uint64."""
+    """Actor-pool signature stage, fully vectorized: the whole batch's
+    shingles as one flat array per permutation (split multiply-mod on uint64,
+    segment-min via reduceat). Emits one row per *non-empty* doc:
+    (doc_id, sig list<int64>, grams binary) — the grams blob (sorted unique
+    uint64 shingle hashes) rides along for the join-based Jaccard verify."""
 
     def signature_matrix(self, flat: np.ndarray, offsets: np.ndarray) -> np.ndarray:
         """flat: all shingle hashes concatenated; offsets: doc boundaries
@@ -144,17 +208,26 @@ class FastMinHasher(MinHasher):
         return sigs
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "doc_id": pd.Series(dtype="int64"),
+                "sig": pd.Series(dtype=object),
+                "grams": pd.Series(dtype=object),
+            }
+        )
         if len(batch) == 0 or "doc_id" not in batch.columns:
-            out = pd.DataFrame({"doc_id": pd.Series(dtype="int64")})
-            out["sig"] = pd.Series(dtype=object)
-            return out
-        hashes = [_word_ngram_hashes(t, self.ngram) for t in batch["text"].fillna("")]
-        offsets = np.zeros(len(hashes) + 1, dtype=np.int64)
-        np.cumsum([len(h) for h in hashes], out=offsets[1:])
-        flat = np.concatenate(hashes) if hashes else np.zeros(0, dtype=np.uint64)
+            return empty
+        flat, offsets = _batch_gram_hashes(list(batch["text"].fillna("")), self.ngram)
         sigs = self.signature_matrix(flat, offsets)
-        out = pd.DataFrame({"doc_id": batch["doc_id"].values})
-        out["sig"] = [s.astype("int64") for s in sigs]
+        nonempty = offsets[:-1] < offsets[1:]  # shingle-less docs leave the pipeline
+        if not nonempty.any():
+            return empty
+        out = pd.DataFrame({"doc_id": batch["doc_id"].values[nonempty].astype("int64")})
+        out["sig"] = [s.astype("int64") for s in sigs[nonempty]]
+        out["grams"] = [
+            flat[offsets[i] : offsets[i + 1]].tobytes()
+            for i in np.nonzero(nonempty)[0]
+        ]
         return out
 
 
@@ -190,12 +263,16 @@ def _shift32_mod(v: np.ndarray) -> np.ndarray:
 
 
 def lsh_bucket_rows(sig_batch: pd.DataFrame, bands: int = 16) -> pd.DataFrame:
-    """Explode signatures into (band, band_hash, doc_id) bucket rows."""
+    """Explode signatures into (band, band_key, doc_id) bucket rows.
+
+    band_key is the '-'-joined decimal band signature — collision-free by
+    construction so the candidate set is exactly reproducible by the SQL
+    oracle's ``string_agg(v, '-' ORDER BY p)``."""
     if len(sig_batch) == 0:
         return pd.DataFrame(
             {
                 "band": pd.Series(dtype="int64"),
-                "band_hash": pd.Series(dtype="int64"),
+                "band_key": pd.Series(dtype=object),
                 "doc_id": pd.Series(dtype="int64"),
             }
         )
@@ -205,12 +282,12 @@ def lsh_bucket_rows(sig_batch: pd.DataFrame, bands: int = 16) -> pd.DataFrame:
     recs = []
     for b in range(bands):
         chunk = sigs[:, b * rows_per_band : (b + 1) * rows_per_band]
-        bh = np.zeros(D, dtype=np.uint64)
-        for c in range(rows_per_band):
-            bh = bh * np.uint64(1099511628211) + chunk[:, c]
+        key = chunk[:, 0].astype("U20")
+        for c in range(1, rows_per_band):
+            key = np.char.add(np.char.add(key, "-"), chunk[:, c].astype("U20"))
         recs.append(
             pd.DataFrame(
-                {"band": b, "band_hash": bh.astype("int64"), "doc_id": sig_batch["doc_id"].values}
+                {"band": b, "band_key": key.astype(object), "doc_id": sig_batch["doc_id"].values}
             )
         )
     return pd.concat(recs, ignore_index=True)
@@ -234,17 +311,46 @@ def jaccard(text_a: str, text_b: str, ngram: int = 3) -> float:
     return inter / (len(ha) + len(hb) - inter)
 
 
+def _jaccard_micro_from_blobs(batch: pd.DataFrame) -> pd.DataFrame:
+    """Exact integer Jaccard from the two sorted-unique shingle blobs:
+    floor(1e6 * |A∩B| / |A∪B|) — integer arithmetic end to end so the SQL
+    oracle's ``inter*1000000 // union`` is bit-identical."""
+    micro = np.empty(len(batch), dtype=np.int64)
+    for i, (ga, gb) in enumerate(zip(batch["grams"], batch["grams_b"])):
+        a = np.frombuffer(ga, dtype=np.uint64)
+        b = np.frombuffer(gb, dtype=np.uint64)
+        inter = len(np.intersect1d(a, b, assume_unique=True))
+        union = len(a) + len(b) - inter
+        micro[i] = (inter * 1_000_000) // union
+    out = batch[["a", "b"]].copy()
+    out["jaccard_micro"] = micro
+    return out
+
+
 def minhash_lsh_dedup(
     ds: ray.data.Dataset,
     num_perm: int = 64,
     bands: int = 16,
     ngram: int = 3,
     threshold: float = 0.7,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """Full MinHash-LSH near-dup pipeline → verified duplicate pairs
-    (a < b, jaccard ≥ threshold). Documents are broadcast for verification
-    only when pairs are emitted (small-side lookup)."""
-    import ray
+    (a < b, exact shingle Jaccard ≥ threshold), emitted as
+    (a, b, jaccard_micro).
+
+    100 TB shape: signatures+grams computed once and forked (materialized —
+    the signature table is ~1% of corpus bytes; a production run would
+    write it to parquet); bucket rows are the only all-to-all shuffle; the
+    verify stage attaches each side's shingle blob via a co-partitioned hash
+    join on doc_id — no driver-side collect, no whole-corpus broadcast."""
+    from ..stages.join import default_join_partitions
+
+    if num_partitions is None:
+        # two chained joins below -> size partitions to the cluster or the
+        # aggregator-actor demand can deadlock the CPU supply
+        num_partitions = default_join_partitions()
+    thr_micro = round(threshold * 1_000_000)
 
     sigs = ds.map_batches(
         FastMinHasher,
@@ -252,11 +358,11 @@ def minhash_lsh_dedup(
         batch_size=2048,
         concurrency=(1, 8),
         fn_constructor_kwargs={"num_perm": num_perm, "ngram": ngram},
-    )
-    buckets = sigs.map_batches(
+    ).materialize()  # fork point: consumed by both bucketing and verify
+    buckets = sigs.select_columns(["doc_id", "sig"]).map_batches(
         lambda b: lsh_bucket_rows(b, bands=bands), batch_format="pandas"
     )
-    pairs = buckets.groupby(["band", "band_hash"]).map_groups(
+    pairs = buckets.groupby(["band", "band_key"]).map_groups(
         candidate_pairs_from_bucket, batch_format="pandas"
     )
     # dedup candidate pairs (same pair can fire in several bands): a plain
@@ -264,28 +370,22 @@ def minhash_lsh_dedup(
     from ray.data.aggregate import Count
 
     pairs = pairs.groupby(["a", "b"]).aggregate(Count(alias_name="n_bands"))
-    # verify with true ngram-Jaccard; text lookup via broadcast (documents
-    # table is the small side at test scale; at 100 TB verify via a
-    # co-partitioned join on doc_id instead)
-    texts = ds.select_columns(["doc_id", "text"]).to_pandas()
-    if "doc_id" not in texts.columns:  # empty input loses its schema
-        texts = pd.DataFrame({"doc_id": pd.Series(dtype="int64"), "text": pd.Series(dtype=object)})
-    ref = ray.put(dict(zip(texts["doc_id"], texts["text"].fillna(""))))
-
-    class Verify:
-        def __init__(self):
-            self.texts = ray.get(ref)
-
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            jac = [
-                jaccard(self.texts.get(a, ""), self.texts.get(b, ""), ngram)
-                for a, b in zip(batch["a"], batch["b"])
-            ]
-            batch = batch.copy()
-            batch["jaccard"] = jac
-            return batch[batch["jaccard"] >= threshold]
-
-    return pairs.map_batches(Verify, batch_format="pandas", concurrency=(1, 8))
+    # co-partitioned verify: hash-join the sorted-unique shingle blobs onto
+    # each side of the pair, then exact integer Jaccard per row
+    grams = sigs.select_columns(["doc_id", "grams"])
+    grams_b = grams.map_batches(
+        lambda t: t.rename_columns(["doc_id_b", "grams_b"]), batch_format="pyarrow"
+    )
+    witha = pairs.select_columns(["a", "b"]).join(
+        grams, "inner", num_partitions=num_partitions, on=("a",), right_on=("doc_id",)
+    )
+    withab = witha.join(
+        grams_b, "inner", num_partitions=num_partitions, on=("b",), right_on=("doc_id_b",)
+    )
+    verified = withab.map_batches(_jaccard_micro_from_blobs, batch_format="pandas")
+    return verified.map_batches(
+        lambda b: b[b["jaccard_micro"] >= thr_micro], batch_format="pandas"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -294,8 +394,13 @@ def minhash_lsh_dedup(
 
 
 class SimHasher:
-    """64-bit SimHash per doc (Charikar): sign-sum of shingle-hash bit
-    vectors, vectorized with numpy bit unpacking."""
+    """SimHash per doc (Charikar): sign-sum of shingle-hash bit vectors,
+    vectorized with numpy bit unpacking over the whole batch's shingles.
+
+    Shingle hashes live in [0, 2^61) so bits 61-63 are always clear — the
+    effective signature is 61 bits, which keeps the value int64-positive and
+    lets the SQL oracle recompute it with ``(gh >> bit) & 1`` over bits 0-60.
+    Docs with no shingles (empty text) are excluded, matching the oracle."""
 
     def __init__(self, ngram: int = 3):
         self.ngram = ngram
@@ -304,7 +409,9 @@ class SimHasher:
         if len(hashes) == 0:
             return np.uint64(0)
         bits = np.unpackbits(hashes.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little")
-        score = bits.sum(axis=0) * 2 - len(hashes)  # (+1/-1 sums)
+        # signed arithmetic is load-bearing: a uint sum would UNDERFLOW on
+        # minority bits (popcount*2 < n) and read as "set"
+        score = bits.sum(axis=0).astype(np.int64) * 2 - len(hashes)  # (+1/-1 sums)
         out = np.packbits((score > 0).astype(np.uint8), bitorder="little")
         return out.view(np.uint64)[0]
 
@@ -313,10 +420,12 @@ class SimHasher:
             out = pd.DataFrame({"doc_id": pd.Series(dtype="int64")})
             out["simhash"] = pd.Series(dtype="int64")
             return out
-        out = pd.DataFrame({"doc_id": batch["doc_id"].values})
+        flat, offsets = _batch_gram_hashes(list(batch["text"].fillna("")), self.ngram)
+        nonempty = offsets[:-1] < offsets[1:]
+        out = pd.DataFrame({"doc_id": batch["doc_id"].values[nonempty].astype("int64")})
         out["simhash"] = [
-            np.int64(self.simhash(_word_ngram_hashes(t, self.ngram)).astype(np.int64))
-            for t in batch["text"].fillna("")
+            np.int64(self.simhash(flat[offsets[i] : offsets[i + 1]]))
+            for i in np.nonzero(nonempty)[0]
         ]
         return out
 

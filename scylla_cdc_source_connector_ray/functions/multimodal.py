@@ -51,6 +51,35 @@ def synthesize_media(n: int = 64, kind: str = "image", payload_bytes: int = 4096
     )
 
 
+def media_from_documents(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """Deterministic media table derived from the ``documents`` table so the
+    driver's SQL oracle can recompute the metadata side: media_id = doc_id,
+    dims/duration are closed-form integer functions of doc_id, payload is the
+    md5 digest of the text (only its bytes seed the fake decode).
+
+    width = 16 + (doc_id % 7) * 8, height = 16 + (doc_id % 5) * 8,
+    duration_ms = (doc_id % 40) * 230.
+    """
+    import hashlib
+
+    def to_media(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        texts = t["text"].combine_chunks().fill_null("").to_pylist()
+        payloads = [hashlib.md5(s.encode()).digest() for s in texts]
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "kind": pa.array(["video"] * len(ids), pa.string()),
+                "payload": pa.array(payloads, pa.binary()),
+                "width": pa.array(16 + (ids % 7) * 8, pa.int32()),
+                "height": pa.array(16 + (ids % 5) * 8, pa.int32()),
+                "duration_ms": pa.array((ids % 40) * 230, pa.int32()),
+            }
+        )
+
+    return ds.map_batches(to_media, batch_format="pyarrow")
+
+
 class Decoder:
     """Actor-pool decode stage. Construction fails fast for the real decoder
     (library absent) — the documented extension point."""

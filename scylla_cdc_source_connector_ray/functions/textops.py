@@ -56,8 +56,14 @@ def quality_score(batch: pa.Table, text_col: str = "text") -> pa.Table:
 
 
 class LangId:
-    """Stopword-profile language ID (n-gram heuristic) as an actor-pool
-    stage: wordlists compiled once per actor in ``__init__``."""
+    """Stopword-profile language ID as an actor-pool stage: per-language
+    ``\\b(w1|w2|...)\\b`` regexes compiled once per actor in ``__init__``,
+    counted with the RE2 ``count_substring_regex`` kernel (vectorized).
+
+    Closed-form and SQL-expressible by design: prediction = language with the
+    highest stopword-match count over the lowered text, ties broken by
+    alphabetical language order, 'unk' when no profile matches — the DuckDB
+    oracle recomputes the identical argmax with ``regexp_extract_all``."""
 
     PROFILES = {
         "en": {"the", "and", "of", "to", "in", "is", "you", "that", "it", "for"},
@@ -68,25 +74,50 @@ class LangId:
     }
 
     def __init__(self):
-        import re
-
-        self.word = re.compile(r"[a-zà-ÿ']+")
         self.langs = sorted(self.PROFILES)
-        self.profiles = [self.PROFILES[lang] for lang in self.langs]
+        self.patterns = [
+            r"\b(" + "|".join(sorted(self.PROFILES[lang])) + r")\b" for lang in self.langs
+        ]
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        toks = batch["text"].fillna("").str.lower().str.findall(self.word)
+    @classmethod
+    def oracle_sql(cls) -> str:
+        """The DuckDB twin of ``__call__`` — generated from the same profiles
+        so engine and oracle can never drift."""
+        langs = sorted(cls.PROFILES)
+        counts = ",\n           ".join(
+            "length(regexp_extract_all(t, '\\b("
+            + "|".join(sorted(cls.PROFILES[lang]))
+            + ")\\b')) AS s_" + lang
+            for lang in langs
+        )
+        g = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+        arms = "\n            ".join(
+            f"WHEN s_{lang} = {g} THEN '{lang}'" for lang in langs
+        )
+        return f"""
+WITH s AS (SELECT doc_id, lower(coalesce(text, '')) AS t FROM documents),
+c AS (SELECT doc_id,
+           {counts}
+      FROM s)
+SELECT doc_id,
+       CASE WHEN {g} = 0 THEN 'unk'
+            {arms}
+       END AS lang_pred
+FROM c
+"""
 
-        def best(ws):
-            if not ws:
-                return "unk"
-            scores = [sum(w in p for w in ws) for p in self.profiles]
-            m = max(scores)
-            return self.langs[scores.index(m)] if m > 0 else "unk"
-
-        batch = batch.copy()
-        batch["lang_pred"] = toks.map(best)
-        return batch
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        txt = pc.utf8_lower(pc.fill_null(batch["text"].combine_chunks(), ""))
+        scores = np.stack(
+            [
+                pc.count_substring_regex(txt, p).cast(pa.int64()).to_numpy(zero_copy_only=False)
+                for p in self.patterns
+            ]
+        )  # (L, N)
+        best = scores.argmax(axis=0)  # first max → alphabetical tie-break (langs sorted)
+        hit = scores.max(axis=0) > 0
+        pred = np.where(hit, np.array(self.langs, dtype=object)[best], "unk")
+        return batch.append_column("lang_pred", pa.array(pred, pa.string()))
 
 
 def md5_normalized(texts: pd.Series) -> list[str]:

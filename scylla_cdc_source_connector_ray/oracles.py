@@ -217,6 +217,20 @@ ORDER BY revenue_dm DESC, l_orderkey ASC
 LIMIT 10
 """
 
+ORDER_PRIORITY_REVENUE = """
+SELECT o.o_orderpriority,
+       count(*) AS n_orders,
+       CAST(sum(li.rev) AS BIGINT) AS revenue_dm
+FROM orders o
+JOIN (
+    SELECT l_orderkey,
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000.0) AS BIGINT))
+                AS BIGINT) AS rev
+    FROM lineitem GROUP BY l_orderkey
+) li ON li.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+"""
+
 SEGMENT_STATS = """
 SELECT c_mktsegment, count(*) AS n,
        CAST(sum(CAST(round(c_acctbal * 100.0) AS BIGINT)) AS BIGINT) AS sum_bal_c,
@@ -329,3 +343,149 @@ SELECT epoch_us(ts) - epoch_us(ts) % {HOUR_US} AS window_start_us,
        count(DISTINCT conv_id) AS n_distinct
 FROM transcripts GROUP BY 1
 """
+
+
+def _lang_id_sql() -> str:
+    from .functions.textops import LangId
+
+    return LangId.oracle_sql()
+
+
+LANG_ID = _lang_id_sql()
+
+# --- multimodal metadata twins ----------------------------------------------
+# media_from_documents: width = 16+(doc_id%7)*8, height = 16+(doc_id%5)*8,
+# duration_ms = (doc_id%40)*230; frame plan = range(0, duration, 250);
+# resize target fixed 32x24 -> n_px = 32*24*3.
+
+MULTIMODAL_FRAME_PLAN = """
+SELECT doc_id AS media_id, CAST(f AS BIGINT) AS frame_ms
+FROM documents,
+     unnest(generate_series(0, (doc_id % 40) * 230 - 1, 250)) AS t(f)
+"""
+
+MULTIMODAL_RESIZE_DIMS = """
+SELECT doc_id AS media_id,
+       CAST(32 AS BIGINT) AS width, CAST(24 AS BIGINT) AS height,
+       CAST(32 * 24 * 3 AS BIGINT) AS n_px
+FROM documents
+"""
+
+# --- MinHash-LSH / SimHash twins --------------------------------------------
+# The full LSH computation re-expressed in SQL: same word hash
+# (md5_number_upper % (2^61-1)), same polynomial shingle fold, same
+# permutations (literals from MinHasher(seed=42)), same banding and the same
+# exact integer Jaccard — candidate sets and verified pairs are identical by
+# construction, not approximately.
+
+_M = (1 << 61) - 1
+_B = 1000003
+_NGRAM = 3
+_NUM_PERM = 64
+_BANDS = 16
+_ROWS_PER_BAND = _NUM_PERM // _BANDS
+
+
+def _minhash_perm_values() -> str:
+    from .functions.dedup import MinHasher
+
+    mh = MinHasher(num_perm=_NUM_PERM, ngram=_NGRAM, seed=42)
+    return ", ".join(
+        f"({p}, {int(mh.a[p])}, {int(mh.b[p])})" for p in range(_NUM_PERM)
+    )
+
+
+#: shared shingle CTE: per-doc sorted-unique gram hashes (docs with no
+#: shingles have no rows — excluded from LSH/simhash on both sides)
+_SHINGLES_CTE = f"""
+WITH d AS (SELECT doc_id, trim(lower(coalesce(text, ''))) AS t FROM documents),
+w AS (SELECT doc_id,
+        CASE WHEN t = '' THEN [] ELSE regexp_split_to_array(t, '\\s+') END AS ws
+      FROM d),
+h AS (SELECT doc_id,
+        list_transform(ws, x -> CAST(md5_number_upper(x) AS HUGEINT) % {_M}) AS wh,
+        len(ws) AS L
+      FROM w),
+idx AS (SELECT doc_id, wh, L, unnest(generate_series(1, greatest(L - {_NGRAM} + 1, 1))) AS i
+        FROM h WHERE L > 0),
+g AS (SELECT doc_id,
+        CASE WHEN L >= {_NGRAM}
+             THEN ((wh[i] * {_B} + wh[i+1]) % {_M} * {_B} + wh[i+2]) % {_M}
+             WHEN L = 2 THEN (wh[1] * {_B} + wh[2]) % {_M}
+             ELSE wh[1] END AS gh
+      FROM idx),
+shingles AS (SELECT DISTINCT doc_id, gh FROM g)
+"""
+
+DEDUP_MINHASH_LSH = (
+    _SHINGLES_CTE
+    + f""",
+perms(p, a, b) AS (VALUES {_minhash_perm_values()}),
+sig AS (
+    SELECT s.doc_id, perms.p,
+           min((CAST(perms.a AS HUGEINT) * s.gh + perms.b) % {_M}) AS v
+    FROM shingles s CROSS JOIN perms
+    GROUP BY s.doc_id, perms.p
+),
+bands AS (
+    SELECT doc_id, p // {_ROWS_PER_BAND} AS band,
+           string_agg(CAST(CAST(v AS BIGINT) AS VARCHAR), '-' ORDER BY p) AS band_key
+    FROM sig GROUP BY doc_id, p // {_ROWS_PER_BAND}
+),
+cand AS (
+    SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+    FROM bands x JOIN bands y
+      ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id
+),
+sets AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+inter AS (
+    SELECT c.a, c.b, count(*) AS n_inter
+    FROM cand c
+    JOIN shingles sa ON sa.doc_id = c.a
+    JOIN shingles sb ON sb.doc_id = c.b AND sb.gh = sa.gh
+    GROUP BY c.a, c.b
+),
+jac AS (
+    SELECT c.a, c.b,
+           CAST(coalesce(i.n_inter, 0) * 1000000
+                // (na.n + nb.n - coalesce(i.n_inter, 0)) AS BIGINT) AS jaccard_micro
+    FROM cand c
+    LEFT JOIN inter i ON i.a = c.a AND i.b = c.b
+    JOIN sets na ON na.doc_id = c.a
+    JOIN sets nb ON nb.doc_id = c.b
+)
+SELECT a, b, jaccard_micro FROM jac WHERE jaccard_micro >= 700000
+"""
+)
+
+DEDUP_SIMHASH = (
+    _SHINGLES_CTE
+    + """,
+bits AS (
+    SELECT s.doc_id, bt.bit,
+           sum(CASE WHEN (CAST(s.gh AS BIGINT) >> bt.bit) & 1 = 1 THEN 1 ELSE -1 END) AS score
+    FROM shingles s
+    CROSS JOIN (SELECT unnest(generate_series(0, 60)) AS bit) bt
+    GROUP BY s.doc_id, bt.bit
+),
+sh AS (
+    SELECT doc_id,
+           CAST(sum(CASE WHEN score > 0 THEN CAST(1 AS BIGINT) << bit ELSE 0 END)
+                AS BIGINT) AS simhash
+    FROM bits GROUP BY doc_id
+),
+chunks AS (
+    SELECT doc_id, simhash, c.c AS chunk,
+           (simhash >> (16 * c.c)) & 65535 AS chunk_val
+    FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS c) c
+),
+cand AS (
+    SELECT DISTINCT x.doc_id AS a, y.doc_id AS b, x.simhash AS ha, y.simhash AS hb
+    FROM chunks x JOIN chunks y
+      ON x.chunk = y.chunk AND x.chunk_val = y.chunk_val AND x.doc_id < y.doc_id
+)
+SELECT a, b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+FROM cand
+WHERE bit_count(xor(ha, hb)) <= 3
+"""
+)

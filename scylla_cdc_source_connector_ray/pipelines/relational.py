@@ -74,34 +74,76 @@ def q1_pricing_summary(sf_dir: str) -> ray.data.Dataset:
 
 
 def nation_revenue(sf_dir: str) -> ray.data.Dataset:
-    """orders ⋈ customer ⋈ nation ⋈ region (all joins broadcast): total order
-    value per nation within one region, sorted."""
-    cust = pq.read_table(
-        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_nationkey"]
-    ).to_pandas()
+    """orders ⋈ customer ⋈ nation ⋈ region: total order value per nation
+    within one region, sorted.
+
+    Scale shape: nation⋈region (genuinely tiny, fixed-size) broadcast into a
+    customer map_batches; customer — the fact-side dimension that GROWS with
+    scale factor — is pre-reduced to (c_custkey, n_name) and shuffle-joined
+    against orders with the generic co-partitioned hash join. No table that
+    grows with SF is ever broadcast."""
+    from ..stages.join import shuffle_hash_join
+
     nation = pq.read_table(os.path.join(sf_dir, "nation.parquet")).to_pandas()
     region = pq.read_table(os.path.join(sf_dir, "region.parquet")).to_pandas()
-    dim = cust.merge(nation, left_on="c_nationkey", right_on="n_nationkey").merge(
-        region, left_on="n_regionkey", right_on="r_regionkey"
-    )
-    dim = dim[dim["r_name"] == "ASIA"][["c_custkey", "n_name"]]
-    ref = ray.put(dim.set_index("c_custkey"))
+    dim = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")
+    dim = dim[dim["r_name"] == "ASIA"].set_index("n_nationkey")[["n_name"]]
+    ref = ray.put(dim)
 
-    class Join:
+    class TagNation:
         def __init__(self):
             self.dim = ray.get(ref)
 
         def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            j = batch.join(self.dim, on="o_custkey", how="inner")
-            j = j.assign(totalprice_c=(j["o_totalprice"] * 100).round().astype("int64"))
-            return j[["n_name", "totalprice_c"]]
+            j = batch.join(self.dim, on="c_nationkey", how="inner")
+            return j[["c_custkey", "n_name"]]
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).map_batches(
+        TagNation, batch_format="pandas", concurrency=(1, 4)
+    )
+
+    def cents(t):
+        return t.select(["o_custkey", "n_name"]).append_column(
+            "totalprice_c", pc.round(pc.multiply(t["o_totalprice"], 100.0)).cast("int64")
+        )
 
     orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
-    joined = orders.map_batches(Join, batch_format="pandas", concurrency=(1, 4))
+    joined = shuffle_hash_join(
+        orders, cust, left_on="o_custkey", right_on="c_custkey"
+    ).map_batches(cents, batch_format="pyarrow")
     agg = joined.groupby("n_name").aggregate(
         Sum("totalprice_c", alias_name="revenue_c"), Count(alias_name="n_orders")
     )
     return agg.sort("revenue_c", descending=True)
+
+
+def order_priority_revenue(sf_dir: str) -> ray.data.Dataset:
+    """orders ⋈ lineitem — a genuine large–large join (both sides grow with
+    SF): per-order lineitem revenue pre-aggregated BEFORE the join (combiner
+    shrinks the shuffled left side to one row per order), co-partitioned hash
+    join on orderkey, then a small groupby on o_orderpriority."""
+    from ..stages.join import shuffle_hash_join
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def prep(t):
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(1.0, t["l_discount"]))
+        return t.select(["l_orderkey"]).append_column(
+            "revenue_dm", pc.round(pc.multiply(rev, 10000.0)).cast("int64")
+        )
+
+    per_order = (
+        li.map_batches(prep, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Sum("revenue_dm", alias_name="revenue_dm"))
+    )
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+    joined = shuffle_hash_join(
+        per_order, orders, left_on="l_orderkey", right_on="o_orderkey"
+    )
+    return joined.groupby("o_orderpriority").aggregate(
+        Count(alias_name="n_orders"), Sum("revenue_dm", alias_name="revenue_dm")
+    )
 
 
 def top_orders(sf_dir: str, k: int = 10) -> ray.data.Dataset:

@@ -332,21 +332,24 @@ def _window_panes(
     raw["window_start_us"] = pa.array(win_ok, pa.int64())
     raw["n_events"] = pa.array(np.ones(len(win_ok), dtype=np.int64))
     raw["n_chars"] = pa.array(chars, pa.int64())
-    partial = (
-        pa.table(raw)
-        .group_by(group_keys)
-        .aggregate([("n_events", "sum"), ("n_chars", "sum")])
-        .rename_columns(pane_cols)
+    from ..schema import select_agg
+
+    pane_renames = [("n_events_sum", "n_events"), ("n_chars_sum", "n_chars")]
+    partial = select_agg(
+        pa.table(raw).group_by(group_keys).aggregate([("n_events", "sum"), ("n_chars", "sum")]),
+        group_keys,
+        pane_renames,
     )
 
     seed_path = ckpt.latest_state_path(shard, batch_id, kind="wstate")
     if seed_path is not None:
         seed = pq.read_table(seed_path)
-        partial = (
+        partial = select_agg(
             pa.concat_tables([seed.select(pane_cols), partial])
             .group_by(group_keys)
-            .aggregate([("n_events", "sum"), ("n_chars", "sum")])
-            .rename_columns(pane_cols)
+            .aggregate([("n_events", "sum"), ("n_chars", "sum")]),
+            group_keys,
+            pane_renames,
         )
 
     new_wm = max(wm_prev or 0, int(ts_us.max()))
@@ -774,10 +777,23 @@ class CaptureRunner:
     def flush_windows(self) -> None:
         """End-of-log flush: once the (complete) log is fully consumed, emit
         every residual tumbling pane / sliding window / open session — the
-        batch-mode equivalent of the watermark advancing to +∞."""
+        batch-mode equivalent of the watermark advancing to +∞.
+
+        Idempotent under resumed consumption: every ``final/`` directory is
+        deleted and rebuilt from the CURRENT residual state on each flush, so
+        a pane that was flushed as a residual and later re-emitted into a
+        ``batch-K/`` file (because more log arrived and the watermark passed
+        it) never survives as a stale duplicate ``final/`` copy — even when
+        the shard's new residual is empty."""
+        import shutil
+
         last = self.ckpt.last_committed()
         if last is None:
             return
+        for kind_dir in ("windows", "windows_sliding", "windows_session"):
+            fd = os.path.join(self.out_dir, kind_dir, "final")
+            if os.path.isdir(fd):
+                shutil.rmtree(fd)
         nb = last["batch_id"] + 1
         wms = last.get("watermarks", {})
 

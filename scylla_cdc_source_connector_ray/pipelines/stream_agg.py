@@ -86,7 +86,10 @@ def sliding_panes(
 
     ontime = real.filter(pa.array(~late_mask)) if n_late else real
     pane_ok = pane[~late_mask]
-    partial = (
+    from ..schema import select_agg
+
+    pane_renames = [("n_events_sum", "n_events"), ("n_chars_sum", "n_chars")]
+    partial = select_agg(
         pa.table(
             {
                 "window_start_us": pa.array(pane_ok, pa.int64()),
@@ -95,16 +98,18 @@ def sliding_panes(
             }
         )
         .group_by(["window_start_us"])
-        .aggregate([("n_events", "sum"), ("n_chars", "sum")])
-        .rename_columns(_PANE_COLS)
+        .aggregate([("n_events", "sum"), ("n_chars", "sum")]),
+        ["window_start_us"],
+        pane_renames,
     )
     seed_path = ckpt.latest_state_path(shard, batch_id, kind="sstate")
     if seed_path is not None:
-        partial = (
+        partial = select_agg(
             pa.concat_tables([pq.read_table(seed_path).select(_PANE_COLS), partial])
             .group_by(["window_start_us"])
-            .aggregate([("n_events", "sum"), ("n_chars", "sum")])
-            .rename_columns(_PANE_COLS)
+            .aggregate([("n_events", "sum"), ("n_chars", "sum")]),
+            ["window_start_us"],
+            pane_renames,
         )
 
     new_wm = max(wm_prev or 0, int(ts.max())) if len(ts) else (wm_prev or 0)

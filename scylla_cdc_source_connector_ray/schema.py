@@ -114,3 +114,13 @@ def with_shard(batch: pa.Table, num_shards: int, col: str = "shard") -> pa.Table
     if col in batch.column_names:
         batch = batch.drop_columns([col])
     return batch.append_column(col, shard_of(batch["conv_id"], num_shards))
+
+
+def select_agg(tbl: pa.Table, keys: list[str], renames: list[tuple[str, str]]) -> pa.Table:
+    """Select + rename a ``group_by().aggregate()`` result by the GENERATED
+    column names (``{col}_{func}``), never by position — pyarrow's output
+    column order (keys-first vs aggregates-first) is a version-dependent
+    contract this engine must not depend on (nothing pins pyarrow the way the
+    manifest pins hash_impl)."""
+    out = tbl.select([*keys, *[src for src, _ in renames]])
+    return out.rename_columns([*keys, *[dst for _, dst in renames]])

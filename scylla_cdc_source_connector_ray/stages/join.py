@@ -190,6 +190,54 @@ def conv_state_features(ds: ray.data.Dataset, num_shards: int = 64) -> ray.data.
     )
 
 
+def default_join_partitions(cap: int = 16) -> int:
+    """Join partition count sized to the cluster: each hash-join partition is
+    backed by an aggregator actor, and a pipeline chaining several joins can
+    DEADLOCK if the actor demand far exceeds the CPU supply (observed: two
+    chained 32-partition joins hang at 8 CPUs; 8-partition joins run fine).
+    cpus/2 capped at ``cap`` leaves headroom for two concurrent join stages;
+    pass ``num_partitions`` explicitly on a large cluster."""
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return max(2, min(cap, cpus // 2))
+
+
+def shuffle_hash_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    left_on: str | tuple[str, ...],
+    right_on: str | tuple[str, ...] | None = None,
+    how: str = "inner",
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Generic co-partitioned large–large hash join: both sides hash-shuffle
+    on the key into ``num_partitions`` partitions, each partition joins
+    independently (Ray Data's hash-shuffle join operator underneath).
+
+    This is the scale path when neither side is a dimension: bytes moved =
+    both inputs once, memory per aggregator = partition size (raise
+    ``num_partitions`` to shrink it). Prune columns BEFORE calling — the
+    exchange ships every column you keep. For a small right side prefer
+    :func:`broadcast_join` (no shuffle at all).
+
+    Caveat: Arrow ``list``-typed payload columns are not supported by the
+    underlying join kernel — encode them (e.g. a binary blob) first, as
+    ``functions.dedup.minhash_lsh_dedup`` does for shingle sets.
+    """
+    if num_partitions is None:
+        num_partitions = default_join_partitions()
+    left_on = (left_on,) if isinstance(left_on, str) else tuple(left_on)
+    right_on = left_on if right_on is None else (
+        (right_on,) if isinstance(right_on, str) else tuple(right_on)
+    )
+    return left.join(
+        right,
+        join_type=how,
+        num_partitions=num_partitions,
+        on=left_on,
+        right_on=right_on,
+    )
+
+
 def broadcast_join(
     ds: ray.data.Dataset,
     small: pd.DataFrame,

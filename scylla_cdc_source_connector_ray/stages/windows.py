@@ -54,9 +54,20 @@ def _partial_tumbling(batch: pa.Table, size_us: int, keys: list[str], ts_col: st
     cols["min_ts_us"] = ts
     cols["max_ts_us"] = ts
     t = pa.table(cols)
-    return t.group_by([*keys, "window_start_us"]).aggregate(
-        [("n", "sum"), ("chars", "sum"), ("min_ts_us", "min"), ("max_ts_us", "max")]
-    ).rename_columns([*keys, "window_start_us", "n", "chars", "min_ts_us", "max_ts_us"])
+    from ..schema import select_agg
+
+    return select_agg(
+        t.group_by([*keys, "window_start_us"]).aggregate(
+            [("n", "sum"), ("chars", "sum"), ("min_ts_us", "min"), ("max_ts_us", "max")]
+        ),
+        [*keys, "window_start_us"],
+        [
+            ("n_sum", "n"),
+            ("chars_sum", "chars"),
+            ("min_ts_us_min", "min_ts_us"),
+            ("max_ts_us_max", "max_ts_us"),
+        ],
+    )
 
 
 def tumbling(

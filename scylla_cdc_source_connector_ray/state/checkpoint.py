@@ -25,6 +25,12 @@ import os
 import tempfile
 
 
+def _batch_num(fname: str) -> int:
+    """Numeric batch id from 'batch-<id>.<ext>' (robust past the 6-digit
+    zero padding — 'batch-1000000.json' must sort after 'batch-999999.json')."""
+    return int(fname.split("-", 1)[1].split(".", 1)[0])
+
+
 def _atomic_write(path: str, data: bytes) -> None:
     os.makedirs(os.path.dirname(path), exist_ok=True)
     fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), suffix=".tmp")
@@ -50,11 +56,14 @@ class Checkpoint:
     # --- manifest ----------------------------------------------------------
 
     def last_committed(self) -> dict | None:
-        """Most recent committed batch manifest, or None (fresh start)."""
-        entries = sorted(f for f in os.listdir(self.manifest_dir) if f.endswith(".json"))
+        """Most recent committed batch manifest, or None (fresh start).
+        Picks max by NUMERIC batch id — lexicographic order breaks once ids
+        outgrow the 6-digit zero padding (batch-1000000 < batch-999999)."""
+        entries = [f for f in os.listdir(self.manifest_dir) if f.endswith(".json")]
         if not entries:
             return None
-        with open(os.path.join(self.manifest_dir, entries[-1])) as f:
+        newest = max(entries, key=_batch_num)
+        with open(os.path.join(self.manifest_dir, newest)) as f:
             return json.load(f)
 
     def commit(self, batch_id: int, manifest: dict) -> None:
@@ -80,7 +89,7 @@ class Checkpoint:
         best = None
         for f in os.listdir(d):
             if f.startswith("batch-") and f.endswith(".parquet"):
-                b = int(f[6:12])
+                b = _batch_num(f)  # numeric parse: ids may outgrow the padding
                 if b < before_batch and (best is None or b > best):
                     best = b
         return os.path.join(d, f"batch-{best:06d}.parquet") if best is not None else None
@@ -96,13 +105,27 @@ class Checkpoint:
         os.rename(tmp, path)
 
     def gc_state(self, keep_batches: int = 2) -> None:
-        """Drop state files older than the newest ``keep_batches`` per shard."""
+        """Drop state files older than the newest ``keep_batches`` per shard,
+        and prune manifest/metrics entries in the same pass (only the newest
+        manifest is needed for recovery — without this, tail-mode checkpoint
+        dirs grow unboundedly and every ``last_committed`` re-lists them)."""
         for kind in ("state", "wstate", "cstate", "sstate", "sessstate", "imgstate"):
             kd = os.path.join(self.dir, kind)
             if not os.path.isdir(kd):
                 continue
             for sd in os.listdir(kd):
                 d = os.path.join(kd, sd)
-                files = sorted(f for f in os.listdir(d) if f.endswith(".parquet"))
+                files = sorted(
+                    (f for f in os.listdir(d) if f.endswith(".parquet")), key=_batch_num
+                )
                 for f in files[:-keep_batches]:
                     os.unlink(os.path.join(d, f))
+        for flat in ("manifest", "metrics"):
+            d = os.path.join(self.dir, flat)
+            if not os.path.isdir(d):
+                continue
+            files = sorted(
+                (f for f in os.listdir(d) if f.endswith(".json")), key=_batch_num
+            )
+            for f in files[:-keep_batches]:
+                os.unlink(os.path.join(d, f))

@@ -21,6 +21,17 @@ T = TypeVar("T")
 #: reference's BusyPool/ReadTimeout/Transport taxonomy)
 TRANSIENT = (OSError, IOError)
 
+#: OSError subclasses that are FATAL despite the blanket OSError rule above —
+#: a missing/forbidden path never heals by waiting, and the reference
+#: explicitly separates transient from fatal classes
+#: (ScyllaStreamingChangeEventSource.java:206-291)
+FATAL = (
+    FileNotFoundError,
+    PermissionError,
+    NotADirectoryError,
+    IsADirectoryError,
+)
+
 
 class RetryPolicy:
     def __init__(
@@ -49,15 +60,17 @@ class RetryPolicy:
         rng = np.random.RandomState(self.seed + attempt)
         return raw * (1.0 + self.jitter * (2.0 * rng.rand() - 1.0))
 
-    def call(self, fn: Callable[[], T], transient: tuple = TRANSIENT) -> T:
-        """Run ``fn`` with retries; non-transient exceptions propagate
-        immediately (fatal classification), transient ones retry up to
-        ``max_attempts`` then re-raise."""
+    def call(self, fn: Callable[[], T], transient: tuple = TRANSIENT, fatal: tuple = FATAL) -> T:
+        """Run ``fn`` with retries; non-transient exceptions (including the
+        ``fatal`` OSError subclasses) propagate immediately, transient ones
+        retry up to ``max_attempts`` then re-raise."""
         last: BaseException | None = None
         for attempt in range(self.max_attempts):
             try:
                 return fn()
             except transient as ex:  # noqa: PERF203
+                if isinstance(ex, fatal):
+                    raise
                 last = ex
                 if attempt == self.max_attempts - 1:
                     break

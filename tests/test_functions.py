@@ -72,11 +72,43 @@ def test_lang_id_on_planted_samples():
     )
     out = (
         ray.data.from_pandas(planted)
-        .map_batches(T.LangId, batch_format="pandas", concurrency=2)
+        .map_batches(T.LangId, batch_format="pyarrow", concurrency=2)
         .to_pandas()
         .sort_values("doc_id")
     )
     assert out["lang_pred"].tolist() == ["en", "de", "fr", "es"]
+
+
+def test_lang_id_matches_sql_twin():
+    """Engine argmax (incl. tie-break + unk) == the generated DuckDB oracle."""
+    import duckdb
+
+    df = pd.DataFrame(
+        {
+            "doc_id": range(6),
+            "text": [
+                "the cat and the dog",
+                "la la la",  # fr/es/it tie -> alphabetical winner 'es'
+                "zzz qqq",  # no stopword -> unk
+                None,  # null text -> unk
+                "",  # empty -> unk
+                "der die und le la et el la de",  # cross-language mix
+            ],
+        }
+    )
+    mine = (
+        ray.data.from_pandas(df)
+        .map_batches(T.LangId, batch_format="pyarrow", concurrency=1)
+        .to_pandas()[["doc_id", "lang_pred"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", df)
+    oracle = (
+        con.sql(T.LangId.oracle_sql()).df().sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(mine, oracle)
 
 
 def test_fingerprints():
@@ -130,7 +162,7 @@ def test_minhash_lsh_finds_planted_near_dups():
     pairs = D.minhash_lsh_dedup(ds, threshold=0.5).to_pandas()
     assert ((pairs["a"] == 100001) & (pairs["b"] == 100002)).any()
     assert not ((pairs["a"] == 100001) & (pairs["b"] == 100003)).any()
-    assert (pairs["jaccard"] >= 0.5).all()
+    assert (pairs["jaccard_micro"] >= 500_000).all()
 
 
 def test_simhash_near_dups_planted():
