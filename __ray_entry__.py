@@ -293,9 +293,12 @@ def _q_dedup_exact_hashed(sf_dir: str):
 
 
 def _q_dedup_embedding(sf_dir: str):
-    from scylla_cdc_source_connector_ray.functions.dedup import embedding_near_dups
+    """Exact cosine near-dups over the FULL id range via the distributed
+    theta-join grid (no driver collect / matrix broadcast — the 100 TB
+    shape); brute-force broadcast stays as the pytest baseline."""
+    from scylla_cdc_source_connector_ray.functions.dedup import embedding_near_dups_grid
 
-    out = embedding_near_dups(_emb(sf_dir), threshold=0.35, id_limit=2000)
+    out = embedding_near_dups_grid(_emb(sf_dir), threshold=0.35, grid=8)
     return out.select_columns(["a", "b"])
 
 

@@ -481,12 +481,95 @@ def simhash_near_dups(ds: ray.data.Dataset, max_hamming: int = 3) -> ray.data.Da
 # ---------------------------------------------------------------------------
 
 
+def embedding_near_dups_grid(
+    ds: ray.data.Dataset, threshold: float = 0.95, grid: int = 8
+) -> ray.data.Dataset:
+    """EXACT cosine near-dup pairs (a<b, cosine ≥ threshold) with the
+    distributed theta-join grid shape: vectors are hashed into ``grid``
+    blocks by vec_id, each vector is replicated to the ``grid`` block-pair
+    groups it participates in, and every (p,q) group computes only the
+    cross-block (or intra-block when p==q) pairs — each candidate pair is
+    evaluated in EXACTLY one group, so no dedup pass and no approximation.
+
+    100 TB shape: no driver-side collect, no whole-matrix broadcast; shuffle
+    volume = n×grid embedding rows, compute = n²/grid² per task across
+    grid(grid+1)/2 tasks. This is the honest cost of exact low-threshold
+    near-dup; for high thresholds the approximate IVF path
+    (``similarity.ann_ivf``) trades recall for a bucket-local scan."""
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0 or "vec_id" not in batch.columns:
+            return pd.DataFrame(
+                {
+                    "gp": pd.Series(dtype="int64"),
+                    "gq": pd.Series(dtype="int64"),
+                    "blk": pd.Series(dtype="int64"),
+                    "vec_id": pd.Series(dtype="int64"),
+                    "embedding": pd.Series(dtype=object),
+                }
+            )
+        ids = batch["vec_id"].values.astype(np.int64)
+        blk = ids % grid
+        recs = []
+        for other in range(grid):
+            gp = np.minimum(blk, other)
+            gq = np.maximum(blk, other)
+            recs.append(
+                pd.DataFrame(
+                    {
+                        "gp": gp,
+                        "gq": gq,
+                        "blk": blk,
+                        "vec_id": ids,
+                        "embedding": batch["embedding"].values,
+                    }
+                )
+            )
+        out = pd.concat(recs, ignore_index=True)
+        # p==q appears `grid` times in the loop above via other==blk only once;
+        # but distinct `other` values can map to the same (gp,gq) only when
+        # other==blk, so no duplicates to drop
+        return out.drop_duplicates(["gp", "gq", "vec_id"])
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64")})
+        if len(g) < 2:
+            return empty
+        p, q = int(g["gp"].iloc[0]), int(g["gq"].iloc[0])
+        M = np.stack([np.asarray(v, dtype=np.float64) for v in g["embedding"].values])
+        M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        ids = g["vec_id"].values.astype(np.int64)
+        blk = g["blk"].values.astype(np.int64)
+        if p == q:
+            sims = M @ M.T
+            ia, ib = np.nonzero(sims >= threshold)
+            keep = ids[ia] < ids[ib]
+            a, b = ids[ia][keep], ids[ib][keep]
+        else:
+            mp, mq = blk == p, blk == q
+            if not mp.any() or not mq.any():
+                return empty
+            sims = M[mp] @ M[mq].T
+            ia, ib = np.nonzero(sims >= threshold)
+            a0, b0 = ids[mp][ia], ids[mq][ib]
+            a, b = np.minimum(a0, b0), np.maximum(a0, b0)
+        if not len(a):
+            return empty
+        return pd.DataFrame({"a": a, "b": b})
+
+    exploded = ds.select_columns(["vec_id", "embedding"]).map_batches(
+        explode, batch_format="pandas"
+    )
+    return exploded.groupby(["gp", "gq"]).map_groups(pairs, batch_format="pandas")
+
+
 def embedding_near_dups(
     ds: ray.data.Dataset, threshold: float = 0.95, id_limit: int | None = None
 ) -> ray.data.Dataset:
     """Pairs (a<b) with cosine ≥ threshold: brute-force blocked matmul of each
-    batch against the broadcast normalized matrix (the O(n²/B) scale path is
-    IVF bucketing in functions/similarity.py)."""
+    batch against the broadcast normalized matrix. TEST BASELINE ONLY — it
+    materializes the full table on the driver; the gated scale path is
+    :func:`embedding_near_dups_grid`."""
     import ray
 
     all_df = ds.select_columns(["vec_id", "embedding"]).to_pandas()

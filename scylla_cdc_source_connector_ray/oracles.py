@@ -293,8 +293,7 @@ FROM documents GROUP BY 1
 EMBEDDING_NEAR_DUPS = """
 SELECT a.vec_id AS a, b.vec_id AS b
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE a.vec_id < 2000 AND b.vec_id < 2000
-  AND list_cosine_similarity(a.embedding, b.embedding) >= 0.35
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35
 """
 
 ANN_TOPK = """

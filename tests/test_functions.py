@@ -180,6 +180,16 @@ def test_simhash_near_dups_planted():
     assert ((pairs["a"] == 200001) & (pairs["b"] == 200002)).any()
 
 
+def test_embedding_grid_equals_bruteforce():
+    """The theta-join grid path is EXACT: same pair set as the broadcast
+    brute-force baseline, for a grid that doesn't divide the id space evenly."""
+    brute = D.embedding_near_dups(_emb(), threshold=0.35).to_pandas()
+    grid = D.embedding_near_dups_grid(_emb(), threshold=0.35, grid=7).to_pandas()
+    b = sorted(map(tuple, brute[["a", "b"]].values.tolist()))
+    g = sorted(map(tuple, grid[["a", "b"]].values.tolist()))
+    assert b == g
+
+
 def test_embedding_near_dups_matches_sql():
     out = D.embedding_near_dups(_emb(), threshold=0.35).to_pandas()
     con = duckdb.connect()
