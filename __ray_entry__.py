@@ -125,6 +125,43 @@ def _q_cdc_image_correlation(sf_dir: str):
     return sharded.groupby("shard").map_groups(_img_and_correlate, batch_format="pyarrow")
 
 
+def _q_cdc_capture_collections(sf_dir: str):
+    """M8 one notch wider: a list<string> (tags) and a struct (meta) value
+    column flow through shard → derive (null-aware collection diff, lag
+    before-image) — flattened to scalars only at the very end because the
+    driver hash can't compare nested cells. NULL vs [] vs [x] are three
+    distinct states, as in the reference's collection semantics
+    (ScyllaSchema.java:340-389, emitter 669-746)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from scylla_cdc_source_connector_ray.schema import COLLECTION_VALUE_COLS
+
+    ds = cap.read_transcripts_from_events(
+        sf_dir,
+        columns=["conv_id", "turn_idx", "role", "text", "tool", "tags", "meta", "ts", "seq"],
+    )
+    flat = cap.derive_stage(ds, _CFG, value_cols=COLLECTION_VALUE_COLS)
+
+    def scalarize(t: pa.Table) -> pa.Table:
+        out = {
+            "conv_id": t["conv_id"].combine_chunks(),
+            "turn_idx": t["turn_idx"].combine_chunks(),
+            "op": t["op"].combine_chunks(),
+            "seq": t["seq"].combine_chunks(),
+        }
+        for pfx in ("before_", "after_"):
+            tags = t[pfx + "tags"].combine_chunks()
+            out[pfx + "tags_csv"] = pc.binary_join(tags, ",")
+            meta = t[pfx + "meta"].combine_chunks()
+            out[pfx + "meta_k"] = pc.struct_field(meta, "k")
+            out[pfx + "meta_src"] = pc.struct_field(meta, "src")
+        out["modified_cols"] = t["modified_cols"].combine_chunks()
+        return pa.table(out)
+
+    return flat.map_batches(scalarize, batch_format="pyarrow")
+
+
 def _q_cdc_extract_new_state(sf_dir: str):
     from scylla_cdc_source_connector_ray.stages.transforms import (
         apply_post_transforms,
@@ -413,6 +450,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "win_distinct_convs": _q_win_distinct_convs,
         "cdc_image_correlation": _q_cdc_image_correlation,
         "cdc_extract_new_state": _q_cdc_extract_new_state,
+        "cdc_capture_collections": _q_cdc_capture_collections,
         "q1_pricing_summary": _q_relational("q1_pricing_summary"),
         "nation_revenue": _q_relational("nation_revenue"),
         "top_orders": _q_relational("top_orders"),
@@ -453,6 +491,7 @@ def oracle_sql() -> dict[str, str]:
         "win_distinct_convs": oracles.WIN_DISTINCT_CONVS,
         "cdc_image_correlation": oracles.CDC_IMAGE_CORRELATION,
         "cdc_extract_new_state": oracles.CDC_EXTRACT_NEW_STATE,
+        "cdc_capture_collections": oracles.CDC_CAPTURE_COLLECTIONS,
         "q1_pricing_summary": oracles.Q1_PRICING,
         "nation_revenue": oracles.NATION_REVENUE,
         "top_orders": oracles.TOP_ORDERS,

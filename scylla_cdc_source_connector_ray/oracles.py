@@ -183,6 +183,71 @@ FROM last WHERE rn = 1 AND op <> 'd'
 """
 )
 
+#: M8 collection widening twin: tags (list<string>) and meta (struct) value
+#: columns, flattened to scalar encodings (csv / fields). Equality decisions
+#: are encoding-independent: engine joins lists with \x1f, the oracle with ','
+#: — both injective for elements without the separator. NULL vs '' (empty
+#: list) vs values are three distinct states on both sides.
+CDC_CAPTURE_COLLECTIONS = f"""
+WITH transcripts AS (
+    SELECT
+        'conv' || CAST(user_id AS VARCHAR)            AS conv_id,
+        CAST(event_id % 20 AS INTEGER)                AS turn_idx,
+        CASE event_type
+            WHEN 'click' THEN 'user'
+            WHEN 'view' THEN 'assistant'
+            WHEN 'purchase' THEN 'tool'
+            WHEN 'signup' THEN 'system'
+            ELSE '__tombstone__'
+        END                                           AS role,
+        CASE WHEN event_type = 'error' THEN NULL ELSE props END AS text,
+        CASE WHEN event_type = 'purchase' THEN 'search' ELSE NULL END AS tool,
+        CASE WHEN event_type = 'error' THEN NULL
+             WHEN value < 1 THEN ''
+             WHEN value >= 10 THEN event_type || ',high'
+             ELSE event_type END                      AS tags_csv,
+        CASE WHEN event_type = 'error' THEN NULL
+             ELSE CAST(regexp_extract(props, '[0-9]+') AS BIGINT) END AS meta_k,
+        CASE WHEN event_type = 'error' THEN NULL ELSE event_type END AS meta_src,
+        ts, event_id AS seq
+    FROM events
+),
+cdc AS (
+    SELECT conv_id, turn_idx,
+        CASE WHEN text IS NULL THEN 'd'
+             WHEN row_number() OVER w = 1 THEN 'c'
+             ELSE 'u' END AS op,
+        CASE WHEN text IS NULL THEN NULL ELSE role END      AS a_role,
+        text                                                AS a_text,
+        CASE WHEN text IS NULL THEN NULL ELSE tool END      AS a_tool,
+        tags_csv                                            AS a_tags,
+        meta_k                                              AS a_mk,
+        meta_src                                            AS a_ms,
+        lag(CASE WHEN text IS NULL THEN NULL ELSE role END) OVER w AS b_role,
+        lag(text) OVER w                                    AS b_text,
+        lag(CASE WHEN text IS NULL THEN NULL ELSE tool END) OVER w AS b_tool,
+        lag(tags_csv) OVER w                                AS b_tags,
+        lag(meta_k) OVER w                                  AS b_mk,
+        lag(meta_src) OVER w                                AS b_ms,
+        seq
+    FROM transcripts
+    WINDOW w AS (PARTITION BY conv_id, turn_idx ORDER BY ts, seq)
+)
+SELECT conv_id, turn_idx, op, seq,
+       b_tags AS before_tags_csv, a_tags AS after_tags_csv,
+       b_mk AS before_meta_k, a_mk AS after_meta_k,
+       b_ms AS before_meta_src, a_ms AS after_meta_src,
+       ltrim(concat(
+           CASE WHEN (a_mk IS DISTINCT FROM b_mk) OR (a_ms IS DISTINCT FROM b_ms)
+                THEN ',meta' ELSE '' END,
+           CASE WHEN a_role IS DISTINCT FROM b_role THEN ',role' ELSE '' END,
+           CASE WHEN a_tags IS DISTINCT FROM b_tags THEN ',tags' ELSE '' END,
+           CASE WHEN a_text IS DISTINCT FROM b_text THEN ',text' ELSE '' END,
+           CASE WHEN a_tool IS DISTINCT FROM b_tool THEN ',tool' ELSE '' END
+       ), ',') AS modified_cols
+FROM cdc
+"""
+
 # --- relational coverage (integer-scaled money: exact under any sum order) --
 
 Q1_PRICING = """

@@ -42,6 +42,8 @@ _EVENT_DEPS = {
     "role": ["event_type"],
     "text": ["props", "event_type"],
     "tool": ["event_type"],
+    "tags": ["event_type", "value"],
+    "meta": ["event_type", "props"],
     "ts": ["ts"],
     "seq": ["event_id"],
 }
@@ -66,23 +68,52 @@ def read_transcripts_from_events(
     return out
 
 
-def derive_stage(ds: ray.data.Dataset, cfg: EngineConfig, shard_fn=None) -> ray.data.Dataset:
+def derive_stage(
+    ds: ray.data.Dataset, cfg: EngineConfig, shard_fn=None, value_cols=None
+) -> ray.data.Dataset:
     """shard → groupby(shard) → per-shard sort + op-derive (flat columns).
     ``shard_fn(batch) -> batch-with-shard`` defaults to plain hash sharding;
-    the salted variant passes its own."""
+    the salted variant passes its own. ``value_cols`` extends the value-column
+    set (e.g. the list/struct collection columns)."""
+    from ..schema import VALUE_COLS
+
+    vcols = tuple(value_cols) if value_cols is not None else VALUE_COLS
+    nested = bool(set(vcols) - set(VALUE_COLS))
     if shard_fn is None:
         shard_fn = lambda b: with_shard(b, cfg.num_shards)  # noqa: E731
+    if nested:
+        # nested (list/struct) value columns cross the shuffle in the flat
+        # transport encoding (schema.encode_nested): Ray's sort exchange
+        # mangles nested layouts (polars blocks rewrite string→large_string
+        # per worker and the merge fails), and flat columns shuffle cheaper
+        # anyway. The group task decodes before compute.
+        from ..schema import decode_nested, encode_nested
+
+        ds = ds.map_batches(
+            lambda b: encode_nested(shard_fn(b)), batch_format="pyarrow"
+        )
+        return ds.groupby("shard").map_groups(
+            lambda t: derive_ops(decode_nested(t), value_cols=vcols),
+            batch_format="pyarrow",
+        )
     ds = ds.map_batches(shard_fn, batch_format="pyarrow")
     return ds.groupby("shard").map_groups(
-        lambda t: derive_ops(t), batch_format="pyarrow"
+        lambda t: derive_ops(t, value_cols=vcols), batch_format="pyarrow"
     )
 
 
-def capture(ds: ray.data.Dataset, cfg: EngineConfig, shard_fn=None) -> ray.data.Dataset:
+def capture(
+    ds: ray.data.Dataset, cfg: EngineConfig, shard_fn=None, value_cols=None
+) -> ray.data.Dataset:
     """Transcript log Dataset → envelope change-event Dataset."""
-    flat = derive_stage(ds, cfg, shard_fn)
+    from ..schema import VALUE_COLS
+
+    vcols = tuple(value_cols) if value_cols is not None else VALUE_COLS
+    flat = derive_stage(ds, cfg, shard_fn, value_cols=vcols)
     return flat.map_batches(
-        lambda t: build_envelope(t, cfg), batch_format="pyarrow", batch_size=cfg.batch_size
+        lambda t: build_envelope(t, cfg, value_cols=vcols),
+        batch_format="pyarrow",
+        batch_size=cfg.batch_size,
     )
 
 

@@ -47,6 +47,36 @@ VALUE_COLS = ("role", "text", "tool", "ts")
 
 KEY_COLS = ("conv_id", "turn_idx")
 
+#: Collection-typed value columns (reference M8 one notch wider —
+#: ``ScyllaSchema.java:340-389``: list → Arrow list, UDT → Arrow struct;
+#: "column not modified vs set-to-NULL vs emptied" all distinct states).
+TAGS_TYPE = pa.list_(pa.string())
+META_TYPE = pa.struct([("k", pa.int64()), ("src", pa.string())])
+
+#: transcript schema extended with the collection columns
+COLLECTION_VALUE_COLS = ("role", "text", "tool", "tags", "meta", "ts")
+
+_VALUE_TYPES = {
+    "role": pa.string(),
+    "text": pa.string(),
+    "tool": pa.string(),
+    "ts": pa.timestamp("us"),
+    "tags": TAGS_TYPE,
+    "meta": META_TYPE,
+}
+
+
+def row_struct_for(value_cols: tuple[str, ...]) -> pa.StructType:
+    """Envelope row struct (key cols + the given value cols) — the dynamic
+    analogue of :data:`ROW_STRUCT` for extended column sets."""
+    return pa.struct(
+        [
+            ("conv_id", pa.string()),
+            ("turn_idx", pa.int32()),
+            *[(c, _VALUE_TYPES[c]) for c in value_cols],
+        ]
+    )
+
 # ---------------------------------------------------------------------------
 # Output: change-event envelope
 # ---------------------------------------------------------------------------
@@ -124,3 +154,85 @@ def select_agg(tbl: pa.Table, keys: list[str], renames: list[tuple[str, str]]) -
     manifest pins hash_impl)."""
     out = tbl.select([*keys, *[src for src, _ in renames]])
     return out.rename_columns([*keys, *[dst for _, dst in renames]])
+
+
+# ---------------------------------------------------------------------------
+# Nested-column transport codec
+# ---------------------------------------------------------------------------
+# Ray's sort-based shuffle is unreliable for nested (list/struct) columns:
+# polars-backed block sorts rewrite string→large_string inside nested types on
+# SOME workers, and the sort-merge then fails aligning the mixed layouts.
+# Rather than depend on engine internals, the exchange carries nested value
+# columns in a flat encoding (also the cheaper thing to shuffle) and the
+# group task decodes them back before compute.
+
+#: unit separator — assumed absent from list elements (documented constraint)
+_LIST_SEP = "\x1f"
+_LJ = "__lj"  # list<string> → joined string
+_SF = "__sf__"  # struct field → flat column
+_SP = "__sp"  # struct presence flag
+
+
+def encode_nested(t: pa.Table) -> pa.Table:
+    """Replace list<string>/struct columns with flat transport columns
+    (inverse: :func:`decode_nested`). Injective: NULL, [] and values are
+    distinct; struct-level nullness rides a presence flag."""
+    for name in list(t.column_names):
+        typ = t.schema.field(name).type
+        if pa.types.is_list(typ) and pa.types.is_string(typ.value_type):
+            col = t[name].combine_chunks()
+            t = t.drop_columns([name]).append_column(
+                name + _LJ, pc.binary_join(col, _LIST_SEP)
+            )
+        elif pa.types.is_struct(typ):
+            col = t[name].combine_chunks()
+            out = t.drop_columns([name])
+            for f in typ:
+                if pa.types.is_nested(f.type):
+                    raise TypeError(f"nested-in-struct transport not supported: {name}.{f.name}")
+                out = out.append_column(f"{name}{_SF}{f.name}", pc.struct_field(col, f.name))
+            t = out.append_column(name + _SP, pc.is_valid(col))
+    return t
+
+
+def decode_nested(t: pa.Table) -> pa.Table:
+    """Inverse of :func:`encode_nested`, reconstructing columns in place of
+    their transport columns (appended at the end, original order not kept)."""
+    import numpy as np
+
+    names = t.column_names
+    # list<string> columns
+    for name in [n for n in names if n.endswith(_LJ)]:
+        base = name[: -len(_LJ)]
+        j = t[name].combine_chunks().cast(pa.string())
+        null_np = pc.is_null(j).to_numpy(zero_copy_only=False)
+        empty_np = pc.fill_null(pc.equal(j, ""), False).to_numpy(zero_copy_only=False)
+        lst = pc.split_pattern(j, _LIST_SEP)  # NULL→null, ""→[""]
+        offs = lst.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        vals = lst.values
+        lens = np.diff(offs)
+        row_of_val = np.repeat(np.arange(len(j)), lens)
+        keep = ~empty_np[row_of_val]  # drop the [""] singleton of empty lists
+        lens = lens.copy()
+        lens[empty_np] = 0
+        new_offs = np.zeros(len(j) + 1, dtype=np.int32)
+        np.cumsum(lens, out=new_offs[1:])
+        rebuilt = pa.ListArray.from_arrays(
+            pa.array(new_offs, pa.int32()),
+            vals.filter(pa.array(keep)) if len(vals) else vals,
+            mask=pa.array(null_np),
+        )
+        t = t.drop_columns([name]).append_column(base, rebuilt)
+    # struct columns
+    flags = [n for n in t.column_names if n.endswith(_SP)]
+    for flag in flags:
+        base = flag[: -len(_SP)]
+        fields = [n for n in t.column_names if n.startswith(base + _SF)]
+        present = t[flag].combine_chunks()
+        children = [t[n].combine_chunks() for n in fields]
+        fnames = [n[len(base) + len(_SF):] for n in fields]
+        rebuilt = pa.StructArray.from_arrays(
+            children, names=fnames, mask=pc.invert(present)
+        )
+        t = t.drop_columns([flag, *fields]).append_column(base, rebuilt)
+    return t

@@ -77,8 +77,52 @@ def events_to_transcripts(batch: pa.Table, columns: list[str] | None = None) -> 
     if "tool" in want:
         is_buy = pc.equal(batch["event_type"], "purchase")
         cols["tool"] = pc.if_else(is_buy, pa.scalar("search"), pa.nulls(n, pa.string()))
+    if "tags" in want:
+        cols["tags"] = _tags_col(batch)
+    if "meta" in want:
+        cols["meta"] = _meta_col(batch)
     if "ts" in want:
         cols["ts"] = batch["ts"]
     if SEQ_COL in want:
         cols[SEQ_COL] = batch["event_id"].cast(pa.int64())
     return pa.table(cols)
+
+
+def _tags_col(batch: pa.Table) -> pa.Array:
+    """``list<string>`` value column (M8 collection widening), three distinct
+    states by construction: NULL (tombstone), [] (value < 1), 1-2 elements.
+
+        tags = NULL                  when event_type = 'error'
+             = []                    when value < 1
+             = [event_type, 'high']  when value >= 10
+             = [event_type]          otherwise
+    """
+    import numpy as np
+
+    et = batch["event_type"].combine_chunks().to_numpy(zero_copy_only=False)
+    val = batch["value"].combine_chunks().to_numpy(zero_copy_only=False)
+    err = et == "error"
+    counts = np.where(err | (val < 1), 0, np.where(val >= 10, 2, 1))
+    offsets = np.zeros(len(et) + 1, dtype=np.int32)
+    np.cumsum(counts, out=offsets[1:])
+    values: list[str] = []
+    for e, c in zip(et, counts):
+        if c >= 1:
+            values.append(e)
+        if c == 2:
+            values.append("high")
+    return pa.ListArray.from_arrays(
+        pa.array(offsets, pa.int32()), pa.array(values, pa.string()), mask=pa.array(err)
+    )
+
+
+def _meta_col(batch: pa.Table) -> pa.Array:
+    """``struct<k int64, src string>`` value column (M8 UDT analogue):
+    NULL struct on tombstone, else k = first digit-run of props, src = the
+    event type."""
+    et = batch["event_type"].combine_chunks()
+    err = pc.equal(et, "error")
+    k = pc.struct_field(
+        pc.extract_regex(batch["props"].combine_chunks(), r"(?P<d>[0-9]+)"), "d"
+    ).cast(pa.int64())
+    return pa.StructArray.from_arrays([k, et], names=["k", "src"], mask=err)

@@ -22,8 +22,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..config import EngineConfig, IncludeMode, PkPlacement
-from ..schema import ROW_STRUCT, SEQ_COL, VALUE_COLS
-from .op_derive import AFTER_PREFIX, BEFORE_PREFIX
+from ..schema import ROW_STRUCT, SEQ_COL, VALUE_COLS, row_struct_for
+from .op_derive import AFTER_PREFIX, BEFORE_PREFIX, _mask_to_null
 
 
 def _row_struct(
@@ -31,6 +31,7 @@ def _row_struct(
     prefix: str,
     mode: IncludeMode,
     present_mask: np.ndarray,
+    row_type: pa.StructType = ROW_STRUCT,
 ) -> pa.Array:
     """Build the before/after struct column.
 
@@ -41,13 +42,13 @@ def _row_struct(
     """
     n = tbl.num_rows
     if mode is IncludeMode.NONE:
-        return pa.nulls(n, ROW_STRUCT)
+        return pa.nulls(n, row_type)
 
     modified = (
         tbl["modified_cols"].combine_chunks() if "modified_cols" in tbl.column_names else None
     )
     children = []
-    for field in ROW_STRUCT:
+    for field in row_type:
         name = field.name
         if name in ("conv_id", "turn_idx"):
             arr = tbl[name].combine_chunks().cast(field.type)
@@ -55,14 +56,22 @@ def _row_struct(
             arr = tbl[prefix + name].combine_chunks().cast(field.type)
             if mode is IncludeMode.ONLY_UPDATED and name != "ts":
                 # keep only columns whose value changed in this event
-                is_mod = pc.match_substring_regex(modified, rf"(^|,){name}(,|$)")
-                arr = pc.if_else(pc.fill_null(is_mod, False), arr, pa.nulls(n, field.type))
+                # (take-with-null-indices: if_else has no list/struct kernel)
+                is_mod = pc.fill_null(
+                    pc.match_substring_regex(modified, rf"(^|,){name}(,|$)"), False
+                ).to_numpy(zero_copy_only=False)
+                arr = _mask_to_null(arr, ~is_mod)
         children.append(arr)
     mask = pa.array(~present_mask)  # True = struct NULL
-    return pa.StructArray.from_arrays(children, fields=list(ROW_STRUCT), mask=mask)
+    return pa.StructArray.from_arrays(children, fields=list(row_type), mask=mask)
 
 
-def build_envelope(tbl: pa.Table, cfg: EngineConfig, window_start_us: int | None = None) -> pa.Table:
+def build_envelope(
+    tbl: pa.Table,
+    cfg: EngineConfig,
+    window_start_us: int | None = None,
+    value_cols: tuple[str, ...] = VALUE_COLS,
+) -> pa.Table:
     """Flat op-derived block → envelope-shaped change-event block."""
     n = tbl.num_rows
     op_np = tbl["op"].combine_chunks().to_numpy(zero_copy_only=False)
@@ -97,11 +106,12 @@ def build_envelope(tbl: pa.Table, cfg: EngineConfig, window_start_us: int | None
         names=["shard", "epoch", "window_start", "ts_us", "table"],
     )
 
+    row_type = ROW_STRUCT if tuple(value_cols) == VALUE_COLS else row_struct_for(tuple(value_cols))
     out = {
         "key": key,
         "op": tbl["op"].combine_chunks(),
-        "before": _row_struct(tbl, BEFORE_PREFIX, cfg.include_before, has_before),
-        "after": _row_struct(tbl, AFTER_PREFIX, cfg.include_after, has_after),
+        "before": _row_struct(tbl, BEFORE_PREFIX, cfg.include_before, has_before, row_type),
+        "after": _row_struct(tbl, AFTER_PREFIX, cfg.include_after, has_after, row_type),
         "source": source,
         # processing time: event-time-derived for determinism (stripped in
         # golden compares anyway, like DYNAMIC_ENVELOPE_FIELDS in the
@@ -133,8 +143,11 @@ def flatten_envelope(tbl: pa.Table) -> pa.Table:
     }
     for img, prefix in (("before", BEFORE_PREFIX), ("after", AFTER_PREFIX)):
         s = tbl[img].combine_chunks()
-        for vc in VALUE_COLS:
-            out[prefix + vc] = pc.struct_field(s, vc)
+        # introspect the struct type: works for extended value-column sets too
+        for f in s.type:
+            if f.name in ("conv_id", "turn_idx"):
+                continue
+            out[prefix + f.name] = pc.struct_field(s, f.name)
     if SEQ_COL in tbl.column_names:
         out[SEQ_COL] = tbl[SEQ_COL].combine_chunks()
     return pa.table(out)

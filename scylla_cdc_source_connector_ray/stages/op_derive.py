@@ -49,26 +49,67 @@ def sort_log(tbl: pa.Table) -> pa.Table:
     return tbl.sort_by(keys)
 
 
-def _lag(arr: pa.ChunkedArray | pa.Array, first_mask: pa.Array) -> pa.Array:
+def _mask_to_null(arr: pa.Array, mask_np: np.ndarray) -> pa.Array:
+    """Rows where ``mask_np`` is True become NULL — works for ANY type
+    (list/struct included) via take-with-null-indices; ``pc.if_else`` only has
+    kernels for flat types."""
+    idx = pa.array(np.arange(len(arr), dtype=np.int64), mask=mask_np)
+    return arr.take(idx)
+
+
+def _lag(arr: pa.ChunkedArray | pa.Array, first_np: np.ndarray) -> pa.Array:
     """Vectorized per-partition lag over a key-sorted column: shift down one,
     NULL where the row is the first of its key partition."""
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     n = len(arr)
     shifted = pa.concat_arrays([pa.nulls(1, arr.type), arr.slice(0, n - 1)])
-    return pc.if_else(first_mask, pa.nulls(n, arr.type), shifted)
+    return _mask_to_null(shifted, first_np)
 
 
-def derive_ops(tbl: pa.Table, sorted_input: bool = False) -> pa.Table:
+def _scalar_neq(a: pa.Array, b: pa.Array) -> pa.Array:
+    """Null-aware inequality for flat types: NULL==NULL, NULL≠value."""
+    neq = pc.fill_null(pc.not_equal(a, b), False)
+    return pc.or_(neq, pc.xor(pc.is_null(a), pc.is_null(b)))
+
+
+def _values_neq(a: pa.Array, b: pa.Array) -> pa.Array:
+    """Null-aware inequality for ANY value-column type (reference M3 over the
+    full type table, ``ScyllaChangeRecordEmitter.java:361-398``):
+
+    * list<string>: canonical \\x1f-joined encoding, so NULL, [] and [x] are
+      three distinct states ("set-to-NULL" ≠ "emptied" ≠ "unmodified")
+    * struct: null-ness differs, or any field differs (recursively null-aware)
+    * flat: plain null-aware ``not_equal``
+    """
+    t = a.type
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        if not pa.types.is_string(t.value_type):
+            raise TypeError(f"list value compare only supports list<string>, got {t}")
+        return _scalar_neq(pc.binary_join(a, "\x1f"), pc.binary_join(b, "\x1f"))
+    if pa.types.is_struct(t):
+        res = pc.xor(pc.is_null(a), pc.is_null(b))
+        both = pc.and_(pc.is_valid(a), pc.is_valid(b))
+        for f in t:
+            fa, fb = pc.struct_field(a, f.name), pc.struct_field(b, f.name)
+            res = pc.or_(res, pc.and_(both, _values_neq(fa, fb)))
+        return res
+    return _scalar_neq(a, b)
+
+
+def derive_ops(
+    tbl: pa.Table, sorted_input: bool = False, value_cols: tuple[str, ...] = VALUE_COLS
+) -> pa.Table:
     """Classify ops and synthesize before/after images for one co-located block.
 
     Input: transcript CDC-log columns (+ optional ``seq``). Output: input key
     columns + ``op`` + ``after_*`` / ``before_*`` flat value columns +
     ``modified_cols`` + ``ts``/``seq`` passthrough, sorted by
-    (conv_id, turn_idx, ts, seq).
+    (conv_id, turn_idx, ts, seq). ``value_cols`` may include list/struct
+    columns (see :func:`_values_neq`).
     """
     if tbl.num_rows == 0:
-        return _empty_out(tbl)
+        return _empty_out(tbl, value_cols)
     if not sorted_input:
         tbl = sort_log(tbl)
 
@@ -99,18 +140,16 @@ def derive_ops(tbl: pa.Table, sorted_input: bool = False) -> pa.Table:
         "op": op,
     }
 
-    null_state = is_del  # rows whose "after" state is NULL for every column
+    del_np = is_del.to_numpy(zero_copy_only=False)  # after-NULL state rows
     modified_parts = []
-    for vc in VALUE_COLS:
+    for vc in value_cols:
         col = tbl[vc].combine_chunks()
-        after = pc.if_else(null_state, pa.nulls(n, col.type), col)
-        before = _lag(after, first_mask)
+        after = _mask_to_null(col, del_np)
+        before = _lag(after, first)
         cols[AFTER_PREFIX + vc] = after
         cols[BEFORE_PREFIX + vc] = before
         if vc != "ts":  # ts always "changes"; modified set tracks payload cols
-            neq = pc.fill_null(pc.not_equal(after, before), False)
-            one_null = pc.xor(pc.is_null(after), pc.is_null(before))
-            modified_parts.append((vc, pc.or_(neq, one_null)))
+            modified_parts.append((vc, _values_neq(after, before)))
 
     # modified_cols: comma-joined sorted names. With k payload columns there
     # are only 2^k combinations — precompute them and index with a bitmask
@@ -134,9 +173,9 @@ def derive_ops(tbl: pa.Table, sorted_input: bool = False) -> pa.Table:
     return pa.table(cols)
 
 
-def _empty_out(tbl: pa.Table) -> pa.Table:
+def _empty_out(tbl: pa.Table, value_cols: tuple[str, ...] = VALUE_COLS) -> pa.Table:
     fields = [("conv_id", pa.string()), ("turn_idx", pa.int32()), ("op", pa.string())]
-    for vc in VALUE_COLS:
+    for vc in value_cols:
         t = tbl.schema.field(vc).type
         fields.append((AFTER_PREFIX + vc, t))
         fields.append((BEFORE_PREFIX + vc, t))

@@ -1,0 +1,102 @@
+"""M8 collection widening: list<string> and struct value columns through
+derive → envelope → only-updated, mirroring the reference's collection
+transition matrix (ScyllaTypesAllBase.java: add / remove / set-NULL / empty /
+unmodified are all distinct states; ScyllaSchema.java:340-389)."""
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from scylla_cdc_source_connector_ray.config import EngineConfig, IncludeMode
+from scylla_cdc_source_connector_ray.schema import COLLECTION_VALUE_COLS, META_TYPE, TAGS_TYPE
+from scylla_cdc_source_connector_ray.stages.envelope import build_envelope, flatten_envelope
+from scylla_cdc_source_connector_ray.stages.op_derive import derive_ops
+
+
+def _log(rows):
+    """rows: (conv, turn, role, text, tool, tags, meta, ts_us, seq)"""
+    cols = list(zip(*rows))
+    return pa.table(
+        {
+            "conv_id": pa.array(cols[0], pa.string()),
+            "turn_idx": pa.array(cols[1], pa.int32()),
+            "role": pa.array(cols[2], pa.string()),
+            "text": pa.array(cols[3], pa.string()),
+            "tool": pa.array(cols[4], pa.string()),
+            "tags": pa.array(cols[5], TAGS_TYPE),
+            "meta": pa.array(cols[6], META_TYPE),
+            "ts": pa.array(cols[7], pa.timestamp("us")),
+            "seq": pa.array(cols[8], pa.int64()),
+        }
+    )
+
+
+# one key, a transition chain covering the reference's scenarios:
+#   c: tags=[a]        meta={1,x}
+#   u: tags=[a,b]      (element added)        meta unchanged  -> modified: tags
+#   u: tags unchanged  meta={2,x} (field chg)                 -> modified: meta,text*
+#   u: tags=[]         (emptied, NOT null)                    -> modified: tags,text*
+#   u: tags=NULL       (set-to-NULL ≠ empty)                  -> modified: tags,text*
+#   d: tombstone (text NULL) -> after all NULL
+#   u: re-insert after delete ('c' is only the key's FIRST row, per the
+#      engine spec + oracle row_number()=1) -> before is the delete's NULL state
+ROWS = [
+    ("c1", 0, "user", "t0", None, ["a"], {"k": 1, "src": "x"}, 1_000, 0),
+    ("c1", 0, "user", "t0", None, ["a", "b"], {"k": 1, "src": "x"}, 2_000, 1),
+    ("c1", 0, "user", "t1", None, ["a", "b"], {"k": 2, "src": "x"}, 3_000, 2),
+    ("c1", 0, "user", "t2", None, [], {"k": 2, "src": "x"}, 4_000, 3),
+    ("c1", 0, "user", "t3", None, None, {"k": 2, "src": "x"}, 5_000, 4),
+    ("c1", 0, "user", None, None, None, None, 6_000, 5),  # delete
+    ("c1", 0, "user", "t4", None, ["z"], {"k": 9, "src": "y"}, 7_000, 6),
+]
+
+
+def test_collection_transition_matrix():
+    out = derive_ops(_log(ROWS), value_cols=COLLECTION_VALUE_COLS)
+    assert out["op"].to_pylist() == ["c", "u", "u", "u", "u", "d", "u"]
+    assert out["modified_cols"].to_pylist() == [
+        "meta,role,tags,text",  # create: everything appears
+        "tags",  # element added, text/meta untouched
+        "meta,text",  # struct field changed
+        "tags,text",  # emptied: [] != [a,b]
+        "tags,text",  # set-to-NULL: NULL != []
+        "meta,role,text",  # delete: tags was ALREADY NULL -> NULL==NULL unmodified
+        "meta,role,tags,text",  # re-insert from NULL before
+    ]
+    # before image is the lagged after image, including collection cells
+    assert out["before_tags"].to_pylist() == [
+        None,
+        ["a"],
+        ["a", "b"],
+        ["a", "b"],
+        [],
+        None,
+        None,
+    ]
+    assert out["after_tags"].to_pylist()[3] == []  # emptied stays [], not NULL
+    assert out["after_tags"].to_pylist()[4] is None
+    assert out["before_meta"].to_pylist()[2] == {"k": 1, "src": "x"}
+    assert out["after_meta"].to_pylist()[2] == {"k": 2, "src": "x"}
+    # delete: after state entirely NULL
+    assert out["after_meta"].to_pylist()[5] is None
+
+
+def test_collections_envelope_roundtrip_and_only_updated():
+    cfg = EngineConfig(num_shards=4)
+    flat = derive_ops(_log(ROWS), value_cols=COLLECTION_VALUE_COLS)
+    env = build_envelope(flat, cfg, value_cols=COLLECTION_VALUE_COLS)
+    back = flatten_envelope(env)
+    assert back["after_tags"].to_pylist() == flat["after_tags"].to_pylist()
+    assert back["before_meta"].to_pylist() == flat["before_meta"].to_pylist()
+
+    # only-updated: untouched collection cells are NULLed in the after image
+    cfg_ou = EngineConfig(num_shards=4, include_after=IncludeMode.ONLY_UPDATED)
+    env_ou = build_envelope(flat, cfg_ou, value_cols=COLLECTION_VALUE_COLS)
+    after = env_ou["after"].combine_chunks()
+    tags = pc.struct_field(after, "tags").to_pylist()
+    meta = pc.struct_field(after, "meta").to_pylist()
+    # row 1 modified only tags -> tags kept, meta dropped
+    assert tags[1] == ["a", "b"] and meta[1] is None
+    # row 2 modified meta (+text) -> meta kept, tags dropped
+    assert meta[2] == {"k": 2, "src": "x"} and tags[2] is None
+    # row 3 emptied tags -> [] kept (present-but-empty, not NULL)
+    assert tags[3] == []
