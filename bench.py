@@ -59,6 +59,17 @@ def ensure_log(sf: float) -> tuple[str, str]:
     return f"{base}/blog", f"{base}/log"
 
 
+def _median(xs: list[float]) -> float:
+    xs = sorted(xs)
+    n = len(xs)
+    return xs[n // 2] if n % 2 else (xs[n // 2 - 1] + xs[n // 2]) / 2.0
+
+
+#: repeats per timed query; median reported (run-to-run object-store variance
+#: made round-1 driver numbers drift ~1.7x from single-shot builder numbers)
+REPEATS = int(os.environ.get("BENCH_REPEATS", "3"))
+
+
 def run_bench(sf_dir: str, num_cpus: int) -> dict:
     import ray
 
@@ -91,6 +102,15 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     queries: dict[str, float] = {}
     num_shards = BENCH_SHARDS  # fixed: same job at every CPU level
 
+    def timed(name: str, fn) -> None:
+        """Median wall time of ``fn`` over REPEATS runs."""
+        times = []
+        for _ in range(REPEATS):
+            t0 = time.perf_counter()
+            fn()
+            times.append(time.perf_counter() - t0)
+        queries[name] = round(_median(times), 3)
+
     # warm page cache (untimed) — count() alone is a metadata fast path and
     # reads NO data; force a real scan of every block
     import pyarrow as _pa
@@ -105,54 +125,84 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
 
     # --- headline: streaming capture+score runner over the pre-partitioned
     # log (shuffle-free fast path; the production CDC layout) ---------------
-    cfg = EngineConfig(
-        num_shards=num_shards,
-        score_text=True,
-        window_agg=True,
-        enrich_conv_state=True,
-        window_size_us=3_600_000_000,
-        sink_dir=f"{scratch}/out",
-        checkpoint_dir=f"{scratch}/ckpt",
-    )
-    t0 = time.perf_counter()
-    runner = CaptureRunner(blog_dir, cfg)
-    totals = runner.run(files_per_batch=4)
-    runner.flush_windows()
-    headline = time.perf_counter() - t0
+    headline_times: list[float] = []
+    totals: dict = {}
+    for rep in range(REPEATS):
+        rep_scratch = f"{scratch}/rep{rep}"  # fresh ckpt/sink per repeat
+        cfg = EngineConfig(
+            num_shards=num_shards,
+            score_text=True,
+            window_agg=True,
+            enrich_conv_state=True,
+            window_size_us=3_600_000_000,
+            sink_dir=f"{rep_scratch}/out",
+            checkpoint_dir=f"{rep_scratch}/ckpt",
+        )
+        t0 = time.perf_counter()
+        runner = CaptureRunner(blog_dir, cfg)
+        totals = runner.run(files_per_batch=4)
+        runner.flush_windows()
+        headline_times.append(time.perf_counter() - t0)
+        if rep:  # keep rep0 output for inspection, drop the rest
+            shutil.rmtree(rep_scratch, ignore_errors=True)
+    headline = _median(headline_times)
     queries["capture_stream"] = round(headline, 3)
     events = totals["events"]
+
+    if os.environ.get("BENCH_HEADLINE_ONLY"):  # --scaling measures only the headline
+        ray.shutdown()
+        return {
+            "metric": "cdc_capture_stream_sec",
+            "value": round(headline, 3),
+            "unit": "sec",
+            "queries": queries,
+            "sf": sf,
+            "num_cpus": num_cpus,
+            "events": events,
+            "events_per_sec": round(events / headline, 1),
+            "repeats": REPEATS,
+        }
 
     # --- batch-mode capture over the UNpartitioned log (includes the one
     # keyed shuffle) --------------------------------------------------------
     cfg_batch = EngineConfig(num_shards=num_shards)
-    t0 = time.perf_counter()
-    n = cap.capture(
-        ray.data.read_parquet(log_dir, override_num_blocks=2 * num_cpus), cfg_batch
-    ).count()
-    queries["capture_batch_shuffle"] = round(time.perf_counter() - t0, 3)
-    assert n == events, (n, events)
+
+    def _batch_capture():
+        n = cap.capture(
+            ray.data.read_parquet(log_dir, override_num_blocks=2 * num_cpus), cfg_batch
+        ).count()
+        assert n == events, (n, events)
+
+    timed("capture_batch_shuffle", _batch_capture)
 
     # --- windows / join over the log --------------------------------------
     HOUR, MIN15 = 3_600_000_000, 900_000_000
-    t0 = time.perf_counter()
-    W.tumbling(ray.data.read_parquet(log_dir, override_num_blocks=2 * num_cpus), HOUR, keys=["role"]).count()
-    queries["win_tumbling"] = round(time.perf_counter() - t0, 3)
-
-    t0 = time.perf_counter()
-    W.sliding(ray.data.read_parquet(log_dir, override_num_blocks=2 * num_cpus), HOUR, MIN15).count()
-    queries["win_sliding"] = round(time.perf_counter() - t0, 3)
-
-    t0 = time.perf_counter()
-    W.session(
-        ray.data.read_parquet(log_dir, columns=["conv_id", "ts"], override_num_blocks=2 * num_cpus),
-        gap_us=60_000_000,
-        num_shards=num_shards,
-    ).count()
-    queries["win_session"] = round(time.perf_counter() - t0, 3)
-
-    t0 = time.perf_counter()
-    conv_state_features(ray.data.read_parquet(log_dir, override_num_blocks=2 * num_cpus), num_shards=num_shards).count()
-    queries["join_conv_state"] = round(time.perf_counter() - t0, 3)
+    timed(
+        "win_tumbling",
+        lambda: W.tumbling(
+            ray.data.read_parquet(log_dir, override_num_blocks=2 * num_cpus), HOUR, keys=["role"]
+        ).count(),
+    )
+    timed(
+        "win_sliding",
+        lambda: W.sliding(
+            ray.data.read_parquet(log_dir, override_num_blocks=2 * num_cpus), HOUR, MIN15
+        ).count(),
+    )
+    timed(
+        "win_session",
+        lambda: W.session(
+            ray.data.read_parquet(log_dir, columns=["conv_id", "ts"], override_num_blocks=2 * num_cpus),
+            gap_us=60_000_000,
+            num_shards=num_shards,
+        ).count(),
+    )
+    timed(
+        "join_conv_state",
+        lambda: conv_state_features(
+            ray.data.read_parquet(log_dir, override_num_blocks=2 * num_cpus), num_shards=num_shards
+        ).count(),
+    )
 
     # --- training-data ops over the testdata tables at this sf -------------
     import numpy as np
@@ -167,30 +217,32 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     docs_path = os.path.join(sf_dir, "documents.parquet")
     emb_path = os.path.join(sf_dir, "embeddings.parquet")
     if os.path.exists(docs_path):
-        t0 = time.perf_counter()
-        ray.data.read_parquet(docs_path).map_batches(
-            quality_score, batch_format="pyarrow"
-        ).count()
-        queries["quality_score"] = round(time.perf_counter() - t0, 3)
-
-        t0 = time.perf_counter()
-        exact_dedup_hashed(ray.data.read_parquet(docs_path)).count()
-        queries["dedup_exact_hashed"] = round(time.perf_counter() - t0, 3)
-
-        t0 = time.perf_counter()
-        minhash_lsh_dedup(ray.data.read_parquet(docs_path), threshold=0.7).count()
-        queries["dedup_minhash_lsh"] = round(time.perf_counter() - t0, 3)
+        timed(
+            "quality_score",
+            lambda: ray.data.read_parquet(docs_path)
+            .map_batches(quality_score, batch_format="pyarrow")
+            .count(),
+        )
+        timed(
+            "dedup_exact_hashed",
+            lambda: exact_dedup_hashed(ray.data.read_parquet(docs_path)).count(),
+        )
+        timed(
+            "dedup_minhash_lsh",
+            lambda: minhash_lsh_dedup(ray.data.read_parquet(docs_path), threshold=0.7).count(),
+        )
 
     if os.path.exists(emb_path):
         qdf = ray.data.read_parquet(emb_path).limit(16).to_pandas()
-        t0 = time.perf_counter()
-        ann_bruteforce(
-            ray.data.read_parquet(emb_path),
-            np.stack(qdf["embedding"].values),
-            qdf["vec_id"].values,
-            k=10,
+        timed(
+            "ann_bruteforce",
+            lambda: ann_bruteforce(
+                ray.data.read_parquet(emb_path),
+                np.stack(qdf["embedding"].values),
+                qdf["vec_id"].values,
+                k=10,
+            ),
         )
-        queries["ann_bruteforce"] = round(time.perf_counter() - t0, 3)
 
     result = {
         "metric": "cdc_capture_stream_sec",
@@ -201,6 +253,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "num_cpus": num_cpus,
         "events": events,
         "events_per_sec": round(events / headline, 1),
+        "repeats": REPEATS,
     }
     ray.shutdown()
     return result
@@ -208,7 +261,12 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
 
 def run_scaling(sf_dir: str, lo: int = 4, hi: int = 16) -> dict:
     def one(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=sf_dir)
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            GRAFT_SF_DIR=sf_dir,
+            BENCH_HEADLINE_ONLY="1",
+        )
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env,
