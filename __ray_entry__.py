@@ -263,6 +263,27 @@ def _q_cdc_compaction(sf_dir: str):
     return cap.compaction(ds, _CFG)
 
 
+def _read_transcripts_pd(sf_dir: str):
+    import os
+
+    import ray.data
+
+    from scylla_cdc_source_connector_ray.sources.events_adapter import (
+        events_to_transcripts_pd,
+    )
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"))
+    return ds.map_batches(events_to_transcripts_pd, batch_format="pyarrow")
+
+
+def _q_cdc_partition_delete(sf_dir: str):
+    return cap.capture_pd(_read_transcripts_pd(sf_dir), _CFG)
+
+
+def _q_cdc_compaction_pd(sf_dir: str):
+    return cap.compaction_pd(_read_transcripts_pd(sf_dir), _CFG)
+
+
 def _q_relational(fn_name: str):
     def q(sf_dir: str):
         from scylla_cdc_source_connector_ray.pipelines import relational as R
@@ -444,6 +465,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_conv_state": _q_join_conv_state,
         "join_enrich_customer": _q_join_enrich_customer,
         "cdc_compaction": _q_cdc_compaction,
+        "cdc_partition_delete": _q_cdc_partition_delete,
+        "cdc_compaction_pd": _q_cdc_compaction_pd,
         "cdc_capture_salted": _q_cdc_capture_salted,
         "cdc_capture_only_updated": _q_cdc_capture_only_updated,
         "win_ops_by_window": _q_win_ops_by_window,
@@ -485,6 +508,8 @@ def oracle_sql() -> dict[str, str]:
         "join_conv_state": oracles.JOIN_CONV_STATE,
         "join_enrich_customer": oracles.JOIN_ENRICH_CUSTOMER,
         "cdc_compaction": oracles.CDC_COMPACTION,
+        "cdc_partition_delete": oracles.CDC_PARTITION_DELETE,
+        "cdc_compaction_pd": oracles.CDC_COMPACTION_PD,
         "cdc_capture_salted": oracles.CDC_CAPTURE_SALTED,
         "cdc_capture_only_updated": oracles.CDC_CAPTURE_ONLY_UPDATED,
         "win_ops_by_window": oracles.WIN_OPS_BY_WINDOW,

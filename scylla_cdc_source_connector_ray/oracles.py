@@ -9,7 +9,7 @@ independently re-implementing the spec in ``stages/op_derive.py``.
 
 from __future__ import annotations
 
-from .sources.events_adapter import TRANSCRIPTS_SQL
+from .sources.events_adapter import TRANSCRIPTS_PD_SQL, TRANSCRIPTS_SQL
 
 #: shared prelude: transcripts CTE + the per-key CDC fold
 CDC_EVENTS_CTE = f"""
@@ -551,5 +551,94 @@ cand AS (
 SELECT a, b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
 FROM cand
 WHERE bit_count(xor(ha, hb)) <= 3
+"""
+)
+
+# ---------------------------------------------------------------------------
+# partition deletes (reference M2) — conversation tombstones
+# ---------------------------------------------------------------------------
+# Spec mirror of stages/partition_delete.py: `o` is the row's ordinal in its
+# conversation's (ts, seq) timeline; last_pd_o / next_pd_o locate the nearest
+# conversation tombstone strictly before / after each row.
+
+_PD_ORD_CTE = """
+o1 AS (
+    SELECT *, row_number() OVER (PARTITION BY conv_id ORDER BY ts, seq) AS o,
+           (turn_idx IS NULL) AS is_pd
+    FROM transcripts
+),
+o2 AS (
+    SELECT *,
+        max(CASE WHEN is_pd THEN o END) OVER
+            (PARTITION BY conv_id ORDER BY o
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_pd_o,
+        min(CASE WHEN is_pd THEN o END) OVER
+            (PARTITION BY conv_id ORDER BY o
+             ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_pd_o
+    FROM o1
+)
+"""
+
+CDC_PARTITION_DELETE = (
+    f"WITH transcripts AS ({TRANSCRIPTS_PD_SQL}),\n"
+    + _PD_ORD_CTE
+    + """
+, r AS (
+    SELECT *,
+        row_number() OVER w AS rn,
+        lag(CASE WHEN text IS NULL THEN NULL ELSE role END) OVER w AS p_role,
+        lag(text) OVER w AS p_text,
+        lag(CASE WHEN text IS NULL THEN NULL ELSE tool END) OVER w AS p_tool,
+        lag(CASE WHEN text IS NULL THEN NULL ELSE ts END) OVER w AS p_ts,
+        lag(o) OVER w AS prev_o,
+        lead(o) OVER w AS next_o
+    FROM o2 WHERE NOT is_pd
+    WINDOW w AS (PARTITION BY conv_id, turn_idx ORDER BY o)
+),
+rw AS (
+    SELECT *, coalesce(prev_o < last_pd_o, FALSE) AS wiped FROM r
+)
+SELECT conv_id, turn_idx,
+       CASE WHEN text IS NULL THEN 'd' WHEN rn = 1 THEN 'c' ELSE 'u' END AS op,
+       CASE WHEN wiped THEN NULL ELSE p_role END AS before_role,
+       CASE WHEN wiped THEN NULL ELSE p_text END AS before_text,
+       CASE WHEN wiped THEN NULL ELSE p_tool END AS before_tool,
+       CASE WHEN wiped THEN NULL ELSE p_ts END   AS before_ts,
+       CASE WHEN text IS NULL THEN NULL ELSE role END AS after_role,
+       text AS after_text,
+       CASE WHEN text IS NULL THEN NULL ELSE tool END AS after_tool,
+       CASE WHEN text IS NULL THEN NULL ELSE ts END   AS after_ts,
+       seq
+FROM rw
+UNION ALL
+SELECT r.conv_id, r.turn_idx, 'd' AS op,
+       r.role, r.text, r.tool, r.ts,
+       NULL, NULL, NULL, NULL,
+       p.seq
+FROM r JOIN o1 p ON p.conv_id = r.conv_id AND p.is_pd AND p.o = r.next_pd_o
+WHERE r.text IS NOT NULL AND r.next_pd_o IS NOT NULL
+  AND (r.next_o IS NULL OR r.next_o > r.next_pd_o)
+UNION ALL
+SELECT conv_id, NULL AS turn_idx, 'pd' AS op,
+       NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, seq
+FROM o1 WHERE is_pd
+"""
+)
+
+CDC_COMPACTION_PD = (
+    f"WITH transcripts AS ({TRANSCRIPTS_PD_SQL}),\n"
+    + _PD_ORD_CTE
+    + """
+, agg AS (
+    SELECT conv_id, max(CASE WHEN is_pd THEN o END) AS max_pd
+    FROM o1 GROUP BY conv_id
+),
+lastr AS (
+    SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY o DESC) AS rn
+    FROM o1 WHERE NOT is_pd
+)
+SELECT l.conv_id, l.turn_idx, l.role, l.text, l.tool, epoch_us(l.ts) AS ts_us
+FROM lastr l LEFT JOIN agg a USING (conv_id)
+WHERE l.rn = 1 AND l.text IS NOT NULL AND (a.max_pd IS NULL OR l.o > a.max_pd)
 """
 )

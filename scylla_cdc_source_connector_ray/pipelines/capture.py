@@ -184,6 +184,32 @@ def compaction(ds: ray.data.Dataset, cfg: EngineConfig) -> ray.data.Dataset:
     )
 
 
+def capture_pd(ds: ray.data.Dataset, cfg: EngineConfig) -> ray.data.Dataset:
+    """Capture over a log containing conversation tombstones (``turn_idx IS
+    NULL`` ⇒ partition delete, reference M2 ``ScyllaChangesConsumer.java:271-283``):
+    flattened change events with wiped before-images, synthetic per-key
+    expansion deletes, and ``op='pd'`` marker records. Same single keyed
+    shuffle as :func:`capture` — conversation tombstones hash to the same
+    shard as their conversation's rows."""
+    from ..stages.partition_delete import derive_flat_pd
+
+    sharded = ds.map_batches(lambda b: with_shard(b, cfg.num_shards), batch_format="pyarrow")
+    return sharded.groupby("shard").map_groups(
+        lambda t: derive_flat_pd(t.drop_columns(["shard"])), batch_format="pyarrow"
+    )
+
+
+def compaction_pd(ds: ray.data.Dataset, cfg: EngineConfig) -> ray.data.Dataset:
+    """Current-state view honouring conversation tombstones: keys whose last
+    event precedes the conversation's final tombstone drop out."""
+    from ..stages.partition_delete import compact_pd
+
+    sharded = ds.map_batches(lambda b: with_shard(b, cfg.num_shards), batch_format="pyarrow")
+    return sharded.groupby("shard").map_groups(
+        lambda t: compact_pd(t.drop_columns(["shard"])), batch_format="pyarrow"
+    )
+
+
 def capture_flat(ds: ray.data.Dataset, cfg: EngineConfig) -> ray.data.Dataset:
     """Capture, then flatten the envelope back to plain columns — the shape
     the DuckDB oracle emits (drops engine-internal shard/modified cols)."""

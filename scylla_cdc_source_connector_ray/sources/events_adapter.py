@@ -88,6 +88,49 @@ def events_to_transcripts(batch: pa.Table, columns: list[str] | None = None) -> 
     return pa.table(cols)
 
 
+#: every ``event_id % PD_MOD == 0`` event becomes a conversation tombstone
+#: (partition-delete marker, reference M2) in the pd-variant log
+PD_MOD = 97
+
+#: pd-variant transcripts CTE: same mapping, but marker events carry
+#: ``turn_idx IS NULL`` and NULL values — the conv-tombstone encoding
+#: :mod:`..stages.partition_delete` consumes.
+TRANSCRIPTS_PD_SQL = f"""
+    SELECT
+        'conv' || CAST(user_id AS VARCHAR)            AS conv_id,
+        CASE WHEN event_id % {PD_MOD} = 0 THEN NULL
+             ELSE CAST(event_id % 20 AS INTEGER) END  AS turn_idx,
+        CASE WHEN event_id % {PD_MOD} = 0 THEN NULL
+             WHEN event_type = 'click' THEN 'user'
+             WHEN event_type = 'view' THEN 'assistant'
+             WHEN event_type = 'purchase' THEN 'tool'
+             WHEN event_type = 'signup' THEN 'system'
+             ELSE '__tombstone__'
+        END                                           AS role,
+        CASE WHEN event_id % {PD_MOD} = 0 OR event_type = 'error'
+             THEN NULL ELSE props END                 AS text,
+        CASE WHEN event_id % {PD_MOD} = 0 THEN NULL
+             WHEN event_type = 'purchase' THEN 'search' ELSE NULL END AS tool,
+        ts                                            AS ts,
+        event_id                                      AS seq
+    FROM events
+"""
+
+
+def events_to_transcripts_pd(batch: pa.Table) -> pa.Table:
+    """Vectorized :data:`TRANSCRIPTS_PD_SQL`: the plain mapping with marker
+    events (``event_id % PD_MOD == 0``) turned into conversation tombstones."""
+    out = events_to_transcripts(batch)
+    eid = batch["event_id"].combine_chunks().to_numpy(zero_copy_only=False)
+    mask = (eid % PD_MOD) == 0
+    from ..stages.op_derive import _mask_to_null
+
+    cols = {name: out[name].combine_chunks() for name in out.column_names}
+    for c in ("turn_idx", "role", "text", "tool"):
+        cols[c] = _mask_to_null(cols[c], mask)
+    return pa.table(cols)
+
+
 def _tags_col(batch: pa.Table) -> pa.Array:
     """``list<string>`` value column (M8 collection widening), three distinct
     states by construction: NULL (tombstone), [] (value < 1), 1-2 elements.
