@@ -284,6 +284,59 @@ def _q_cdc_compaction_pd(sf_dir: str):
     return cap.compaction_pd(_read_transcripts_pd(sf_dir), _CFG)
 
 
+def _q_cdc_capture_evolved(sf_dir: str):
+    """Schema evolution end-to-end (reference ST4): build a two-generation
+    log from the events table (generation 1 = base schema, generation 2 adds
+    a ``lang`` column), stream it through the checkpointed runner batch by
+    batch, and return the flattened change events. Cross-generation ordering
+    is arrival-order (generation, ts, seq) — the runner's seed-first fold —
+    which the oracle mirrors with a stage-ordered window."""
+    import hashlib
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from scylla_cdc_source_connector_ray.pipelines.runner import CaptureRunner
+    from scylla_cdc_source_connector_ray.sources.events_adapter import (
+        events_to_transcripts,
+    )
+    from scylla_cdc_source_connector_ray.stages.envelope import flatten_envelope
+
+    ev = pq.read_table(os.path.join(sf_dir, "events.parquet"))
+    t = events_to_transcripts(ev).sort_by([("seq", "ascending")])
+    cut = (pc.max(t["seq"]).as_py() + 1) // 2
+    seq = t["seq"]
+    t1 = t.filter(pc.less(seq, cut))
+    t2 = t.filter(pc.greater_equal(seq, cut))
+    lang = pc.binary_join_element_wise(
+        pa.array(["l"] * t2.num_rows),
+        pc.cast(pc.subtract(t2["seq"], pc.multiply(pc.divide(t2["seq"], 5), 5)), pa.string()),
+        "",
+    )
+    t2 = t2.append_column("lang", lang)
+
+    base = os.path.join(
+        "/tmp/scylla_cdc_evolved", hashlib.md5(f"{sf_dir}:{cut}".encode()).hexdigest()[:12]
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    log = os.path.join(base, "log")
+    os.makedirs(log)
+    pq.write_table(t1, os.path.join(log, "window-00000.parquet"))
+    pq.write_table(t2, os.path.join(log, "window-00001.parquet"))
+
+    cfg = EngineConfig(
+        num_shards=8,
+        sink_dir=os.path.join(base, "out"),
+        checkpoint_dir=os.path.join(base, "ckpt"),
+    )
+    runner = CaptureRunner(log, cfg)
+    runner.run(files_per_batch=1)
+    return flatten_envelope(runner.read_output())
+
+
 def _q_relational(fn_name: str):
     def q(sf_dir: str):
         from scylla_cdc_source_connector_ray.pipelines import relational as R
@@ -467,6 +520,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_compaction": _q_cdc_compaction,
         "cdc_partition_delete": _q_cdc_partition_delete,
         "cdc_compaction_pd": _q_cdc_compaction_pd,
+        "cdc_capture_evolved": _q_cdc_capture_evolved,
         "cdc_capture_salted": _q_cdc_capture_salted,
         "cdc_capture_only_updated": _q_cdc_capture_only_updated,
         "win_ops_by_window": _q_win_ops_by_window,
@@ -510,6 +564,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_compaction": oracles.CDC_COMPACTION,
         "cdc_partition_delete": oracles.CDC_PARTITION_DELETE,
         "cdc_compaction_pd": oracles.CDC_COMPACTION_PD,
+        "cdc_capture_evolved": oracles.CDC_CAPTURE_EVOLVED,
         "cdc_capture_salted": oracles.CDC_CAPTURE_SALTED,
         "cdc_capture_only_updated": oracles.CDC_CAPTURE_ONLY_UPDATED,
         "win_ops_by_window": oracles.WIN_OPS_BY_WINDOW,

@@ -642,3 +642,37 @@ FROM lastr l LEFT JOIN agg a USING (conv_id)
 WHERE l.rn = 1 AND l.text IS NOT NULL AND (a.max_pd IS NULL OR l.o > a.max_pd)
 """
 )
+
+# ---------------------------------------------------------------------------
+# schema evolution (reference ST4) — two-generation log through the runner
+# ---------------------------------------------------------------------------
+# Generation 1 (seq < cut): base schema. Generation 2 (seq >= cut): + lang
+# column ('l' || seq % 5). Cross-generation ordering is the runner's
+# seed-first arrival fold: within a key, generation-1 rows fold before
+# generation-2 rows regardless of event time — the window orders by
+# (stage, ts, seq). Pre-evolution rows read as NULL under the evolved schema.
+CDC_CAPTURE_EVOLVED = f"""
+WITH transcripts AS ({TRANSCRIPTS_SQL}),
+c AS (SELECT (max(seq) + 1) // 2 AS cut FROM transcripts),
+ev AS (
+    SELECT t.*, (t.seq >= c.cut) AS stage,
+           CASE WHEN t.seq >= c.cut THEN 'l' || CAST(t.seq % 5 AS VARCHAR) END AS lang
+    FROM transcripts t CROSS JOIN c
+)
+SELECT conv_id, turn_idx,
+    CASE WHEN text IS NULL THEN 'd'
+         WHEN row_number() OVER w = 1 THEN 'c' ELSE 'u' END            AS op,
+    lag(CASE WHEN text IS NULL THEN NULL ELSE role END) OVER w         AS before_role,
+    lag(text) OVER w                                                   AS before_text,
+    lag(CASE WHEN text IS NULL THEN NULL ELSE tool END) OVER w         AS before_tool,
+    lag(CASE WHEN text IS NULL THEN NULL ELSE lang END) OVER w         AS before_lang,
+    lag(CASE WHEN text IS NULL THEN NULL ELSE ts END) OVER w           AS before_ts,
+    CASE WHEN text IS NULL THEN NULL ELSE role END                     AS after_role,
+    text                                                               AS after_text,
+    CASE WHEN text IS NULL THEN NULL ELSE tool END                     AS after_tool,
+    CASE WHEN text IS NULL THEN NULL ELSE lang END                     AS after_lang,
+    CASE WHEN text IS NULL THEN NULL ELSE ts END                       AS after_ts,
+    seq
+FROM ev
+WINDOW w AS (PARTITION BY conv_id, turn_idx ORDER BY stage, ts, seq)
+"""

@@ -63,6 +63,7 @@ def _shard_task_from_files(
     ckpt_dir: str,
     out_dir: str,
     prev_watermarks: dict[str, int],
+    extras: tuple[tuple[str, str], ...] = (),
 ) -> pa.Table:
     """Bucketed fast path: one work item = one shard's files for this batch.
     The task reads only its own shard's Parquet (column-pruned, no shuffle) —
@@ -87,9 +88,35 @@ def _shard_task_from_files(
                 ckpt_dir=ckpt_dir,
                 out_dir=out_dir,
                 prev_watermarks=prev_watermarks,
+                extras=extras,
             )
         )
     return pa.concat_tables(outs)
+
+
+def _pin_strings(tbl: pa.Table) -> pa.Table:
+    """Cast large_string→string: polars-backed sort blocks rewrite the string
+    encoding per worker, which breaks concat with parquet-read state seeds."""
+    for i, f in enumerate(tbl.schema):
+        if pa.types.is_large_string(f.type):
+            tbl = tbl.set_column(i, f.name, tbl[f.name].cast(pa.string()))
+    return tbl
+
+
+def _with_extras(tbl: pa.Table, extras: tuple[tuple[str, str], ...]) -> pa.Table:
+    """Conform a block to the batch's evolved schema: append NULL columns for
+    evolved value columns the block predates, pin drifted encodings
+    (large_string from promotion) to the manifest type."""
+    from ..schema import evolved_type
+
+    for name, type_str in extras:
+        typ = evolved_type(type_str)
+        if name not in tbl.column_names:
+            tbl = tbl.append_column(name, pa.nulls(tbl.num_rows, typ))
+        elif tbl.schema.field(name).type != typ:
+            i = tbl.column_names.index(name)
+            tbl = tbl.set_column(i, name, tbl[name].cast(typ))
+    return tbl
 
 
 def _shard_task(
@@ -100,9 +127,18 @@ def _shard_task(
     ckpt_dir: str,
     out_dir: str,
     prev_watermarks: dict[str, int],
+    extras: tuple[tuple[str, str], ...] = (),
 ) -> pa.Table:
     shard = group["shard"][0].as_py()
     ckpt = Checkpoint(ckpt_dir)
+    # schema evolution (reference ST4, ScyllaSchema.java:467-472): the driver
+    # derives the batch's evolved value-column set from the file footers; every
+    # shard conforms blocks, state seeds and the envelope to that one schema
+    extra_names = tuple(n for n, _ in extras)
+    value_cols = ("role", "text", "tool", *extra_names, "ts")
+    state_cols = [*_STATE_COLS[:5], *extra_names, *_STATE_COLS[5:]]
+    if extras:
+        group = _with_extras(group, extras)
 
     # --- late-row metric vs the shard watermark of the previous commit -----
     ts_us = group["ts"].cast(pa.int64())
@@ -155,9 +191,10 @@ def _shard_task(
         # arrival-rank column (seed=0, batch=1) and hand derive_ops the
         # pre-sorted block.
         seed_path = ckpt.latest_state_path(shard, batch_id)
-        log = group.select(_STATE_COLS)
+        log = _pin_strings(group.select(state_cols))
         if seed_path is not None:
-            seed = pq.read_table(seed_path).select(_STATE_COLS)
+            # state written before an evolution lacks the new columns → NULLs
+            seed = _with_extras(pq.read_table(seed_path), extras).select(state_cols)
             log = pa.concat_tables([seed, log])
         import numpy as np
 
@@ -175,7 +212,7 @@ def _shard_task(
             ]
         ).drop_columns(["_arrival"])
 
-        derived = derive_ops(log, sorted_input=True)
+        derived = derive_ops(log, sorted_input=True, value_cols=value_cols)
 
     # --- roll state forward: last row per key, stored log-shaped -----------
     # derived is sorted by (conv_id, turn_idx, ts, seq) ⇒ last row per key is
@@ -197,29 +234,30 @@ def _shard_task(
     else:
         is_last = np.zeros(0, dtype=bool)
     last = derived.filter(pa.array(is_last)) if not cfg.image_mode else derived.slice(0, 0)
-    new_state = pa.table(
-        {
-            "conv_id": last["conv_id"],
-            "turn_idx": last["turn_idx"],
-            # tombstone state keeps role marker + NULL text; live state keeps after image
-            "role": pc.if_else(
-                pc.equal(last["op"], "d"),
-                pa.scalar("__tombstone__"),
-                last["after_role"].combine_chunks(),
-            ),
-            "text": last["after_text"],
-            "tool": last["after_tool"],
-            "ts": last["ts"],  # event ts (present for tombstones too: keeps seed order)
-            SEQ_COL: pa.array(np.full(last.num_rows, -1, dtype=np.int64)),
-            "shard": last["shard"],
-        }
-    )
+    state_cols_out = {
+        "conv_id": last["conv_id"],
+        "turn_idx": last["turn_idx"],
+        # tombstone state keeps role marker + NULL text; live state keeps after image
+        "role": pc.if_else(
+            pc.equal(last["op"], "d"),
+            pa.scalar("__tombstone__"),
+            last["after_role"].combine_chunks(),
+        ),
+        "text": last["after_text"],
+        "tool": last["after_tool"],
+    }
+    for name in extra_names:
+        state_cols_out[name] = last["after_" + name]
+    state_cols_out["ts"] = last["ts"]  # event ts (tombstones too: keeps seed order)
+    state_cols_out[SEQ_COL] = pa.array(np.full(last.num_rows, -1, dtype=np.int64))
+    state_cols_out["shard"] = last["shard"]
+    new_state = pa.table(state_cols_out)
     if not cfg.image_mode:
         ckpt.write_state(shard, batch_id, new_state)
 
     # --- emit change events for real rows only (drop seed re-derivations) --
     real = derived.filter(pc.greater_equal(derived[SEQ_COL], 0))
-    env = build_envelope(real, cfg)
+    env = build_envelope(real, cfg, value_cols=value_cols)
 
     if cfg.score_text:
         from ..functions.textops import quality_score
@@ -283,6 +321,42 @@ def _shard_task(
             "max_ts_us": pa.array([max_ts], pa.int64()),
         }
     )
+
+
+def _conform_envelopes(parts: list[pa.Table]) -> list[pa.Table]:
+    """Unify envelope tables written before/after a schema evolution: the
+    widest before/after row struct wins; older parts get NULL child arrays for
+    the evolved fields (the reference re-reads old records under the new
+    schema the same way, ScyllaSchema.java:467-472)."""
+    import pyarrow.compute as pc
+
+    target = None
+    for p in parts:
+        if "before" not in p.column_names:
+            return parts
+        t = p.schema.field("before").type
+        if target is None or t.num_fields > target.num_fields:
+            target = t
+    if all(p.schema.field("before").type == target for p in parts):
+        return parts
+
+    def conform(p: pa.Table) -> pa.Table:
+        for img in ("before", "after"):
+            s = p[img].combine_chunks()
+            if s.type == target:
+                continue
+            have = {f.name for f in s.type}
+            children = [
+                pc.struct_field(s, f.name) if f.name in have else pa.nulls(len(s), f.type)
+                for f in target
+            ]
+            rebuilt = pa.StructArray.from_arrays(
+                children, names=[f.name for f in target], mask=pc.is_null(s)
+            )
+            p = p.set_column(p.column_names.index(img), img, rebuilt)
+        return p
+
+    return [conform(p) for p in parts]
 
 
 def _pane_cols(cfg) -> list[str]:
@@ -497,6 +571,9 @@ class CaptureRunner:
             )
         consumed = last["consumed_files"] if last else 0
         next_batch = (last["batch_id"] + 1) if last else 0
+        # sticky evolved-column set survives resume via the manifest (a replay
+        # must re-derive byte-identical schemas)
+        self._extras: dict[str, str] = dict(last.get("value_cols_extra", {})) if last else {}
         watermarks: dict[str, int] = dict(last["watermarks"]) if last else {}
         if last is not None:
             committed_hot = last.get("hot_convs", [])
@@ -585,17 +662,35 @@ class CaptureRunner:
         self, batches, next_batch, consumed, watermarks, frontier_us, totals,
         crash_before_commit_at, bucketed,
     ) -> dict:
+        from ..schema import detect_evolved_cols
+
         for i, bwork in enumerate(batches):
             batch_id = next_batch + i
             t0 = time.perf_counter()
+            # schema evolution (ST4): union the batch's file footers into the
+            # sticky evolved-column set — once a column appears it stays (its
+            # values live in checkpointed state), and every shard of a batch
+            # sees the SAME schema, like the reference's per-generation
+            # schema recompute (ScyllaSchema.java:467-472). Bucketed windows
+            # share one schema; probe one footer per window.
+            if bucketed:
+                probe = [next(iter(by_shard.values())) for _name, by_shard in bwork]
+            else:
+                probe = [f.path for f in bwork]
+            for p in probe:
+                for name, type_str in detect_evolved_cols(pq.read_schema(p)).items():
+                    self._extras.setdefault(name, type_str)
+            extras = tuple(sorted(self._extras.items()))
             if bucketed:
                 shard_paths: dict[int, list[str]] = {}
                 for _name, by_shard in bwork:
                     for k, p in by_shard.items():
                         shard_paths.setdefault(k, []).append(p)
-                stats = self._process_batch_bucketed(batch_id, shard_paths, watermarks)
+                stats = self._process_batch_bucketed(batch_id, shard_paths, watermarks, extras)
             else:
-                stats = self._process_batch(batch_id, [f.path for f in bwork], watermarks)
+                stats = self._process_batch(
+                    batch_id, [f.path for f in bwork], watermarks, extras
+                )
             for row in stats:
                 if row["max_ts_us"] is not None:
                     k = str(row["shard"])
@@ -619,6 +714,7 @@ class CaptureRunner:
                     "hot_convs": sorted(self._hot),
                     "hash_impl": self._hash_impl,
                     "events": totals["events"],
+                    "value_cols_extra": dict(sorted(self._extras.items())),
                 },
             )
             self.ckpt.gc_state(keep_batches=2)
@@ -708,7 +804,11 @@ class CaptureRunner:
         return sorted(c for c, n in counts.items() if n >= self.cfg.hot_key_threshold)
 
     def _process_batch_bucketed(
-        self, batch_id: int, shard_paths: dict[int, list[str]], watermarks: dict
+        self,
+        batch_id: int,
+        shard_paths: dict[int, list[str]],
+        watermarks: dict,
+        extras: tuple[tuple[str, str], ...] = (),
     ) -> list[dict]:
         """Shuffle-free path for pre-partitioned logs: one Ray Data work item
         per shard, each task reads only its shard's files."""
@@ -729,23 +829,39 @@ class CaptureRunner:
                 ckpt_dir=ckpt_dir,
                 out_dir=out_dir,
                 prev_watermarks=wm,
+                extras=extras,
             ),
             batch_size=1,
             batch_format="pandas",
         )
         return stats_ds.take_all()
 
-    def _process_batch(self, batch_id: int, paths: list[str], watermarks: dict) -> list[dict]:
+    def _process_batch(
+        self,
+        batch_id: int,
+        paths: list[str],
+        watermarks: dict,
+        extras: tuple[tuple[str, str], ...] = (),
+    ) -> list[dict]:
         if not paths:
             return []
         cfg, ckpt_dir, out_dir = self.cfg, self.ckpt.dir, self.out_dir
         ds = ray.data.read_parquet(paths)
 
         def normalize(b: pa.Table) -> pa.Table:
-            # blocks from files with/without seq must share one schema or the
-            # sort-shuffle merge fails; NULL seqs are regenerated per shard
+            # blocks from files with/without seq (or predating an evolved
+            # column) must share one schema or the sort-shuffle merge fails;
+            # NULL seqs are regenerated per shard
             if SEQ_COL not in b.column_names:
                 b = b.append_column(SEQ_COL, pa.nulls(b.num_rows, pa.int64()))
+            if extras:
+                # canonical column order: a pre-evolution block appends the
+                # new columns at the end, a post-evolution file may carry them
+                # mid-schema — the shuffle needs one block schema
+                b = _with_extras(b, extras).select(
+                    ["conv_id", "turn_idx", "role", "text", "tool", "ts", SEQ_COL]
+                    + [n for n, _ in extras]
+                )
             return b
 
         ds = ds.map_batches(normalize, batch_format="pyarrow")
@@ -769,6 +885,7 @@ class CaptureRunner:
                 ckpt_dir=ckpt_dir,
                 out_dir=out_dir,
                 prev_watermarks=wm,
+                extras=extras,
             ),
             batch_format="pyarrow",
         )
@@ -913,4 +1030,6 @@ class CaptureRunner:
                 for f in sorted(os.listdir(bd)):
                     if f.endswith(".parquet"):
                         parts.append(pq.read_table(os.path.join(bd, f)))
-        return pa.concat_tables(parts) if parts else pa.table({})
+        if not parts:
+            return pa.table({})
+        return pa.concat_tables(_conform_envelopes(parts))

@@ -66,14 +66,18 @@ _VALUE_TYPES = {
 }
 
 
-def row_struct_for(value_cols: tuple[str, ...]) -> pa.StructType:
+def row_struct_for(
+    value_cols: tuple[str, ...], extra_types: dict[str, pa.DataType] | None = None
+) -> pa.StructType:
     """Envelope row struct (key cols + the given value cols) — the dynamic
-    analogue of :data:`ROW_STRUCT` for extended column sets."""
+    analogue of :data:`ROW_STRUCT` for extended column sets. ``extra_types``
+    supplies types for evolved columns outside the fixed registry."""
+    types = {**_VALUE_TYPES, **(extra_types or {})}
     return pa.struct(
         [
             ("conv_id", pa.string()),
             ("turn_idx", pa.int32()),
-            *[(c, _VALUE_TYPES[c]) for c in value_cols],
+            *[(c, types[c]) for c in value_cols],
         ]
     )
 
@@ -236,3 +240,45 @@ def decode_nested(t: pa.Table) -> pa.Table:
         )
         t = t.drop_columns([flag, *fields]).append_column(base, rebuilt)
     return t
+
+
+# ---------------------------------------------------------------------------
+# Schema evolution (reference ST4)
+# ---------------------------------------------------------------------------
+
+#: the fixed transcript-log columns; anything else in a log file is a
+#: candidate *evolved* value column (reference ScyllaSchema.java:467-472:
+#: schemas are recomputed when the log's shape changes)
+BASE_LOG_COLS = frozenset(
+    {"conv_id", "turn_idx", "role", "text", "tool", "ts", SEQ_COL, "shard"}
+    # image-mode log internals (correlate.py): never evolved value columns
+    | {"op_kind", "row_ts", "change_id"}
+)
+
+#: evolved value columns must be scalar — collections go through the batch
+#: capture path with an explicit value_cols override instead
+_EVOLVED_TYPES = {
+    "string": pa.string(),
+    "large_string": pa.string(),
+    "int64": pa.int64(),
+    "int32": pa.int32(),
+    "double": pa.float64(),
+    "float": pa.float32(),
+    "bool": pa.bool_(),
+    "timestamp[us]": pa.timestamp("us"),
+}
+
+
+def evolved_type(type_str: str) -> pa.DataType | None:
+    """Parse a manifest-serialized evolved-column type; None if unsupported."""
+    return _EVOLVED_TYPES.get(type_str)
+
+
+def detect_evolved_cols(schema: pa.Schema) -> dict[str, str]:
+    """Extra scalar value columns in a log-file schema, as {name: type_str}
+    (the manifest serialization)."""
+    out = {}
+    for f in schema:
+        if f.name not in BASE_LOG_COLS and str(f.type) in _EVOLVED_TYPES:
+            out[f.name] = str(f.type)
+    return out

@@ -106,7 +106,18 @@ def build_envelope(
         names=["shard", "epoch", "window_start", "ts_us", "table"],
     )
 
-    row_type = ROW_STRUCT if tuple(value_cols) == VALUE_COLS else row_struct_for(tuple(value_cols))
+    if tuple(value_cols) == VALUE_COLS:
+        row_type = ROW_STRUCT
+    else:
+        # evolved columns (reference ST4) take their type from the block
+        from ..schema import _VALUE_TYPES
+
+        extra_types = {
+            c: tbl.schema.field(AFTER_PREFIX + c).type
+            for c in value_cols
+            if c not in _VALUE_TYPES and AFTER_PREFIX + c in tbl.column_names
+        }
+        row_type = row_struct_for(tuple(value_cols), extra_types)
     out = {
         "key": key,
         "op": tbl["op"].combine_chunks(),
