@@ -284,6 +284,37 @@ def _q_cdc_compaction_pd(sf_dir: str):
     return cap.compaction_pd(_read_transcripts_pd(sf_dir), _CFG)
 
 
+TTL_US = 6 * 3_600_000_000  # 6h row TTL for the gated query
+
+
+def _q_cdc_ttl_deletes(sf_dir: str):
+    ds = cap.read_transcripts_from_events(sf_dir)
+    return cap.ttl_deletes(ds, _CFG, TTL_US)
+
+
+def _q_cdc_capture_headers(sf_dir: str):
+    """M9 headers placement: pk/ck columns additionally ride as a ``headers``
+    struct (``pk.conv_id`` / ``ck.turn_idx``), flattened for the gate."""
+    import pyarrow.compute as pc
+
+    from scylla_cdc_source_connector_ray.config import PkPlacement
+    from scylla_cdc_source_connector_ray.stages.envelope import flatten_envelope
+
+    cfg = EngineConfig(
+        num_shards=32,
+        pk_placements=(PkPlacement.KAFKA_KEY, PkPlacement.HEADERS),
+    )
+    env = cap.capture(cap.read_transcripts_from_events(sf_dir), cfg)
+
+    def fl(t):
+        h = t["headers"].combine_chunks()
+        out = flatten_envelope(t)
+        out = out.append_column("hdr_pk_conv_id", pc.struct_field(h, "pk.conv_id"))
+        return out.append_column("hdr_ck_turn_idx", pc.struct_field(h, "ck.turn_idx"))
+
+    return env.map_batches(fl, batch_format="pyarrow")
+
+
 def _q_cdc_capture_evolved(sf_dir: str):
     """Schema evolution end-to-end (reference ST4): build a two-generation
     log from the events table (generation 1 = base schema, generation 2 adds
@@ -521,6 +552,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_partition_delete": _q_cdc_partition_delete,
         "cdc_compaction_pd": _q_cdc_compaction_pd,
         "cdc_capture_evolved": _q_cdc_capture_evolved,
+        "cdc_capture_headers": _q_cdc_capture_headers,
+        "cdc_ttl_deletes": _q_cdc_ttl_deletes,
         "cdc_capture_salted": _q_cdc_capture_salted,
         "cdc_capture_only_updated": _q_cdc_capture_only_updated,
         "win_ops_by_window": _q_win_ops_by_window,
@@ -565,6 +598,8 @@ def oracle_sql() -> dict[str, str]:
         "cdc_partition_delete": oracles.CDC_PARTITION_DELETE,
         "cdc_compaction_pd": oracles.CDC_COMPACTION_PD,
         "cdc_capture_evolved": oracles.CDC_CAPTURE_EVOLVED,
+        "cdc_capture_headers": oracles.CDC_CAPTURE_HEADERS,
+        "cdc_ttl_deletes": oracles.CDC_TTL_DELETES,
         "cdc_capture_salted": oracles.CDC_CAPTURE_SALTED,
         "cdc_capture_only_updated": oracles.CDC_CAPTURE_ONLY_UPDATED,
         "win_ops_by_window": oracles.WIN_OPS_BY_WINDOW,

@@ -32,6 +32,10 @@ class PkPlacement(str, enum.Enum):
     PAYLOAD_BEFORE = "payload-before"
     PAYLOAD_AFTER = "payload-after"
     PAYLOAD_KEY = "payload-key"  # a dedicated flat payload field
+    #: one header per pk/ck column named ``pk.<col>`` / ``ck.<col>``
+    #: (reference ``ScyllaChangeRecordEmitter.java:816-901``); Parquet has no
+    #: record headers, so they ride as a ``headers`` struct column
+    HEADERS = "headers"
 
 
 @dataclasses.dataclass

@@ -676,3 +676,41 @@ SELECT conv_id, turn_idx,
 FROM ev
 WINDOW w AS (PARTITION BY conv_id, turn_idx ORDER BY stage, ts, seq)
 """
+
+#: M9 headers placement: pk/ck columns duplicated into header fields
+#: (reference ScyllaChangeRecordEmitter.java:816-901)
+CDC_CAPTURE_HEADERS = (
+    CDC_EVENTS_CTE
+    + """
+SELECT conv_id, turn_idx, op,
+       before_role, before_text, before_tool, before_ts,
+       after_role, after_text, after_tool, after_ts,
+       seq,
+       conv_id AS hdr_pk_conv_id,
+       turn_idx AS hdr_ck_turn_idx
+FROM cdc_events
+"""
+)
+
+#: per-row TTL expiry (reference CdcPerRowTtlDeleteIT.java:121-218): a live
+#: row expires ttl after its write unless a later same-key write lands first;
+#: expiries materialize only inside the observed log timespan
+TTL_US = 6 * 3_600_000_000
+
+CDC_TTL_DELETES = f"""
+WITH transcripts AS ({TRANSCRIPTS_SQL}),
+r AS (
+    SELECT *, lead(epoch_us(ts)) OVER
+        (PARTITION BY conv_id, turn_idx ORDER BY ts, seq) AS next_ts_us
+    FROM transcripts
+),
+h AS (SELECT max(epoch_us(ts)) AS horizon FROM transcripts)
+SELECT conv_id, turn_idx, 'd' AS op,
+       role AS before_role, text AS before_text, tool AS before_tool,
+       ts AS before_ts,
+       epoch_us(ts) + {TTL_US} AS expire_ts_us, seq
+FROM r CROSS JOIN h
+WHERE text IS NOT NULL
+  AND (next_ts_us IS NULL OR next_ts_us > epoch_us(ts) + {TTL_US})
+  AND epoch_us(ts) + {TTL_US} <= horizon
+"""

@@ -210,6 +210,27 @@ def compaction_pd(ds: ray.data.Dataset, cfg: EngineConfig) -> ray.data.Dataset:
     )
 
 
+def ttl_deletes(ds: ray.data.Dataset, cfg: EngineConfig, ttl_us: int) -> ray.data.Dataset:
+    """Per-row TTL expiry events (reference ``CdcPerRowTtlDeleteIT``): same
+    single keyed shuffle as capture; the log-wide horizon is one column-pruned
+    aggregate computed up front."""
+    import pyarrow.compute as pc
+
+    from ..stages.ttl import ttl_delete_events
+
+    def _max_ts(b: pa.Table) -> pa.Table:
+        return pa.table({"m": [pc.max(b["ts"].cast(pa.int64())).as_py()]})
+
+    parts = ds.select_columns(["ts"]).map_batches(_max_ts, batch_format="pyarrow").take_all()
+    horizon_us = max(r["m"] for r in parts if r["m"] is not None)
+
+    sharded = ds.map_batches(lambda b: with_shard(b, cfg.num_shards), batch_format="pyarrow")
+    return sharded.groupby("shard").map_groups(
+        lambda t: ttl_delete_events(t.drop_columns(["shard"]), ttl_us, horizon_us),
+        batch_format="pyarrow",
+    )
+
+
 def capture_flat(ds: ray.data.Dataset, cfg: EngineConfig) -> ray.data.Dataset:
     """Capture, then flatten the envelope back to plain columns — the shape
     the DuckDB oracle emits (drops engine-internal shard/modified cols)."""

@@ -133,6 +133,16 @@ def build_envelope(
     # extra PK placements (reference M9, ScyllaConnectorConfig.java:909-959)
     if PkPlacement.PAYLOAD_KEY in cfg.pk_placements:
         out["payload_key"] = key
+    if PkPlacement.HEADERS in cfg.pk_placements:
+        # one header per pk/ck column, named like the reference's record
+        # headers (ScyllaChangeRecordEmitter.java:816-901)
+        out["headers"] = pa.StructArray.from_arrays(
+            [
+                tbl["conv_id"].combine_chunks(),
+                tbl["turn_idx"].combine_chunks().cast(pa.int32()),
+            ],
+            names=["pk.conv_id", "ck.turn_idx"],
+        )
     cols = pa.table(out)
     if SEQ_COL in tbl.column_names:
         cols = cols.append_column(SEQ_COL, tbl[SEQ_COL].combine_chunks())
