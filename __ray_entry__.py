@@ -284,6 +284,43 @@ def _q_cdc_compaction_pd(sf_dir: str):
     return cap.compaction_pd(_read_transcripts_pd(sf_dir), _CFG)
 
 
+def _q_cdc_multi_table(sf_dir: str):
+    """Multi-table routing (reference ScyllaTopicSelector.java:7-24): events
+    split into two logical tables by a deterministic rule; each table is
+    captured with its OWN independent CDC fold (per-table state, like the
+    reference's per-topic source tasks) and stamped with its table name."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray.data
+
+    from scylla_cdc_source_connector_ray.sources.events_adapter import (
+        events_to_transcripts,
+    )
+
+    def one(name: str, keep_low: bool):
+        def adapt(b: pa.Table) -> pa.Table:
+            mask = pc.less(b["value"], 50.0)
+            b = b.filter(mask if keep_low else pc.invert(mask))
+            return events_to_transcripts(b)
+
+        ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet")).map_batches(
+            adapt, batch_format="pyarrow"
+        )
+        cfg = EngineConfig(num_shards=16, table_name=name)
+        flat = cap.capture_flat(ds, cfg)
+        return flat.map_batches(
+            lambda t: t.append_column(
+                "table_name", pa.array([name] * t.num_rows, pa.string())
+            ),
+            batch_format="pyarrow",
+        )
+
+    return one("t_low", True).union(one("t_high", False))
+
+
 TTL_US = 6 * 3_600_000_000  # 6h row TTL for the gated query
 
 
@@ -554,6 +591,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_capture_evolved": _q_cdc_capture_evolved,
         "cdc_capture_headers": _q_cdc_capture_headers,
         "cdc_ttl_deletes": _q_cdc_ttl_deletes,
+        "cdc_multi_table": _q_cdc_multi_table,
         "cdc_capture_salted": _q_cdc_capture_salted,
         "cdc_capture_only_updated": _q_cdc_capture_only_updated,
         "win_ops_by_window": _q_win_ops_by_window,
@@ -600,6 +638,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_capture_evolved": oracles.CDC_CAPTURE_EVOLVED,
         "cdc_capture_headers": oracles.CDC_CAPTURE_HEADERS,
         "cdc_ttl_deletes": oracles.CDC_TTL_DELETES,
+        "cdc_multi_table": oracles.CDC_MULTI_TABLE,
         "cdc_capture_salted": oracles.CDC_CAPTURE_SALTED,
         "cdc_capture_only_updated": oracles.CDC_CAPTURE_ONLY_UPDATED,
         "win_ops_by_window": oracles.WIN_OPS_BY_WINDOW,

@@ -714,3 +714,46 @@ WHERE text IS NOT NULL
   AND (next_ts_us IS NULL OR next_ts_us > epoch_us(ts) + {TTL_US})
   AND epoch_us(ts) + {TTL_US} <= horizon
 """
+
+#: multi-table routing (reference ScyllaTopicSelector.java:7-24): each
+#: logical table gets an independent CDC fold — the window partitions by
+#: table as well as key
+CDC_MULTI_TABLE = """
+WITH ev AS (
+    SELECT *, CASE WHEN value < 50 THEN 't_low' ELSE 't_high' END AS tbl
+    FROM events
+),
+transcripts AS (
+    SELECT
+        tbl,
+        'conv' || CAST(user_id AS VARCHAR)            AS conv_id,
+        CAST(event_id % 20 AS INTEGER)                AS turn_idx,
+        CASE event_type
+            WHEN 'click' THEN 'user'
+            WHEN 'view' THEN 'assistant'
+            WHEN 'purchase' THEN 'tool'
+            WHEN 'signup' THEN 'system'
+            ELSE '__tombstone__'
+        END                                           AS role,
+        CASE WHEN event_type = 'error' THEN NULL ELSE props END AS text,
+        CASE WHEN event_type = 'purchase' THEN 'search' ELSE NULL END AS tool,
+        ts                                            AS ts,
+        event_id                                      AS seq
+    FROM ev
+)
+SELECT conv_id, turn_idx,
+    CASE WHEN text IS NULL THEN 'd'
+         WHEN row_number() OVER w = 1 THEN 'c' ELSE 'u' END            AS op,
+    lag(CASE WHEN text IS NULL THEN NULL ELSE role END) OVER w         AS before_role,
+    lag(text) OVER w                                                   AS before_text,
+    lag(CASE WHEN text IS NULL THEN NULL ELSE tool END) OVER w         AS before_tool,
+    lag(CASE WHEN text IS NULL THEN NULL ELSE ts END) OVER w           AS before_ts,
+    CASE WHEN text IS NULL THEN NULL ELSE role END                     AS after_role,
+    text                                                               AS after_text,
+    CASE WHEN text IS NULL THEN NULL ELSE tool END                     AS after_tool,
+    CASE WHEN text IS NULL THEN NULL ELSE ts END                       AS after_ts,
+    seq,
+    tbl AS table_name
+FROM transcripts
+WINDOW w AS (PARTITION BY tbl, conv_id, turn_idx ORDER BY ts, seq)
+"""
