@@ -162,6 +162,50 @@ def _q_cdc_capture_collections(sf_dir: str):
     return flat.map_batches(scalarize, batch_format="pyarrow")
 
 
+def _q_cdc_capture_maps(sf_dir: str):
+    """M8 map widening: a map<int64,string> value column (attrs) — kept as
+    the reference's array-of-{key,value}-structs form (non-string keys,
+    ScyllaSchema.java:340-389) through shard → derive, flattened to a
+    canonical ``k:v,...`` string only for the gate. NULL vs {} vs entries are
+    three distinct states."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from scylla_cdc_source_connector_ray.schema import MAP_VALUE_COLS
+
+    ds = cap.read_transcripts_from_events(
+        sf_dir,
+        columns=["conv_id", "turn_idx", "role", "text", "tool", "attrs", "ts", "seq"],
+    )
+    flat = cap.derive_stage(ds, _CFG, value_cols=MAP_VALUE_COLS)
+
+    def canon(col):
+        col = col.combine_chunks()
+        entries = col.values
+        enc = pc.binary_join_element_wise(
+            pc.struct_field(entries, "key").cast(pa.string()),
+            pc.struct_field(entries, "value"),
+            ":",
+        )
+        lst = pa.ListArray.from_arrays(col.offsets, enc, mask=pc.is_null(col))
+        return pc.binary_join(lst, ",")
+
+    def scalarize(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "conv_id": t["conv_id"].combine_chunks(),
+                "turn_idx": t["turn_idx"].combine_chunks(),
+                "op": t["op"].combine_chunks(),
+                "seq": t["seq"].combine_chunks(),
+                "before_attrs_csv": canon(t["before_attrs"]),
+                "after_attrs_csv": canon(t["after_attrs"]),
+                "modified_cols": t["modified_cols"].combine_chunks(),
+            }
+        )
+
+    return flat.map_batches(scalarize, batch_format="pyarrow")
+
+
 def _q_cdc_extract_new_state(sf_dir: str):
     from scylla_cdc_source_connector_ray.stages.transforms import (
         apply_post_transforms,
@@ -592,6 +636,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_capture_headers": _q_cdc_capture_headers,
         "cdc_ttl_deletes": _q_cdc_ttl_deletes,
         "cdc_multi_table": _q_cdc_multi_table,
+        "cdc_capture_maps": _q_cdc_capture_maps,
         "cdc_capture_salted": _q_cdc_capture_salted,
         "cdc_capture_only_updated": _q_cdc_capture_only_updated,
         "win_ops_by_window": _q_win_ops_by_window,
@@ -639,6 +684,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_capture_headers": oracles.CDC_CAPTURE_HEADERS,
         "cdc_ttl_deletes": oracles.CDC_TTL_DELETES,
         "cdc_multi_table": oracles.CDC_MULTI_TABLE,
+        "cdc_capture_maps": oracles.CDC_CAPTURE_MAPS,
         "cdc_capture_salted": oracles.CDC_CAPTURE_SALTED,
         "cdc_capture_only_updated": oracles.CDC_CAPTURE_ONLY_UPDATED,
         "win_ops_by_window": oracles.WIN_OPS_BY_WINDOW,

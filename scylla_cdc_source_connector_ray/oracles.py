@@ -757,3 +757,55 @@ SELECT conv_id, turn_idx,
 FROM transcripts
 WINDOW w AS (PARTITION BY tbl, conv_id, turn_idx ORDER BY ts, seq)
 """
+
+#: M8 map widening twin: attrs (map<int64,string> as key-ordered entry
+#: structs) flattened to a canonical 'k:v,...' encoding on both sides;
+#: NULL vs '' (empty map) vs entries are three distinct states
+CDC_CAPTURE_MAPS = """
+WITH transcripts AS (
+    SELECT
+        'conv' || CAST(user_id AS VARCHAR)            AS conv_id,
+        CAST(event_id % 20 AS INTEGER)                AS turn_idx,
+        CASE WHEN event_type = 'error' THEN NULL ELSE props END AS text,
+        CASE WHEN event_type = 'error' THEN NULL
+             WHEN value < 1 THEN ''
+             WHEN value >= 10 THEN '0:' || event_type || ',7:high'
+             ELSE '0:' || event_type END              AS attrs_csv,
+        CASE event_type
+            WHEN 'click' THEN 'user'
+            WHEN 'view' THEN 'assistant'
+            WHEN 'purchase' THEN 'tool'
+            WHEN 'signup' THEN 'system'
+            ELSE '__tombstone__'
+        END                                           AS role,
+        CASE WHEN event_type = 'purchase' THEN 'search' ELSE NULL END AS tool,
+        ts, event_id AS seq
+    FROM events
+),
+cdc AS (
+    SELECT conv_id, turn_idx,
+        CASE WHEN text IS NULL THEN 'd'
+             WHEN row_number() OVER w = 1 THEN 'c'
+             ELSE 'u' END AS op,
+        CASE WHEN text IS NULL THEN NULL ELSE role END      AS a_role,
+        text                                                AS a_text,
+        CASE WHEN text IS NULL THEN NULL ELSE tool END      AS a_tool,
+        attrs_csv                                           AS a_attrs,
+        lag(CASE WHEN text IS NULL THEN NULL ELSE role END) OVER w AS b_role,
+        lag(text) OVER w                                    AS b_text,
+        lag(CASE WHEN text IS NULL THEN NULL ELSE tool END) OVER w AS b_tool,
+        lag(attrs_csv) OVER w                               AS b_attrs,
+        seq
+    FROM transcripts
+    WINDOW w AS (PARTITION BY conv_id, turn_idx ORDER BY ts, seq)
+)
+SELECT conv_id, turn_idx, op, seq,
+       b_attrs AS before_attrs_csv, a_attrs AS after_attrs_csv,
+       ltrim(concat(
+           CASE WHEN a_attrs IS DISTINCT FROM b_attrs THEN ',attrs' ELSE '' END,
+           CASE WHEN a_role IS DISTINCT FROM b_role THEN ',role' ELSE '' END,
+           CASE WHEN a_text IS DISTINCT FROM b_text THEN ',text' ELSE '' END,
+           CASE WHEN a_tool IS DISTINCT FROM b_tool THEN ',tool' ELSE '' END
+       ), ',') AS modified_cols
+FROM cdc
+"""

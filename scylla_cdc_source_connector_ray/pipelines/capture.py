@@ -43,6 +43,7 @@ _EVENT_DEPS = {
     "text": ["props", "event_type"],
     "tool": ["event_type"],
     "tags": ["event_type", "value"],
+    "attrs": ["event_type", "value"],
     "meta": ["event_type", "props"],
     "ts": ["ts"],
     "seq": ["event_id"],

@@ -56,6 +56,14 @@ META_TYPE = pa.struct([("k", pa.int64()), ("src", pa.string())])
 #: transcript schema extended with the collection columns
 COLLECTION_VALUE_COLS = ("role", "text", "tool", "tags", "meta", "ts")
 
+#: map<K,V> value column, represented the way the reference emits maps —
+#: an array of {key, value} structs in key order, non-string keys included
+#: (``ScyllaSchema.java:340-389``: map → ARRAY of key/value STRUCTs)
+ATTRS_TYPE = pa.list_(pa.struct([("key", pa.int64()), ("value", pa.string())]))
+
+#: transcript schema extended with the map column
+MAP_VALUE_COLS = ("role", "text", "tool", "attrs", "ts")
+
 _VALUE_TYPES = {
     "role": pa.string(),
     "text": pa.string(),
@@ -63,6 +71,7 @@ _VALUE_TYPES = {
     "ts": pa.timestamp("us"),
     "tags": TAGS_TYPE,
     "meta": META_TYPE,
+    "attrs": ATTRS_TYPE,
 }
 
 
@@ -172,9 +181,26 @@ def select_agg(tbl: pa.Table, keys: list[str], renames: list[tuple[str, str]]) -
 
 #: unit separator — assumed absent from list elements (documented constraint)
 _LIST_SEP = "\x1f"
+_KV_SEP = "\x02"  # key/value separator inside one map entry
 _LJ = "__lj"  # list<string> → joined string
+_MJ = "__mj"  # map (list<struct<key,value>>) → joined entry string
 _SF = "__sf__"  # struct field → flat column
 _SP = "__sp"  # struct presence flag
+
+
+def map_entries_joined(col: pa.Array) -> pa.Array:
+    """Canonical injective string for a map column (list<struct<key,value>>):
+    entries as ``key\\x02value`` joined with ``\\x1f`` (NULL map → NULL, empty
+    map → ''). Constraint (documented): map values must not contain the
+    separators. Used for transport AND for modified-column comparison."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    entries = col.values
+    k = pc.struct_field(entries, "key").cast(pa.string())
+    v = pc.struct_field(entries, "value")
+    enc = pc.binary_join_element_wise(k, v, _KV_SEP)
+    lst = pa.ListArray.from_arrays(col.offsets, enc, mask=pc.is_null(col))
+    return pc.binary_join(lst, _LIST_SEP)
 
 
 def encode_nested(t: pa.Table) -> pa.Table:
@@ -188,6 +214,10 @@ def encode_nested(t: pa.Table) -> pa.Table:
             t = t.drop_columns([name]).append_column(
                 name + _LJ, pc.binary_join(col, _LIST_SEP)
             )
+        elif pa.types.is_list(typ) and pa.types.is_struct(typ.value_type):
+            # map column (array of key/value structs)
+            col = t[name].combine_chunks()
+            t = t.drop_columns([name]).append_column(name + _MJ, map_entries_joined(col))
         elif pa.types.is_struct(typ):
             col = t[name].combine_chunks()
             out = t.drop_columns([name])
@@ -225,6 +255,32 @@ def decode_nested(t: pa.Table) -> pa.Table:
             pa.array(new_offs, pa.int32()),
             vals.filter(pa.array(keep)) if len(vals) else vals,
             mask=pa.array(null_np),
+        )
+        t = t.drop_columns([name]).append_column(base, rebuilt)
+    # map columns (list<struct<key,value>>)
+    for name in [n for n in t.column_names if n.endswith(_MJ)]:
+        base = name[: -len(_MJ)]
+        j = t[name].combine_chunks().cast(pa.string())
+        null_np = pc.is_null(j).to_numpy(zero_copy_only=False)
+        empty_np = pc.fill_null(pc.equal(j, ""), False).to_numpy(zero_copy_only=False)
+        lst = pc.split_pattern(j, _LIST_SEP)
+        offs = lst.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        lens = np.diff(offs)
+        row_of_val = np.repeat(np.arange(len(j)), lens)
+        keep = ~empty_np[row_of_val]
+        lens = lens.copy()
+        lens[empty_np] = 0
+        new_offs = np.zeros(len(j) + 1, dtype=np.int32)
+        np.cumsum(lens, out=new_offs[1:])
+        flat = lst.values.filter(pa.array(keep)) if len(lst.values) else lst.values
+        kv = pc.split_pattern(flat, _KV_SEP)  # each entry → exactly [key, value]
+        kvv = kv.values
+        idx = np.arange(len(flat), dtype=np.int64) * 2
+        keys = kvv.take(pa.array(idx)).cast(pa.int64())
+        vals = kvv.take(pa.array(idx + 1))
+        entries = pa.StructArray.from_arrays([keys, vals], names=["key", "value"])
+        rebuilt = pa.ListArray.from_arrays(
+            pa.array(new_offs, pa.int32()), entries, mask=pa.array(null_np)
         )
         t = t.drop_columns([name]).append_column(base, rebuilt)
     # struct columns

@@ -79,6 +79,8 @@ def events_to_transcripts(batch: pa.Table, columns: list[str] | None = None) -> 
         cols["tool"] = pc.if_else(is_buy, pa.scalar("search"), pa.nulls(n, pa.string()))
     if "tags" in want:
         cols["tags"] = _tags_col(batch)
+    if "attrs" in want:
+        cols["attrs"] = _attrs_col(batch)
     if "meta" in want:
         cols["meta"] = _meta_col(batch)
     if "ts" in want:
@@ -157,6 +159,39 @@ def _tags_col(batch: pa.Table) -> pa.Array:
     return pa.ListArray.from_arrays(
         pa.array(offsets, pa.int32()), pa.array(values, pa.string()), mask=pa.array(err)
     )
+
+
+def _attrs_col(batch: pa.Table) -> pa.Array:
+    """``map<int64, string>`` value column as the reference emits maps — an
+    array of {key, value} structs in key order with NON-string keys
+    (``ScyllaSchema.java:340-389``). Three distinct states by construction:
+
+        attrs = NULL                            when event_type = 'error'
+              = {}                              when value < 1
+              = {0: event_type}                 when 1 <= value < 10
+              = {0: event_type, 7: 'high'}      when value >= 10
+    """
+    import numpy as np
+
+    et = batch["event_type"].combine_chunks().to_numpy(zero_copy_only=False)
+    val = batch["value"].combine_chunks().to_numpy(zero_copy_only=False)
+    err = et == "error"
+    counts = np.where(err | (val < 1), 0, np.where(val >= 10, 2, 1))
+    offsets = np.zeros(len(et) + 1, dtype=np.int32)
+    np.cumsum(counts, out=offsets[1:])
+    keys: list[int] = []
+    values: list[str] = []
+    for e, c in zip(et, counts):
+        if c >= 1:
+            keys.append(0)
+            values.append(e)
+        if c == 2:
+            keys.append(7)
+            values.append("high")
+    entries = pa.StructArray.from_arrays(
+        [pa.array(keys, pa.int64()), pa.array(values, pa.string())], names=["key", "value"]
+    )
+    return pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), entries, mask=pa.array(err))
 
 
 def _meta_col(batch: pa.Table) -> pa.Array:

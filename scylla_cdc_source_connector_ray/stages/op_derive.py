@@ -83,6 +83,12 @@ def _values_neq(a: pa.Array, b: pa.Array) -> pa.Array:
     * flat: plain null-aware ``not_equal``
     """
     t = a.type
+    if (pa.types.is_list(t) or pa.types.is_large_list(t)) and pa.types.is_struct(t.value_type):
+        # map column (array of key/value structs in key order): canonical
+        # injective entry encoding, so NULL / {} / entries are distinct states
+        from ..schema import map_entries_joined
+
+        return _scalar_neq(map_entries_joined(a), map_entries_joined(b))
     if pa.types.is_list(t) or pa.types.is_large_list(t):
         if not pa.types.is_string(t.value_type):
             raise TypeError(f"list value compare only supports list<string>, got {t}")

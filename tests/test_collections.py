@@ -100,3 +100,49 @@ def test_collections_envelope_roundtrip_and_only_updated():
     assert meta[2] == {"k": 2, "src": "x"} and tags[2] is None
     # row 3 emptied tags -> [] kept (present-but-empty, not NULL)
     assert tags[3] == []
+
+
+# --- map (list<struct<key,value>>) value columns — M8 map widening ---------
+
+
+def _attrs(entries_per_row):
+    """entries_per_row: list of None | list[(k, v)]"""
+    import numpy as np
+
+    keys, vals = [], []
+    offsets = [0]
+    mask = []
+    for row in entries_per_row:
+        if row is None:
+            mask.append(True)
+            offsets.append(offsets[-1])
+            continue
+        mask.append(False)
+        for k, v in row:
+            keys.append(k)
+            vals.append(v)
+        offsets.append(offsets[-1] + len(row))
+    entries = pa.StructArray.from_arrays(
+        [pa.array(keys, pa.int64()), pa.array(vals, pa.string())], names=["key", "value"]
+    )
+    return pa.ListArray.from_arrays(
+        pa.array(offsets, pa.int32()), entries, mask=pa.array(mask)
+    )
+
+
+def test_map_codec_round_trip():
+    from scylla_cdc_source_connector_ray.schema import decode_nested, encode_nested
+
+    col = _attrs([None, [], [(0, "a")], [(0, "a"), (7, "high")], []])
+    t = pa.table({"x": pa.array([1, 2, 3, 4, 5], pa.int64()), "attrs": col})
+    rt = decode_nested(encode_nested(t))
+    assert rt["attrs"].combine_chunks().to_pylist() == col.to_pylist()
+    assert rt["x"].to_pylist() == t["x"].to_pylist()
+
+
+def test_map_values_neq_three_states():
+    from scylla_cdc_source_connector_ray.stages.op_derive import _values_neq
+
+    a = _attrs([None, [], [(0, "a")], [(0, "a")], None])
+    b = _attrs([None, None, [(0, "a")], [(0, "b")], []])
+    assert _values_neq(a, b).to_pylist() == [False, True, False, True, True]
