@@ -430,8 +430,11 @@ def _q_cdc_capture_evolved(sf_dir: str):
     )
     t2 = t2.append_column("lang", lang)
 
+    # pid suffix: concurrent invocations (driver + local gate) must not
+    # rmtree each other's log/checkpoint mid-run
     base = os.path.join(
-        "/tmp/scylla_cdc_evolved", hashlib.md5(f"{sf_dir}:{cut}".encode()).hexdigest()[:12]
+        "/tmp/scylla_cdc_evolved",
+        hashlib.md5(f"{sf_dir}:{cut}".encode()).hexdigest()[:12] + f"-{os.getpid()}",
     )
     shutil.rmtree(base, ignore_errors=True)
     log = os.path.join(base, "log")

@@ -103,9 +103,12 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     num_shards = BENCH_SHARDS  # fixed: same job at every CPU level
 
     def timed(name: str, fn) -> None:
-        """Median wall time of ``fn`` over REPEATS runs."""
+        """Median wall time of ``fn`` over REPEATS runs. ``os.sync()`` before
+        each sample (untimed) so one repeat's dirty writeback doesn't throttle
+        the next — the dominant cross-repeat interference on this disk."""
         times = []
         for _ in range(REPEATS):
+            os.sync()
             t0 = time.perf_counter()
             fn()
             times.append(time.perf_counter() - t0)
@@ -138,6 +141,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
             sink_dir=f"{rep_scratch}/out",
             checkpoint_dir=f"{rep_scratch}/ckpt",
         )
+        os.sync()  # flush the previous repeat's writeback, untimed
         t0 = time.perf_counter()
         runner = CaptureRunner(blog_dir, cfg)
         totals = runner.run(files_per_batch=4)

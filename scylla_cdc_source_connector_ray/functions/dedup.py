@@ -19,6 +19,8 @@ from __future__ import annotations
 
 import hashlib
 
+import re
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -72,6 +74,16 @@ _MERSENNE = (1 << 61) - 1
 _GRAM_B = np.uint64(1000003)  # polynomial base for the word-hash fold
 
 
+#: ASCII-whitespace splitter matching the oracle's RE2 ``\\s+``
+#: (regexp_split_to_array): Python ``str.split()`` also splits on Unicode
+#: whitespace (NBSP, \x1c-\x1f), which would diverge from DuckDB
+_WS_RE = re.compile(r"[ \t\n\r\f\v]+")
+
+
+def _ws_split(text: str) -> list[str]:
+    return [w for w in _WS_RE.split(text) if w]
+
+
 def _word_hash(word: str) -> int:
     """Word hash shared with the SQL oracle: little-endian uint64 of the
     first 8 md5 bytes (DuckDB ``md5_number_upper``), reduced mod 2^61-1."""
@@ -86,7 +98,7 @@ def _word_ngram_hashes(text: str, n: int) -> np.ndarray:
     Reference implementation (tests + Jaccard verify); the batch hot path is
     :func:`_batch_gram_hashes`. Exactly mirrored by the DuckDB oracle in
     ``oracles.DEDUP_MINHASH_LSH`` — change both together or neither."""
-    words = text.lower().split()
+    words = _ws_split(text.lower())
     if not words:
         return np.zeros(0, dtype=np.uint64)
     wh = [_word_hash(w) for w in words]
@@ -110,7 +122,7 @@ def _batch_gram_hashes(texts, n: int) -> tuple[np.ndarray, np.ndarray]:
     """Vectorized :func:`_word_ngram_hashes` over a whole batch: md5 once per
     *unique word* (the only Python loop), polynomial fold and per-doc dedup in
     numpy. Returns (flat sorted-unique gram hashes, doc offsets len D+1)."""
-    words_per_doc = [t.lower().split() for t in texts]
+    words_per_doc = [_ws_split(t.lower()) for t in texts]
     lens = np.array([len(w) for w in words_per_doc], dtype=np.int64)
     D = len(lens)
     flat_words = [w for ws in words_per_doc for w in ws]

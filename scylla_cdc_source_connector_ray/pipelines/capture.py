@@ -223,7 +223,14 @@ def ttl_deletes(ds: ray.data.Dataset, cfg: EngineConfig, ttl_us: int) -> ray.dat
         return pa.table({"m": [pc.max(b["ts"].cast(pa.int64())).as_py()]})
 
     parts = ds.select_columns(["ts"]).map_batches(_max_ts, batch_format="pyarrow").take_all()
-    horizon_us = max(r["m"] for r in parts if r["m"] is not None)
+    stamps = [r["m"] for r in parts if r["m"] is not None]
+    if not stamps:  # empty log (or all-NULL ts): no timespan, no expiries
+        import ray.data as _rd
+
+        from ..stages.ttl import ttl_delete_events
+
+        return _rd.from_arrow(ttl_delete_events(pa.table({}), ttl_us, 0))
+    horizon_us = max(stamps)
 
     sharded = ds.map_batches(lambda b: with_shard(b, cfg.num_shards), batch_format="pyarrow")
     return sharded.groupby("shard").map_groups(

@@ -188,19 +188,74 @@ _SF = "__sf__"  # struct field → flat column
 _SP = "__sp"  # struct presence flag
 
 
-def map_entries_joined(col: pa.Array) -> pa.Array:
-    """Canonical injective string for a map column (list<struct<key,value>>):
-    entries as ``key\\x02value`` joined with ``\\x1f`` (NULL map → NULL, empty
-    map → ''). Constraint (documented): map values must not contain the
-    separators. Used for transport AND for modified-column comparison."""
+_CNT_SEP = "\x1e"  # count prefix separator of the flat list encoding
+
+
+def join_counted(lst: pa.Array | pa.ChunkedArray) -> pa.Array:
+    """Injective flat encoding of a list<string>: ``<n>\\x1e<el1>\\x1f<el2>…``
+    (NULL list → NULL). The element-count prefix disambiguates ``[]``
+    (``0\\x1e``) from ``[""]`` (``1\\x1e``) — a plain join collides there.
+    Constraint (documented): elements must not contain the separators."""
+    if isinstance(lst, pa.ChunkedArray):
+        lst = lst.combine_chunks()
+    n = pc.list_value_length(lst).cast(pa.string())
+    return pc.binary_join_element_wise(n, pc.binary_join(lst, _LIST_SEP), _CNT_SEP)
+
+
+def split_counted(j: pa.Array | pa.ChunkedArray) -> pa.ListArray:
+    """Inverse of :func:`join_counted` (vectorized)."""
+    import numpy as np
+
+    if isinstance(j, pa.ChunkedArray):
+        j = j.combine_chunks()
+    j = j.cast(pa.string())
+    n = len(j)
+    null_np = pc.is_null(j).to_numpy(zero_copy_only=False)
+    parts = pc.split_pattern(j, _CNT_SEP, max_splits=1)  # [count, joined] per valid row
+    pv = parts.values
+    offs = parts.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    valid = ~null_np
+    start = offs[:-1]
+    counts = np.zeros(n, dtype=np.int64)
+    if valid.any():
+        counts[valid] = pc.cast(pv.take(pa.array(start[valid])), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        rest = pv.take(pa.array(start[valid] + 1))
+    else:
+        rest = pa.array([], pa.string())
+    inner = pc.split_pattern(rest, _LIST_SEP)  # '' → [''], dropped where count == 0
+    ilens = np.diff(inner.offsets.to_numpy(zero_copy_only=False).astype(np.int64))
+    cvalid = counts[valid]
+    row_of_val = np.repeat(np.arange(len(ilens)), ilens)
+    keep = cvalid[row_of_val] != 0 if len(ilens) else np.zeros(0, dtype=bool)
+    vals = inner.values.filter(pa.array(keep)) if len(inner.values) else inner.values
+    lens = np.zeros(n, dtype=np.int64)
+    lens[valid] = np.where(cvalid == 0, 0, ilens)
+    new_offs = np.zeros(n + 1, dtype=np.int32)
+    np.cumsum(lens, out=new_offs[1:])
+    return pa.ListArray.from_arrays(pa.array(new_offs, pa.int32()), vals, mask=pa.array(null_np))
+
+
+def map_entry_strings(col: pa.Array | pa.ChunkedArray) -> pa.ListArray:
+    """Map column (list<struct<key,value>>) → list of ``key\\x02value``
+    strings with the same offsets/nullness."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     entries = col.values
     k = pc.struct_field(entries, "key").cast(pa.string())
     v = pc.struct_field(entries, "value")
     enc = pc.binary_join_element_wise(k, v, _KV_SEP)
-    lst = pa.ListArray.from_arrays(col.offsets, enc, mask=pc.is_null(col))
-    return pc.binary_join(lst, _LIST_SEP)
+    return pa.ListArray.from_arrays(col.offsets, enc, mask=pc.is_null(col))
+
+
+def map_entries_joined(col: pa.Array | pa.ChunkedArray) -> pa.Array:
+    """Canonical injective string for a map column: count-prefixed
+    ``key\\x02value`` entries joined with ``\\x1f`` (NULL map → NULL; ``{}``
+    and entry sets all distinct). Constraint (documented): map values must
+    not contain the separators. Used for transport AND for the
+    modified-column comparison."""
+    return join_counted(map_entry_strings(col))
 
 
 def encode_nested(t: pa.Table) -> pa.Table:
@@ -211,9 +266,7 @@ def encode_nested(t: pa.Table) -> pa.Table:
         typ = t.schema.field(name).type
         if pa.types.is_list(typ) and pa.types.is_string(typ.value_type):
             col = t[name].combine_chunks()
-            t = t.drop_columns([name]).append_column(
-                name + _LJ, pc.binary_join(col, _LIST_SEP)
-            )
+            t = t.drop_columns([name]).append_column(name + _LJ, join_counted(col))
         elif pa.types.is_list(typ) and pa.types.is_struct(typ.value_type):
             # map column (array of key/value structs)
             col = t[name].combine_chunks()
@@ -238,41 +291,12 @@ def decode_nested(t: pa.Table) -> pa.Table:
     # list<string> columns
     for name in [n for n in names if n.endswith(_LJ)]:
         base = name[: -len(_LJ)]
-        j = t[name].combine_chunks().cast(pa.string())
-        null_np = pc.is_null(j).to_numpy(zero_copy_only=False)
-        empty_np = pc.fill_null(pc.equal(j, ""), False).to_numpy(zero_copy_only=False)
-        lst = pc.split_pattern(j, _LIST_SEP)  # NULL→null, ""→[""]
-        offs = lst.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-        vals = lst.values
-        lens = np.diff(offs)
-        row_of_val = np.repeat(np.arange(len(j)), lens)
-        keep = ~empty_np[row_of_val]  # drop the [""] singleton of empty lists
-        lens = lens.copy()
-        lens[empty_np] = 0
-        new_offs = np.zeros(len(j) + 1, dtype=np.int32)
-        np.cumsum(lens, out=new_offs[1:])
-        rebuilt = pa.ListArray.from_arrays(
-            pa.array(new_offs, pa.int32()),
-            vals.filter(pa.array(keep)) if len(vals) else vals,
-            mask=pa.array(null_np),
-        )
-        t = t.drop_columns([name]).append_column(base, rebuilt)
+        t = t.drop_columns([name]).append_column(base, split_counted(t[name]))
     # map columns (list<struct<key,value>>)
     for name in [n for n in t.column_names if n.endswith(_MJ)]:
         base = name[: -len(_MJ)]
-        j = t[name].combine_chunks().cast(pa.string())
-        null_np = pc.is_null(j).to_numpy(zero_copy_only=False)
-        empty_np = pc.fill_null(pc.equal(j, ""), False).to_numpy(zero_copy_only=False)
-        lst = pc.split_pattern(j, _LIST_SEP)
-        offs = lst.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-        lens = np.diff(offs)
-        row_of_val = np.repeat(np.arange(len(j)), lens)
-        keep = ~empty_np[row_of_val]
-        lens = lens.copy()
-        lens[empty_np] = 0
-        new_offs = np.zeros(len(j) + 1, dtype=np.int32)
-        np.cumsum(lens, out=new_offs[1:])
-        flat = lst.values.filter(pa.array(keep)) if len(lst.values) else lst.values
+        lst = split_counted(t[name])
+        flat = lst.values  # 'key\x02value' per entry
         kv = pc.split_pattern(flat, _KV_SEP)  # each entry → exactly [key, value]
         kvv = kv.values
         idx = np.arange(len(flat), dtype=np.int64) * 2
@@ -280,7 +304,7 @@ def decode_nested(t: pa.Table) -> pa.Table:
         vals = kvv.take(pa.array(idx + 1))
         entries = pa.StructArray.from_arrays([keys, vals], names=["key", "value"])
         rebuilt = pa.ListArray.from_arrays(
-            pa.array(new_offs, pa.int32()), entries, mask=pa.array(null_np)
+            lst.offsets, entries, mask=pc.is_null(lst)
         )
         t = t.drop_columns([name]).append_column(base, rebuilt)
     # struct columns

@@ -92,7 +92,10 @@ def _values_neq(a: pa.Array, b: pa.Array) -> pa.Array:
     if pa.types.is_list(t) or pa.types.is_large_list(t):
         if not pa.types.is_string(t.value_type):
             raise TypeError(f"list value compare only supports list<string>, got {t}")
-        return _scalar_neq(pc.binary_join(a, "\x1f"), pc.binary_join(b, "\x1f"))
+        from ..schema import join_counted
+
+        # count-prefixed join: injective even for [] vs [""]
+        return _scalar_neq(join_counted(a), join_counted(b))
     if pa.types.is_struct(t):
         res = pc.xor(pc.is_null(a), pc.is_null(b))
         both = pc.and_(pc.is_valid(a), pc.is_valid(b))

@@ -106,9 +106,11 @@ class Checkpoint:
 
     def gc_state(self, keep_batches: int = 2) -> None:
         """Drop state files older than the newest ``keep_batches`` per shard,
-        and prune manifest/metrics entries in the same pass (only the newest
-        manifest is needed for recovery — without this, tail-mode checkpoint
-        dirs grow unboundedly and every ``last_committed`` re-lists them)."""
+        and prune old manifests in the same pass (only the newest manifest is
+        needed for recovery — without this, tail-mode checkpoint dirs grow
+        unboundedly and every ``last_committed`` re-lists them). Per-batch
+        metrics JSON is deliberately NOT pruned: it is the run's lineage
+        record (north_rule), is never re-listed by the engine, and is tiny."""
         for kind in ("state", "wstate", "cstate", "sstate", "sessstate", "imgstate"):
             kd = os.path.join(self.dir, kind)
             if not os.path.isdir(kd):
@@ -120,7 +122,7 @@ class Checkpoint:
                 )
                 for f in files[:-keep_batches]:
                     os.unlink(os.path.join(d, f))
-        for flat in ("manifest", "metrics"):
+        for flat in ("manifest",):
             d = os.path.join(self.dir, flat)
             if not os.path.isdir(d):
                 continue

@@ -146,3 +146,18 @@ def test_map_values_neq_three_states():
     a = _attrs([None, [], [(0, "a")], [(0, "a")], None])
     b = _attrs([None, None, [(0, "a")], [(0, "b")], []])
     assert _values_neq(a, b).to_pylist() == [False, True, False, True, True]
+
+
+def test_list_codec_empty_string_element_injective():
+    """[''] and [] must survive the transport round-trip as distinct states
+    and register as a modification in the value diff."""
+    from scylla_cdc_source_connector_ray.schema import decode_nested, encode_nested
+    from scylla_cdc_source_connector_ray.stages.op_derive import _values_neq
+
+    col = pa.array([[""], [], None, ["", ""], ["a", ""]], pa.list_(pa.string()))
+    t = pa.table({"tags": col})
+    rt = decode_nested(encode_nested(t))
+    assert rt["tags"].combine_chunks().to_pylist() == col.to_pylist()
+    a = pa.array([[""], [], ["a"]], pa.list_(pa.string()))
+    b = pa.array([[], [""], ["a"]], pa.list_(pa.string()))
+    assert _values_neq(a, b).to_pylist() == [True, True, False]
