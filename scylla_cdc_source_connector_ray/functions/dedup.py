@@ -305,6 +305,51 @@ def lsh_bucket_rows(sig_batch: pd.DataFrame, bands: int = 16) -> pd.DataFrame:
     return pd.concat(recs, ignore_index=True)
 
 
+#: sub-partitions per band for pair generation: whole buckets stay together
+#: (partition = f(band, hash(band_key))) while one group task handles MANY
+#: buckets — per-group Python dispatch over ~O(corpus) tiny buckets was the
+#: dominant cost of the old groupby((band, band_key)) plan (25s of a 30s
+#: pipeline at sf0.1), and a salted coarse key also bounds group size at scale
+_BUCKET_SALT = 64
+
+
+def with_bucket_part(buckets: pd.DataFrame, salt: int = _BUCKET_SALT) -> pd.DataFrame:
+    part = pd.util.hash_array(buckets["band_key"].values.astype(object)) % salt
+    buckets = buckets.copy()
+    buckets["bucket_part"] = (buckets["band"].values * salt + part).astype(np.int64)
+    return buckets
+
+
+def candidate_pairs_grouped(g: pd.DataFrame) -> pd.DataFrame:
+    """All buckets of one salted partition → candidate pairs (a<b), pair
+    generation vectorized over bucket runs; only collision runs (k≥2) loop,
+    and each loops once per bucket, not per pair."""
+    empty = pd.DataFrame({"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64")})
+    if len(g) < 2:
+        return empty
+    g = g.sort_values(["band", "band_key", "doc_id"], kind="mergesort")
+    band = g["band"].values
+    key = g["band_key"].values
+    ids = g["doc_id"].values.astype(np.int64)
+    new = np.empty(len(g), dtype=bool)
+    new[0] = True
+    new[1:] = (band[1:] != band[:-1]) | (key[1:] != key[:-1])
+    run_id = np.cumsum(new) - 1
+    counts = np.bincount(run_id)
+    starts = np.concatenate(([0], np.cumsum(counts)))
+    a_parts, b_parts = [], []
+    for r in np.flatnonzero(counts >= 2):
+        k, s = counts[r], starts[r]
+        iu, ju = np.triu_indices(k, 1)
+        a_parts.append(ids[s + iu])
+        b_parts.append(ids[s + ju])
+    if not a_parts:
+        return empty
+    a = np.concatenate(a_parts)
+    b = np.concatenate(b_parts)
+    return pd.DataFrame({"a": np.minimum(a, b), "b": np.maximum(a, b)})
+
+
 def candidate_pairs_from_bucket(g: pd.DataFrame) -> pd.DataFrame:
     """One LSH bucket → all doc pairs (a<b). Buckets are small by design."""
     ids = np.sort(g["doc_id"].unique())
@@ -372,10 +417,10 @@ def minhash_lsh_dedup(
         fn_constructor_kwargs={"num_perm": num_perm, "ngram": ngram},
     ).materialize()  # fork point: consumed by both bucketing and verify
     buckets = sigs.select_columns(["doc_id", "sig"]).map_batches(
-        lambda b: lsh_bucket_rows(b, bands=bands), batch_format="pandas"
+        lambda b: with_bucket_part(lsh_bucket_rows(b, bands=bands)), batch_format="pandas"
     )
-    pairs = buckets.groupby(["band", "band_key"]).map_groups(
-        candidate_pairs_from_bucket, batch_format="pandas"
+    pairs = buckets.groupby("bucket_part").map_groups(
+        candidate_pairs_grouped, batch_format="pandas"
     )
     # dedup candidate pairs (same pair can fire in several bands): a plain
     # aggregate (no per-group Python) — one row per (a, b)
@@ -463,23 +508,53 @@ def simhash_near_dups(ds: ray.data.Dataset, max_hamming: int = 3) -> ray.data.Da
             )
         return pd.concat(recs, ignore_index=True)
 
-    buckets = sigs.map_batches(chunks, batch_format="pandas")
+    def add_part(batch: pd.DataFrame) -> pd.DataFrame:
+        # salted coarse grouping (see _BUCKET_SALT): whole buckets co-locate,
+        # one group task handles many buckets — avoids per-bucket Python
+        # dispatch over up to 4×2^16 tiny groups
+        batch = batch.copy()
+        batch["bucket_part"] = (
+            batch["chunk"].values * _BUCKET_SALT + batch["chunk_val"].values % _BUCKET_SALT
+        ).astype(np.int64)
+        return batch
+
+    buckets = sigs.map_batches(chunks, batch_format="pandas").map_batches(
+        add_part, batch_format="pandas"
+    )
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates("doc_id").sort_values("doc_id")
-        if len(g) < 2:
-            return pd.DataFrame(
-                {"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64"), "hamming": pd.Series(dtype="int64")}
-            )
-        ids = g["doc_id"].values
-        hs = g["simhash"].values.astype(np.uint64)
-        ia, ib = np.triu_indices(len(ids), k=1)
-        ham = np.array(
-            [bin(int(hs[x]) ^ int(hs[y])).count("1") for x, y in zip(ia, ib)], dtype=np.int64
+        empty = pd.DataFrame(
+            {"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64"), "hamming": pd.Series(dtype="int64")}
         )
+        g = g.drop_duplicates(["chunk", "chunk_val", "doc_id"]).sort_values(
+            ["chunk", "chunk_val", "doc_id"], kind="mergesort"
+        )
+        if len(g) < 2:
+            return empty
+        ck = g["chunk"].values
+        cv = g["chunk_val"].values
+        ids = g["doc_id"].values.astype(np.int64)
+        hs = g["simhash"].values.astype(np.uint64)
+        new = np.empty(len(g), dtype=bool)
+        new[0] = True
+        new[1:] = (ck[1:] != ck[:-1]) | (cv[1:] != cv[:-1])
+        counts = np.bincount(np.cumsum(new) - 1)
+        starts = np.concatenate(([0], np.cumsum(counts)))
+        ia_parts, ib_parts = [], []
+        for r in np.flatnonzero(counts >= 2):
+            k, s = counts[r], starts[r]
+            iu, ju = np.triu_indices(k, 1)
+            ia_parts.append(s + iu)
+            ib_parts.append(s + ju)
+        if not ia_parts:
+            return empty
+        ia = np.concatenate(ia_parts)
+        ib = np.concatenate(ib_parts)
+        x = hs[ia] ^ hs[ib]
+        ham = np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1).sum(axis=1).astype(np.int64)
         return pd.DataFrame({"a": ids[ia], "b": ids[ib], "hamming": ham})
 
-    cand = buckets.groupby(["chunk", "chunk_val"]).map_groups(pairs, batch_format="pandas")
+    cand = buckets.groupby("bucket_part").map_groups(pairs, batch_format="pandas")
     from ray.data.aggregate import Min
 
     dedup = cand.groupby(["a", "b"]).aggregate(Min("hamming", alias_name="hamming"))

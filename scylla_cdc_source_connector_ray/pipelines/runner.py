@@ -72,13 +72,13 @@ def _shard_task_from_files(
 
     retry = RetryPolicy()
     outs = []
-    for item in item_batch["item"]:
-        paths = list(item["paths"])
+    for shard_id, item_paths in zip(item_batch["shard"], item_batch["paths"]):
+        paths = list(item_paths)
         tables = [retry.call(lambda p=p: pq.read_table(p)) for p in paths]
         group = pa.concat_tables(tables, promote_options="default")
         if "shard" not in group.column_names:
             group = group.append_column(
-                "shard", pa.array([int(item["shard"])] * group.num_rows, pa.int32())
+                "shard", pa.array([int(shard_id)] * group.num_rows, pa.int32())
             )
         outs.append(
             _shard_task(
@@ -816,9 +816,10 @@ class CaptureRunner:
             return []
         cfg, ckpt_dir, out_dir = self.cfg, self.ckpt.dir, self.out_dir
         wm = dict(watermarks)
+        # flat item schema (no nested dicts): dict-typed columns defeat the
+        # executor's schema hashing and spam per-batch warnings
         items = [
-            {"item": {"shard": k, "paths": paths}}
-            for k, paths in sorted(shard_paths.items())
+            {"shard": k, "paths": paths} for k, paths in sorted(shard_paths.items())
         ]
         ds = ray.data.from_items(items)
         stats_ds = ds.map_batches(
