@@ -90,6 +90,11 @@ class EngineConfig:
     #: incomplete changes carry over as residual state with the straggler
     #: timeout (only-updated include modes are not supported here)
     image_mode: bool = False
+    #: consume conversation tombstones (``turn_idx IS NULL`` ⇒ partition
+    #: delete, reference M2) in the streaming runner: emit the 'pd' marker,
+    #: expand per-live-key deletes against the state store, wipe the state;
+    #: incompatible with image_mode, conv-state enrichment and hot salting
+    partition_deletes: bool = False
 
     include_before: IncludeMode = IncludeMode.FULL
     include_after: IncludeMode = IncludeMode.FULL

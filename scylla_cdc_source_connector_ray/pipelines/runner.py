@@ -210,17 +210,41 @@ def _shard_task(
                 ("ts", "ascending"),
                 (SEQ_COL, "ascending"),
             ]
-        ).drop_columns(["_arrival"])
+        )
 
-        derived = derive_ops(log, sorted_input=True, value_cols=value_cols)
+        if cfg.partition_deletes and log["turn_idx"].null_count:
+            # streaming conversation tombstones (reference M2): markers in
+            # this batch apply to everything folded before them — including
+            # the checkpointed seeds. Expansion deletes become tombstone
+            # state entries, so later rows see a wiped before-image.
+            from ..stages.partition_delete import derive_flat_pd
+
+            flat = derive_flat_pd(
+                log, value_cols=value_cols, arrival_col="_arrival", full=True
+            )
+            flat = flat.append_column(
+                "shard", pa.array([shard] * flat.num_rows, pa.int32())
+            )
+            import pyarrow.compute as _pc
+
+            derived = flat.filter(_pc.not_equal(flat["op"], "pd")).sort_by(
+                [("conv_id", "ascending"), ("turn_idx", "ascending"), ("_foldpos", "ascending")]
+            )
+            events_src = flat.drop_columns(["_foldpos"])
+        else:
+            log = log.drop_columns(["_arrival"])
+            derived = derive_ops(log, sorted_input=True, value_cols=value_cols)
+            events_src = derived
 
     # --- roll state forward: last row per key, stored log-shaped -----------
-    # derived is sorted by (conv_id, turn_idx, ts, seq) ⇒ last row per key is
-    # where the next row's key differs (vectorized mask). (Image mode keeps
-    # its residual as imgstate instead — preimages travel in the log.)
+    # derived is key-contiguous in fold order ⇒ last row per key is where the
+    # next row's key differs (vectorized mask). (Image mode keeps its
+    # residual as imgstate instead — preimages travel in the log.)
     import numpy as np
     import pyarrow.compute as pc
 
+    if cfg.image_mode:
+        events_src = derived
     n = derived.num_rows if not cfg.image_mode else 0
     conv = derived["conv_id"].combine_chunks()
     turn = derived["turn_idx"].combine_chunks()
@@ -256,7 +280,7 @@ def _shard_task(
         ckpt.write_state(shard, batch_id, new_state)
 
     # --- emit change events for real rows only (drop seed re-derivations) --
-    real = derived.filter(pc.greater_equal(derived[SEQ_COL], 0))
+    real = events_src.filter(pc.greater_equal(events_src[SEQ_COL], 0))
     env = build_envelope(real, cfg, value_cols=value_cols)
 
     if cfg.score_text:
@@ -543,6 +567,16 @@ class CaptureRunner:
                 "image_mode emits no modified_cols; only-updated include modes "
                 "are unsupported with it"
             )
+        if self.cfg.partition_deletes and self.cfg.image_mode:
+            raise ValueError(
+                "partition_deletes needs the row-mode state store; image_mode "
+                "correlates preimages instead — disable one"
+            )
+        if self.cfg.partition_deletes and self.cfg.enrich_conv_state:
+            raise ValueError(
+                "partition_deletes synthesizes expansion deletes that share the "
+                "marker's seq; conv-state enrichment aligns by seq — disable one"
+            )
 
         import polars as _pl
 
@@ -592,6 +626,7 @@ class CaptureRunner:
         if self._hot and (
             self.cfg.session_gap_us is not None
             or self.cfg.enrich_conv_state
+            or self.cfg.partition_deletes
             or "conv_id" in self.cfg.window_agg_keys
         ):
             raise ValueError(

@@ -75,7 +75,7 @@ def build_envelope(
     """Flat op-derived block → envelope-shaped change-event block."""
     n = tbl.num_rows
     op_np = tbl["op"].combine_chunks().to_numpy(zero_copy_only=False)
-    has_after = op_np != "d"  # DELETE → after NULL (emitter :145-343)
+    has_after = (op_np != "d") & (op_np != "pd")  # DELETE/partition-delete → after NULL
     has_before = ~pc.is_null(tbl[BEFORE_PREFIX + "ts"]).combine_chunks().to_numpy(zero_copy_only=False)
     # a 'c' after a delete has before NULL; first event has before NULL
 

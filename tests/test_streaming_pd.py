@@ -1,0 +1,142 @@
+"""Streaming conversation tombstones in the runner (reference M2 consumed
+mid-stream): markers wipe the checkpointed state store, expansion deletes are
+emitted against seeded state, replay stays byte-stable."""
+
+import os
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from scylla_cdc_source_connector_ray.config import EngineConfig
+from scylla_cdc_source_connector_ray.pipelines.runner import CaptureRunner
+from scylla_cdc_source_connector_ray.stages.envelope import flatten_envelope
+
+US = 1_000_000
+
+
+def _rows(specs):
+    """specs: (conv, turn|None, text|None, ts_s, seq)"""
+    return pa.table(
+        {
+            "conv_id": pa.array([s[0] for s in specs], pa.string()),
+            "turn_idx": pa.array([s[1] for s in specs], pa.int32()),
+            "role": pa.array(
+                [None if s[1] is None else "user" for s in specs], pa.string()
+            ),
+            "text": pa.array([s[2] for s in specs], pa.string()),
+            "tool": pa.array([None] * len(specs), pa.string()),
+            "ts": pa.array([s[3] * US for s in specs], pa.timestamp("us")),
+            "seq": pa.array([s[4] for s in specs], pa.int64()),
+        }
+    )
+
+
+def _cfg(tmp_path, sub=""):
+    return EngineConfig(
+        num_shards=4,
+        partition_deletes=True,
+        sink_dir=str(tmp_path / f"out{sub}"),
+        checkpoint_dir=str(tmp_path / f"ckpt{sub}"),
+    )
+
+
+def _write(log, name, tbl):
+    os.makedirs(log, exist_ok=True)
+    pq.write_table(tbl, os.path.join(log, name))
+
+
+def _flat(runner) -> pd.DataFrame:
+    df = flatten_envelope(runner.read_output()).to_pandas()
+    return df.sort_values(["seq", "op", "conv_id"]).reset_index(drop=True)
+
+
+def test_marker_wipes_seeded_state(tmp_path):
+    log = str(tmp_path / "log")
+    _write(log, "window-00000.parquet", _rows([
+        ("c1", 0, "a", 10, 1),
+        ("c1", 1, "b", 11, 2),
+        ("c1", 2, None, 12, 3),   # row tombstone: key 2 not live
+        ("c2", 0, "x", 13, 4),
+    ]))
+    _write(log, "window-00001.parquet", _rows([
+        ("c1", None, None, 20, 5),  # conversation tombstone
+    ]))
+    _write(log, "window-00002.parquet", _rows([
+        ("c1", 0, "re", 30, 6),     # re-insert after the wipe
+    ]))
+    r = CaptureRunner(log, _cfg(tmp_path))
+    assert r.run(files_per_batch=1)["batches"] == 3
+
+    out = _flat(r)
+    # expansion deletes for the LIVE seeded keys only (0 and 1, not 2)
+    exp = out[(out.op == "d") & (out.seq == 5)]
+    assert sorted(exp.turn_idx.tolist()) == [0, 1]
+    assert sorted(exp.before_text.tolist()) == ["a", "b"]
+    assert exp.after_text.isna().all()
+    # the marker record
+    mk = out[out.op == "pd"]
+    assert len(mk) == 1 and mk.iloc[0].seq == 5 and pd.isna(mk.iloc[0].turn_idx)
+    # re-insert sees a wiped (tombstone) state: op 'u', before NULL
+    re_row = out[out.seq == 6].iloc[0]
+    assert re_row.op == "u" and pd.isna(re_row.before_text)
+    # state store: only c2 turn 0 and the re-inserted c1 turn 0 live
+    state = r.read_current_state().to_pandas()
+    assert sorted(zip(state.conv_id, state.turn_idx)) == [("c1", 0), ("c2", 0)]
+    assert state[state.conv_id == "c1"].iloc[0].text == "re"
+
+
+def test_marker_and_rows_same_batch(tmp_path):
+    log = str(tmp_path / "log")
+    _write(log, "window-00000.parquet", _rows([
+        ("c1", 0, "a", 10, 1),
+        ("c1", None, None, 20, 2),
+        ("c1", 0, "b", 30, 3),   # after the marker, same batch
+    ]))
+    r = CaptureRunner(log, _cfg(tmp_path))
+    r.run()
+    out = _flat(r)
+    assert out[(out.op == "d") & (out.seq == 2)].iloc[0].before_text == "a"
+    row = out[out.seq == 3].iloc[0]
+    assert row.op == "u" and pd.isna(row.before_text) and row.after_text == "b"
+    state = r.read_current_state().to_pandas()
+    assert state.text.tolist() == ["b"]
+
+
+def test_replay_is_byte_stable(tmp_path):
+    log = str(tmp_path / "log")
+    _write(log, "window-00000.parquet", _rows([
+        ("c%d" % (i % 3), i % 4, "t%d" % i, 10 + i, i) for i in range(24)
+    ]))
+    _write(log, "window-00001.parquet", _rows([
+        ("c0", None, None, 50, 100),
+        ("c1", 2, "upd", 51, 101),
+    ]))
+    _write(log, "window-00002.parquet", _rows([
+        ("c0", 1, "back", 60, 200),
+    ]))
+    cfg_a = _cfg(tmp_path, "a")
+    ra = CaptureRunner(log, cfg_a)
+    ra.run(files_per_batch=1)
+    # resumed run: first two batches, crash-free stop, then resume
+    cfg_b = _cfg(tmp_path, "b")
+    rb = CaptureRunner(log, cfg_b)
+    rb.run(files_per_batch=1, max_batches=2)
+    rb2 = CaptureRunner(log, cfg_b)
+    rb2.run(files_per_batch=1)
+    pd.testing.assert_frame_equal(_flat(ra), _flat(rb2))
+
+
+def test_config_conflicts(tmp_path):
+    log = str(tmp_path / "log")
+    _write(log, "window-00000.parquet", _rows([("c1", 0, "a", 10, 1)]))
+    cfg = EngineConfig(
+        num_shards=2,
+        partition_deletes=True,
+        enrich_conv_state=True,
+        sink_dir=str(tmp_path / "out"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    with pytest.raises(ValueError, match="partition_deletes"):
+        CaptureRunner(log, cfg).run()
