@@ -347,16 +347,9 @@ def candidate_pairs_grouped(g: pd.DataFrame) -> pd.DataFrame:
         return empty
     a = np.concatenate(a_parts)
     b = np.concatenate(b_parts)
+    keep = a != b  # a doc_id duplicated within a bucket must not self-pair
+    a, b = a[keep], b[keep]
     return pd.DataFrame({"a": np.minimum(a, b), "b": np.maximum(a, b)})
-
-
-def candidate_pairs_from_bucket(g: pd.DataFrame) -> pd.DataFrame:
-    """One LSH bucket → all doc pairs (a<b). Buckets are small by design."""
-    ids = np.sort(g["doc_id"].unique())
-    if len(ids) < 2:
-        return pd.DataFrame({"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64")})
-    ia, ib = np.triu_indices(len(ids), k=1)
-    return pd.DataFrame({"a": ids[ia], "b": ids[ib]})
 
 
 def jaccard(text_a: str, text_b: str, ngram: int = 3) -> float:
