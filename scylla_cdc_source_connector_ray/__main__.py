@@ -83,6 +83,8 @@ def cmd_validate(args) -> int:
                 "num_shards": last.get("num_shards"),
                 "epoch": last.get("epoch"),
                 "hot_convs": last.get("hot_convs", []),
+                "hash_impl": last.get("hash_impl"),
+                "value_cols_extra": last.get("value_cols_extra", {}),
             }
             if last.get("num_shards") != cfg.num_shards or last.get("epoch") != cfg.epoch:
                 problems.append(
@@ -90,6 +92,17 @@ def cmd_validate(args) -> int:
                     f"epoch={last.get('epoch')} but config asks "
                     f"num_shards={cfg.num_shards} epoch={cfg.epoch} (epoch bump required)"
                 )
+            try:
+                import polars as _pl
+
+                here = f"polars-{_pl.__version__}"
+                if last.get("hash_impl", here) != here:
+                    problems.append(
+                        f"checkpoint shard hash is {last.get('hash_impl')} but this "
+                        f"environment has {here} (keys would remap; epoch bump required)"
+                    )
+            except ImportError:
+                problems.append("polars unavailable: cannot verify checkpoint shard hash")
     print(
         json.dumps(
             {
