@@ -97,8 +97,19 @@ def _values_neq(a: pa.Array, b: pa.Array) -> pa.Array:
         # count-prefixed join: injective even for [] vs [""]
         return _scalar_neq(join_counted(a), join_counted(b))
     if pa.types.is_struct(t):
-        res = pc.xor(pc.is_null(a), pc.is_null(b))
-        both = pc.and_(pc.is_valid(a), pc.is_valid(b))
+        # empty-UDT → NULL (reference ScyllaSchema.java:297-430: a UDT with
+        # no set fields surfaces as NULL): a struct whose fields are all NULL
+        # compares equal to a NULL struct
+        def eff_valid(x):
+            any_field = None
+            for f in t:
+                fv = pc.is_valid(pc.struct_field(x, f.name))
+                any_field = fv if any_field is None else pc.or_(any_field, fv)
+            return pc.and_(pc.is_valid(x), any_field)
+
+        va, vb = eff_valid(a), eff_valid(b)
+        res = pc.xor(va, vb)
+        both = pc.and_(va, vb)
         for f in t:
             fa, fb = pc.struct_field(a, f.name), pc.struct_field(b, f.name)
             res = pc.or_(res, pc.and_(both, _values_neq(fa, fb)))

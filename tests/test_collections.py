@@ -161,3 +161,14 @@ def test_list_codec_empty_string_element_injective():
     a = pa.array([[""], [], ["a"]], pa.list_(pa.string()))
     b = pa.array([[], [""], ["a"]], pa.list_(pa.string()))
     assert _values_neq(a, b).to_pylist() == [True, True, False]
+
+
+def test_empty_struct_equals_null_struct():
+    """Empty-UDT → NULL (ScyllaSchema.java:297-430): a struct with no set
+    fields compares equal to a NULL struct, distinct from any set field."""
+    from scylla_cdc_source_connector_ray.stages.op_derive import _values_neq
+
+    typ = pa.struct([("k", pa.int64()), ("src", pa.string())])
+    a = pa.array([{"k": None, "src": None}, None, {"k": 1, "src": None}], typ)
+    b = pa.array([None, {"k": None, "src": None}, {"k": None, "src": None}], typ)
+    assert _values_neq(a, b).to_pylist() == [False, False, True]
