@@ -365,6 +365,13 @@ def _q_cdc_multi_table(sf_dir: str):
     return one("t_low", True).union(one("t_high", False))
 
 
+def _q_cdc_list_rebuild(sf_dir: str):
+    ds = cap.read_transcripts_from_events(
+        sf_dir, columns=["conv_id", "turn_idx", "role", "ts", "seq"]
+    )
+    return cap.list_rebuild(ds, _CFG, element_col="role")
+
+
 TTL_US = 6 * 3_600_000_000  # 6h row TTL for the gated query
 
 
@@ -639,6 +646,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_capture_headers": _q_cdc_capture_headers,
         "cdc_ttl_deletes": _q_cdc_ttl_deletes,
         "cdc_multi_table": _q_cdc_multi_table,
+        "cdc_list_rebuild": _q_cdc_list_rebuild,
         "cdc_capture_maps": _q_cdc_capture_maps,
         "cdc_capture_salted": _q_cdc_capture_salted,
         "cdc_capture_only_updated": _q_cdc_capture_only_updated,
@@ -687,6 +695,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_capture_headers": oracles.CDC_CAPTURE_HEADERS,
         "cdc_ttl_deletes": oracles.CDC_TTL_DELETES,
         "cdc_multi_table": oracles.CDC_MULTI_TABLE,
+        "cdc_list_rebuild": oracles.CDC_LIST_REBUILD,
         "cdc_capture_maps": oracles.CDC_CAPTURE_MAPS,
         "cdc_capture_salted": oracles.CDC_CAPTURE_SALTED,
         "cdc_capture_only_updated": oracles.CDC_CAPTURE_ONLY_UPDATED,

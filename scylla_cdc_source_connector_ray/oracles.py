@@ -809,3 +809,15 @@ SELECT conv_id, turn_idx, op, seq,
        ), ',') AS modified_cols
 FROM cdc
 """
+
+#: non-frozen list reconstruction (reference emitter :669-746): elements
+#: keyed by the (ts, seq) timeuuid analogue, rebuilt in key order regardless
+#: of arrival order
+CDC_LIST_REBUILD = f"""
+WITH transcripts AS ({TRANSCRIPTS_SQL})
+SELECT conv_id, turn_idx,
+       string_agg(role, ',' ORDER BY ts, seq) AS elements_csv,
+       count(*) AS n_elements
+FROM transcripts
+GROUP BY conv_id, turn_idx
+"""

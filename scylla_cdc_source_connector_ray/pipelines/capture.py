@@ -239,6 +239,69 @@ def ttl_deletes(ds: ray.data.Dataset, cfg: EngineConfig, ttl_us: int) -> ray.dat
     )
 
 
+def list_rebuild(ds: ray.data.Dataset, cfg: EngineConfig, element_col: str = "role") -> ray.data.Dataset:
+    """Non-frozen list reconstruction (reference
+    ``ScyllaChangeRecordEmitter.java:669-746``: non-frozen list cells are
+    keyed by timeuuid and the consumer reorders elements by that key). The
+    transcript analogue: each event appends ``element_col`` to its key's
+    list, the timeuuid is ``(ts, seq)`` — elements may ARRIVE in any order,
+    the rebuilt list is always in timeuuid order. One keyed shuffle, then a
+    vectorized per-key run join (no per-group Python)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    def rebuild(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "conv_id": pa.nulls(0, pa.string()),
+                "turn_idx": pa.nulls(0, pa.int32()),
+                "elements_csv": pa.nulls(0, pa.string()),
+                "n_elements": pa.nulls(0, pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        t = t.sort_by(
+            [
+                ("conv_id", "ascending"),
+                ("turn_idx", "ascending"),
+                ("ts", "ascending"),
+                ("seq", "ascending"),
+            ]
+        )
+        n = t.num_rows
+        conv = t["conv_id"].combine_chunks()
+        turn = t["turn_idx"].combine_chunks()
+        first = np.empty(n, dtype=bool)
+        first[0] = True
+        if n > 1:
+            same = pc.and_(
+                pc.equal(conv.slice(0, n - 1), conv.slice(1)),
+                pc.equal(turn.slice(0, n - 1), turn.slice(1)),
+            ).to_numpy(zero_copy_only=False)
+            np.logical_not(same, out=first[1:])
+        starts = np.flatnonzero(first)
+        lens = np.diff(np.concatenate((starts, [n])))
+        offsets = np.zeros(len(starts) + 1, dtype=np.int32)
+        np.cumsum(lens, out=offsets[1:])
+        elems = pc.fill_null(t[element_col].combine_chunks().cast(pa.string()), "")
+        lst = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), elems)
+        keys = pa.array(starts, pa.int64())
+        return pa.table(
+            {
+                "conv_id": conv.take(keys),
+                "turn_idx": turn.take(keys),
+                "elements_csv": pc.binary_join(lst, ","),
+                "n_elements": pa.array(lens, pa.int64()),
+            }
+        )
+
+    sharded = ds.map_batches(lambda b: with_shard(b, cfg.num_shards), batch_format="pyarrow")
+    return sharded.groupby("shard").map_groups(
+        lambda t: rebuild(t.drop_columns(["shard"])), batch_format="pyarrow"
+    )
+
+
 def capture_flat(ds: ray.data.Dataset, cfg: EngineConfig) -> ray.data.Dataset:
     """Capture, then flatten the envelope back to plain columns — the shape
     the DuckDB oracle emits (drops engine-internal shard/modified cols)."""
