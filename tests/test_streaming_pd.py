@@ -140,3 +140,23 @@ def test_config_conflicts(tmp_path):
     )
     with pytest.raises(ValueError, match="partition_deletes"):
         CaptureRunner(log, cfg).run()
+
+
+def test_pd_with_evolved_column(tmp_path):
+    """Evolution and streaming tombstones compose: the expansion delete's
+    before image carries the evolved column from state."""
+    log = str(tmp_path / "log")
+    _write(log, "window-00000.parquet", _rows([("c1", 0, "a", 10, 1)]))
+    t2 = _rows([("c1", 0, "b", 20, 2)]).append_column(
+        "lang", pa.array(["en"], pa.string())
+    )
+    _write(log, "window-00001.parquet", t2)
+    _write(log, "window-00002.parquet", _rows([("c1", None, None, 30, 3)]))
+    r = CaptureRunner(log, _cfg(tmp_path))
+    r.run(files_per_batch=1)
+    out = _flat(r)
+    exp = out[(out.op == "d") & (out.seq == 3)].iloc[0]
+    assert exp.before_text == "b" and exp.before_lang == "en"
+    assert pd.isna(exp.after_lang)
+    assert out[out.op == "pd"].iloc[0].seq == 3
+    assert r.read_current_state().num_rows == 0
