@@ -36,6 +36,8 @@ def _build_cfg(args) -> "EngineConfig":
         ),
         session_gap_us=args.session_gap_ms * 1000 if args.session_gap_ms else None,
         enrich_conv_state=args.enrich,
+        partition_deletes=args.partition_deletes,
+        min_batch_interval_s=args.min_batch_interval_ms / 1000.0,
         sink_dir=args.out,
         checkpoint_dir=args.checkpoint,
     )
@@ -206,6 +208,10 @@ def main(argv=None) -> int:
                         help="streaming session windows with this gap")
         sp.add_argument("--enrich", action="store_true", help="conv-state join")
         sp.add_argument("--score", action="store_true", help="text quality scoring")
+        sp.add_argument("--partition-deletes", action="store_true",
+                        help="consume conversation tombstones (turn_idx NULL) mid-stream")
+        sp.add_argument("--min-batch-interval-ms", type=int, default=0,
+                        help="reader throttle (reference scylla.minimal.wait.for.window.size.ms)")
         sp.add_argument("--tail", action="store_true",
                         help="live tailing: poll for new files, hold back the confidence window")
         sp.add_argument("--poll-ms", type=int, default=500, help="tail poll interval (reference poll.interval.ms)")

@@ -65,6 +65,10 @@ class EngineConfig:
     #: event-time lateness allowed before a row is dropped to the late output
     allowed_lateness_us: int = 30_000_000
     straggler_timeout_us: int = 15_000_000
+    #: minimal wall-clock pause between micro-batches
+    #: (≙ ``scylla.minimal.wait.for.window.size.ms``, the reference's reader
+    #: throttle — a batch finishing early waits out the remainder)
+    min_batch_interval_s: float = 0.0
 
     # --- envelope ----------------------------------------------------------
     #: score after-images with text quality/token stats inside the capture

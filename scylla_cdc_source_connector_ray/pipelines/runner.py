@@ -701,6 +701,12 @@ class CaptureRunner:
 
         for i, bwork in enumerate(batches):
             batch_id = next_batch + i
+            if i and self.cfg.min_batch_interval_s > 0:
+                # reader throttle (≙ scylla.minimal.wait.for.window.size.ms):
+                # pace consecutive windows to at least the configured interval
+                elapsed = time.perf_counter() - t0
+                if elapsed < self.cfg.min_batch_interval_s:
+                    time.sleep(self.cfg.min_batch_interval_s - elapsed)
             t0 = time.perf_counter()
             # schema evolution (ST4): union the batch's file footers into the
             # sticky evolved-column set — once a column appears it stays (its

@@ -548,3 +548,19 @@ def test_stats_less_file_does_not_stall_tail(tmp_path):
     assert files[0].max_ts_us is not None  # recovered by reading the ts column
     batches = plan_batches(files, 0, confidence_window_us=0, log_complete=False)
     assert sum(len(b) for b in batches) == 2
+
+
+def test_min_batch_interval_throttle(tmp_path):
+    """Reader throttle (≙ scylla.minimal.wait.for.window.size.ms): batches
+    are paced to at least the configured interval."""
+    import time as _time
+
+    t = generate(num_convs=4, turns_per_conv=3, update_pct=0, delete_pct=0)
+    write_windowed(t, str(tmp_path / "log"), num_files=3)
+    cfg = _cfg(tmp_path, min_batch_interval_s=0.5)
+    r = CaptureRunner(str(tmp_path / "log"), cfg)
+    t0 = _time.perf_counter()
+    tot = r.run(files_per_batch=1)
+    wall = _time.perf_counter() - t0
+    assert tot["batches"] == 3
+    assert wall >= 1.0  # 2 inter-batch pauses of >= 0.5s
