@@ -365,6 +365,20 @@ def _q_cdc_multi_table(sf_dir: str):
     return one("t_low", True).union(one("t_high", False))
 
 
+def _q_sample_documents(sf_dir: str):
+    """Deterministic hash sample of documents (2/16 nibble buckets)."""
+    import os
+
+    import ray.data
+
+    from scylla_cdc_source_connector_ray.functions.dedup import deterministic_sample
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "lang", "source"]
+    )
+    return deterministic_sample(ds, "doc_id", buckets_kept=2)
+
+
 def _q_cdc_list_rebuild(sf_dir: str):
     ds = cap.read_transcripts_from_events(
         sf_dir, columns=["conv_id", "turn_idx", "role", "ts", "seq"]
@@ -647,6 +661,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_ttl_deletes": _q_cdc_ttl_deletes,
         "cdc_multi_table": _q_cdc_multi_table,
         "cdc_list_rebuild": _q_cdc_list_rebuild,
+        "sample_documents": _q_sample_documents,
         "cdc_capture_maps": _q_cdc_capture_maps,
         "cdc_capture_salted": _q_cdc_capture_salted,
         "cdc_capture_only_updated": _q_cdc_capture_only_updated,
@@ -696,6 +711,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_ttl_deletes": oracles.CDC_TTL_DELETES,
         "cdc_multi_table": oracles.CDC_MULTI_TABLE,
         "cdc_list_rebuild": oracles.CDC_LIST_REBUILD,
+        "sample_documents": oracles.SAMPLE_DOCUMENTS,
         "cdc_capture_maps": oracles.CDC_CAPTURE_MAPS,
         "cdc_capture_salted": oracles.CDC_CAPTURE_SALTED,
         "cdc_capture_only_updated": oracles.CDC_CAPTURE_ONLY_UPDATED,

@@ -681,3 +681,28 @@ def embedding_near_dups(
             return pd.DataFrame({"a": a[keep], "b": b[keep], "cosine": sims[ra, rb][keep]})
 
     return ds.map_batches(Block, batch_format="pandas", batch_size=1024, concurrency=(1, 8))
+
+
+# ---------------------------------------------------------------------------
+# deterministic sampling
+# ---------------------------------------------------------------------------
+
+
+def deterministic_sample(
+    ds: ray.data.Dataset, id_col: str = "doc_id", buckets_kept: int = 2, out_of: int = 16
+) -> ray.data.Dataset:
+    """Hash-based deterministic sample (SURVEY §2.6 sampling): keep a row iff
+    the first hex nibble of ``md5(str(id))`` falls in the first
+    ``buckets_kept`` of ``out_of`` buckets — embarrassingly parallel, no
+    shuffle, no RNG state, reproducible across runs and cluster sizes
+    (the property a 100 TB sampling pass needs). DuckDB twin:
+    ``substr(md5(CAST(id AS VARCHAR)), 1, 1)`` bucket test."""
+    assert out_of == 16, "nibble-bucket sampling is base-16"
+    kept = set("0123456789abcdef"[:buckets_kept])
+
+    def keep(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch[id_col].astype("int64").astype(str)
+        nib = np.array([hashlib.md5(s.encode()).hexdigest()[0] for s in ids], dtype=object)
+        return batch[np.isin(nib, list(kept))]
+
+    return ds.map_batches(keep, batch_format="pandas")

@@ -821,3 +821,11 @@ SELECT conv_id, turn_idx,
 FROM transcripts
 GROUP BY conv_id, turn_idx
 """
+
+#: deterministic hash sampling (SURVEY §2.6): md5-nibble bucket test —
+#: reproducible across runs and cluster sizes, no RNG state
+SAMPLE_DOCUMENTS = """
+SELECT doc_id, lang, source
+FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')
+"""
