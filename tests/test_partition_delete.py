@@ -169,3 +169,69 @@ def test_capture_pd_pipeline_matches_kernel():
     assert len(got) == expected.num_rows
     key = lambda r: (r["conv_id"], r["seq"], r["op"], r["turn_idx"] if r["turn_idx"] is not None else -1)  # noqa: E731
     assert sorted((key(r) for r in got)) == sorted(key(r) for r in expected.to_pylist())
+
+
+# --- property: vectorized kernel ≡ brute-force reference -------------------
+
+
+def _brute_force_pd(rows):
+    """O(n²) reference of the partition-delete spec over
+    (conv, turn|None, text|None, ts, seq) rows."""
+    out = []
+    by_conv = {}
+    for r in rows:
+        by_conv.setdefault(r[0], []).append(r)
+    for conv, evs in by_conv.items():
+        evs = sorted(evs, key=lambda r: (r[5], r[6]))  # (ts, seq)
+        state = {}  # turn -> last row (after image) or None if tombstoned
+        first_seen = set()
+        for r in evs:
+            conv_id, turn, role, text, tool, ts, seq = r
+            if turn is None:  # conversation tombstone
+                for k in sorted(state):
+                    prev = state[k]
+                    if prev is not None:
+                        out.append((conv_id, k, "d", prev[2], prev[3], seq))
+                state = {}
+                out.append((conv_id, None, "pd", None, None, seq))
+                continue
+            prev = state.get(turn)
+            before_role = prev[2] if prev else None
+            before_text = prev[3] if prev else None
+            op = "d" if text is None else ("c" if turn not in first_seen else "u")
+            first_seen.add(turn)
+            out.append((conv_id, turn, op, before_role, before_text, seq))
+            state[turn] = None if text is None else (conv_id, turn, role, text, tool)
+    return sorted(out, key=lambda x: (x[0], x[5], x[2], -1 if x[1] is None else x[1]))
+
+
+def test_property_random_logs_match_reference():
+    import random
+
+    rng = random.Random(1234)
+    for trial in range(25):
+        rows = []
+        seq = 0
+        for _ in range(rng.randint(1, 60)):
+            conv = "c%d" % rng.randint(0, 4)
+            kind = rng.random()
+            if kind < 0.08:
+                rows.append((conv, None, None, None, None, rng.randint(0, 50), seq))
+            else:
+                turn = rng.randint(0, 3)
+                text = None if kind < 0.2 else "t%d" % seq
+                rows.append((conv, turn, "user", text, None, rng.randint(0, 50), seq))
+            seq += 1
+        log = _log(rows)
+
+        def norm(t):  # None-safe total order
+            c, turn, op, br, bt, s = t
+            return (c, -1 if turn is None else turn, op, br or "", bt or "", s)
+
+        got = derive_flat_pd(log).to_pylist()
+        got_k = sorted(
+            norm((r["conv_id"], r["turn_idx"], r["op"], r["before_role"], r["before_text"], r["seq"]))
+            for r in got
+        )
+        want_k = sorted(norm(t) for t in _brute_force_pd(rows))
+        assert got_k == want_k, f"trial {trial}"

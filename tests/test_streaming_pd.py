@@ -160,3 +160,57 @@ def test_pd_with_evolved_column(tmp_path):
     assert pd.isna(exp.after_lang)
     assert out[out.op == "pd"].iloc[0].seq == 3
     assert r.read_current_state().num_rows == 0
+
+
+def test_property_streaming_matches_reference(tmp_path):
+    """Random multi-batch logs with interleaved conversation tombstones: the
+    runner's seed-first fold must match the brute-force reference processing
+    events in (batch, ts, seq) order with carried state."""
+    import random
+
+    from tests.test_partition_delete import _brute_force_pd
+
+    rng = random.Random(99)
+    for trial in range(5):
+        rows = []
+        seq = 0
+        for _ in range(rng.randint(10, 40)):
+            conv = "c%d" % rng.randint(0, 3)
+            kind = rng.random()
+            if kind < 0.1:
+                rows.append((conv, None, None, None, None, rng.randint(0, 50), seq))
+            else:
+                turn = rng.randint(0, 2)
+                text = None if kind < 0.22 else "t%d" % seq
+                rows.append((conv, turn, "user", text, None, rng.randint(0, 50), seq))
+            seq += 1
+        # split into batches by arrival (seq) — the runner consumes one file
+        # per batch; within a batch it folds by (ts, seq), across batches by
+        # arrival. The reference must see the same composite order: re-stamp
+        # ts with a batch-epoch offset so (ts, seq) == (batch, ts, seq).
+        n_b = rng.randint(1, 3)
+        bounds = sorted(rng.sample(range(1, len(rows)), n_b - 1)) if n_b > 1 else []
+        bounds = [0] + bounds + [len(rows)]
+        log = str(tmp_path / f"log{trial}")
+        stamped = []
+        for b in range(n_b):
+            chunk = rows[bounds[b] : bounds[b + 1]]
+            chunk_st = [(c, t, r, x, tl, ts + 1000 * b, s) for (c, t, r, x, tl, ts, s) in chunk]
+            from tests.test_partition_delete import _log as _mklog
+
+            _write(log, "window-%05d.parquet" % b, _mklog(chunk_st))
+            stamped.extend(chunk_st)
+        r = CaptureRunner(log, _cfg(tmp_path, sub=str(trial)))
+        r.run(files_per_batch=1)
+        out = flatten_envelope(r.read_output()).to_pylist()
+
+        def norm(t):
+            c, turn, op, br, bt, s = t
+            return (c, -1 if turn is None else turn, op, br or "", bt or "", s)
+
+        got = sorted(
+            norm((x["conv_id"], x["turn_idx"], x["op"], x["before_role"], x["before_text"], x["seq"]))
+            for x in out
+        )
+        want = sorted(norm(t) for t in _brute_force_pd(stamped))
+        assert got == want, f"trial {trial}"
