@@ -95,9 +95,9 @@ def cmd_validate(args) -> int:
                     f"num_shards={cfg.num_shards} epoch={cfg.epoch} (epoch bump required)"
                 )
             try:
-                import polars as _pl
+                from .state.checkpoint import current_hash_impl
 
-                here = f"polars-{_pl.__version__}"
+                here = current_hash_impl()
                 if last.get("hash_impl", here) != here:
                     problems.append(
                         f"checkpoint shard hash is {last.get('hash_impl')} but this "

@@ -697,11 +697,17 @@ def deterministic_sample(
     shuffle, no RNG state, reproducible across runs and cluster sizes
     (the property a 100 TB sampling pass needs). DuckDB twin:
     ``substr(md5(CAST(id AS VARCHAR)), 1, 1)`` bucket test."""
-    assert out_of == 16, "nibble-bucket sampling is base-16"
+    if out_of != 16:
+        raise ValueError("nibble-bucket sampling is base-16 (out_of=16)")
+    if not 1 <= buckets_kept <= out_of:
+        raise ValueError(f"buckets_kept must be in 1..{out_of}, got {buckets_kept}")
     kept = set("0123456789abcdef"[:buckets_kept])
 
     def keep(batch: pd.DataFrame) -> pd.DataFrame:
-        ids = batch[id_col].astype("int64").astype(str)
+        col = batch[id_col]
+        # canonical str(id): integers normalized through int64 so 5 and 5.0
+        # hash alike; strings pass through untouched
+        ids = (col.astype("int64") if pd.api.types.is_numeric_dtype(col) else col).astype(str)
         nib = np.array([hashlib.md5(s.encode()).hexdigest()[0] for s in ids], dtype=object)
         return batch[np.isin(nib, list(kept))]
 

@@ -261,36 +261,47 @@ def list_rebuild(ds: ray.data.Dataset, cfg: EngineConfig, element_col: str = "ro
         )
         if t.num_rows == 0:
             return empty
-        t = t.sort_by(
+        # NULL-safe grouping (SQL GROUP BY semantics: NULL keys form ONE
+        # group) via a -1 sentinel for the boundary scan only
+        t = t.append_column(
+            "_turn_g", pc.fill_null(t["turn_idx"].combine_chunks(), -1)
+        ).sort_by(
             [
                 ("conv_id", "ascending"),
-                ("turn_idx", "ascending"),
+                ("_turn_g", "ascending"),
                 ("ts", "ascending"),
                 ("seq", "ascending"),
             ]
         )
         n = t.num_rows
         conv = t["conv_id"].combine_chunks()
-        turn = t["turn_idx"].combine_chunks()
+        turn_g = t["_turn_g"].combine_chunks()
         first = np.empty(n, dtype=bool)
         first[0] = True
         if n > 1:
             same = pc.and_(
                 pc.equal(conv.slice(0, n - 1), conv.slice(1)),
-                pc.equal(turn.slice(0, n - 1), turn.slice(1)),
+                pc.equal(turn_g.slice(0, n - 1), turn_g.slice(1)),
             ).to_numpy(zero_copy_only=False)
             np.logical_not(same, out=first[1:])
         starts = np.flatnonzero(first)
         lens = np.diff(np.concatenate((starts, [n])))
+        # csv joins only NON-NULL elements (string_agg semantics);
+        # n_elements counts all rows (count(*) semantics)
+        elems = t[element_col].combine_chunks().cast(pa.string())
+        valid = pc.is_valid(elems).to_numpy(zero_copy_only=False)
+        group_of = np.repeat(np.arange(len(starts)), lens)
+        kept_lens = np.bincount(group_of[valid], minlength=len(starts))
         offsets = np.zeros(len(starts) + 1, dtype=np.int32)
-        np.cumsum(lens, out=offsets[1:])
-        elems = pc.fill_null(t[element_col].combine_chunks().cast(pa.string()), "")
-        lst = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), elems)
+        np.cumsum(kept_lens, out=offsets[1:])
+        lst = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()), elems.filter(pa.array(valid))
+        )
         keys = pa.array(starts, pa.int64())
         return pa.table(
             {
                 "conv_id": conv.take(keys),
-                "turn_idx": turn.take(keys),
+                "turn_idx": t["turn_idx"].combine_chunks().take(keys),
                 "elements_csv": pc.binary_join(lst, ","),
                 "n_elements": pa.array(lens, pa.int64()),
             }

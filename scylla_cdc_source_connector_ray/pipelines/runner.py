@@ -578,9 +578,9 @@ class CaptureRunner:
                 "marker's seq; conv-state enrichment aligns by seq — disable one"
             )
 
-        import polars as _pl
+        from ..state.checkpoint import current_hash_impl
 
-        hash_impl = f"polars-{_pl.__version__}"
+        hash_impl = current_hash_impl()
         last = self.ckpt.last_committed()
         if last is not None and last.get("hash_impl", hash_impl) != hash_impl:
             # the stable shard hash is stable per polars version; a different
@@ -701,12 +701,18 @@ class CaptureRunner:
 
         for i, bwork in enumerate(batches):
             batch_id = next_batch + i
-            if i and self.cfg.min_batch_interval_s > 0:
+            if self.cfg.min_batch_interval_s > 0:
                 # reader throttle (≙ scylla.minimal.wait.for.window.size.ms):
-                # pace consecutive windows to at least the configured interval
-                elapsed = time.perf_counter() - t0
-                if elapsed < self.cfg.min_batch_interval_s:
-                    time.sleep(self.cfg.min_batch_interval_s - elapsed)
+                # pace consecutive windows to at least the configured
+                # interval. The timestamp lives on self so pacing spans
+                # run() calls — follow() consumes one batch per poll, the
+                # exact continuous-reader scenario the throttle targets.
+                prev = getattr(self, "_last_batch_t0", None)
+                if prev is not None:
+                    elapsed = time.perf_counter() - prev
+                    if elapsed < self.cfg.min_batch_interval_s:
+                        time.sleep(self.cfg.min_batch_interval_s - elapsed)
+                self._last_batch_t0 = time.perf_counter()
             t0 = time.perf_counter()
             # schema evolution (ST4): union the batch's file footers into the
             # sticky evolved-column set — once a column appears it stays (its

@@ -98,13 +98,16 @@ def _values_neq(a: pa.Array, b: pa.Array) -> pa.Array:
         return _scalar_neq(join_counted(a), join_counted(b))
     if pa.types.is_struct(t):
         # empty-UDT → NULL (reference ScyllaSchema.java:297-430: a UDT with
-        # no set fields surfaces as NULL): a struct whose fields are all NULL
-        # compares equal to a NULL struct
+        # no set fields surfaces as NULL, at ANY nesting level): a struct
+        # whose fields are all effectively NULL compares equal to a NULL
+        # struct
         def eff_valid(x):
-            any_field = None
-            for f in t:
-                fv = pc.is_valid(pc.struct_field(x, f.name))
-                any_field = fv if any_field is None else pc.or_(any_field, fv)
+            xt = x.type
+            if not pa.types.is_struct(xt):
+                return pc.is_valid(x)
+            any_field = pa.array([False] * len(x))  # zero-field struct ⇒ NULL
+            for f in xt:
+                any_field = pc.or_(any_field, eff_valid(pc.struct_field(x, f.name)))
             return pc.and_(pc.is_valid(x), any_field)
 
         va, vb = eff_valid(a), eff_valid(b)

@@ -131,3 +131,11 @@ class Checkpoint:
             )
             for f in files[:-keep_batches]:
                 os.unlink(os.path.join(d, f))
+
+
+def current_hash_impl() -> str:
+    """Identity string of the shard-hash backend pinned in the manifest — one
+    definition shared by the runner's resume guard and the validate CLI."""
+    import polars as _pl
+
+    return f"polars-{_pl.__version__}"
