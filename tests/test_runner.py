@@ -564,3 +564,24 @@ def test_min_batch_interval_throttle(tmp_path):
     wall = _time.perf_counter() - t0
     assert tot["batches"] == 3
     assert wall >= 1.0  # 2 inter-batch pauses of >= 0.5s
+
+
+def test_throttle_paces_across_run_calls(tmp_path):
+    """The pacing state lives on the runner: consecutive run() calls (the
+    follow() tail loop) are paced too, not just batches within one call."""
+    import time as _time
+
+    import pyarrow.parquet as _pq
+
+    t = generate(num_convs=3, turns_per_conv=2, update_pct=0, delete_pct=0)
+    write_windowed(t, str(tmp_path / "log"), num_files=1)
+    cfg = _cfg(tmp_path, min_batch_interval_s=0.8)
+    r = CaptureRunner(str(tmp_path / "log"), cfg)
+    r.run(files_per_batch=1)
+    # new file arrives; the next run must wait out the interval
+    extra = generate(num_convs=2, turns_per_conv=2, update_pct=0, delete_pct=0)
+    _pq.write_table(extra, str(tmp_path / "log" / "window-00009.parquet"))
+    t0 = _time.perf_counter()
+    tot = r.run(files_per_batch=1)
+    assert tot["batches"] == 1
+    assert _time.perf_counter() - t0 >= 0.4  # waited (first batch ran recently)
