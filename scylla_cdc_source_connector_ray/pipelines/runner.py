@@ -335,6 +335,17 @@ def _shard_task(
     _atomic_pq(env, os.path.join(out_dir, f"batch-{batch_id:06d}", f"shard={shard}.parquet"))
 
     max_ts = pc.max(real["ts"].cast(pa.int64())).as_py() if real.num_rows else None
+    # capture-latency distribution (event time): how far behind the batch
+    # frontier the events were when committed — p50/p95 of (max_ts − ts).
+    # A distribution, not a single batch-lag estimate: skewed shards show a
+    # long p95 even when the median is fresh.
+    lag_p50 = lag_p95 = None
+    if real.num_rows and max_ts is not None:
+        lags = max_ts - real["ts"].combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        lag_p50 = int(np.percentile(lags, 50))
+        lag_p95 = int(np.percentile(lags, 95))
     return pa.table(
         {
             "shard": pa.array([shard], pa.int32()),
@@ -343,6 +354,8 @@ def _shard_task(
             "n_late_dropped": pa.array([int(n_late_dropped)], pa.int64()),
             "n_stragglers": pa.array([int(n_stragglers)], pa.int64()),
             "max_ts_us": pa.array([max_ts], pa.int64()),
+            "lag_p50_us": pa.array([lag_p50], pa.int64()),
+            "lag_p95_us": pa.array([lag_p95], pa.int64()),
         }
     )
 
@@ -778,6 +791,15 @@ class CaptureRunner:
                 "events_per_sec": round(sum(r["n_events"] for r in stats) / max(sec, 1e-9), 1),
                 "watermark_min_us": min(watermarks.values()) if watermarks else None,
                 "watermark_max_us": max(watermarks.values()) if watermarks else None,
+                # worst-shard capture-latency distribution (event time)
+                "capture_lag_p50_us": max(
+                    (r["lag_p50_us"] for r in stats if r.get("lag_p50_us") is not None),
+                    default=None,
+                ),
+                "capture_lag_p95_us": max(
+                    (r["lag_p95_us"] for r in stats if r.get("lag_p95_us") is not None),
+                    default=None,
+                ),
                 # catch-up lag: newest event available in the log vs newest
                 # event consumed (event-time capture latency proxy)
                 "frontier_lag_us": (

@@ -585,3 +585,18 @@ def test_throttle_paces_across_run_calls(tmp_path):
     tot = r.run(files_per_batch=1)
     assert tot["batches"] == 1
     assert _time.perf_counter() - t0 >= 0.4  # waited (first batch ran recently)
+
+
+def test_capture_lag_distribution_metric(tmp_path):
+    import glob
+    import json as _json
+
+    t = generate(num_convs=6, turns_per_conv=5, update_pct=20, delete_pct=5)
+    write_windowed(t, str(tmp_path / "log"), num_files=2)
+    r = CaptureRunner(str(tmp_path / "log"), _cfg(tmp_path))
+    r.run(files_per_batch=1)
+    mfiles = sorted(glob.glob(str(tmp_path / "ckpt" / "metrics" / "batch-*.json")))
+    assert mfiles
+    m = _json.load(open(mfiles[-1]))
+    assert m["capture_lag_p50_us"] is not None
+    assert 0 <= m["capture_lag_p50_us"] <= m["capture_lag_p95_us"]
