@@ -99,6 +99,14 @@ class EngineConfig:
     #: expand per-live-key deletes against the state store, wipe the state;
     #: incompatible with image_mode, conv-state enrichment and hot salting
     partition_deletes: bool = False
+    #: schema evolution (ST4) guard rails: unknown scalar columns found in log
+    #: footers are adopted as evolved value columns ONLY if they match the
+    #: allowlist (None ⇒ any), and adopting more than ``max_evolved_cols``
+    #: raises instead of silently growing the envelope — a log polluted with
+    #: stray metadata columns must fail loudly, not permanently change
+    #: envelope semantics (adoption is sticky via the manifest)
+    evolved_col_allowlist: tuple[str, ...] | None = None
+    max_evolved_cols: int = 8
 
     include_before: IncludeMode = IncludeMode.FULL
     include_after: IncludeMode = IncludeMode.FULL
@@ -132,6 +140,10 @@ class EngineConfig:
         self.include_before = IncludeMode(self.include_before)
         self.include_after = IncludeMode(self.include_after)
         self.pk_placements = tuple(PkPlacement(p) for p in self.pk_placements)
+        if self.max_evolved_cols < 0:
+            raise ValueError("max_evolved_cols must be >= 0")
+        if self.evolved_col_allowlist is not None:
+            self.evolved_col_allowlist = tuple(self.evolved_col_allowlist)
         if self.sliding_window_us is not None:
             size, slide = self.sliding_window_us
             if slide <= 0 or size <= 0:

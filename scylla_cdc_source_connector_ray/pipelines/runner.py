@@ -737,8 +737,19 @@ class CaptureRunner:
                 probe = [next(iter(by_shard.values())) for _name, by_shard in bwork]
             else:
                 probe = [f.path for f in bwork]
+            allow = self.cfg.evolved_col_allowlist
             for p in probe:
                 for name, type_str in detect_evolved_cols(pq.read_schema(p)).items():
+                    if allow is not None and name not in allow:
+                        continue  # stray/metadata column: never adopt silently
+                    if name not in self._extras and len(self._extras) >= self.cfg.max_evolved_cols:
+                        raise ValueError(
+                            f"log file {p} would adopt evolved column {name!r} "
+                            f"beyond max_evolved_cols={self.cfg.max_evolved_cols}; "
+                            "adoption is sticky (manifest) — set "
+                            "evolved_col_allowlist to the intended columns or "
+                            "raise max_evolved_cols"
+                        )
                     self._extras.setdefault(name, type_str)
             extras = tuple(sorted(self._extras.items()))
             if bucketed:

@@ -1,0 +1,170 @@
+"""Element-level non-frozen collection ops (reference M8 tail).
+
+The reference processes per-element deltas of non-frozen collections: added
+cells arrive in the column value keyed by timeuuid, removed elements arrive in
+``cdc$deleted_elements_<col>``, and a whole-collection overwrite sets
+``cdc$deleted_<col>`` (``ScyllaChangeRecordEmitter.java:683-746`` reorders
+live cells by timeuuid on emit; ``:361-398`` counts a column modified when its
+value is non-null, its deleted flag is true, OR its deleted_elements set is
+non-null; ``ScyllaTypesAllBase.java`` dedicates dozens of scenarios to
+add/remove-element transitions).
+
+The transcript-log analogue implemented here: each log row may carry
+
+* ``add_elems``  — elements appended at this row; each becomes a *cell* whose
+  timeuuid is ``(ts, seq, position-in-row)``
+* ``rem_elems``  — values removed at this row (kills every live cell holding
+  one of those values — CQL ``l = l - ['v']`` semantics)
+* ``kind = 'wipe'`` — collection overwrite: kills every cell added *before*
+  this row (``cdc$deleted_<col> = true``); the row's own ``add_elems`` become
+  the new content
+
+and the fold reconstructs, per change row, the post-image (live cells in
+timeuuid order) and the lagged pre-image — exactly the merge+reorder the
+reference performs per change.
+
+Everything is vectorized: cells live on a contiguous range of the key's
+row-ordinals ``[add_row, kill_row)``, so per-event membership is an interval
+stab computed with ``np.searchsorted`` over sorted kill candidates and
+expanded with the ranges trick — no per-row or per-group Python.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_INF = np.iinfo(np.int64).max
+
+
+def _first_of_key(conv: pa.Array, turn: pa.Array, n: int) -> np.ndarray:
+    prev_c = pa.concat_arrays([conv.slice(0, 1), conv.slice(0, n - 1)])
+    prev_t = pa.concat_arrays([turn.slice(0, 1), turn.slice(0, n - 1)])
+    same = pc.and_(pc.equal(conv, prev_c), pc.equal(turn, prev_t))
+    first = same.to_numpy(zero_copy_only=False).copy()
+    np.logical_not(first, out=first)
+    first[0] = True
+    return first
+
+
+def _segmented_next(
+    cand_rows: np.ndarray, cand_gid: np.ndarray, q_rows: np.ndarray, q_gid: np.ndarray
+) -> np.ndarray:
+    """For each query (gid, row): the smallest candidate row > query row with
+    the same gid, else _INF. Candidates must be given row-sorted; gids fit in
+    int64 alongside rows."""
+    out = np.full(len(q_rows), _INF, dtype=np.int64)
+    if len(cand_rows) == 0 or len(q_rows) == 0:
+        return out
+    span = int(max(cand_rows.max(), q_rows.max())) + 2
+    ckey = cand_gid.astype(np.int64) * span + cand_rows
+    order = np.argsort(ckey, kind="stable")
+    ckey = ckey[order]
+    crow = cand_rows[order]
+    cg = cand_gid[order]
+    qkey = q_gid.astype(np.int64) * span + q_rows
+    i = np.searchsorted(ckey, qkey, side="right")
+    ok = i < len(ckey)
+    sel = i[ok]
+    same = cg[sel] == q_gid[ok]
+    hit = np.flatnonzero(ok)[same]
+    out[hit] = crow[sel[same]]
+    return out
+
+
+def fold_element_ops(t: pa.Table) -> pa.Table:
+    """One co-located block (all rows of its keys) → per-row element-op
+    capture: ``(conv_id, turn_idx, seq, kind, after_csv, n_after, before_csv,
+    elems_modified)``. Input columns: conv_id, turn_idx, ts, seq, kind
+    (add|remove|wipe|none), add_elems list<string>, rem_elems list<string>."""
+    if t.num_rows == 0:
+        return _empty()
+    t = t.sort_by(
+        [("conv_id", "ascending"), ("turn_idx", "ascending"), ("ts", "ascending"), ("seq", "ascending")]
+    )
+    n = t.num_rows
+    conv = t["conv_id"].combine_chunks()
+    turn = t["turn_idx"].combine_chunks()
+    kind = t["kind"].combine_chunks()
+    first = _first_of_key(conv, turn, n)
+    kid = np.cumsum(first, dtype=np.int64) - 1
+    starts = np.flatnonzero(first)
+    ends = np.append(starts[1:], n)  # exclusive end row per key id
+
+    is_wipe = pc.equal(kind, "wipe").to_numpy(zero_copy_only=False)
+
+    # --- cells: one per added element, in row-major (timeuuid) order -------
+    adds = t["add_elems"].combine_chunks()
+    add_lens = pc.list_value_length(adds).fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64)
+    cell_row = np.repeat(np.arange(n, dtype=np.int64), add_lens)
+    cell_val = adds.flatten()  # non-null lists only; lens align
+    cell_kid = kid[cell_row]
+
+    # --- kill by wipe: first LATER wipe row in the same key ----------------
+    wipe_rows = np.flatnonzero(is_wipe).astype(np.int64)
+    wipe_kill = _segmented_next(wipe_rows, kid[wipe_rows], cell_row, cell_kid)
+
+    # --- kill by remove: first LATER remove of the same value in the key ---
+    rems = t["rem_elems"].combine_chunks()
+    rem_lens = pc.list_value_length(rems).fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64)
+    rem_row = np.repeat(np.arange(n, dtype=np.int64), rem_lens)
+    rem_val = rems.flatten()
+    # factorize values jointly so (kid, value) becomes one int gid
+    both = pa.concat_arrays([cell_val.cast(pa.string()), rem_val.cast(pa.string())])
+    codes = pc.index_in(both, value_set=both.unique()).to_numpy(zero_copy_only=False).astype(np.int64)
+    nv = len(cell_val)
+    cell_gid = cell_kid * (codes.max() + 1 if len(codes) else 1) + codes[:nv]
+    rem_gid = kid[rem_row] * (codes.max() + 1 if len(codes) else 1) + codes[nv:]
+    rem_kill = _segmented_next(rem_row, rem_gid, cell_row, cell_gid)
+
+    kill = np.minimum(wipe_kill, rem_kill)
+    hi = np.minimum(kill, ends[cell_kid])  # clip to the key's row range
+    lo = cell_row
+    counts = hi - lo  # ≥ 1: a cell is live in its own row's post-image
+
+    # --- expand to (event, cell) pairs with the ranges trick ----------------
+    total = int(counts.sum())
+    pair_cell = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+    base = np.repeat(np.cumsum(counts) - counts, counts)
+    pair_event = np.arange(total, dtype=np.int64) - base + np.repeat(lo, counts)
+    order = np.lexsort((pair_cell, pair_event))  # cell order == timeuuid order
+    lens_out = np.bincount(pair_event, minlength=n)
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lens_out, out=offsets[1:])
+    values = cell_val.take(pa.array(pair_cell[order]))
+    lst = pa.LargeListArray.from_arrays(pa.array(offsets, pa.int64()), values)
+    after_csv = pc.binary_join(lst.cast(pa.list_(pa.string())), ",")
+
+    ac = after_csv.combine_chunks() if isinstance(after_csv, pa.ChunkedArray) else after_csv
+    shifted = pa.concat_arrays([pa.nulls(1, pa.string()), ac.slice(0, n - 1)])
+    idx = pa.array(np.arange(n, dtype=np.int64), mask=first)
+    before_csv = shifted.take(idx)
+
+    return pa.table(
+        {
+            "conv_id": conv,
+            "turn_idx": turn,
+            "seq": t["seq"].combine_chunks(),
+            "kind": kind,
+            "after_csv": after_csv,
+            "n_after": pa.array(lens_out.astype(np.int64), pa.int64()),
+            "before_csv": before_csv,
+            "elems_modified": pc.not_equal(kind, "none"),
+        }
+    )
+
+
+def _empty() -> pa.Table:
+    return pa.table(
+        {
+            "conv_id": pa.nulls(0, pa.string()),
+            "turn_idx": pa.nulls(0, pa.int32()),
+            "seq": pa.nulls(0, pa.int64()),
+            "kind": pa.nulls(0, pa.string()),
+            "after_csv": pa.nulls(0, pa.string()),
+            "n_after": pa.nulls(0, pa.int64()),
+            "before_csv": pa.nulls(0, pa.string()),
+            "elems_modified": pa.nulls(0, pa.bool_()),
+        }
+    )

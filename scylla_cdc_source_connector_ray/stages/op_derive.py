@@ -178,16 +178,27 @@ def derive_ops(
     # are only 2^k combinations — precompute them and index with a bitmask
     # (fully vectorized; no per-row string building).
     modified_parts.sort()
+    if len(modified_parts) > 63:
+        raise ValueError(f"too many payload columns for the bitmask ({len(modified_parts)} > 63)")
     combo = np.zeros(n, dtype=np.int64)
     for bit, (_, mask) in enumerate(modified_parts):
         m = mask.to_numpy(zero_copy_only=False).astype(np.int64)
         combo |= m << bit
     names = [vc for vc, _ in modified_parts]
-    lookup = np.array(
-        [",".join(nm for b, nm in enumerate(names) if i & (1 << b)) for i in range(1 << len(names))],
-        dtype=object,
-    )
-    cols["modified_cols"] = pa.array(lookup[combo], type=pa.string())
+    if len(names) <= 16:
+        lookup = np.array(
+            [",".join(nm for b, nm in enumerate(names) if i & (1 << b)) for i in range(1 << len(names))],
+            dtype=object,
+        )
+        cols["modified_cols"] = pa.array(lookup[combo], type=pa.string())
+    else:
+        # 2^k combos would explode — build strings only for combos that occur
+        uniq, inv = np.unique(combo, return_inverse=True)
+        lookup = np.array(
+            [",".join(nm for b, nm in enumerate(names) if i & (1 << b)) for i in uniq],
+            dtype=object,
+        )
+        cols["modified_cols"] = pa.array(lookup[inv], type=pa.string())
 
     cols["ts"] = tbl["ts"].combine_chunks()
     for passthrough in (SEQ_COL, "shard"):

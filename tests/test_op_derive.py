@@ -134,3 +134,30 @@ def test_null_empty_value_matrix():
     assert out.loc[1, "after_text"] == ""
     assert out.loc[1, "modified_cols"] == "text"
     assert pd.isna(out.loc[2, "after_tool"]) and out.loc[2, "modified_cols"] == "text,tool"
+
+
+def test_modified_cols_many_columns_fallback():
+    """>16 payload columns: the 2^k lookup would explode — the occurring-combo
+    fallback must produce identical strings."""
+    n = 4
+    cols = {
+        "conv_id": pa.array(["a"] * n, pa.string()),
+        "turn_idx": pa.array([0] * n, pa.int32()),
+        "text": pa.array(["v0", "v1", "v1", "v2"], pa.string()),
+        "ts": pa.array([1, 2, 3, 4], TS),
+        "seq": pa.array([1, 2, 3, 4], pa.int64()),
+    }
+    extra = [f"x{i:02d}" for i in range(17)]
+    for i, name in enumerate(extra):
+        # column x_i changes at row i%3+1 (and stays changed)
+        j = i % 3 + 1
+        cols[name] = pa.array(["a"] * j + ["b"] * (n - j), pa.string())
+    t = pa.table(cols)
+    out = derive_ops(t, value_cols=("text", *extra, "ts")).to_pandas()
+    # row 0 is a create: every non-null column counts modified
+    assert out.loc[0, "modified_cols"] == ",".join(sorted(["text", *extra]))
+    for row in (1, 2, 3):
+        want = sorted(nm for i, nm in enumerate(extra) if i % 3 + 1 == row)
+        if row in (1, 3):
+            want = sorted(want + ["text"])
+        assert out.loc[row, "modified_cols"] == ",".join(want), row

@@ -129,3 +129,41 @@ def test_unbucketed_multifile_batch_mixed_schemas(tmp_path):
     out = _flat(r)
     assert out[out.seq == 2].iloc[0].after_lang == "en"
     assert pd.isna(out[out.seq == 1].iloc[0].after_lang)
+
+
+def test_allowlist_blocks_stray_column(tmp_path):
+    """A stray metadata column in a log file must NOT be adopted when an
+    allowlist is configured (ADVICE: adoption is sticky and irreversible)."""
+    log = str(tmp_path / "log")
+    _write(log, "window-00000.parquet",
+           _rows([("c1", 0, "a", 10, 1)]).append_column(
+               "ingest_id", pa.array(["x"], pa.string())))
+    cfg = _cfg(tmp_path)
+    cfg.evolved_col_allowlist = ("lang",)
+    r = CaptureRunner(log, cfg)
+    r.run(files_per_batch=1)
+    out = _flat(r)
+    assert "after_ingest_id" not in out.columns
+    assert r.ckpt.last_committed()["value_cols_extra"] == {}
+    # an allowlisted column still evolves normally
+    _write(log, "window-00001.parquet", _rows([("c1", 0, "b", 20, 2, "en")]))
+    r2 = CaptureRunner(log, cfg)
+    r2.run(files_per_batch=1)
+    assert r2.ckpt.last_committed()["value_cols_extra"] == {"lang": "string"}
+
+
+def test_max_evolved_cols_raises(tmp_path):
+    """Adopting beyond max_evolved_cols fails loudly instead of silently
+    growing the envelope (and the 2^k modified-cols table)."""
+    log = str(tmp_path / "log")
+    t = _rows([("c1", 0, "a", 10, 1)])
+    for i in range(3):
+        t = t.append_column(f"extra{i}", pa.array(["x"], pa.string()))
+    _write(log, "window-00000.parquet", t)
+    cfg = _cfg(tmp_path)
+    cfg.max_evolved_cols = 2
+    r = CaptureRunner(log, cfg)
+    import pytest
+
+    with pytest.raises(ValueError, match="max_evolved_cols"):
+        r.run(files_per_batch=1)
