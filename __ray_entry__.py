@@ -386,6 +386,26 @@ def _q_cdc_list_rebuild(sf_dir: str):
     return cap.list_rebuild(ds, _CFG, element_col="role")
 
 
+def _q_cdc_list_element_ops(sf_dir: str):
+    """Element-level non-frozen collection capture (reference M8 tail):
+    add/remove/overwrite cell deltas folded into per-change post/pre images
+    in timeuuid order, with the cdc$deleted_elements modified-column
+    semantics (``elems_modified``)."""
+    import os
+
+    import ray.data
+
+    from scylla_cdc_source_connector_ray.sources.events_adapter import (
+        events_to_element_log,
+    )
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id", "event_type", "value"],
+    ).map_batches(events_to_element_log, batch_format="pyarrow")
+    return cap.element_ops_capture(ds, _CFG)
+
+
 TTL_US = 6 * 3_600_000_000  # 6h row TTL for the gated query
 
 
@@ -661,6 +681,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_ttl_deletes": _q_cdc_ttl_deletes,
         "cdc_multi_table": _q_cdc_multi_table,
         "cdc_list_rebuild": _q_cdc_list_rebuild,
+        "cdc_list_element_ops": _q_cdc_list_element_ops,
         "sample_documents": _q_sample_documents,
         "cdc_capture_maps": _q_cdc_capture_maps,
         "cdc_capture_salted": _q_cdc_capture_salted,
@@ -711,6 +732,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_ttl_deletes": oracles.CDC_TTL_DELETES,
         "cdc_multi_table": oracles.CDC_MULTI_TABLE,
         "cdc_list_rebuild": oracles.CDC_LIST_REBUILD,
+        "cdc_list_element_ops": oracles.CDC_LIST_ELEMENT_OPS,
         "sample_documents": oracles.SAMPLE_DOCUMENTS,
         "cdc_capture_maps": oracles.CDC_CAPTURE_MAPS,
         "cdc_capture_salted": oracles.CDC_CAPTURE_SALTED,

@@ -9,7 +9,7 @@ independently re-implementing the spec in ``stages/op_derive.py``.
 
 from __future__ import annotations
 
-from .sources.events_adapter import TRANSCRIPTS_PD_SQL, TRANSCRIPTS_SQL
+from .sources.events_adapter import ELEMENT_OPS_SQL, TRANSCRIPTS_PD_SQL, TRANSCRIPTS_SQL
 
 #: shared prelude: transcripts CTE + the per-key CDC fold
 CDC_EVENTS_CTE = f"""
@@ -828,4 +828,50 @@ SAMPLE_DOCUMENTS = """
 SELECT doc_id, lang, source
 FROM documents
 WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')
+"""
+
+
+#: element-level non-frozen collection ops (reference M8 tail,
+#: ScyllaChangeRecordEmitter.java:683-746 + :361-398): each added element is
+#: a cell keyed by (ts, seq, pos); a wipe kills earlier cells; a remove kills
+#: live cells by value; the post-image at each change is the live cells in
+#: timeuuid order. SQL shape: per-cell kill-seq via decorrelated MINs, then an
+#: interval-stab join cells × events.
+CDC_LIST_ELEMENT_OPS = f"""
+WITH eops AS ({ELEMENT_OPS_SQL}),
+cells AS (
+    SELECT conv_id, turn_idx, seq AS add_seq, event_type AS elem, 0 AS pos
+    FROM eops WHERE kind IN ('add', 'wipe')
+    UNION ALL
+    SELECT conv_id, turn_idx, seq, 'high', 1
+    FROM eops WHERE kind = 'add' AND value >= 10
+),
+killed AS (
+    SELECT c.conv_id, c.turn_idx, c.add_seq, c.elem, c.pos,
+        LEAST(
+            COALESCE((SELECT MIN(w.seq) FROM eops w
+                      WHERE w.conv_id = c.conv_id AND w.turn_idx = c.turn_idx
+                        AND w.kind = 'wipe' AND w.seq > c.add_seq),
+                     9223372036854775807),
+            COALESCE((SELECT MIN(r.seq) FROM eops r
+                      WHERE r.conv_id = c.conv_id AND r.turn_idx = c.turn_idx
+                        AND r.kind = 'remove' AND r.event_type = c.elem
+                        AND r.seq > c.add_seq),
+                     9223372036854775807)
+        ) AS kill_seq
+    FROM cells c
+),
+after AS (
+    SELECT e.conv_id, e.turn_idx, e.seq, e.kind,
+           COALESCE(string_agg(k.elem, ',' ORDER BY k.add_seq, k.pos), '') AS after_csv,
+           CAST(COUNT(k.elem) AS BIGINT) AS n_after
+    FROM eops e LEFT JOIN killed k
+      ON k.conv_id = e.conv_id AND k.turn_idx = e.turn_idx
+     AND k.add_seq <= e.seq AND e.seq < k.kill_seq
+    GROUP BY e.conv_id, e.turn_idx, e.seq, e.kind
+)
+SELECT conv_id, turn_idx, seq, kind, after_csv, n_after,
+       lag(after_csv) OVER (PARTITION BY conv_id, turn_idx ORDER BY seq) AS before_csv,
+       (kind <> 'none') AS elems_modified
+FROM after
 """

@@ -318,3 +318,21 @@ def capture_flat(ds: ray.data.Dataset, cfg: EngineConfig) -> ray.data.Dataset:
     the DuckDB oracle emits (drops engine-internal shard/modified cols)."""
     ev = capture(ds, cfg)
     return ev.map_batches(flatten_envelope, batch_format="pyarrow", batch_size=cfg.batch_size)
+
+
+def element_ops_capture(ds: ray.data.Dataset, cfg: EngineConfig) -> ray.data.Dataset:
+    """Element-level non-frozen collection capture (reference M8 tail,
+    ``ScyllaChangeRecordEmitter.java:683-746`` / ``:361-398``): per-element
+    add/remove/overwrite deltas folded into per-change post/pre images in
+    timeuuid order. Same single keyed shuffle as :func:`capture`; the element
+    lists cross the exchange in the flat counted-join transport."""
+    from ..schema import decode_nested, encode_nested
+    from ..stages.element_ops import fold_element_ops
+
+    sharded = ds.map_batches(
+        lambda b: encode_nested(with_shard(b, cfg.num_shards)), batch_format="pyarrow"
+    )
+    return sharded.groupby("shard").map_groups(
+        lambda t: fold_element_ops(decode_nested(t.drop_columns(["shard"]))),
+        batch_format="pyarrow",
+    )

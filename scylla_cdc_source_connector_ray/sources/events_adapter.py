@@ -204,3 +204,77 @@ def _meta_col(batch: pa.Table) -> pa.Array:
         pc.extract_regex(batch["props"].combine_chunks(), r"(?P<d>[0-9]+)"), "d"
     ).cast(pa.int64())
     return pa.StructArray.from_arrays([k, et], names=["k", "src"], mask=err)
+
+
+# ---------------------------------------------------------------------------
+# Element-op log (non-frozen collection deltas, reference M8 tail)
+# ---------------------------------------------------------------------------
+
+#: element-op kind mapping (deterministic from event_id):
+#:   wipe   when event_id % 11 == 0      (collection overwrite, cdc$deleted_<col>)
+#:   remove when event_id %  7 == 0      (cdc$deleted_elements_<col>)
+#:   none   when event_id %  5 == 3      (row doesn't touch the collection)
+#:   add    otherwise                    (new cells; 2 cells when value >= 10)
+ELEMENT_OPS_SQL = """
+    SELECT
+        'conv' || CAST(user_id AS VARCHAR)            AS conv_id,
+        CAST(event_id % 20 AS INTEGER)                AS turn_idx,
+        ts                                            AS ts,
+        event_id                                      AS seq,
+        CASE WHEN event_id % 11 = 0 THEN 'wipe'
+             WHEN event_id % 7 = 0 THEN 'remove'
+             WHEN event_id % 5 = 3 THEN 'none'
+             ELSE 'add' END                           AS kind,
+        event_type, value
+    FROM events
+"""
+
+
+def events_to_element_log(batch: pa.Table) -> pa.Table:
+    """Vectorized :data:`ELEMENT_OPS_SQL` plus the element lists:
+
+    * add rows:  ``add_elems = [event_type, 'high' if value >= 10]``
+    * wipe rows: ``add_elems = [event_type]`` (overwrite: clear + set)
+    * remove rows: ``rem_elems = [event_type]``
+    """
+    import numpy as np
+
+    n = batch.num_rows
+    eid = batch["event_id"].combine_chunks().to_numpy(zero_copy_only=False)
+    et = batch["event_type"].combine_chunks().to_numpy(zero_copy_only=False)
+    val = batch["value"].combine_chunks().to_numpy(zero_copy_only=False)
+    kind = np.where(
+        eid % 11 == 0, "wipe", np.where(eid % 7 == 0, "remove", np.where(eid % 5 == 3, "none", "add"))
+    )
+    add_counts = np.where(
+        kind == "add", np.where(val >= 10, 2, 1), np.where(kind == "wipe", 1, 0)
+    ).astype(np.int64)
+    add_off = np.zeros(n + 1, dtype=np.int32)
+    np.cumsum(add_counts, out=add_off[1:])
+    # rows with 2 cells carry [event_type, 'high']: cell values built from
+    # the position of each cell within its row, fully vectorized
+    row_of_cell = np.repeat(np.arange(n), add_counts)
+    pos_in_row = np.arange(len(row_of_cell)) - np.repeat(add_off[:-1], add_counts)
+    cell_vals = np.where(pos_in_row == 0, et[row_of_cell], "high")
+    add_elems = pa.ListArray.from_arrays(
+        pa.array(add_off, pa.int32()), pa.array(cell_vals, pa.string())
+    )
+    rem_counts = (kind == "remove").astype(np.int64)
+    rem_off = np.zeros(n + 1, dtype=np.int32)
+    np.cumsum(rem_counts, out=rem_off[1:])
+    rem_elems = pa.ListArray.from_arrays(
+        pa.array(rem_off, pa.int32()), pa.array(et[kind == "remove"], pa.string())
+    )
+    return pa.table(
+        {
+            "conv_id": pc.binary_join_element_wise(
+                pa.array(["conv"] * n, pa.string()), batch["user_id"].cast(pa.string()), ""
+            ),
+            "turn_idx": pa.array((eid % 20).astype("int32")),
+            "ts": batch["ts"],
+            SEQ_COL: pa.array(eid, pa.int64()),
+            "kind": pa.array(kind, pa.string()),
+            "add_elems": add_elems,
+            "rem_elems": rem_elems,
+        }
+    )
