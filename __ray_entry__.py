@@ -70,6 +70,21 @@ def _q_win_session(sf_dir: str):
     return W.session(ds, gap_us=oracles.GAP30M_US, num_shards=_CFG.num_shards)
 
 
+def _q_win_session_salted(sf_dir: str):
+    """Hierarchical session windows with EVERY conversation treated as hot
+    (maximal salting stress): salted sub-shards → partial sessions → per-conv
+    interval merge. Same oracle as win_session — salting must never change
+    content."""
+    from scylla_cdc_source_connector_ray.stages import windows as W
+    from scylla_cdc_source_connector_ray.stages.salt import detect_hot_convs
+
+    ds = cap.read_transcripts_from_events(sf_dir, columns=["conv_id", "turn_idx", "ts"])
+    hot = frozenset(detect_hot_convs(ds, threshold=1))  # everything is hot
+    return W.session_salted(
+        ds, gap_us=oracles.GAP30M_US, num_shards=_CFG.num_shards, hot_convs=hot, salt_chunk=3
+    )
+
+
 def _q_join_conv_state(sf_dir: str):
     from scylla_cdc_source_connector_ray.stages.join import conv_state_features
 
@@ -671,6 +686,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "win_tumbling_role": _q_win_tumbling_role,
         "win_sliding": _q_win_sliding,
         "win_session": _q_win_session,
+        "win_session_salted": _q_win_session_salted,
         "join_conv_state": _q_join_conv_state,
         "join_enrich_customer": _q_join_enrich_customer,
         "cdc_compaction": _q_cdc_compaction,
@@ -722,6 +738,7 @@ def oracle_sql() -> dict[str, str]:
         "win_tumbling_role": oracles.WIN_TUMBLING_ROLE,
         "win_sliding": oracles.WIN_SLIDING,
         "win_session": oracles.WIN_SESSION,
+        "win_session_salted": oracles.WIN_SESSION,
         "join_conv_state": oracles.JOIN_CONV_STATE,
         "join_enrich_customer": oracles.JOIN_ENRICH_CUSTOMER,
         "cdc_compaction": oracles.CDC_COMPACTION,

@@ -128,6 +128,7 @@ def _shard_task(
     out_dir: str,
     prev_watermarks: dict[str, int],
     extras: tuple[tuple[str, str], ...] = (),
+    salted_sessions: bool = False,
 ) -> pa.Table:
     shard = group["shard"][0].as_py()
     ckpt = Checkpoint(ckpt_dir)
@@ -304,11 +305,20 @@ def _shard_task(
             real, shard, batch_id, cfg, ckpt, out_dir, wm_prev, size, slide
         )
     if cfg.session_gap_us is not None and real.num_rows:
-        from .stream_agg import session_state
+        if salted_sessions:
+            # hierarchical path: this salted sub-shard only computes partial
+            # intervals; the per-conversation merge stage owns state/emission
+            from .stream_agg import session_partials
 
-        n_late_dropped += session_state(
-            real, shard, batch_id, cfg, ckpt, out_dir, wm_prev, cfg.session_gap_us
-        )
+            n_late_dropped += session_partials(
+                real, shard, batch_id, cfg, out_dir, prev_watermarks, cfg.session_gap_us
+            )
+        else:
+            from .stream_agg import session_state
+
+            n_late_dropped += session_state(
+                real, shard, batch_id, cfg, ckpt, out_dir, wm_prev, cfg.session_gap_us
+            )
 
     # --- persistent per-conversation state join (north_star join) ----------
     if cfg.enrich_conv_state:
@@ -637,16 +647,18 @@ class CaptureRunner:
             hot_convs = self._detect_hot_first_batch(files_per_batch)
         self._hot = frozenset(hot_convs or [])
         if self._hot and (
-            self.cfg.session_gap_us is not None
-            or self.cfg.enrich_conv_state
+            self.cfg.enrich_conv_state
             or self.cfg.partition_deletes
             or "conv_id" in self.cfg.window_agg_keys
         ):
+            # session windows COMPOSE with salting via the hierarchical
+            # partial→merge path (stream_agg.session_partials +
+            # _merge_session_partials); these remaining stages still need
+            # whole-conversation co-location
             raise ValueError(
                 "hot-conv salting splits a conversation across shards and is "
-                "incompatible with conversation-level stages (session windows, "
-                "conv-state enrichment, conv-keyed panes) — disable salting or "
-                "those stages"
+                "incompatible with conv-state enrichment, partition deletes "
+                "and conv-keyed panes — disable salting or those stages"
             )
 
         bucketed = is_bucketed(self.log_dir)
@@ -771,6 +783,12 @@ class CaptureRunner:
                 totals["late_dropped"] = totals.get("late_dropped", 0) + row.get(
                     "n_late_dropped", 0
                 )
+            if self._hot and self.cfg.session_gap_us is not None:
+                # hierarchical salted sessions: merge stage runs before the
+                # commit so its state/emissions replay with the batch
+                for row in self._merge_session_partials(batch_id, watermarks):
+                    k = f"sess:{row['base_shard']}"
+                    watermarks[k] = max(watermarks.get(k, 0), row["max_ts_us"])
             if crash_before_commit_at is not None and i >= crash_before_commit_at:
                 totals["crashed"] = True
                 return totals
@@ -789,6 +807,15 @@ class CaptureRunner:
                 },
             )
             self.ckpt.gc_state(keep_batches=2)
+            if self._hot and self.cfg.session_gap_us is not None:
+                # partials are scratch: a replay regenerates them before the
+                # merge re-runs, so they are safe to drop once committed
+                import shutil
+
+                shutil.rmtree(
+                    os.path.join(self.out_dir, "_session_partials", f"batch-{batch_id:06d}"),
+                    ignore_errors=True,
+                )
             totals["batches"] += 1
             sec = time.perf_counter() - t0
             m = {
@@ -958,6 +985,7 @@ class CaptureRunner:
         else:
             ds = ds.map_batches(lambda b: with_shard(b, cfg.num_shards), batch_format="pyarrow")
         wm = dict(watermarks)  # tiny; captured by closure (ray.put for huge shard counts)
+        salted_sessions = bool(hot) and cfg.session_gap_us is not None
         stats_ds = ds.groupby("shard").map_groups(
             lambda g: _shard_task(
                 g,
@@ -967,10 +995,41 @@ class CaptureRunner:
                 out_dir=out_dir,
                 prev_watermarks=wm,
                 extras=extras,
+                salted_sessions=salted_sessions,
             ),
             batch_format="pyarrow",
         )
         return stats_ds.take_all()
+
+    def _merge_session_partials(self, batch_id: int, watermarks: dict) -> list[dict]:
+        """Stage 2 of the hierarchical salted-session path: gap-merge the
+        sub-shard partial intervals per conversation, keyed by the BASE shard
+        ``hash(conv_id) % num_shards``. The exchange moves O(sessions) interval
+        rows, not O(rows) — the streaming analogue of
+        :func:`..stages.windows.session_salted`'s second stage. Watermarks
+        live in the ``sess:<base>`` namespace of the manifest dict."""
+        pdir = os.path.join(self.out_dir, "_session_partials", f"batch-{batch_id:06d}")
+        if not os.path.isdir(pdir) or not os.listdir(pdir):
+            return []
+        cfg, ckpt_dir, out_dir = self.cfg, self.ckpt.dir, self.out_dir
+        wm = dict(watermarks)
+        gap_us = cfg.session_gap_us
+
+        def merge_task(g: pa.Table) -> pa.Table:
+            from .stream_agg import merge_and_emit_sessions
+
+            b = int(g["base_shard"][0].as_py())
+            sessions = g.drop_columns(["base_shard"]).to_pandas()
+            new_wm = max(wm.get(f"sess:{b}") or 0, int(sessions["session_end_us"].max()))
+            merge_and_emit_sessions(
+                sessions, b, batch_id, cfg, Checkpoint(ckpt_dir), out_dir, new_wm, gap_us
+            )
+            return pa.table(
+                {"base_shard": pa.array([b], pa.int32()), "max_ts_us": pa.array([new_wm], pa.int64())}
+            )
+
+        ds = ray.data.read_parquet(pdir)
+        return ds.groupby("base_shard").map_groups(merge_task, batch_format="pyarrow").take_all()
 
     def flush_windows(self) -> None:
         """End-of-log flush: once the (complete) log is fully consumed, emit

@@ -178,67 +178,69 @@ def session_state(
     if n_late:
         _write_late(real.filter(pa.array(late_mask)), out_dir, "session", batch_id, shard)
     ontime = real.filter(pa.array(~late_mask)) if n_late else real
+    sessions = batch_session_intervals(ontime, gap_us)
+    new_wm = max(wm_prev or 0, int(ts_all.max())) if len(ts_all) else (wm_prev or 0)
+    merge_and_emit_sessions(
+        sessions, shard, batch_id, cfg, ckpt, out_dir, new_wm, gap_us
+    )
+    return n_late
 
-    # batch sessions per conv (vectorized islands on the sorted block)
+
+def batch_session_intervals(ontime: pa.Table, gap_us: int) -> pd.DataFrame:
+    """This batch's sessions per conv (vectorized islands on the sorted
+    block) — SESSION_COLS-shaped partial intervals."""
     t = ontime.sort_by([("conv_id", "ascending"), ("ts", "ascending")])
     n = t.num_rows
-    sessions = pd.DataFrame(columns=SESSION_COLS)
-    if n:
-        conv = t["conv_id"].combine_chunks().to_numpy(zero_copy_only=False)
-        ts = t["ts"].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
-        chars = _chars(t)
-        new_conv = np.ones(n, dtype=bool)
-        new_conv[1:] = conv[1:] != conv[:-1]
-        brk = np.ones(n, dtype=bool)
-        brk[1:] = (ts[1:] - ts[:-1]) > gap_us
-        start = new_conv | brk
-        idx = np.flatnonzero(start)
-        ends = np.append(idx[1:] - 1, n - 1)
-        counts = np.diff(np.append(idx, n))
-        csum = np.concatenate([[0], np.cumsum(chars)])
-        sessions = pd.DataFrame(
-            {
-                "conv_id": conv[idx],
-                "session_start_us": ts[idx],
-                "session_end_us": ts[ends],
-                "n_turns": counts,
-                "n_chars": csum[ends + 1] - csum[idx],
-            }
-        )
+    if not n:
+        return pd.DataFrame(columns=SESSION_COLS)
+    conv = t["conv_id"].combine_chunks().to_numpy(zero_copy_only=False)
+    ts = t["ts"].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+    chars = _chars(t)
+    new_conv = np.ones(n, dtype=bool)
+    new_conv[1:] = conv[1:] != conv[:-1]
+    brk = np.ones(n, dtype=bool)
+    brk[1:] = (ts[1:] - ts[:-1]) > gap_us
+    start = new_conv | brk
+    idx = np.flatnonzero(start)
+    ends = np.append(idx[1:] - 1, n - 1)
+    counts = np.diff(np.append(idx, n))
+    csum = np.concatenate([[0], np.cumsum(chars)])
+    return pd.DataFrame(
+        {
+            "conv_id": conv[idx],
+            "session_start_us": ts[idx],
+            "session_end_us": ts[ends],
+            "n_turns": counts,
+            "n_chars": csum[ends + 1] - csum[idx],
+        }
+    )
 
-    # merge carried sessions with this batch's sessions by a full interval
-    # sweep per conv: an on-time out-of-order row can BRIDGE two previously
-    # separate sessions, so pairwise last-session merging is not enough.
-    # Intervals (carried + batch) sorted by start merge while
-    # next.start <= running_max(end) + gap — vectorized with pandas cummax.
+
+def merge_and_emit_sessions(
+    sessions: pd.DataFrame,
+    shard: int,
+    batch_id: int,
+    cfg: EngineConfig,
+    ckpt: Checkpoint,
+    out_dir: str,
+    new_wm: int,
+    gap_us: int,
+) -> None:
+    """Merge carried sessions with this batch's partial sessions by a full
+    interval sweep per conv (an on-time out-of-order row — or, in the salted
+    hierarchical path, a sub-shard partial — can BRIDGE two previously
+    separate sessions, so pairwise last-session merging is not enough), then
+    emit sessions closed by the new watermark and persist the rest."""
+    from ..stages.windows import merge_session_intervals
+
     seed_path = ckpt.latest_state_path(shard, batch_id, kind="sessstate")
     carried = (
         pq.read_table(seed_path).to_pandas() if seed_path is not None else pd.DataFrame(columns=SESSION_COLS)
     )
     candidates = pd.concat([carried, sessions], ignore_index=True)
     if len(candidates):
-        candidates = candidates.sort_values(
-            ["conv_id", "session_start_us", "session_end_us"]
-        ).reset_index(drop=True)
-        g = candidates.groupby("conv_id", sort=False)
-        prev_end_cummax = g["session_end_us"].transform(lambda x: x.cummax().shift())
-        new_sess = (
-            prev_end_cummax.isna()
-            | (candidates["session_start_us"] > prev_end_cummax + gap_us)
-        )
-        sid = new_sess.cumsum()
-        candidates = (
-            candidates.assign(_sid=sid)
-            .groupby(["conv_id", "_sid"], as_index=False, sort=False)
-            .agg(
-                session_start_us=("session_start_us", "min"),
-                session_end_us=("session_end_us", "max"),
-                n_turns=("n_turns", "sum"),
-                n_chars=("n_chars", "sum"),
-            )[SESSION_COLS]
-        )
+        candidates = merge_session_intervals(candidates, gap_us)[SESSION_COLS]
 
-    new_wm = max(wm_prev or 0, int(ts_all.max())) if len(ts_all) else (wm_prev or 0)
     thr = new_wm - cfg.allowed_lateness_us
     if len(candidates):
         emit_mask = (candidates["session_end_us"] + gap_us <= thr).values
@@ -273,4 +275,60 @@ def session_state(
         ),
         kind="sessstate",
     )
+
+
+def session_partials(
+    real: pa.Table,
+    shard: int,
+    batch_id: int,
+    cfg: EngineConfig,
+    out_dir: str,
+    prev_watermarks: dict[str, int],
+    gap_us: int,
+) -> int:
+    """Stage 1 of the hierarchical salted-session path (north_star skew
+    clause composed with a conversation-level stateful stage): this salted
+    sub-shard computes *partial* session intervals over its row subset and
+    hands them — O(sessions), not O(rows) — to the per-conversation merge
+    stage (:meth:`..pipelines.runner.CaptureRunner._merge_session_partials`).
+
+    Late routing is against the BASE shard's session watermark
+    (``sess:<base>`` namespace): emission decisions live in the merge stage,
+    so its watermark is the one that defines lateness."""
+    import numpy as np
+
+    from ..schema import shard_of
+
+    base = shard_of(real["conv_id"], cfg.num_shards).to_numpy(zero_copy_only=False)
+    ts_all = real["ts"].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+    thr_of_base = np.full(cfg.num_shards, np.iinfo(np.int64).min, dtype=np.int64)
+    for b in np.unique(base):
+        wm = prev_watermarks.get(f"sess:{int(b)}")
+        if wm is not None:
+            thr_of_base[b] = wm - cfg.allowed_lateness_us
+    late_mask = ts_all <= thr_of_base[base]
+    n_late = int(late_mask.sum())
+    if n_late:
+        _write_late(real.filter(pa.array(late_mask)), out_dir, "session", batch_id, shard)
+    ontime = real.filter(pa.array(~late_mask)) if n_late else real
+
+    sessions = batch_session_intervals(ontime, gap_us)
+    if len(sessions):
+        t = pa.Table.from_pandas(sessions, preserve_index=False)
+        t = pa.table(
+            {
+                "conv_id": t["conv_id"].combine_chunks().cast(pa.string()),
+                "session_start_us": t["session_start_us"].cast(pa.int64()),
+                "session_end_us": t["session_end_us"].cast(pa.int64()),
+                "n_turns": t["n_turns"].cast(pa.int64()),
+                "n_chars": t["n_chars"].cast(pa.int64()),
+            }
+        )
+        t = t.append_column("base_shard", shard_of(t["conv_id"], cfg.num_shards))
+        _atomic_pq(
+            t,
+            os.path.join(
+                out_dir, "_session_partials", f"batch-{batch_id:06d}", f"shard={shard}.parquet"
+            ),
+        )
     return n_late

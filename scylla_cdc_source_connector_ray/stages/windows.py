@@ -187,3 +187,88 @@ def session(
     return slim.groupby("shard").map_groups(
         lambda g: _sessions_in_shard(g, gap_us, ts_col), batch_format="pyarrow"
     )
+
+
+def merge_session_intervals(df, gap_us: int):
+    """Gap-merge partial session intervals per conv (pandas DataFrame with
+    SESSION-shaped columns; extra aggregate columns are summed). Correctness:
+    sessionization of a point set equals gap-merging the partial sessions of
+    ANY partition of that set — within a partial session consecutive points
+    have gap ≤ g (still ≤ g in the union), and the sweep joins intervals whose
+    gap ≤ g, including bridges across partials. Same full-sweep-with-cummax
+    the streaming merge uses (an out-of-order partial can bridge two others)."""
+    import pandas as pd
+
+    if not len(df):
+        return df
+    df = df.sort_values(["conv_id", "session_start_us", "session_end_us"]).reset_index(drop=True)
+    g = df.groupby("conv_id", sort=False)
+    prev_end_cummax = g["session_end_us"].transform(lambda x: x.cummax().shift())
+    new_sess = prev_end_cummax.isna() | (df["session_start_us"] > prev_end_cummax + gap_us)
+    sid = new_sess.cumsum()
+    sums = {
+        c: (c, "sum")
+        for c in df.columns
+        if c not in ("conv_id", "session_start_us", "session_end_us")
+    }
+    return (
+        df.assign(_sid=sid)
+        .groupby(["conv_id", "_sid"], as_index=False, sort=False)
+        .agg(
+            session_start_us=("session_start_us", "min"),
+            session_end_us=("session_end_us", "max"),
+            **sums,
+        )
+        .drop(columns=["_sid"])
+    )
+
+
+def session_salted(
+    ds: ray.data.Dataset,
+    gap_us: int,
+    num_shards: int,
+    hot_convs: frozenset[str] | set[str],
+    salt_chunk: int,
+    ts_col: str = "ts",
+) -> ray.data.Dataset:
+    """Hierarchical session windows under hot-conversation salting (the
+    north_star skew clause composed with a conversation-level stateful stage):
+
+    1. salted sub-shards compute *partial* sessions over their row subset
+       (same vectorized islands pass as :func:`session`);
+    2. a second keyed exchange re-shards the partial INTERVALS (O(sessions),
+       not O(rows)) by plain ``hash(conv_id)`` and gap-merges them per conv.
+
+    Output equals :func:`session` exactly — salting changes placement and the
+    interval-volume of the second exchange, never content."""
+    from .salt import with_salted_shard
+
+    hot = frozenset(hot_convs)
+    slim = ds.map_batches(
+        lambda b: with_salted_shard(
+            b.select(["conv_id", "turn_idx", ts_col]), num_shards, hot, salt_chunk
+        ),
+        batch_format="pyarrow",
+    )
+    partials = slim.groupby("shard").map_groups(
+        lambda g: _sessions_in_shard(g, gap_us, ts_col), batch_format="pyarrow"
+    )
+
+    def _merge(g: pa.Table) -> pa.Table:
+        merged = merge_session_intervals(
+            g.drop_columns(["shard"]).to_pandas(), gap_us
+        )
+        out = pa.Table.from_pandas(merged, preserve_index=False)
+        return pa.table(
+            {
+                "conv_id": out["conv_id"].cast(pa.string()) if out.num_rows else pa.nulls(0, pa.string()),
+                "session_start_us": out["session_start_us"].cast(pa.int64()),
+                "session_end_us": out["session_end_us"].cast(pa.int64()),
+                "n_turns": out["n_turns"].cast(pa.int64()),
+            }
+        )
+
+    resharded = partials.map_batches(
+        lambda b: with_shard(b, num_shards), batch_format="pyarrow"
+    )
+    return resharded.groupby("shard").map_groups(_merge, batch_format="pyarrow")

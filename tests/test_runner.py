@@ -485,7 +485,9 @@ def test_salting_incompatible_with_conv_level_stages(tmp_path):
 
     t = generate(num_convs=4, turns_per_conv=4)
     write_windowed(t, str(tmp_path / "log"), num_files=1)
-    cfg = _cfg(tmp_path, session_gap_us=1_000_000)
+    # session windows now COMPOSE with salting (hierarchical partial->merge);
+    # conv-state enrichment / partition deletes / conv-keyed panes still don't
+    cfg = _cfg(tmp_path, enrich_conv_state=True)
     with pytest.raises(ValueError, match="salting"):
         CaptureRunner(str(tmp_path / "log"), cfg).run(hot_convs=["conv0"])
 

@@ -308,3 +308,94 @@ def test_session_merge_bounds_with_out_of_order_on_time_row(tmp_path):
     assert sess.loc[0, "session_start_us"] == base + 100 * S
     assert sess.loc[0, "session_end_us"] == base + 200 * S
     assert sess.loc[0, "n_turns"] == 3
+
+
+def test_salted_streaming_sessions_equal_batch(tmp_path):
+    """Hierarchical salted sessions (north_star skew clause composed with a
+    conversation-level stateful stage): hot conversations split across salted
+    sub-shards; sub-shards emit partial intervals, the per-conv merge stage
+    owns state + watermark-gated emission. Output equals the batch oracle."""
+    import ray.data
+
+    from scylla_cdc_source_connector_ray.stages import windows as W
+
+    t = generate(num_convs=6, turns_per_conv=40, update_pct=20, delete_pct=10, step_us=40_000_000)
+    write_windowed(t, str(tmp_path / "log"), num_files=4)
+    GAP = 30_000_000
+    cfg = _cfg(
+        tmp_path, session_gap_us=GAP, allowed_lateness_us=MIN,
+        hot_key_threshold=10, salt_factor=4,
+    )
+    runner = CaptureRunner(str(tmp_path / "log"), cfg)
+    hot = sorted(set(t["conv_id"].to_pylist()))[:3]  # salt half the convs
+    totals = runner.run(hot_convs=hot)
+    runner.flush_windows()
+    assert totals["late_dropped"] == 0
+    # the merge stage ran and tracked its own watermark namespace
+    wms = runner.ckpt.last_committed()["watermarks"]
+    assert any(k.startswith("sess:") for k in wms)
+    got = (
+        runner.read_windows("windows_session")
+        .to_pandas()[["conv_id", "session_start_us", "session_end_us", "n_turns"]]
+        .sort_values(["conv_id", "session_start_us"])
+        .reset_index(drop=True)
+    )
+    want = (
+        W.session(ray.data.from_arrow(t), gap_us=GAP, num_shards=cfg.num_shards)
+        .to_pandas()[["conv_id", "session_start_us", "session_end_us", "n_turns"]]
+        .sort_values(["conv_id", "session_start_us"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got.astype({"n_turns": "int64"}), want.astype({"n_turns": "int64"}))
+    # sessions were emitted progressively (watermark-gated), not only at flush
+    import os
+
+    emitted = [
+        d for d in os.listdir(tmp_path / "out" / "windows_session") if d.startswith("batch-")
+    ]
+    assert emitted, "no watermark-gated session emission happened before flush"
+    # capture events themselves unchanged by salting
+    from scylla_cdc_source_connector_ray.stages.envelope import flatten_envelope
+
+    from tests.oracle import cdc_oracle
+
+    flat = flatten_envelope(runner.read_output()).to_pandas()
+    golden = cdc_oracle(t.to_pandas())
+    cols = sorted(set(golden.columns) & set(flat.columns))
+    a = flat[cols].sort_values(["conv_id", "turn_idx", "seq"]).reset_index(drop=True)
+    b = golden[cols].sort_values(["conv_id", "turn_idx", "seq"]).reset_index(drop=True)
+    for c in ("before_ts", "after_ts"):
+        if c in cols:
+            a[c] = pd.to_datetime(a[c]).astype("datetime64[ns]")
+            b[c] = pd.to_datetime(b[c]).astype("datetime64[ns]")
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_salted_streaming_sessions_kill_resume(tmp_path):
+    """Crash between the merge stage and the commit must replay cleanly: the
+    partial files are regenerated, the merge re-runs idempotently."""
+    t = generate(num_convs=5, turns_per_conv=30, update_pct=20, delete_pct=10, step_us=30_000_000)
+    write_windowed(t, str(tmp_path / "log"), num_files=3)
+    GAP = 30_000_000
+    kw = dict(session_gap_us=GAP, allowed_lateness_us=MIN, hot_key_threshold=10, salt_factor=4)
+    hot = sorted(set(t["conv_id"].to_pylist()))[:2]
+
+    cfg1 = _cfg(tmp_path, **kw)
+    r1 = CaptureRunner(str(tmp_path / "log"), cfg1)
+    assert r1.run(hot_convs=hot, crash_before_commit_at=1).get("crashed")
+    r2 = CaptureRunner(str(tmp_path / "log"), cfg1)
+    r2.run()  # hot set restored from the manifest
+    r2.flush_windows()
+
+    clean = tmp_path / "clean"
+    cfg2 = EngineConfig(num_shards=4, sink_dir=str(clean / "out"), checkpoint_dir=str(clean / "ckpt"), **kw)
+    r3 = CaptureRunner(str(tmp_path / "log"), cfg2)
+    r3.run(hot_convs=hot)
+    r3.flush_windows()
+
+    a = r2.read_windows("windows_session").to_pandas()
+    b = r3.read_windows("windows_session").to_pandas()
+    keys = list(a.columns)
+    a = a.sort_values(keys).reset_index(drop=True)
+    b = b.sort_values(keys).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
