@@ -221,6 +221,40 @@ def _q_cdc_capture_maps(sf_dir: str):
     return flat.map_batches(scalarize, batch_format="pyarrow")
 
 
+def _q_cdc_capture_tuples(sf_dir: str):
+    """M8 tuple widening: a tuple<int64,string> value column (pair) as the
+    reference's field_N struct (ScyllaChangeRecordEmitter.java:749-764) —
+    unlike a UDT, an all-NULL tuple is a VALUE distinct from a NULL tuple, so
+    the gate carries an explicit set-ness flag per image."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from scylla_cdc_source_connector_ray.schema import TUPLE_VALUE_COLS
+
+    ds = cap.read_transcripts_from_events(
+        sf_dir,
+        columns=["conv_id", "turn_idx", "role", "text", "tool", "pair", "ts", "seq"],
+    )
+    flat = cap.derive_stage(ds, _CFG, value_cols=TUPLE_VALUE_COLS)
+
+    def scalarize(t: pa.Table) -> pa.Table:
+        out = {
+            "conv_id": t["conv_id"].combine_chunks(),
+            "turn_idx": t["turn_idx"].combine_chunks(),
+            "op": t["op"].combine_chunks(),
+            "seq": t["seq"].combine_chunks(),
+        }
+        for pfx in ("after_", "before_"):
+            pair = t[pfx + "pair"].combine_chunks()
+            out[pfx + "pair_set"] = pc.is_valid(pair)
+            out[pfx + "pair_f0"] = pc.struct_field(pair, "field_0")
+            out[pfx + "pair_f1"] = pc.struct_field(pair, "field_1")
+        out["modified_cols"] = t["modified_cols"].combine_chunks()
+        return pa.table(out)
+
+    return flat.map_batches(scalarize, batch_format="pyarrow")
+
+
 def _q_cdc_extract_new_state(sf_dir: str):
     from scylla_cdc_source_connector_ray.stages.transforms import (
         apply_post_transforms,
@@ -700,6 +734,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_list_element_ops": _q_cdc_list_element_ops,
         "sample_documents": _q_sample_documents,
         "cdc_capture_maps": _q_cdc_capture_maps,
+        "cdc_capture_tuples": _q_cdc_capture_tuples,
         "cdc_capture_salted": _q_cdc_capture_salted,
         "cdc_capture_only_updated": _q_cdc_capture_only_updated,
         "win_ops_by_window": _q_win_ops_by_window,
@@ -752,6 +787,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_list_element_ops": oracles.CDC_LIST_ELEMENT_OPS,
         "sample_documents": oracles.SAMPLE_DOCUMENTS,
         "cdc_capture_maps": oracles.CDC_CAPTURE_MAPS,
+        "cdc_capture_tuples": oracles.CDC_CAPTURE_TUPLES,
         "cdc_capture_salted": oracles.CDC_CAPTURE_SALTED,
         "cdc_capture_only_updated": oracles.CDC_CAPTURE_ONLY_UPDATED,
         "win_ops_by_window": oracles.WIN_OPS_BY_WINDOW,

@@ -875,3 +875,72 @@ SELECT conv_id, turn_idx, seq, kind, after_csv, n_after,
        (kind <> 'none') AS elems_modified
 FROM after
 """
+
+
+#: tuple-typed value column (reference ScyllaChangeRecordEmitter.java:749-764,
+#: ScyllaSchema.java:390-406): struct<field_0,field_1> where an all-NULL
+#: tuple is a VALUE distinct from a NULL tuple. Canonical-string comparison
+#: ('~' for a NULL field — never a real value here) mirrors the engine's
+#: set-ness-xor + null-aware field diff exactly.
+CDC_CAPTURE_TUPLES = f"""
+WITH transcripts AS (
+    SELECT
+        'conv' || CAST(user_id AS VARCHAR)            AS conv_id,
+        CAST(event_id % 20 AS INTEGER)                AS turn_idx,
+        CASE WHEN event_type = 'error' THEN NULL ELSE props END AS text,
+        CASE WHEN event_type <> 'error' AND NOT (value >= 5 AND value < 10)
+             THEN TRUE ELSE FALSE END                 AS p_set,
+        CASE WHEN value >= 1 THEN CAST(floor(value) AS BIGINT) END AS p_f0,
+        CASE WHEN value >= 1 THEN event_type END      AS p_f1,
+        CASE event_type
+            WHEN 'click' THEN 'user'
+            WHEN 'view' THEN 'assistant'
+            WHEN 'purchase' THEN 'tool'
+            WHEN 'signup' THEN 'system'
+            ELSE '__tombstone__'
+        END                                           AS role,
+        CASE WHEN event_type = 'purchase' THEN 'search' ELSE NULL END AS tool,
+        ts, event_id AS seq
+    FROM events
+),
+cdc AS (
+    SELECT conv_id, turn_idx, seq, ts,
+        CASE WHEN text IS NULL THEN 'd'
+             WHEN row_number() OVER w = 1 THEN 'c'
+             ELSE 'u' END AS op,
+        CASE WHEN text IS NULL THEN FALSE ELSE p_set END           AS a_set,
+        CASE WHEN text IS NULL OR NOT p_set THEN NULL ELSE p_f0 END AS a_f0,
+        CASE WHEN text IS NULL OR NOT p_set THEN NULL ELSE p_f1 END AS a_f1,
+        CASE WHEN text IS NULL OR NOT p_set THEN NULL
+             ELSE 'f0:' || coalesce(CAST(p_f0 AS VARCHAR), '~')
+                  || '|f1:' || coalesce(p_f1, '~') END             AS a_str,
+        CASE WHEN text IS NULL THEN NULL ELSE role END             AS a_role,
+        text                                                       AS a_text,
+        CASE WHEN text IS NULL THEN NULL ELSE tool END             AS a_tool
+    FROM transcripts
+    WINDOW w AS (PARTITION BY conv_id, turn_idx ORDER BY ts, seq)
+),
+lagged AS (
+    SELECT conv_id, turn_idx, seq, op,
+        a_set, a_f0, a_f1,
+        coalesce(lag(a_set) OVER w, FALSE) AS b_set,
+        lag(a_f0) OVER w AS b_f0,
+        lag(a_f1) OVER w AS b_f1,
+        a_str, lag(a_str) OVER w AS b_str,
+        a_role, lag(a_role) OVER w AS b_role,
+        a_text, lag(a_text) OVER w AS b_text,
+        a_tool, lag(a_tool) OVER w AS b_tool
+    FROM cdc
+    WINDOW w AS (PARTITION BY conv_id, turn_idx ORDER BY ts, seq)
+)
+SELECT conv_id, turn_idx, op, seq,
+       a_set AS after_pair_set, a_f0 AS after_pair_f0, a_f1 AS after_pair_f1,
+       b_set AS before_pair_set, b_f0 AS before_pair_f0, b_f1 AS before_pair_f1,
+       ltrim(concat(
+           CASE WHEN a_str IS DISTINCT FROM b_str THEN ',pair' ELSE '' END,
+           CASE WHEN a_role IS DISTINCT FROM b_role THEN ',role' ELSE '' END,
+           CASE WHEN a_text IS DISTINCT FROM b_text THEN ',text' ELSE '' END,
+           CASE WHEN a_tool IS DISTINCT FROM b_tool THEN ',tool' ELSE '' END
+       ), ',') AS modified_cols
+FROM lagged
+"""

@@ -45,6 +45,7 @@ _EVENT_DEPS = {
     "tags": ["event_type", "value"],
     "attrs": ["event_type", "value"],
     "meta": ["event_type", "props"],
+    "pair": ["event_type", "value"],
     "ts": ["ts"],
     "seq": ["event_id"],
 }

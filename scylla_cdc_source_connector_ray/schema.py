@@ -64,6 +64,28 @@ ATTRS_TYPE = pa.list_(pa.struct([("key", pa.int64()), ("value", pa.string())]))
 #: transcript schema extended with the map column
 MAP_VALUE_COLS = ("role", "text", "tool", "attrs", "ts")
 
+#: tuple<int64, string> value column, represented the way the reference emits
+#: tuples — a struct with ``field_N`` names (``ScyllaChangeRecordEmitter.java:
+#: 749-764``, ``ScyllaSchema.java:390-406``; "field_N" for Avro compatibility).
+#: Unlike a UDT, a tuple whose fields are all NULL is DISTINCT from a NULL
+#: tuple (the empty-UDT→NULL normalization does not apply).
+PAIR_TYPE = pa.struct([("field_0", pa.int64()), ("field_1", pa.string())])
+
+#: transcript schema extended with the tuple column
+TUPLE_VALUE_COLS = ("role", "text", "tool", "pair", "ts")
+
+
+def is_tuple_struct(t: pa.DataType) -> bool:
+    """A struct column carrying tuple semantics: every field named field_N."""
+    import re
+
+    return (
+        pa.types.is_struct(t)
+        and t.num_fields > 0
+        and all(re.fullmatch(r"field_\d+", f.name) for f in t)
+    )
+
+
 _VALUE_TYPES = {
     "role": pa.string(),
     "text": pa.string(),
@@ -72,6 +94,7 @@ _VALUE_TYPES = {
     "tags": TAGS_TYPE,
     "meta": META_TYPE,
     "attrs": ATTRS_TYPE,
+    "pair": PAIR_TYPE,
 }
 
 

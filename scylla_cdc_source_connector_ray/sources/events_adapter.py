@@ -83,6 +83,8 @@ def events_to_transcripts(batch: pa.Table, columns: list[str] | None = None) -> 
         cols["attrs"] = _attrs_col(batch)
     if "meta" in want:
         cols["meta"] = _meta_col(batch)
+    if "pair" in want:
+        cols["pair"] = _pair_col(batch)
     if "ts" in want:
         cols["ts"] = batch["ts"]
     if SEQ_COL in want:
@@ -278,3 +280,28 @@ def events_to_element_log(batch: pa.Table) -> pa.Table:
             "rem_elems": rem_elems,
         }
     )
+
+
+def _pair_col(batch: pa.Table) -> pa.Array:
+    """``tuple<int64, string>`` value column (M8 tuple widening,
+    ``ScyllaChangeRecordEmitter.java:749-764``): struct<field_0, field_1>
+    with FOUR distinct states by construction:
+
+        pair = NULL                          when event_type = 'error'
+                                             or 5 <= value < 10
+             = (NULL, NULL)                  when value < 1   (all-NULL tuple
+                                             — a VALUE, unlike a UDT)
+             = (floor(value), event_type)    otherwise
+    """
+    import numpy as np
+
+    et = batch["event_type"].combine_chunks()
+    val = batch["value"].combine_chunks().to_numpy(zero_copy_only=False)
+    err = pc.equal(et, "error").to_numpy(zero_copy_only=False)
+    nullpair = err | ((val >= 5) & (val < 10))
+    fieldnull = val < 1
+    f0 = pa.array(np.floor(val).astype("int64"), mask=fieldnull)
+    from ..stages.op_derive import _mask_to_null
+
+    f1 = _mask_to_null(et, fieldnull)
+    return pa.StructArray.from_arrays([f0, f1], names=["field_0", "field_1"], mask=pa.array(nullpair))

@@ -97,6 +97,19 @@ def _values_neq(a: pa.Array, b: pa.Array) -> pa.Array:
         # count-prefixed join: injective even for [] vs [""]
         return _scalar_neq(join_counted(a), join_counted(b))
     if pa.types.is_struct(t):
+        from ..schema import is_tuple_struct
+
+        if is_tuple_struct(t):
+            # TUPLE semantics (ScyllaChangeRecordEmitter.java:749-764): an
+            # all-NULL tuple is a VALUE, distinct from a NULL tuple — no
+            # empty→NULL normalization, plain set-ness xor + field diffs
+            va, vb = pc.is_valid(a), pc.is_valid(b)
+            res = pc.xor(va, vb)
+            both = pc.and_(va, vb)
+            for f in t:
+                fa, fb = pc.struct_field(a, f.name), pc.struct_field(b, f.name)
+                res = pc.or_(res, pc.and_(both, _values_neq(fa, fb)))
+            return res
         # empty-UDT → NULL (reference ScyllaSchema.java:297-430: a UDT with
         # no set fields surfaces as NULL, at ANY nesting level): a struct
         # whose fields are all effectively NULL compares equal to a NULL

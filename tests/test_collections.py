@@ -172,3 +172,33 @@ def test_empty_struct_equals_null_struct():
     a = pa.array([{"k": None, "src": None}, None, {"k": 1, "src": None}], typ)
     b = pa.array([None, {"k": None, "src": None}, {"k": None, "src": None}], typ)
     assert _values_neq(a, b).to_pylist() == [False, False, True]
+
+
+def test_tuple_all_null_is_a_value():
+    """Tuple semantics (ScyllaChangeRecordEmitter.java:749-764): an all-NULL
+    tuple is DISTINCT from a NULL tuple — unlike a UDT, where empty → NULL."""
+    import pyarrow as pa
+
+    from scylla_cdc_source_connector_ray.schema import PAIR_TYPE
+    from scylla_cdc_source_connector_ray.stages.op_derive import derive_ops
+
+    pairs = pa.array(
+        [None, (None, None), (None, None), (1, "x"), None],
+        type=PAIR_TYPE,
+    )
+    t = pa.table(
+        {
+            "conv_id": pa.array(["a"] * 5, pa.string()),
+            "turn_idx": pa.array([0] * 5, pa.int32()),
+            "text": pa.array(["t1", "t2", "t3", "t4", "t5"], pa.string()),
+            "pair": pairs,
+            "ts": pa.array([1, 2, 3, 4, 5], pa.timestamp("us")),
+            "seq": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        }
+    )
+    out = derive_ops(t, value_cols=("text", "pair", "ts")).to_pandas()
+    # NULL → (None,None): modified; (None,None) → (None,None): NOT modified;
+    # (None,None) → (1,x): modified; (1,x) → NULL: modified
+    assert list(out["modified_cols"]) == [
+        "text", "pair,text", "text", "pair,text", "pair,text",
+    ]
