@@ -38,6 +38,9 @@ def _build_cfg(args) -> "EngineConfig":
         enrich_conv_state=args.enrich,
         partition_deletes=args.partition_deletes,
         min_batch_interval_s=args.min_batch_interval_ms / 1000.0,
+        initial_lookback_us=(
+            args.initial_lookback_ms * 1000 if args.initial_lookback_ms is not None else None
+        ),
         sink_dir=args.out,
         checkpoint_dir=args.checkpoint,
     )
@@ -210,6 +213,9 @@ def main(argv=None) -> int:
         sp.add_argument("--score", action="store_true", help="text quality scoring")
         sp.add_argument("--partition-deletes", action="store_true",
                         help="consume conversation tombstones (turn_idx NULL) mid-stream")
+        sp.add_argument("--initial-lookback-ms", type=int, default=None,
+                        help="fresh start: skip history older than (log frontier - lookback)"
+                             " (reference scylla.initial.lookback.ms)")
         sp.add_argument("--min-batch-interval-ms", type=int, default=0,
                         help="reader throttle (reference scylla.minimal.wait.for.window.size.ms)")
         sp.add_argument("--tail", action="store_true",

@@ -99,6 +99,13 @@ class EngineConfig:
     #: expand per-live-key deletes against the state store, wipe the state;
     #: incompatible with image_mode, conv-state enrichment and hot salting
     partition_deletes: bool = False
+    #: cold-start lookback (≙ ``scylla.initial.lookback.ms``,
+    #: ``ScyllaConnectorConfig.java:199-213`` / ``ScyllaConnectorTask.java:
+    #: 153-213``): on a FRESH checkpoint, skip leading log files/windows whose
+    #: footer max-ts predates ``log frontier − lookback`` — history older than
+    #: the lookback is never consumed. Resume from an existing checkpoint is
+    #: unaffected (offsets win, like the reference).
+    initial_lookback_us: int | None = None
     #: schema evolution (ST4) guard rails: unknown scalar columns found in log
     #: footers are adopted as evolved value columns ONLY if they match the
     #: allowlist (None ⇒ any), and adopting more than ``max_evolved_cols``

@@ -661,10 +661,46 @@ class CaptureRunner:
                 "and conv-keyed panes — disable salting or those stages"
             )
 
+        def _lookback_skip(maxes: list[int | None]) -> int:
+            """Cold-start lookback (≙ scylla.initial.lookback.ms,
+            ScyllaConnectorTask.java:153-213): count of LEADING files/windows
+            whose footer max-ts predates (log frontier − lookback). Only the
+            prefix is skipped — positional offsets can't hole-punch, and the
+            windowed log is time-ordered by construction."""
+            known = [x for x in maxes if x is not None]
+            if not known:
+                return 0
+            cutoff = max(known) - self.cfg.initial_lookback_us
+            skip = 0
+            for mx in maxes:
+                if mx is not None and mx < cutoff:
+                    skip += 1
+                else:
+                    break
+            return skip
+
+        fresh_lookback = last is None and self.cfg.initial_lookback_us is not None
         bucketed = is_bucketed(self.log_dir)
         frontier_us = None
         if bucketed:
             windows = discover_bucketed(self.log_dir)
+            if fresh_lookback and windows:
+                from ..sources.windowed import _ts_stats
+
+                consumed = max(
+                    consumed,
+                    _lookback_skip(
+                        [
+                            max(
+                                (x for x in (
+                                    _ts_stats(p).max_ts_us for p in by_shard.values()
+                                ) if x is not None),
+                                default=None,
+                            )
+                            for _name, by_shard in windows
+                        ]
+                    ),
+                )
             if not log_complete and windows:
                 # confidence-window holdback at window granularity: a window's
                 # max ts = max over its per-shard files' footer stats (cached)
@@ -702,6 +738,8 @@ class CaptureRunner:
             files = discover(self.log_dir)
             stats = [f.max_ts_us for f in files if f.max_ts_us is not None]
             frontier_us = max(stats) if stats else None
+            if fresh_lookback and files:
+                consumed = max(consumed, _lookback_skip([f.max_ts_us for f in files]))
             batches = plan_batches(
                 files,
                 consumed,

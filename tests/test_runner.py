@@ -602,3 +602,48 @@ def test_capture_lag_distribution_metric(tmp_path):
     m = _json.load(open(mfiles[-1]))
     assert m["capture_lag_p50_us"] is not None
     assert 0 <= m["capture_lag_p50_us"] <= m["capture_lag_p95_us"]
+
+
+def test_initial_lookback_skips_old_history(tmp_path):
+    """Fresh start with initial_lookback_us consumes only the tail of the
+    log (reference scylla.initial.lookback.ms); resume from the resulting
+    checkpoint is unaffected by the knob."""
+    step = 10_000_000  # 10 s between events
+    t = generate(num_convs=4, turns_per_conv=24, update_pct=0, delete_pct=0, step_us=step)
+    write_windowed(t, str(tmp_path / "log"), num_files=6)
+    ts = t["ts"].cast("int64").to_pandas()
+    span = int(ts.max() - ts.min())
+    # lookback covering roughly the last third of the log
+    cfg = _cfg(tmp_path, initial_lookback_us=span // 3)
+    runner = CaptureRunner(str(tmp_path / "log"), cfg)
+    tot = runner.run()
+    assert 0 < tot["events"] < t.num_rows  # consumed a proper tail only
+    out = runner.read_output()
+    min_consumed = out["seq"].cast("int64")
+    import pyarrow.compute as pc
+
+    # everything consumed is newer than (frontier - lookback) minus one
+    # window's worth of slack (skip is file-granular, like the reference's
+    # per-window decision)
+    cutoff = int(ts.max()) - span // 3
+    got_min_ts = pc.min(
+        pc.struct_field(out["after"].combine_chunks(), "ts").cast("int64")
+    ).as_py()
+    per_file = t.num_rows // 6
+    assert got_min_ts >= cutoff - step * per_file
+    # resume: new files consume normally from the checkpointed offset
+    consumed0 = runner.ckpt.last_committed()["consumed_files"]
+    assert consumed0 == 6  # skipped files count as consumed
+    r2 = CaptureRunner(str(tmp_path / "log"), cfg)
+    assert r2.run()["batches"] == 0  # nothing new, lookback NOT re-applied
+
+
+def test_initial_lookback_zero_keeps_only_frontier_file(tmp_path):
+    t = generate(num_convs=3, turns_per_conv=12, update_pct=0, delete_pct=0, step_us=5_000_000)
+    write_windowed(t, str(tmp_path / "log"), num_files=4)
+    cfg = _cfg(tmp_path, initial_lookback_us=0)
+    runner = CaptureRunner(str(tmp_path / "log"), cfg)
+    tot = runner.run()
+    # only the file containing the frontier event survives the cutoff
+    assert tot["events"] <= t.num_rows // 4 + 1
+    assert tot["events"] > 0
