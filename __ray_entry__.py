@@ -378,10 +378,12 @@ def _q_cdc_compaction_pd(sf_dir: str):
 
 
 def _q_cdc_multi_table(sf_dir: str):
-    """Multi-table routing (reference ScyllaTopicSelector.java:7-24): events
-    split into two logical tables by a deterministic rule; each table is
-    captured with its OWN independent CDC fold (per-table state, like the
-    reference's per-topic source tasks) and stamped with its table name."""
+    """Multi-table routing (reference ScyllaTopicSelector.java:7-24): ONE
+    scan of the log, a routing rule stamps each row's logical table, the
+    keyed shuffle co-locates on (table, conv) and each group runs an
+    independent per-table CDC fold — the reference reads the log once and
+    routes records to per-table topics the same way. NULL values route to
+    t_high, exactly like the oracle's CASE (null-safe fill_null)."""
     import os
 
     import pyarrow as pa
@@ -389,29 +391,50 @@ def _q_cdc_multi_table(sf_dir: str):
 
     import ray.data
 
+    from scylla_cdc_source_connector_ray.schema import shard_of
     from scylla_cdc_source_connector_ray.sources.events_adapter import (
         events_to_transcripts,
     )
+    from scylla_cdc_source_connector_ray.stages.op_derive import derive_ops
 
-    def one(name: str, keep_low: bool):
-        def adapt(b: pa.Table) -> pa.Table:
-            mask = pc.less(b["value"], 50.0)
-            b = b.filter(mask if keep_low else pc.invert(mask))
-            return events_to_transcripts(b)
+    num_shards = 32
+    flat_cols = [
+        "conv_id", "turn_idx", "op",
+        "before_role", "before_text", "before_tool", "before_ts",
+        "after_role", "after_text", "after_tool", "after_ts", "seq",
+    ]
 
-        ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet")).map_batches(
-            adapt, batch_format="pyarrow"
-        )
-        cfg = EngineConfig(num_shards=16, table_name=name)
-        flat = cap.capture_flat(ds, cfg)
-        return flat.map_batches(
-            lambda t: t.append_column(
-                "table_name", pa.array([name] * t.num_rows, pa.string())
-            ),
-            batch_format="pyarrow",
-        )
+    def adapt(b: pa.Table) -> pa.Table:
+        t = events_to_transcripts(b)
+        low = pc.fill_null(pc.less(b["value"], 50.0), False)
+        tbl = pc.if_else(low, pa.scalar("t_low"), pa.scalar("t_high")).combine_chunks()
+        t = t.append_column("table_name", tbl)
+        key = pc.binary_join_element_wise(tbl, t["conv_id"].combine_chunks(), "\x00")
+        return t.append_column("shard", shard_of(key, num_shards))
 
-    return one("t_low", True).union(one("t_high", False))
+    def per_table_fold(g: pa.Table) -> pa.Table:
+        parts = []
+        for name in ("t_low", "t_high"):
+            sub = g.filter(pc.equal(g["table_name"], name))
+            if sub.num_rows == 0:
+                continue
+            flat = derive_ops(sub.drop_columns(["table_name", "shard"]))
+            parts.append(
+                flat.select(flat_cols).append_column(
+                    "table_name", pa.array([name] * flat.num_rows, pa.string())
+                )
+            )
+        if not parts:  # empty-block schema parity for the streaming executor
+            empty = derive_ops(g.drop_columns(["table_name", "shard"]))
+            return empty.select(flat_cols).append_column(
+                "table_name", pa.nulls(0, pa.string())
+            )
+        return pa.concat_tables(parts)
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet")).map_batches(
+        adapt, batch_format="pyarrow"
+    )
+    return ds.groupby("shard").map_groups(per_table_fold, batch_format="pyarrow")
 
 
 def _q_sample_documents(sf_dir: str):

@@ -207,7 +207,7 @@ WITH transcripts AS (
              WHEN value >= 10 THEN event_type || ',high'
              ELSE event_type END                      AS tags_csv,
         CASE WHEN event_type = 'error' THEN NULL
-             ELSE CAST(regexp_extract(props, '[0-9]+') AS BIGINT) END AS meta_k,
+             ELSE TRY_CAST(NULLIF(regexp_extract(props, '[0-9]+'), '') AS BIGINT) END AS meta_k,
         CASE WHEN event_type = 'error' THEN NULL ELSE event_type END AS meta_src,
         ts, event_id AS seq
     FROM events

@@ -1075,20 +1075,26 @@ class CaptureRunner:
         batch-mode equivalent of the watermark advancing to +∞.
 
         Idempotent under resumed consumption: every ``final/`` directory is
-        deleted and rebuilt from the CURRENT residual state on each flush, so
-        a pane that was flushed as a residual and later re-emitted into a
-        ``batch-K/`` file (because more log arrived and the watermark passed
-        it) never survives as a stale duplicate ``final/`` copy — even when
-        the shard's new residual is empty."""
+        rebuilt from the CURRENT residual state on each flush, so a pane that
+        was flushed as a residual and later re-emitted into a ``batch-K/``
+        file (because more log arrived and the watermark passed it) never
+        survives as a stale duplicate ``final/`` copy — even when the shard's
+        new residual is empty.
+
+        Crash-atomic: the rebuild writes into a temp sibling OUTSIDE the kind
+        tree and is swapped in with ``os.rename`` at the end — a crash
+        mid-flush leaves the previous ``final/`` intact, never a partial one
+        (and readers walking the kind dir never see the temp)."""
         import shutil
 
         last = self.ckpt.last_committed()
         if last is None:
             return
-        for kind_dir in ("windows", "windows_sliding", "windows_session"):
-            fd = os.path.join(self.out_dir, kind_dir, "final")
-            if os.path.isdir(fd):
-                shutil.rmtree(fd)
+        kinds = ("windows", "windows_sliding", "windows_session")
+        tmp_root = os.path.join(self.out_dir, ".final_tmp")
+        old_root = os.path.join(self.out_dir, ".final_old")
+        shutil.rmtree(tmp_root, ignore_errors=True)  # leftovers from a crash
+        shutil.rmtree(old_root, ignore_errors=True)
         nb = last["batch_id"] + 1
         wms = last.get("watermarks", {})
 
@@ -1104,7 +1110,7 @@ class CaptureRunner:
             from .stream_agg import _atomic_pq
 
             table = table.append_column("shard", pa.array([shard] * table.num_rows, pa.int32()))
-            _atomic_pq(table, os.path.join(self.out_dir, kind_dir, "final", f"shard={shard}.parquet"))
+            _atomic_pq(table, os.path.join(tmp_root, kind_dir, f"shard={shard}.parquet"))
 
         for shard in shards_of("wstate"):
             path = self.ckpt.latest_state_path(shard, nb, kind="wstate")
@@ -1140,6 +1146,21 @@ class CaptureRunner:
                         "windows_session",
                         shard,
                     )
+
+        # swap the rebuilt final/ dirs in: previous finals survive any crash
+        # up to here; the rename pair is the only non-atomic window and it
+        # leaves recoverable dirs, never a partial final/
+        for kind_dir in kinds:
+            tmp = os.path.join(tmp_root, kind_dir)
+            final = os.path.join(self.out_dir, kind_dir, "final")
+            if os.path.isdir(final):
+                os.makedirs(old_root, exist_ok=True)
+                os.rename(final, os.path.join(old_root, kind_dir))
+            if os.path.isdir(tmp):
+                os.makedirs(os.path.dirname(final), exist_ok=True)
+                os.rename(tmp, final)
+        shutil.rmtree(tmp_root, ignore_errors=True)
+        shutil.rmtree(old_root, ignore_errors=True)
 
     def read_current_state(self) -> pa.Table:
         """The compacted current-state table — a free byproduct of the

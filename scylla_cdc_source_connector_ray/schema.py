@@ -281,18 +281,40 @@ def map_entries_joined(col: pa.Array | pa.ChunkedArray) -> pa.Array:
     return join_counted(map_entry_strings(col))
 
 
+def _check_no_separators(values: pa.Array, what: str) -> None:
+    """The flat transport encoding is only injective when the payload strings
+    are free of the separator characters — violating that would silently
+    corrupt diffs/decodes, so raise instead (cheap vectorized RE2 scan)."""
+    if len(values) == 0:
+        return
+    bad = pc.any(
+        pc.match_substring_regex(values, "[\x1f\x1e\x02]")
+    ).as_py()
+    if bad:
+        raise ValueError(
+            f"{what} contains a reserved transport separator (\\x1f/\\x1e/\\x02); "
+            "the nested-column codec cannot carry it — sanitize upstream"
+        )
+
+
 def encode_nested(t: pa.Table) -> pa.Table:
     """Replace list<string>/struct columns with flat transport columns
     (inverse: :func:`decode_nested`). Injective: NULL, [] and values are
-    distinct; struct-level nullness rides a presence flag."""
+    distinct; struct-level nullness rides a presence flag. Raises if any
+    element/value contains a separator character (documented constraint,
+    actively enforced)."""
     for name in list(t.column_names):
         typ = t.schema.field(name).type
         if pa.types.is_list(typ) and pa.types.is_string(typ.value_type):
             col = t[name].combine_chunks()
+            _check_no_separators(col.flatten(), f"list column {name!r}")
             t = t.drop_columns([name]).append_column(name + _LJ, join_counted(col))
         elif pa.types.is_list(typ) and pa.types.is_struct(typ.value_type):
             # map column (array of key/value structs)
             col = t[name].combine_chunks()
+            vals = pc.struct_field(col.values, "value")
+            if pa.types.is_string(vals.type) or pa.types.is_large_string(vals.type):
+                _check_no_separators(vals, f"map column {name!r} values")
             t = t.drop_columns([name]).append_column(name + _MJ, map_entries_joined(col))
         elif pa.types.is_struct(typ):
             col = t[name].combine_chunks()

@@ -202,3 +202,16 @@ def test_tuple_all_null_is_a_value():
     assert list(out["modified_cols"]) == [
         "text", "pair,text", "text", "pair,text", "pair,text",
     ]
+
+
+def test_encode_nested_rejects_separator_chars():
+    import pyarrow as pa
+    import pytest
+
+    from scylla_cdc_source_connector_ray.schema import encode_nested
+
+    t = pa.table({"tags": pa.array([["ok"], ["bad\x1felement"]], pa.list_(pa.string()))})
+    with pytest.raises(ValueError, match="separator"):
+        encode_nested(t)
+    t2 = pa.table({"tags": pa.array([["fine"], []], pa.list_(pa.string()))})
+    encode_nested(t2)  # clean input passes
