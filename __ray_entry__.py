@@ -134,7 +134,9 @@ def _q_cdc_image_correlation(sf_dir: str):
                 f"incomplete correlation: {residual.num_rows} residual rows, "
                 f"{dropped} stragglers dropped"
             )
-        return events.drop_columns([c for c in ("seq", "shard") if c in events.column_names])
+        return events.drop_columns(
+            [c for c in ("seq", "shard", "modified_cols") if c in events.column_names]
+        )
 
     sharded = ds.map_batches(_shard, batch_format="pyarrow")
     return sharded.groupby("shard").map_groups(_img_and_correlate, batch_format="pyarrow")

@@ -580,16 +580,6 @@ class CaptureRunner:
                 "image_mode treats each PRE/delta/POST row as a physical row; "
                 "conv-state enrichment would triple-count turns — disable one"
             )
-        from ..config import IncludeMode
-
-        if self.cfg.image_mode and IncludeMode.ONLY_UPDATED in (
-            self.cfg.include_before,
-            self.cfg.include_after,
-        ):
-            raise ValueError(
-                "image_mode emits no modified_cols; only-updated include modes "
-                "are unsupported with it"
-            )
         if self.cfg.partition_deletes and self.cfg.image_mode:
             raise ValueError(
                 "partition_deletes needs the row-mode state store; image_mode "

@@ -50,8 +50,8 @@ def correlate_images(
 
     ``carry``: residual rows from the previous micro-batch (same schema as
     input). Returns the correlated flat events (same column layout as
-    ``op_derive.derive_ops`` output minus ``modified_cols``), the new residual,
-    and the straggler-dropped count.
+    ``op_derive.derive_ops`` output, including ``modified_cols`` diffed from
+    the pre/post images), the new residual, and the straggler-dropped count.
     """
     if carry is not None and carry.num_rows:
         tbl = pa.concat_tables([carry.select(tbl.column_names), tbl])
@@ -141,6 +141,7 @@ def correlate_images(
     )
     pre_rows = row_of[PRE_IMAGE][emit]
     has_pre = has[PRE_IMAGE][emit] & want_preimage
+    modified_parts = []
     for vc in VALUE_COLS:
         # the row-state ts value (≙ writetime) is carried as ``row_ts`` when
         # the log separates it from the correlation key ``ts`` (≙ cdc$time)
@@ -152,6 +153,15 @@ def correlate_images(
         before = pc.if_else(pa.array(has_pre), before, pa.nulls(len(emit), col.type))
         cols["after_" + vc] = after
         cols["before_" + vc] = before
+        if vc != "ts":
+            # image-mode modified-columns (reference getModifiedColumns,
+            # ScyllaChangeRecordEmitter.java:361-398): pre vs post image diff
+            from .op_derive import _values_neq
+
+            modified_parts.append((vc, _values_neq(after, before)))
+    from .op_derive import modified_cols_string
+
+    cols["modified_cols"] = modified_cols_string(modified_parts, len(emit))
     cols["ts"] = pc.take(ts, take(g_start[emit])).cast(pa.timestamp("us"))
     cols[SEQ_COL] = pc.take(tbl[SEQ_COL].combine_chunks(), take(d_rows))
     if "shard" in tbl.column_names:
@@ -175,6 +185,7 @@ def _empty_events(src: pa.Table | None = None) -> pa.Table:
     ):
         cols["after_" + vc] = pa.nulls(0, t)
         cols["before_" + vc] = pa.nulls(0, t)
+    cols["modified_cols"] = pa.nulls(0, pa.string())
     cols["ts"] = pa.nulls(0, pa.timestamp("us"))
     cols[SEQ_COL] = pa.nulls(0, pa.int64())
     if src is not None and "shard" in src.column_names:

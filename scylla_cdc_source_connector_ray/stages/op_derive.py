@@ -187,10 +187,21 @@ def derive_ops(
         if vc != "ts":  # ts always "changes"; modified set tracks payload cols
             modified_parts.append((vc, _values_neq(after, before)))
 
-    # modified_cols: comma-joined sorted names. With k payload columns there
-    # are only 2^k combinations — precompute them and index with a bitmask
-    # (fully vectorized; no per-row string building).
-    modified_parts.sort()
+    cols["modified_cols"] = modified_cols_string(modified_parts, n)
+
+    cols["ts"] = tbl["ts"].combine_chunks()
+    for passthrough in (SEQ_COL, "shard"):
+        if passthrough in tbl.column_names:
+            cols[passthrough] = tbl[passthrough].combine_chunks()
+    return pa.table(cols)
+
+
+def modified_cols_string(modified_parts: list[tuple[str, pa.Array]], n: int) -> pa.Array:
+    """Comma-joined sorted modified-column names per row. With k payload
+    columns there are only 2^k combinations — precompute them and index with
+    a bitmask (fully vectorized; no per-row string building); beyond 16
+    columns build strings only for combos that actually occur."""
+    modified_parts = sorted(modified_parts)
     if len(modified_parts) > 63:
         raise ValueError(f"too many payload columns for the bitmask ({len(modified_parts)} > 63)")
     combo = np.zeros(n, dtype=np.int64)
@@ -203,21 +214,13 @@ def derive_ops(
             [",".join(nm for b, nm in enumerate(names) if i & (1 << b)) for i in range(1 << len(names))],
             dtype=object,
         )
-        cols["modified_cols"] = pa.array(lookup[combo], type=pa.string())
-    else:
-        # 2^k combos would explode — build strings only for combos that occur
-        uniq, inv = np.unique(combo, return_inverse=True)
-        lookup = np.array(
-            [",".join(nm for b, nm in enumerate(names) if i & (1 << b)) for i in uniq],
-            dtype=object,
-        )
-        cols["modified_cols"] = pa.array(lookup[inv], type=pa.string())
-
-    cols["ts"] = tbl["ts"].combine_chunks()
-    for passthrough in (SEQ_COL, "shard"):
-        if passthrough in tbl.column_names:
-            cols[passthrough] = tbl[passthrough].combine_chunks()
-    return pa.table(cols)
+        return pa.array(lookup[combo], type=pa.string())
+    uniq, inv = np.unique(combo, return_inverse=True)
+    lookup = np.array(
+        [",".join(nm for b, nm in enumerate(names) if i & (1 << b)) for i in uniq],
+        dtype=object,
+    )
+    return pa.array(lookup[inv], type=pa.string())
 
 
 def _empty_out(tbl: pa.Table, value_cols: tuple[str, ...] = VALUE_COLS) -> pa.Table:

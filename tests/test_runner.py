@@ -529,11 +529,8 @@ def test_image_mode_config_guards(tmp_path):
     write_windowed(t, str(tmp_path / "log"), num_files=1)
     with pytest.raises(ValueError, match="enrichment"):
         CaptureRunner(str(tmp_path / "log"), _cfg(tmp_path, image_mode=True, enrich_conv_state=True)).run()
-    with pytest.raises(ValueError, match="only-updated"):
-        CaptureRunner(
-            str(tmp_path / "log"),
-            _cfg(tmp_path, image_mode=True, include_after="only-updated"),
-        ).run()
+    # image_mode x only-updated is now SUPPORTED: modified_cols is diffed
+    # from the pre/post images (see test_image_mode_only_updated)
 
 
 def test_stats_less_file_does_not_stall_tail(tmp_path):
@@ -647,3 +644,37 @@ def test_initial_lookback_zero_keeps_only_frontier_file(tmp_path):
     # only the file containing the frontier event survives the cutoff
     assert tot["events"] <= t.num_rows // 4 + 1
     assert tot["events"] > 0
+
+
+def test_image_mode_only_updated(tmp_path):
+    """Image-mode capture with include_after=only-updated: modified_cols is
+    diffed from the pre/post images (reference getModifiedColumns,
+    ScyllaChangeRecordEmitter.java:361-398), so untouched after-fields are
+    NULLed exactly as in row mode."""
+    from scylla_cdc_source_connector_ray.sources.synthetic import to_image_log
+
+    t = generate(num_convs=8, turns_per_conv=6, update_pct=40, delete_pct=15)
+    img = to_image_log(t)
+    log = tmp_path / "log"
+    log.mkdir()
+    pq.write_table(img, str(log / "f0.parquet"))
+
+    cfg = _cfg(
+        tmp_path, image_mode=True, include_after="only-updated",
+        straggler_timeout_us=10**15,
+    )
+    runner = CaptureRunner(str(log), cfg)
+    runner.run()
+    out = _flat_output(runner)
+
+    golden = _golden(t)
+    for c in ("role", "text", "tool"):
+        a, b = golden["after_" + c], golden["before_" + c]
+        golden["after_" + c] = a.where(a.fillna("~") != b.fillna("~"))
+    keys = ["conv_id", "turn_idx", "op"]
+    sort_all = keys + ["before_text", "after_text"]
+    a = out.sort_values(sort_all, na_position="first").reset_index(drop=True)
+    g = golden.sort_values(sort_all, na_position="first").reset_index(drop=True)
+    assert len(a) == len(g)
+    for c in ("op", "after_role", "after_text", "after_tool", "before_text"):
+        assert a[c].fillna("~").tolist() == g[c].fillna("~").tolist(), c
