@@ -661,6 +661,46 @@ def _q_ann_topk(sf_dir: str):
     return out[["query_id", "vec_id", "rank"]]
 
 
+def _q_ann_ivf(sf_dir: str):
+    """IVF ANN with FIXED data-derived centroids (no Lloyd): assignment and
+    probing are closed-form, so the probed top-k is exactly SQL-gateable;
+    the seeded-Lloyd path keeps its pytest recall bound."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from scylla_cdc_source_connector_ray.functions.similarity import (
+        IVFIndex,
+        _normalize,
+        _stack,
+        ann_ivf,
+    )
+
+    cent_ids = list(oracles.ANN_IVF_CENTROID_IDS)
+    emb = _emb(sf_dir)
+    cent = (
+        emb.map_batches(
+            lambda t: t.filter(pc.is_in(t["vec_id"], value_set=__import__("pyarrow").array(cent_ids))),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+        .sort_values("vec_id")  # centroid POSITION = ascending vec_id order
+    )
+    index = IVFIndex(n_centroids=len(cent_ids))
+    index.centroids = _normalize(_stack(cent["embedding"].values))
+    q = emb.map_batches(
+        lambda t: t.filter(pc.less(t["vec_id"], 8)), batch_format="pyarrow"
+    ).to_pandas()
+    out = ann_ivf(
+        emb,
+        np.stack(q["embedding"].values),
+        q["vec_id"].values,
+        k=5,
+        nprobe=oracles.ANN_IVF_NPROBE,
+        index=index,
+    )
+    return out[["query_id", "vec_id", "rank"]]
+
+
 def _q_dedup_minhash(sf_dir: str):
     from scylla_cdc_source_connector_ray.functions.dedup import minhash_lsh_dedup
 
@@ -782,6 +822,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact_hashed": _q_dedup_exact_hashed,
         "dedup_embedding_cosine": _q_dedup_embedding,
         "ann_bruteforce_topk": _q_ann_topk,
+        "ann_ivf": _q_ann_ivf,
         "dedup_minhash_lsh": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
         "lang_id": _q_lang_id,
@@ -835,6 +876,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact_hashed": oracles.DEDUP_EXACT_HASHED,
         "dedup_embedding_cosine": oracles.EMBEDDING_NEAR_DUPS,
         "ann_bruteforce_topk": oracles.ANN_TOPK,
+        "ann_ivf": oracles.ANN_IVF,
         "lang_id": oracles.LANG_ID,
         "multimodal_frame_plan": oracles.MULTIMODAL_FRAME_PLAN,
         "multimodal_resize_dims": oracles.MULTIMODAL_RESIZE_DIMS,

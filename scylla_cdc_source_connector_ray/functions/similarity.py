@@ -132,16 +132,22 @@ def ann_ivf(
     n_centroids: int = 16,
     nprobe: int = 4,
     sample_size: int = 2048,
+    index: IVFIndex | None = None,
 ) -> pd.DataFrame:
     """Approximate top-k: probe only the ``nprobe`` nearest IVF buckets per
     query. Same output schema as :func:`ann_bruteforce`; recall measured in
-    tests against the brute-force baseline."""
-    sample = _stack(ds.limit(sample_size).to_pandas()["embedding"].values)
-    index = IVFIndex(n_centroids=n_centroids).fit(sample)
+    tests against the brute-force baseline. Pass a pre-fitted ``index`` to
+    skip the sample/Lloyd step (e.g. fixed data-derived centroids — the
+    SQL-gateable configuration)."""
+    if index is None:
+        sample = _stack(ds.limit(sample_size).to_pandas()["embedding"].values)
+        index = IVFIndex(n_centroids=n_centroids).fit(sample)
     assigned = index.assign_batches(ds)
 
     Q = _normalize(np.asarray(queries, dtype=np.float64))
-    probes = np.argsort(-(Q @ index.centroids.T), axis=1)[:, :nprobe]  # (Q, nprobe)
+    # stable argsort: equal-cosine probes break by centroid POSITION, the
+    # same order np.argmax uses for assignment (and the SQL twin's cpos)
+    probes = np.argsort(-(Q @ index.centroids.T), axis=1, kind="stable")[:, :nprobe]
     # queries grouped per bucket they probe
     bucket_to_queries: dict[int, list[int]] = {}
     for qi, bs in enumerate(probes):

@@ -944,3 +944,51 @@ SELECT conv_id, turn_idx, op, seq,
        ), ',') AS modified_cols
 FROM lagged
 """
+
+
+#: IVF centroid seed vectors: fixed vec_ids (ascending — centroid POSITION
+#: order must match the engine's, which indexes centroids by this order)
+ANN_IVF_CENTROID_IDS = (0, 5, 10, 15, 20, 25, 30, 35)
+ANN_IVF_NPROBE = 3
+
+#: IVF ANN with fixed data-derived centroids (no Lloyd): bucket assignment is
+#: argmax cosine over the centroid set, probing takes the nprobe nearest
+#: buckets per query — both closed-form, so the whole probed top-k is exactly
+#: SQL-recomputable (the seeded-Lloyd variant stays under pytest recall
+#: bounds). Ties break by centroid position / vec_id on both sides.
+ANN_IVF = f"""
+WITH cent AS (
+    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cpos, embedding AS ce
+    FROM embeddings WHERE vec_id IN {ANN_IVF_CENTROID_IDS}
+),
+assign AS (
+    SELECT vec_id, bucket FROM (
+        SELECT e.vec_id, c.cpos AS bucket,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY list_cosine_similarity(e.embedding, c.ce) DESC,
+                                           c.cpos) AS rn
+        FROM embeddings e CROSS JOIN cent c
+    ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8),
+probes AS (
+    SELECT query_id, bucket FROM (
+        SELECT q.query_id, c.cpos AS bucket,
+               row_number() OVER (PARTITION BY q.query_id
+                                  ORDER BY list_cosine_similarity(q.qe, c.ce) DESC,
+                                           c.cpos) AS rn
+        FROM q CROSS JOIN cent c
+    ) WHERE rn <= {ANN_IVF_NPROBE}
+),
+scored AS (
+    SELECT q.query_id, e.vec_id,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY list_cosine_similarity(q.qe, e.embedding) DESC,
+                                       e.vec_id) AS rank
+    FROM q
+    JOIN probes p ON p.query_id = q.query_id
+    JOIN assign a ON a.bucket = p.bucket
+    JOIN embeddings e ON e.vec_id = a.vec_id
+)
+SELECT query_id, vec_id, rank FROM scored WHERE rank <= 5
+"""
