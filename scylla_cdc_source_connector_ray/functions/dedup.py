@@ -38,15 +38,33 @@ def exact_dedup(
 ) -> ray.data.Dataset:
     """Keep the minimum ``id_col`` per distinct ``key_col`` value.
 
-    groupby(key).min(id) shuffles only (key, id) — at 100 TB, hash the key
-    first (``exact_dedup_hashed``) so the shuffled key is 16 bytes, not the
-    document."""
-    from ray.data.aggregate import Count, Min
+    The 100 TB shape even for the raw-key variant: the SHUFFLE/sort key is
+    a vectorized 8-byte stable hash of the key (engine-internal, so no md5
+    parity needed); the key value itself crosses as payload only (it must —
+    it's in the output) and groups split by raw key inside the group task,
+    so a hash collision can never merge two distinct keys."""
+    import polars as pl
+    import pyarrow as pa
+
+    def add_hash(t: pa.Table) -> pa.Table:
+        key = t[key_col].combine_chunks().cast(pa.string())
+        h = pl.Series(pl.from_arrow(key).hash(seed=0)).reinterpret(signed=True).to_arrow()
+        return t.select([key_col, id_col]).append_column("_kh", h)
+
+    def per_group(g: pa.Table) -> pa.Table:
+        from ..schema import select_agg
+
+        out = select_agg(
+            g.group_by([key_col]).aggregate([(id_col, "min"), (id_col, "count")]),
+            [key_col],
+            [(f"{id_col}_min", "keep_id"), (f"{id_col}_count", "n_copies")],
+        )
+        return out
 
     return (
-        ds.select_columns([key_col, id_col])
-        .groupby(key_col)
-        .aggregate(Min(id_col, alias_name="keep_id"), Count(alias_name="n_copies"))
+        ds.map_batches(add_hash, batch_format="pyarrow")
+        .groupby("_kh")
+        .map_groups(lambda g: per_group(g.drop_columns(["_kh"])), batch_format="pyarrow")
     )
 
 
@@ -708,7 +726,15 @@ def deterministic_sample(
         # canonical str(id): integers normalized through int64 so 5 and 5.0
         # hash alike; strings pass through untouched
         ids = (col.astype("int64") if pd.api.types.is_numeric_dtype(col) else col).astype(str)
-        nib = np.array([hashlib.md5(s.encode()).hexdigest()[0] for s in ids], dtype=object)
-        return batch[np.isin(nib, list(kept))]
+        # md5-per-row is forced by DuckDB parity, but hash UNIQUE ids only
+        # (factorize-first): duplicate-heavy id columns pay md5 once per value
+        uniq, inv = np.unique(ids.values.astype(object), return_inverse=True)
+        unib = np.fromiter(
+            (hashlib.md5(s.encode()).hexdigest()[0] for s in uniq),
+            dtype="U1",
+            count=len(uniq),
+        )
+        ukeep = np.isin(unib, list(kept))
+        return batch[ukeep[inv]]
 
     return ds.map_batches(keep, batch_format="pandas")

@@ -175,16 +175,26 @@ class FeatureExtractor:
 
 def frame_sample_ids(batch: pa.Table, every_ms: int = 250) -> pa.Table:
     """Video frame-sampling plan: explode each video row into (media_id,
-    frame_ms) rows — the shape a real frame extractor consumes."""
-    ids = batch["media_id"].to_pylist()
-    durs = batch["duration_ms"].to_pylist()
-    out_ids, out_ms = [], []
-    for mid, d in zip(ids, durs):
-        ts = list(range(0, (d or 0), every_ms))
-        out_ids.extend([mid] * len(ts))
-        out_ms.extend(ts)
+    frame_ms) rows — the shape a real frame extractor consumes. Vectorized
+    np.repeat + ranges expansion, no per-row Python."""
+    import pyarrow.compute as pc
+
+    ids = batch["media_id"].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+    durs = (
+        pc.fill_null(batch["duration_ms"].combine_chunks().cast(pa.int64()), 0)
+        .to_numpy(zero_copy_only=False)
+    )
+    counts = np.maximum(durs, 0)
+    counts = (counts + every_ms - 1) // every_ms  # len(range(0, d, every_ms))
+    total = int(counts.sum())
+    out_ids = np.repeat(ids, counts)
+    base = np.repeat(np.cumsum(counts) - counts, counts)
+    out_ms = (np.arange(total, dtype=np.int64) - base) * every_ms
     return pa.table(
-        {"media_id": pa.array(out_ids, pa.int64()), "frame_ms": pa.array(out_ms, pa.int32())}
+        {
+            "media_id": pa.array(out_ids, pa.int64()),
+            "frame_ms": pa.array(out_ms.astype(np.int32), pa.int32()),
+        }
     )
 
 
