@@ -564,7 +564,9 @@ def _q_cdc_capture_evolved(sf_dir: str):
     )
     runner = CaptureRunner(log, cfg)
     runner.run(files_per_batch=1)
-    return flatten_envelope(runner.read_output())
+    # Dataset-returning reader: streams batch outputs, widening pre-evolution
+    # blocks inside map_batches instead of concatenating on the driver
+    return runner.read_output_ds().map_batches(flatten_envelope, batch_format="pyarrow")
 
 
 def _q_relational(fn_name: str):

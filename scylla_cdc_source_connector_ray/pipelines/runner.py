@@ -370,13 +370,32 @@ def _shard_task(
     )
 
 
+def _conform_envelope_to(p: pa.Table, target: pa.StructType) -> pa.Table:
+    """Widen one envelope table's before/after structs to ``target`` (NULL
+    child arrays for evolved fields the table predates)."""
+    import pyarrow.compute as pc
+
+    for img in ("before", "after"):
+        s = p[img].combine_chunks()
+        if s.type == target:
+            continue
+        have = {f.name for f in s.type}
+        children = [
+            pc.struct_field(s, f.name) if f.name in have else pa.nulls(len(s), f.type)
+            for f in target
+        ]
+        rebuilt = pa.StructArray.from_arrays(
+            children, names=[f.name for f in target], mask=pc.is_null(s)
+        )
+        p = p.set_column(p.column_names.index(img), img, rebuilt)
+    return p
+
+
 def _conform_envelopes(parts: list[pa.Table]) -> list[pa.Table]:
     """Unify envelope tables written before/after a schema evolution: the
     widest before/after row struct wins; older parts get NULL child arrays for
     the evolved fields (the reference re-reads old records under the new
     schema the same way, ScyllaSchema.java:467-472)."""
-    import pyarrow.compute as pc
-
     target = None
     for p in parts:
         if "before" not in p.column_names:
@@ -386,24 +405,7 @@ def _conform_envelopes(parts: list[pa.Table]) -> list[pa.Table]:
             target = t
     if all(p.schema.field("before").type == target for p in parts):
         return parts
-
-    def conform(p: pa.Table) -> pa.Table:
-        for img in ("before", "after"):
-            s = p[img].combine_chunks()
-            if s.type == target:
-                continue
-            have = {f.name for f in s.type}
-            children = [
-                pc.struct_field(s, f.name) if f.name in have else pa.nulls(len(s), f.type)
-                for f in target
-            ]
-            rebuilt = pa.StructArray.from_arrays(
-                children, names=[f.name for f in target], mask=pc.is_null(s)
-            )
-            p = p.set_column(p.column_names.index(img), img, rebuilt)
-        return p
-
-    return [conform(p) for p in parts]
+    return [_conform_envelope_to(p, target) for p in parts]
 
 
 def _pane_cols(cfg) -> list[str]:
@@ -1207,9 +1209,49 @@ class CaptureRunner:
                     parts.append(pq.read_table(os.path.join(root, f)))
         return pa.concat_tables(parts) if parts else pa.table({})
 
+    def read_output_ds(self) -> "ray.data.Dataset":
+        """Dataset-returning twin of :meth:`read_output` for large outputs:
+        streams the ``batch-*/`` parquet instead of concatenating on the
+        driver. Schema evolution is handled by probing footers once (cheap)
+        and widening each block to the widest envelope struct inside
+        ``map_batches``."""
+        paths = []
+        if os.path.isdir(self.out_dir):
+            for d in sorted(os.listdir(self.out_dir)):
+                if not d.startswith("batch-"):
+                    continue
+                bd = os.path.join(self.out_dir, d)
+                paths.extend(
+                    os.path.join(bd, f) for f in sorted(os.listdir(bd)) if f.endswith(".parquet")
+                )
+        if not paths:
+            return ray.data.from_arrow(pa.table({}))
+        target = None
+        mixed = False
+        for p in paths:
+            sch = pq.read_schema(p)
+            if "before" not in sch.names:
+                target = None
+                break
+            t = sch.field("before").type
+            if target is None:
+                target = t
+            elif t != target:
+                mixed = True
+                if t.num_fields > target.num_fields:
+                    target = t
+        ds = ray.data.read_parquet(paths)
+        if target is None or not mixed:
+            return ds
+        tgt = target
+        return ds.map_batches(
+            lambda b: _conform_envelope_to(b, tgt), batch_format="pyarrow"
+        )
+
     def read_output(self) -> pa.Table:
         """Change-event output only (batch-*/ dirs; windows/ and late/ side
-        outputs have their own readers)."""
+        outputs have their own readers). Driver-side concat — tests and small
+        results; large outputs should use :meth:`read_output_ds`."""
         parts = []
         if os.path.isdir(self.out_dir):
             for d in sorted(os.listdir(self.out_dir)):
