@@ -296,7 +296,12 @@ def run_scaling(sf_dir: str, lo: int = 4, hi: int = 16) -> dict:
 if __name__ == "__main__":
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     if "--scaling" in sys.argv:
-        print(json.dumps(run_scaling(sf_dir)))
+        # optional pair after --scaling, e.g. `--scaling 8:32` (default 4:16)
+        lo, hi = 4, 16
+        i = sys.argv.index("--scaling")
+        if len(sys.argv) > i + 1 and ":" in sys.argv[i + 1]:
+            lo, hi = (int(x) for x in sys.argv[i + 1].split(":"))
+        print(json.dumps(run_scaling(sf_dir, lo, hi)))
     else:
         num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
         print(json.dumps(run_bench(sf_dir, num_cpus)))
