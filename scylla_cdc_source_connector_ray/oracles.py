@@ -9,7 +9,12 @@ independently re-implementing the spec in ``stages/op_derive.py``.
 
 from __future__ import annotations
 
-from .sources.events_adapter import ELEMENT_OPS_SQL, TRANSCRIPTS_PD_SQL, TRANSCRIPTS_SQL
+from .sources.events_adapter import (
+    ELEMENT_OPS_SQL,
+    MAP_ELEMENT_OPS_SQL,
+    TRANSCRIPTS_PD_SQL,
+    TRANSCRIPTS_SQL,
+)
 
 #: shared prelude: transcripts CTE + the per-key CDC fold
 CDC_EVENTS_CTE = f"""
@@ -991,4 +996,52 @@ scored AS (
     JOIN embeddings e ON e.vec_id = a.vec_id
 )
 SELECT query_id, vec_id, rank FROM scored WHERE rank <= 5
+"""
+
+
+#: map element-level ops: upsert-by-key (overwrite kills the prior cell),
+#: delete-by-key, wipe; post-image in KEY order (maps emit key-ordered,
+#: reference emitter :719-735). Third kill candidate vs the list fold: the
+#: next add of the same key.
+CDC_MAP_ELEMENT_OPS = f"""
+WITH mops AS ({MAP_ELEMENT_OPS_SQL}),
+cells AS (
+    SELECT conv_id, turn_idx, seq AS add_seq, event_type AS k, entry_val AS v
+    FROM mops WHERE kind IN ('add', 'wipe')
+    UNION ALL
+    SELECT conv_id, turn_idx, seq, 'xtra', 'high'
+    FROM mops WHERE kind = 'add' AND value >= 10
+),
+killed AS (
+    SELECT c.conv_id, c.turn_idx, c.add_seq, c.k, c.v,
+        LEAST(
+            COALESCE((SELECT MIN(w.seq) FROM mops w
+                      WHERE w.conv_id = c.conv_id AND w.turn_idx = c.turn_idx
+                        AND w.kind = 'wipe' AND w.seq > c.add_seq),
+                     9223372036854775807),
+            COALESCE((SELECT MIN(r.seq) FROM mops r
+                      WHERE r.conv_id = c.conv_id AND r.turn_idx = c.turn_idx
+                        AND r.kind = 'remove' AND r.event_type = c.k
+                        AND r.seq > c.add_seq),
+                     9223372036854775807),
+            COALESCE((SELECT MIN(a2.add_seq) FROM cells a2
+                      WHERE a2.conv_id = c.conv_id AND a2.turn_idx = c.turn_idx
+                        AND a2.k = c.k AND a2.add_seq > c.add_seq),
+                     9223372036854775807)
+        ) AS kill_seq
+    FROM cells c
+),
+after AS (
+    SELECT e.conv_id, e.turn_idx, e.seq, e.kind,
+           COALESCE(string_agg(x.k || ':' || x.v, ',' ORDER BY x.k), '') AS after_csv,
+           CAST(COUNT(x.k) AS BIGINT) AS n_after
+    FROM mops e LEFT JOIN killed x
+      ON x.conv_id = e.conv_id AND x.turn_idx = e.turn_idx
+     AND x.add_seq <= e.seq AND e.seq < x.kill_seq
+    GROUP BY e.conv_id, e.turn_idx, e.seq, e.kind
+)
+SELECT conv_id, turn_idx, seq, kind, after_csv, n_after,
+       lag(after_csv) OVER (PARTITION BY conv_id, turn_idx ORDER BY seq) AS before_csv,
+       (kind <> 'none') AS entries_modified
+FROM after
 """

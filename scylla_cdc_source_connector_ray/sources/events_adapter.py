@@ -305,3 +305,71 @@ def _pair_col(batch: pa.Table) -> pa.Array:
 
     f1 = _mask_to_null(et, fieldnull)
     return pa.StructArray.from_arrays([f0, f1], names=["field_0", "field_1"], mask=pa.array(nullpair))
+
+
+#: map element-op kind mapping — same rule as ELEMENT_OPS_SQL; entry values
+#: derive from floor(value) so both sides compute identical strings
+MAP_ELEMENT_OPS_SQL = """
+    SELECT
+        'conv' || CAST(user_id AS VARCHAR)            AS conv_id,
+        CAST(event_id % 20 AS INTEGER)                AS turn_idx,
+        ts                                            AS ts,
+        event_id                                      AS seq,
+        CASE WHEN event_id % 11 = 0 THEN 'wipe'
+             WHEN event_id % 7 = 0 THEN 'remove'
+             WHEN event_id % 5 = 3 THEN 'none'
+             ELSE 'add' END                           AS kind,
+        event_type,
+        CAST(CAST(floor(value) AS BIGINT) AS VARCHAR) AS entry_val,
+        value
+    FROM events
+"""
+
+
+def events_to_map_element_log(batch: pa.Table) -> pa.Table:
+    """Vectorized :data:`MAP_ELEMENT_OPS_SQL` plus the entry lists:
+
+    * add rows:  upsert ``{event_type: floor(value)}`` (+ ``{xtra: high}``
+      when value >= 10)
+    * wipe rows: clear, then ``{event_type: floor(value)}``
+    * remove rows: delete key ``event_type``
+    """
+    import numpy as np
+
+    n = batch.num_rows
+    eid = batch["event_id"].combine_chunks().to_numpy(zero_copy_only=False)
+    et = batch["event_type"].combine_chunks().to_numpy(zero_copy_only=False)
+    val = batch["value"].combine_chunks().to_numpy(zero_copy_only=False)
+    kind = np.where(
+        eid % 11 == 0, "wipe", np.where(eid % 7 == 0, "remove", np.where(eid % 5 == 3, "none", "add"))
+    )
+    vstr = np.floor(val).astype("int64").astype(str)
+    add_counts = np.where(
+        kind == "add", np.where(val >= 10, 2, 1), np.where(kind == "wipe", 1, 0)
+    ).astype(np.int64)
+    add_off = np.zeros(n + 1, dtype=np.int32)
+    np.cumsum(add_counts, out=add_off[1:])
+    row_of_cell = np.repeat(np.arange(n), add_counts)
+    pos_in_row = np.arange(len(row_of_cell)) - np.repeat(add_off[:-1], add_counts)
+    add_keys = np.where(pos_in_row == 0, et[row_of_cell], "xtra")
+    add_vals = np.where(pos_in_row == 0, vstr[row_of_cell], "high")
+    rem_counts = (kind == "remove").astype(np.int64)
+    rem_off = np.zeros(n + 1, dtype=np.int32)
+    np.cumsum(rem_counts, out=rem_off[1:])
+    off32 = pa.array(add_off, pa.int32())
+    return pa.table(
+        {
+            "conv_id": pc.binary_join_element_wise(
+                pa.array(["conv"] * n, pa.string()), batch["user_id"].cast(pa.string()), ""
+            ),
+            "turn_idx": pa.array((eid % 20).astype("int32")),
+            "ts": batch["ts"],
+            SEQ_COL: pa.array(eid, pa.int64()),
+            "kind": pa.array(kind, pa.string()),
+            "add_keys": pa.ListArray.from_arrays(off32, pa.array(add_keys, pa.string())),
+            "add_vals": pa.ListArray.from_arrays(off32, pa.array(add_vals, pa.string())),
+            "rem_keys": pa.ListArray.from_arrays(
+                pa.array(rem_off, pa.int32()), pa.array(et[kind == "remove"], pa.string())
+            ),
+        }
+    )

@@ -168,3 +168,114 @@ def _empty() -> pa.Table:
             "elems_modified": pa.nulls(0, pa.bool_()),
         }
     )
+
+
+def fold_map_element_ops(t: pa.Table) -> pa.Table:
+    """Map element-op fold (the map half of the reference's non-frozen
+    collection scenarios): per row, ``add_keys``/``add_vals`` upsert entries
+    (adding an existing key OVERWRITES its cell), ``rem_keys`` delete by key
+    (``cdc$deleted_elements``), ``kind='wipe'`` clears earlier entries. The
+    post-image is the live entries in KEY order (maps emit key-ordered, not
+    timeuuid-ordered — reference emitter :719-735). Same vectorized
+    interval-stab machinery as :func:`fold_element_ops`, with one extra kill
+    candidate: the next add of the same key."""
+    if t.num_rows == 0:
+        return _empty_map()
+    t = t.sort_by(
+        [("conv_id", "ascending"), ("turn_idx", "ascending"), ("ts", "ascending"), ("seq", "ascending")]
+    )
+    n = t.num_rows
+    conv = t["conv_id"].combine_chunks()
+    turn = t["turn_idx"].combine_chunks()
+    kind = t["kind"].combine_chunks()
+    first = _first_of_key(conv, turn, n)
+    kid = np.cumsum(first, dtype=np.int64) - 1
+    starts = np.flatnonzero(first)
+    ends = np.append(starts[1:], n)
+
+    is_wipe = pc.equal(kind, "wipe").to_numpy(zero_copy_only=False)
+
+    adds = t["add_keys"].combine_chunks()
+    add_lens = pc.list_value_length(adds).fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64)
+    cell_row = np.repeat(np.arange(n, dtype=np.int64), add_lens)
+    cell_key = adds.flatten().cast(pa.string())
+    cell_val = t["add_vals"].combine_chunks().flatten().cast(pa.string())
+    if len(cell_val) != len(cell_key):
+        raise ValueError("add_keys and add_vals must have identical list lengths")
+    cell_kid = kid[cell_row]
+
+    wipe_rows = np.flatnonzero(is_wipe).astype(np.int64)
+    wipe_kill = _segmented_next(wipe_rows, kid[wipe_rows], cell_row, cell_kid)
+
+    rems = t["rem_keys"].combine_chunks()
+    rem_lens = pc.list_value_length(rems).fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64)
+    rem_row = np.repeat(np.arange(n, dtype=np.int64), rem_lens)
+    rem_key = rems.flatten().cast(pa.string())
+
+    both = pa.concat_arrays([cell_key, rem_key])
+    codes = pc.index_in(both, value_set=both.unique()).to_numpy(zero_copy_only=False).astype(np.int64)
+    span_codes = codes.max() + 1 if len(codes) else 1
+    nv = len(cell_key)
+    cell_gid = cell_kid * span_codes + codes[:nv]
+    rem_gid = kid[rem_row] * span_codes + codes[nv:]
+    rem_kill = _segmented_next(rem_row, rem_gid, cell_row, cell_gid)
+    # overwrite: the NEXT add of the same (key-group, map key) kills this cell
+    ovw_kill = _segmented_next(cell_row, cell_gid, cell_row, cell_gid)
+
+    kill = np.minimum(np.minimum(wipe_kill, rem_kill), ovw_kill)
+    hi = np.minimum(kill, ends[cell_kid])
+    lo = cell_row
+    counts = hi - lo
+
+    total = int(counts.sum())
+    pair_cell = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+    base = np.repeat(np.cumsum(counts) - counts, counts)
+    pair_event = np.arange(total, dtype=np.int64) - base + np.repeat(lo, counts)
+    # within an event: KEY order (codes are factorization order, so order by
+    # the actual string key via a sorted-code remap)
+    order_of_code = np.empty(span_codes, dtype=np.int64)
+    uniq_keys = both.unique()
+    rank = pc.array_sort_indices(uniq_keys).to_numpy(zero_copy_only=False)
+    order_of_code[rank] = np.arange(len(rank))
+    cell_keyrank = order_of_code[codes[:nv]]
+    order = np.lexsort((cell_keyrank[pair_cell], pair_event))
+    lens_out = np.bincount(pair_event, minlength=n)
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lens_out, out=offsets[1:])
+    kv = pc.binary_join_element_wise(cell_key, cell_val, ":")
+    values = kv.take(pa.array(pair_cell[order]))
+    lst = pa.LargeListArray.from_arrays(pa.array(offsets, pa.int64()), values)
+    after_csv = pc.binary_join(lst.cast(pa.list_(pa.string())), ",")
+
+    ac = after_csv.combine_chunks() if isinstance(after_csv, pa.ChunkedArray) else after_csv
+    shifted = pa.concat_arrays([pa.nulls(1, pa.string()), ac.slice(0, n - 1)])
+    idx = pa.array(np.arange(n, dtype=np.int64), mask=first)
+    before_csv = shifted.take(idx)
+
+    return pa.table(
+        {
+            "conv_id": conv,
+            "turn_idx": turn,
+            "seq": t["seq"].combine_chunks(),
+            "kind": kind,
+            "after_csv": after_csv,
+            "n_after": pa.array(lens_out.astype(np.int64), pa.int64()),
+            "before_csv": before_csv,
+            "entries_modified": pc.not_equal(kind, "none"),
+        }
+    )
+
+
+def _empty_map() -> pa.Table:
+    return pa.table(
+        {
+            "conv_id": pa.nulls(0, pa.string()),
+            "turn_idx": pa.nulls(0, pa.int32()),
+            "seq": pa.nulls(0, pa.int64()),
+            "kind": pa.nulls(0, pa.string()),
+            "after_csv": pa.nulls(0, pa.string()),
+            "n_after": pa.nulls(0, pa.int64()),
+            "before_csv": pa.nulls(0, pa.string()),
+            "entries_modified": pa.nulls(0, pa.bool_()),
+        }
+    )
