@@ -85,6 +85,58 @@ def _q_win_session_salted(sf_dir: str):
     )
 
 
+def _q_win_tumbling_conv_salted(sf_dir: str):
+    """Conv-keyed tumbling panes through the CHECKPOINTED salted runner:
+    every conversation treated as hot (maximal salting stress), so rows
+    shard on (conv, turn-bucket); salted sub-shards write pane PARTIALS and
+    the per-base-shard merge stage owns seed state + watermark-gated
+    emission (north_star skew clause composed with conversation-keyed
+    windowed aggregation). Salting must never change content — the oracle is
+    the plain batch tumbling SQL grouped by conversation."""
+    import hashlib
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from scylla_cdc_source_connector_ray.config import EngineConfig
+    from scylla_cdc_source_connector_ray.pipelines.runner import CaptureRunner
+    from scylla_cdc_source_connector_ray.sources.events_adapter import (
+        events_to_transcripts,
+    )
+
+    ev = pq.read_table(os.path.join(sf_dir, "events.parquet"))
+    t = events_to_transcripts(ev).sort_by([("ts", "ascending"), ("seq", "ascending")])
+    base = os.path.join(
+        "/tmp/scylla_cdc_convpanes",
+        hashlib.md5(sf_dir.encode()).hexdigest()[:12] + f"-{os.getpid()}",
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    log = os.path.join(base, "log")
+    os.makedirs(log)
+    n, nf = t.num_rows, 4
+    for i in range(nf):  # ts-ordered windows: in-order log, nothing late
+        lo, hi = i * n // nf, (i + 1) * n // nf
+        pq.write_table(t.slice(lo, hi - lo), os.path.join(log, f"window-{i:05d}.parquet"))
+    cfg = EngineConfig(
+        num_shards=8,
+        window_agg=True,
+        window_agg_keys=("conv_id",),
+        window_size_us=oracles.HOUR_US,
+        allowed_lateness_us=oracles.HOUR_US,
+        hot_key_threshold=8,
+        salt_factor=4,
+        sink_dir=os.path.join(base, "out"),
+        checkpoint_dir=os.path.join(base, "ckpt"),
+    )
+    runner = CaptureRunner(log, cfg)
+    runner.run(files_per_batch=1, hot_convs=sorted(set(t["conv_id"].to_pylist())))
+    runner.flush_windows()
+    return runner.read_windows().select(
+        ["conv_id", "window_start_us", "n_events", "n_chars"]
+    )
+
+
 def _q_join_conv_state(sf_dir: str):
     from scylla_cdc_source_connector_ray.stages.join import conv_state_features
 
@@ -806,6 +858,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "win_sliding": _q_win_sliding,
         "win_session": _q_win_session,
         "win_session_salted": _q_win_session_salted,
+        "win_tumbling_conv_salted": _q_win_tumbling_conv_salted,
         "join_conv_state": _q_join_conv_state,
         "join_enrich_customer": _q_join_enrich_customer,
         "cdc_compaction": _q_cdc_compaction,
@@ -861,6 +914,7 @@ def oracle_sql() -> dict[str, str]:
         "win_sliding": oracles.WIN_SLIDING,
         "win_session": oracles.WIN_SESSION,
         "win_session_salted": oracles.WIN_SESSION,
+        "win_tumbling_conv_salted": oracles.WIN_TUMBLING_CONV,
         "join_conv_state": oracles.JOIN_CONV_STATE,
         "join_enrich_customer": oracles.JOIN_ENRICH_CUSTOMER,
         "cdc_compaction": oracles.CDC_COMPACTION,

@@ -74,6 +74,16 @@ SELECT role, epoch_us(ts) - epoch_us(ts) % {HOUR_US} AS window_start_us,
 FROM transcripts GROUP BY 1, 2
 """
 
+#: conv-keyed tumbling panes (the salted-runner gate reuses this: salting and
+#: the hierarchical per-base-shard pane merge must never change content)
+WIN_TUMBLING_CONV = f"""
+WITH transcripts AS ({TRANSCRIPTS_SQL})
+SELECT conv_id, epoch_us(ts) - epoch_us(ts) % {HOUR_US} AS window_start_us,
+       count(*) AS n_events,
+       CAST(sum(coalesce(length(text), 0)) AS BIGINT) AS n_chars
+FROM transcripts GROUP BY 1, 2
+"""
+
 WIN_SLIDING = f"""
 WITH transcripts AS ({TRANSCRIPTS_SQL})
 SELECT epoch_us(ts) - epoch_us(ts) % {MIN15_US} - {MIN15_US} * i AS window_start_us,

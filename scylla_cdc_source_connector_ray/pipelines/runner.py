@@ -129,6 +129,8 @@ def _shard_task(
     prev_watermarks: dict[str, int],
     extras: tuple[tuple[str, str], ...] = (),
     salted_sessions: bool = False,
+    salted_panes: bool = False,
+    salted_pd: bool = False,
 ) -> pa.Table:
     shard = group["shard"][0].as_py()
     ckpt = Checkpoint(ckpt_dir)
@@ -228,6 +230,21 @@ def _shard_task(
             )
             import pyarrow.compute as _pc
 
+            if salted_pd and flat.num_rows:
+                # markers were broadcast to every shard (a hot conversation's
+                # turn-buckets span an unknown shard set) so each shard's keys
+                # fold the wipe; the ``op='pd'`` record itself is emitted only
+                # by the conversation's BASE shard — exactly-once like unsalted
+                from ..schema import shard_of
+
+                is_marker = _pc.equal(flat["op"], "pd")
+                if _pc.any(is_marker).as_py():
+                    home = _pc.equal(
+                        shard_of(flat["conv_id"], cfg.num_shards),
+                        pa.scalar(shard, pa.int32()),
+                    )
+                    flat = flat.filter(_pc.or_(_pc.invert(is_marker), home))
+
             derived = flat.filter(_pc.not_equal(flat["op"], "pd")).sort_by(
                 [("conv_id", "ascending"), ("turn_idx", "ascending"), ("_foldpos", "ascending")]
             )
@@ -296,7 +313,18 @@ def _shard_task(
     # --- watermark-gated window aggregation (north_star windows) -----------
     n_late_dropped = 0
     if cfg.window_agg and real.num_rows:
-        n_late_dropped += _window_panes(real, shard, batch_id, cfg, ckpt, out_dir, wm_prev)
+        if salted_panes:
+            # hierarchical path: this salted sub-shard only computes partial
+            # panes; the per-base-shard merge stage owns state/emission
+            from .stream_agg import window_partials
+
+            n_late_dropped += window_partials(
+                real, shard, batch_id, cfg, out_dir, prev_watermarks
+            )
+        else:
+            n_late_dropped += _window_panes(
+                real, shard, batch_id, cfg, ckpt, out_dir, wm_prev
+            )
     if cfg.sliding_window_us is not None and real.num_rows:
         from .stream_agg import sliding_panes
 
@@ -463,19 +491,43 @@ def _window_panes(
         group_keys,
         pane_renames,
     )
+    new_wm = max(wm_prev or 0, int(ts_us.max()))
+    _fold_pane_state(partial, new_wm, shard, batch_id, cfg, ckpt, out_dir)
+    return n_late_dropped
 
+
+def _fold_pane_state(
+    partial: pa.Table,
+    new_wm: int,
+    shard: int,
+    batch_id: int,
+    cfg: EngineConfig,
+    ckpt: Checkpoint,
+    out_dir: str,
+) -> None:
+    """Seed-merge + watermark-finalize + emit + state roll-forward for one
+    shard's tumbling panes. Shared by the in-shard path (:func:`_window_panes`)
+    and the salted per-base-shard merge stage
+    (:meth:`CaptureRunner._merge_window_partials`) — the merge stage hands in
+    UN-merged partials from several sub-shards, so the fold always
+    re-aggregates (sum is idempotent over already-merged panes)."""
+    from ..schema import select_agg
+
+    W = cfg.window_size_us
+    pane_cols = _pane_cols(cfg)
+    group_keys = [*cfg.window_agg_keys, "window_start_us"]
+    pane_renames = [("n_events_sum", "n_events"), ("n_chars_sum", "n_chars")]
+    parts = [partial.select(pane_cols)]
     seed_path = ckpt.latest_state_path(shard, batch_id, kind="wstate")
     if seed_path is not None:
-        seed = pq.read_table(seed_path)
-        partial = select_agg(
-            pa.concat_tables([seed.select(pane_cols), partial])
-            .group_by(group_keys)
-            .aggregate([("n_events", "sum"), ("n_chars", "sum")]),
-            group_keys,
-            pane_renames,
-        )
-
-    new_wm = max(wm_prev or 0, int(ts_us.max()))
+        parts.insert(0, pq.read_table(seed_path).select(pane_cols))
+    partial = select_agg(
+        pa.concat_tables(parts)
+        .group_by(group_keys)
+        .aggregate([("n_events", "sum"), ("n_chars", "sum")]),
+        group_keys,
+        pane_renames,
+    )
     thr = new_wm - cfg.allowed_lateness_us
     ws = partial["window_start_us"].to_numpy(zero_copy_only=False)
     final_mask = ws + W <= thr
@@ -494,7 +546,6 @@ def _window_panes(
             os.path.join(out_dir, "windows", f"batch-{batch_id:06d}", f"shard={shard}.parquet"),
         )
     ckpt.write_state(shard, batch_id, remaining, kind="wstate")
-    return n_late_dropped
 
 
 class CaptureRunner:
@@ -638,19 +689,19 @@ class CaptureRunner:
             # state is placed — detection after batch 0 would orphan keys
             hot_convs = self._detect_hot_first_batch(files_per_batch)
         self._hot = frozenset(hot_convs or [])
-        if self._hot and (
-            self.cfg.enrich_conv_state
-            or self.cfg.partition_deletes
-            or "conv_id" in self.cfg.window_agg_keys
-        ):
-            # session windows COMPOSE with salting via the hierarchical
-            # partial→merge path (stream_agg.session_partials +
-            # _merge_session_partials); these remaining stages still need
-            # whole-conversation co-location
+        if self._hot and self.cfg.enrich_conv_state:
+            # session windows and conv-keyed panes COMPOSE with salting via
+            # the hierarchical partial→merge paths (session_partials /
+            # window_partials + the per-base-shard merge stages); partition
+            # deletes compose via marker broadcast + base-shard-only 'pd'
+            # emission. Conv-state enrichment is the one stage left that
+            # needs whole-conversation co-location: its prefix fold is
+            # sequential in arrival order, which has no per-sub-shard
+            # decomposition (documented in COVERAGE.md "Known gaps").
             raise ValueError(
                 "hot-conv salting splits a conversation across shards and is "
-                "incompatible with conv-state enrichment, partition deletes "
-                "and conv-keyed panes — disable salting or those stages"
+                "incompatible with conv-state enrichment — disable salting "
+                "or the enrichment stage"
             )
 
         def _lookback_skip(maxes: list[int | None]) -> int:
@@ -819,6 +870,11 @@ class CaptureRunner:
                 for row in self._merge_session_partials(batch_id, watermarks):
                     k = f"sess:{row['base_shard']}"
                     watermarks[k] = max(watermarks.get(k, 0), row["max_ts_us"])
+            if self._hot and self.cfg.window_agg and "conv_id" in self.cfg.window_agg_keys:
+                # hierarchical salted conv-keyed panes: same replay contract
+                for row in self._merge_window_partials(batch_id, watermarks):
+                    k = f"win:{row['base_shard']}"
+                    watermarks[k] = max(watermarks.get(k, 0), row["max_ts_us"])
             if crash_before_commit_at is not None and i >= crash_before_commit_at:
                 totals["crashed"] = True
                 return totals
@@ -837,15 +893,16 @@ class CaptureRunner:
                 },
             )
             self.ckpt.gc_state(keep_batches=2)
-            if self._hot and self.cfg.session_gap_us is not None:
+            if self._hot:
                 # partials are scratch: a replay regenerates them before the
                 # merge re-runs, so they are safe to drop once committed
                 import shutil
 
-                shutil.rmtree(
-                    os.path.join(self.out_dir, "_session_partials", f"batch-{batch_id:06d}"),
-                    ignore_errors=True,
-                )
+                for scratch in ("_session_partials", "_window_partials"):
+                    shutil.rmtree(
+                        os.path.join(self.out_dir, scratch, f"batch-{batch_id:06d}"),
+                        ignore_errors=True,
+                    )
             totals["batches"] += 1
             sec = time.perf_counter() - t0
             m = {
@@ -1004,18 +1061,45 @@ class CaptureRunner:
 
         ds = ds.map_batches(normalize, batch_format="pyarrow")
         hot = self._hot
+        salted_pd = bool(hot) and cfg.partition_deletes
         if hot:
             from ..stages.salt import with_salted_shard
 
             salt_chunk = max(1, cfg.hot_key_threshold // cfg.salt_factor)
-            ds = ds.map_batches(
-                lambda b: with_salted_shard(b, cfg.num_shards, hot, salt_chunk),
-                batch_format="pyarrow",
-            )
+
+            def assign(b: pa.Table) -> pa.Table:
+                import numpy as np
+                import pyarrow.compute as pc
+
+                if salted_pd and b["turn_idx"].null_count:
+                    # conversation tombstones are CONTROL messages: a hot
+                    # conversation's turn-buckets span an unknown shard set
+                    # (state from any earlier batch), so the marker is
+                    # broadcast to every shard — rare by definition, O(shards)
+                    # tiny rows. Each shard folds the wipe over its own keys;
+                    # only the base shard emits the 'pd' record (see
+                    # _shard_task's home filter).
+                    is_m = pc.is_null(b["turn_idx"])
+                    markers = b.filter(is_m)
+                    rows = with_salted_shard(
+                        b.filter(pc.invert(is_m)), cfg.num_shards, hot, salt_chunk
+                    )
+                    k = markers.num_rows
+                    rep = markers.take(
+                        pa.array(np.repeat(np.arange(k), cfg.num_shards), pa.int64())
+                    ).append_column(
+                        "shard",
+                        pa.array(np.tile(np.arange(cfg.num_shards), k).astype("int32")),
+                    )
+                    return pa.concat_tables([rows, rep.select(rows.column_names)])
+                return with_salted_shard(b, cfg.num_shards, hot, salt_chunk)
+
+            ds = ds.map_batches(assign, batch_format="pyarrow")
         else:
             ds = ds.map_batches(lambda b: with_shard(b, cfg.num_shards), batch_format="pyarrow")
         wm = dict(watermarks)  # tiny; captured by closure (ray.put for huge shard counts)
         salted_sessions = bool(hot) and cfg.session_gap_us is not None
+        salted_panes = bool(hot) and cfg.window_agg and "conv_id" in cfg.window_agg_keys
         stats_ds = ds.groupby("shard").map_groups(
             lambda g: _shard_task(
                 g,
@@ -1026,6 +1110,8 @@ class CaptureRunner:
                 prev_watermarks=wm,
                 extras=extras,
                 salted_sessions=salted_sessions,
+                salted_panes=salted_panes,
+                salted_pd=salted_pd,
             ),
             batch_format="pyarrow",
         )
@@ -1056,6 +1142,43 @@ class CaptureRunner:
             )
             return pa.table(
                 {"base_shard": pa.array([b], pa.int32()), "max_ts_us": pa.array([new_wm], pa.int64())}
+            )
+
+        ds = ray.data.read_parquet(pdir)
+        return ds.groupby("base_shard").map_groups(merge_task, batch_format="pyarrow").take_all()
+
+    def _merge_window_partials(self, batch_id: int, watermarks: dict) -> list[dict]:
+        """Stage 2 of the hierarchical salted conv-keyed tumbling path:
+        sum-merge the sub-shard pane partials per BASE shard
+        (``hash(conv_id) % num_shards``) and run the normal seed/watermark/
+        emit fold there. The exchange moves O(panes) rows, not O(rows) — the
+        tumbling analogue of :meth:`_merge_session_partials`. Watermarks live
+        in the ``win:<base>`` namespace of the manifest dict."""
+        pdir = os.path.join(self.out_dir, "_window_partials", f"batch-{batch_id:06d}")
+        if not os.path.isdir(pdir) or not os.listdir(pdir):
+            return []
+        cfg, ckpt_dir, out_dir = self.cfg, self.ckpt.dir, self.out_dir
+        wm = dict(watermarks)
+
+        def merge_task(g: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            b = int(g["base_shard"][0].as_py())
+            new_wm = max(wm.get(f"win:{b}") or 0, pc.max(g["max_ts_us"]).as_py())
+            _fold_pane_state(
+                g.drop_columns(["base_shard", "max_ts_us"]),
+                new_wm,
+                b,
+                batch_id,
+                cfg,
+                Checkpoint(ckpt_dir),
+                out_dir,
+            )
+            return pa.table(
+                {
+                    "base_shard": pa.array([b], pa.int32()),
+                    "max_ts_us": pa.array([new_wm], pa.int64()),
+                }
             )
 
         ds = ray.data.read_parquet(pdir)

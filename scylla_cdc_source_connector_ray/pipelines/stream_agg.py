@@ -332,3 +332,71 @@ def session_partials(
             ),
         )
     return n_late
+
+
+def window_partials(
+    real: pa.Table,
+    shard: int,
+    batch_id: int,
+    cfg: EngineConfig,
+    out_dir: str,
+    prev_watermarks: dict[str, int],
+) -> int:
+    """Stage 1 of the hierarchical salted conv-keyed tumbling path (north_star
+    skew clause composed with conversation-keyed panes): this salted sub-shard
+    partial-aggregates its rows into ``(window_agg_keys, window_start)`` pane
+    partials — O(panes), not O(rows) — and hands them to the per-base-shard
+    merge stage (:meth:`..pipelines.runner.CaptureRunner._merge_window_partials`),
+    which owns seed state, watermark finalization and emission.
+
+    Lateness is judged against the BASE shard's pane watermark (``win:<base>``
+    namespace): emission decisions live in the merge stage, so its watermark
+    defines which windows are already closed.
+    """
+    from ..schema import select_agg, shard_of
+
+    W = cfg.window_size_us
+    base = shard_of(real["conv_id"], cfg.num_shards).to_numpy(zero_copy_only=False)
+    ts_all = real["ts"].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+    win = ts_all - (ts_all % W)
+    thr_of_base = np.full(cfg.num_shards, np.iinfo(np.int64).min, dtype=np.int64)
+    for b in np.unique(base):
+        wm = prev_watermarks.get(f"win:{int(b)}")
+        if wm is not None:
+            thr_of_base[b] = wm - cfg.allowed_lateness_us
+    late_mask = win + W <= thr_of_base[base]
+    n_late = int(late_mask.sum())
+    if n_late:
+        _write_late(real.filter(pa.array(late_mask)), out_dir, "tumbling", batch_id, shard)
+    keep = ~late_mask
+    ontime = real.filter(pa.array(keep)) if n_late else real
+    if ontime.num_rows == 0:
+        return n_late
+    chars = _chars(ontime)
+    group_keys = [*cfg.window_agg_keys, "window_start_us", "base_shard"]
+    raw = {k: ontime[k] for k in cfg.window_agg_keys}
+    raw["window_start_us"] = pa.array(win[keep], pa.int64())
+    raw["base_shard"] = pa.array(base[keep].astype("int32"), pa.int32())
+    raw["n_events"] = pa.array(np.ones(ontime.num_rows, dtype=np.int64))
+    raw["n_chars"] = pa.array(chars, pa.int64())
+    # per-group max event ts: the merge stage's watermark advance is the max
+    # over its partials (late rows can never raise a watermark by definition)
+    raw["max_ts_us"] = pa.array(ts_all[keep], pa.int64())
+    partial = select_agg(
+        pa.table(raw)
+        .group_by(group_keys)
+        .aggregate([("n_events", "sum"), ("n_chars", "sum"), ("max_ts_us", "max")]),
+        group_keys,
+        [
+            ("n_events_sum", "n_events"),
+            ("n_chars_sum", "n_chars"),
+            ("max_ts_us_max", "max_ts_us"),
+        ],
+    )
+    _atomic_pq(
+        partial,
+        os.path.join(
+            out_dir, "_window_partials", f"batch-{batch_id:06d}", f"shard={shard}.parquet"
+        ),
+    )
+    return n_late

@@ -214,3 +214,73 @@ def test_property_streaming_matches_reference(tmp_path):
         )
         want = sorted(norm(t) for t in _brute_force_pd(stamped))
         assert got == want, f"trial {trial}"
+
+
+def _pd_log_many(log):
+    """Three-batch log: a long hot conversation (ch, 24 turns) + two small
+    ones, with a mid-stream conversation tombstone on the hot conv and a
+    post-wipe re-insert. seq strictly increasing in file/ts order."""
+    _write(log, "window-00000.parquet", _rows(
+        [("ch", i, "h%d" % i, 10 + i, i) for i in range(12)]
+        + [("c1", 0, "a", 15, 50), ("c2", 0, "b", 16, 51)]
+    ))
+    _write(log, "window-00001.parquet", _rows(
+        [("ch", i, "H%d" % i, 40 + i, 100 + i) for i in range(12, 24)]
+        + [("ch", None, None, 60, 200)]     # wipe the hot conversation
+        + [("c1", 1, "a2", 61, 201)]
+    ))
+    _write(log, "window-00002.parquet", _rows(
+        [("ch", 3, "re", 70, 300), ("c2", 0, None, 71, 301)]
+    ))
+
+
+def test_salted_pd_equals_unsalted(tmp_path):
+    """Partition deletes compose with hot-conv salting: the tombstone marker
+    is broadcast to every shard (each folds the wipe over its own keys), the
+    'pd' record is emitted exactly once (base shard), and the flattened
+    output + state store equal the unsalted runner's byte for byte."""
+    log = str(tmp_path / "log")
+    _pd_log_many(log)
+
+    ra = CaptureRunner(log, _cfg(tmp_path, "a"))
+    ra.run(files_per_batch=1)
+    rb = CaptureRunner(log, _cfg(tmp_path, "b"))
+    rb_totals = rb.run(files_per_batch=1, hot_convs=["ch"])
+    assert rb_totals["batches"] == 3
+
+    a, b = _flat(ra), _flat(rb)
+    pd.testing.assert_frame_equal(a, b)
+    # exactly one pd record despite the broadcast
+    assert (b.op == "pd").sum() == 1
+    # state stores agree
+    sa = ra.read_current_state().to_pandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    sb = rb.read_current_state().to_pandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(sa[sorted(sa.columns)], sb[sorted(sb.columns)])
+    # the hot conversation really was salted across >1 shard before the wipe
+    import pyarrow.parquet as _pq
+    import glob as _glob
+
+    shards_touched = set()
+    for p in _glob.glob(os.path.join(rb.out_dir, "batch-*", "shard=*.parquet")):
+        t = _pq.read_table(p, columns=["key"])
+        convs = set(t["key"].combine_chunks().field("conv_id").to_pylist())
+        if "ch" in convs:
+            shards_touched.add(p.rsplit("shard=", 1)[1])
+    assert len(shards_touched) > 1, "hot conv was not split across sub-shards"
+
+
+def test_salted_pd_kill_resume(tmp_path):
+    """Crash mid-run with salted pd: replay regenerates the broadcast markers
+    and the home-shard filter deterministically."""
+    log = str(tmp_path / "log")
+    _pd_log_many(log)
+
+    cfg = _cfg(tmp_path, "k")
+    r1 = CaptureRunner(log, cfg)
+    assert r1.run(files_per_batch=1, hot_convs=["ch"], crash_before_commit_at=1).get("crashed")
+    r2 = CaptureRunner(log, cfg)
+    r2.run(files_per_batch=1)  # hot set restored from the manifest
+
+    clean = CaptureRunner(log, _cfg(tmp_path, "c"))
+    clean.run(files_per_batch=1, hot_convs=["ch"])
+    pd.testing.assert_frame_equal(_flat(r2), _flat(clean))

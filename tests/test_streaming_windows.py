@@ -399,3 +399,119 @@ def test_salted_streaming_sessions_kill_resume(tmp_path):
     a = a.sort_values(keys).reset_index(drop=True)
     b = b.sort_values(keys).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_salted_streaming_conv_panes_equal_unsalted(tmp_path):
+    """Hierarchical salted conv-keyed panes (north_star skew clause composed
+    with conversation-keyed windowed aggregation): hot conversations split
+    across salted sub-shards; sub-shards write pane partials, the
+    per-base-shard merge stage owns seed state + watermark-gated emission.
+    Content equals the batch tumbling(keys=['conv_id']) oracle, and shard
+    placement equals the UNSALTED runner's (panes land on the base shard)."""
+    import ray.data
+
+    from scylla_cdc_source_connector_ray.stages import windows as W
+
+    t = generate(num_convs=8, turns_per_conv=40, update_pct=20, delete_pct=10, step_us=20_000_000)
+    write_windowed(t, str(tmp_path / "log"), num_files=4)
+    kw = dict(
+        window_agg=True,
+        window_agg_keys=("conv_id",),
+        window_size_us=MIN,
+        allowed_lateness_us=MIN,
+        hot_key_threshold=10,
+        salt_factor=4,
+    )
+    cfg = _cfg(tmp_path, **kw)
+    runner = CaptureRunner(str(tmp_path / "log"), cfg)
+    hot = sorted(set(t["conv_id"].to_pylist()))[:4]
+    totals = runner.run(hot_convs=hot)
+    runner.flush_windows()
+    assert totals["late_dropped"] == 0
+    wms = runner.ckpt.last_committed()["watermarks"]
+    assert any(k.startswith("win:") for k in wms)
+    cols = ["shard", "conv_id", "window_start_us", "n_events", "n_chars"]
+    got = (
+        runner.read_windows()
+        .to_pandas()[cols]
+        .sort_values(cols[:3])
+        .reset_index(drop=True)
+    )
+    want = (
+        W.tumbling(ray.data.from_arrow(t), MIN, keys=["conv_id"])
+        .to_pandas()[["conv_id", "window_start_us", "n_events", "n_chars"]]
+        .sort_values(["conv_id", "window_start_us"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got.drop(columns=["shard"])
+        .sort_values(["conv_id", "window_start_us"])
+        .reset_index(drop=True)
+        .astype({"n_events": "int64", "n_chars": "int64"}),
+        want.astype({"n_events": "int64", "n_chars": "int64"}),
+    )
+    # placement: every pane sits on its conversation's BASE shard, exactly
+    # where the unsalted runner would have put it
+    from scylla_cdc_source_connector_ray.schema import shard_of
+
+    base = shard_of(pa.array(got["conv_id"], pa.string()), cfg.num_shards).to_pylist()
+    assert (got["shard"].astype(int) == base).all()
+    # panes emitted progressively (watermark-gated), not only at flush
+    import os
+
+    emitted = [d for d in os.listdir(tmp_path / "out" / "windows") if d.startswith("batch-")]
+    assert emitted, "no watermark-gated pane emission happened before flush"
+    # capture events themselves unchanged by salting
+    from scylla_cdc_source_connector_ray.stages.envelope import flatten_envelope
+
+    from tests.oracle import cdc_oracle
+
+    flat = flatten_envelope(runner.read_output()).to_pandas()
+    golden = cdc_oracle(t.to_pandas())
+    cols = sorted(set(golden.columns) & set(flat.columns))
+    a = flat[cols].sort_values(["conv_id", "turn_idx", "seq"]).reset_index(drop=True)
+    b = golden[cols].sort_values(["conv_id", "turn_idx", "seq"]).reset_index(drop=True)
+    for c in ("before_ts", "after_ts"):
+        if c in cols:
+            a[c] = pd.to_datetime(a[c]).astype("datetime64[ns]")
+            b[c] = pd.to_datetime(b[c]).astype("datetime64[ns]")
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_salted_streaming_conv_panes_kill_resume(tmp_path):
+    """Crash between the pane-merge stage and the commit must replay cleanly:
+    partials regenerate, the merge re-runs idempotently (same panes as a
+    clean run)."""
+    t = generate(num_convs=6, turns_per_conv=30, update_pct=20, delete_pct=10, step_us=30_000_000)
+    write_windowed(t, str(tmp_path / "log"), num_files=3)
+    kw = dict(
+        window_agg=True,
+        window_agg_keys=("conv_id",),
+        window_size_us=MIN,
+        allowed_lateness_us=MIN,
+        hot_key_threshold=10,
+        salt_factor=4,
+    )
+    hot = sorted(set(t["conv_id"].to_pylist()))[:2]
+
+    cfg1 = _cfg(tmp_path, **kw)
+    r1 = CaptureRunner(str(tmp_path / "log"), cfg1)
+    assert r1.run(hot_convs=hot, crash_before_commit_at=1).get("crashed")
+    r2 = CaptureRunner(str(tmp_path / "log"), cfg1)
+    r2.run()  # hot set restored from the manifest
+    r2.flush_windows()
+
+    clean = tmp_path / "clean"
+    cfg2 = EngineConfig(
+        num_shards=4, sink_dir=str(clean / "out"), checkpoint_dir=str(clean / "ckpt"), **kw
+    )
+    r3 = CaptureRunner(str(tmp_path / "log"), cfg2)
+    r3.run(hot_convs=hot)
+    r3.flush_windows()
+
+    a = r2.read_windows().to_pandas()
+    b = r3.read_windows().to_pandas()
+    keys = list(a.columns)
+    a = a.sort_values(keys).reset_index(drop=True)
+    b = b.sort_values(keys).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
