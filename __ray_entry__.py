@@ -137,6 +137,65 @@ def _q_win_tumbling_conv_salted(sf_dir: str):
     )
 
 
+def _q_join_conv_state_salted(sf_dir: str):
+    """Stream-state join through the CHECKPOINTED salted runner: every
+    conversation treated as hot (maximal salting stress), so each conv's rows
+    split across salted sub-shards; sub-shards ship a slim projection to the
+    per-base-shard merge stage owning the hot cstate store, and the envelope
+    files are patched in place (north_star skew clause composed with the
+    stream-state join). Salting must never change content — the oracle is
+    the plain exclusive-prefix window SQL."""
+    import hashlib
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from scylla_cdc_source_connector_ray.config import EngineConfig
+    from scylla_cdc_source_connector_ray.pipelines.runner import CaptureRunner
+    from scylla_cdc_source_connector_ray.sources.events_adapter import (
+        events_to_transcripts,
+    )
+
+    ev = pq.read_table(os.path.join(sf_dir, "events.parquet"))
+    t = events_to_transcripts(ev).sort_by([("ts", "ascending"), ("seq", "ascending")])
+    base = os.path.join(
+        "/tmp/scylla_cdc_cstate_salted",
+        hashlib.md5(sf_dir.encode()).hexdigest()[:12] + f"-{os.getpid()}",
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    log = os.path.join(base, "log")
+    os.makedirs(log)
+    n, nf = t.num_rows, 4
+    for i in range(nf):
+        lo, hi = i * n // nf, (i + 1) * n // nf
+        pq.write_table(t.slice(lo, hi - lo), os.path.join(log, f"window-{i:05d}.parquet"))
+    cfg = EngineConfig(
+        num_shards=8,
+        enrich_conv_state=True,
+        hot_key_threshold=8,
+        salt_factor=4,
+        sink_dir=os.path.join(base, "out"),
+        checkpoint_dir=os.path.join(base, "ckpt"),
+    )
+    runner = CaptureRunner(log, cfg)
+    runner.run(files_per_batch=1, hot_convs=sorted(set(t["conv_id"].to_pylist())))
+    env = runner.read_output()
+    key = env["key"].combine_chunks()
+    return pa.table(
+        {
+            "conv_id": pc.struct_field(key, "conv_id"),
+            "turn_idx": pc.struct_field(key, "turn_idx").cast(pa.int32()),
+            "seq": env["seq"].combine_chunks(),
+            "prior_turns": env["prior_turns"].combine_chunks(),
+            "prior_chars": env["prior_chars"].combine_chunks(),
+            "prev_role": env["prev_role"].combine_chunks(),
+        }
+    )
+
+
 def _q_join_conv_state(sf_dir: str):
     from scylla_cdc_source_connector_ray.stages.join import conv_state_features
 
@@ -489,6 +548,72 @@ def _q_cdc_multi_table(sf_dir: str):
         adapt, batch_format="pyarrow"
     )
     return ds.groupby("shard").map_groups(per_table_fold, batch_format="pyarrow")
+
+
+def _events_typed(sf_dir: str, event_type: str, columns: list[str]):
+    """Column-pruned, predicate-pushed read of one event type (filter and
+    projection reach the parquet scanner — only matching row groups/columns
+    leave storage)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=columns + ["ts"],
+        filter=(pc.field("event_type") == event_type),
+    )
+
+    def to_us(t: pa.Table) -> pa.Table:
+        t = t.append_column("ts_us", t["ts"].combine_chunks().cast(pa.int64()))
+        return t.drop_columns(["ts"])
+
+    return ds.map_batches(to_us, batch_format="pyarrow")
+
+
+def _q_join_asof_purchase_click(sf_dir: str):
+    """As-of join: each purchase event + the latest prior click of the same
+    user (left-outer; unmatched purchases keep nulls)."""
+    from scylla_cdc_source_connector_ray.stages.join import asof_join
+
+    left = _events_typed(sf_dir, "purchase", ["event_id", "user_id"])
+    right = _events_typed(sf_dir, "click", ["user_id", "value"])
+    out = asof_join(left, right, by="user_id", on="ts_us", suffix="_click")
+    return out.select_columns(
+        ["event_id", "user_id", "ts_us", "ts_us_click", "value_click"]
+    )
+
+
+def _q_join_range_error_window(sf_dir: str):
+    """Range (interval) join: purchases falling inside a 10-minute window
+    opened by each error event of the same user (inner; one row per pair)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from scylla_cdc_source_connector_ray.stages.join import interval_join
+
+    win_us = 10 * 60 * 1_000_000
+    points = _events_typed(sf_dir, "purchase", ["event_id", "user_id"])
+    ivls = _events_typed(sf_dir, "error", ["event_id", "user_id"])
+
+    def widen(t: pa.Table) -> pa.Table:
+        t = t.rename_columns(
+            ["err_event_id" if c == "event_id" else c for c in t.column_names]
+        )
+        t = t.append_column("err_start_us", t["ts_us"])
+        t = t.append_column("err_end_us", pc.add(t["ts_us"], win_us))
+        return t.drop_columns(["ts_us"])
+
+    ivls = ivls.map_batches(widen, batch_format="pyarrow")
+    out = interval_join(
+        points, ivls, by="user_id", ts="ts_us",
+        start="err_start_us", end="err_end_us", bucket_width=win_us,
+    )
+    return out.select_columns(
+        ["event_id", "user_id", "ts_us", "err_event_id", "err_start_us"]
+    )
 
 
 def _q_sample_documents(sf_dir: str):
@@ -860,7 +985,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "win_session_salted": _q_win_session_salted,
         "win_tumbling_conv_salted": _q_win_tumbling_conv_salted,
         "join_conv_state": _q_join_conv_state,
+        "join_conv_state_salted": _q_join_conv_state_salted,
         "join_enrich_customer": _q_join_enrich_customer,
+        "join_asof_purchase_click": _q_join_asof_purchase_click,
+        "join_range_error_window": _q_join_range_error_window,
         "cdc_compaction": _q_cdc_compaction,
         "cdc_partition_delete": _q_cdc_partition_delete,
         "cdc_compaction_pd": _q_cdc_compaction_pd,
@@ -916,7 +1044,10 @@ def oracle_sql() -> dict[str, str]:
         "win_session_salted": oracles.WIN_SESSION,
         "win_tumbling_conv_salted": oracles.WIN_TUMBLING_CONV,
         "join_conv_state": oracles.JOIN_CONV_STATE,
+        "join_conv_state_salted": oracles.JOIN_CONV_STATE_SALTED,
         "join_enrich_customer": oracles.JOIN_ENRICH_CUSTOMER,
+        "join_asof_purchase_click": oracles.JOIN_ASOF_PURCHASE_CLICK,
+        "join_range_error_window": oracles.JOIN_RANGE_ERROR_WINDOW,
         "cdc_compaction": oracles.CDC_COMPACTION,
         "cdc_partition_delete": oracles.CDC_PARTITION_DELETE,
         "cdc_compaction_pd": oracles.CDC_COMPACTION_PD,

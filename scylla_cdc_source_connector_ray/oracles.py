@@ -127,6 +127,22 @@ WINDOW w AS (PARTITION BY conv_id ORDER BY ts, seq),
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
 """
 
+#: pipelines/runner.py::_merge_cstate_partials — the hierarchical salted
+#: conv-state path must produce EXACTLY the unsalted exclusive-prefix
+#: enrichment (the streaming envelope carries prior_turns/prior_chars/
+#: prev_role; prev_ts_us is a batch-path-only feature).
+JOIN_CONV_STATE_SALTED = f"""
+WITH transcripts AS ({TRANSCRIPTS_SQL})
+SELECT conv_id, turn_idx, seq,
+       count(*) OVER w_prior AS prior_turns,
+       CAST(coalesce(sum(length(coalesce(text, ''))) OVER w_prior, 0) AS BIGINT) AS prior_chars,
+       lag(role) OVER w AS prev_role
+FROM transcripts
+WINDOW w AS (PARTITION BY conv_id ORDER BY ts, seq),
+       w_prior AS (PARTITION BY conv_id ORDER BY ts, seq
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+"""
+
 JOIN_ENRICH_CUSTOMER = f"""
 WITH transcripts AS ({TRANSCRIPTS_SQL})
 SELECT t.conv_id, t.turn_idx, t.seq, c.c_name, c.c_mktsegment
@@ -1054,4 +1070,38 @@ SELECT conv_id, turn_idx, seq, kind, after_csv, n_after,
        lag(after_csv) OVER (PARTITION BY conv_id, turn_idx ORDER BY seq) AS before_csv,
        (kind <> 'none') AS entries_modified
 FROM after
+"""
+
+
+# --- ordered joins (SURVEY §2.4 extension: as-of / range) -------------------
+
+#: stages/join.py::asof_join — latest prior click per purchase, per user.
+#: DuckDB's native ASOF picks the greatest r.ts <= l.ts per left row,
+#: exactly pandas merge_asof(direction='backward').
+JOIN_ASOF_PURCHASE_CLICK = """
+SELECT l.event_id,
+       l.user_id,
+       epoch_us(l.ts) AS ts_us,
+       epoch_us(r.ts) AS ts_us_click,
+       r.value AS value_click
+FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+#: stages/join.py::interval_join — purchases inside [error_ts, error_ts+10min)
+#: windows of the same user; inner, one row per (purchase, window) pair.
+JOIN_RANGE_ERROR_WINDOW = """
+SELECT l.event_id,
+       l.user_id,
+       epoch_us(l.ts) AS ts_us,
+       r.event_id AS err_event_id,
+       epoch_us(r.ts) AS err_start_us
+FROM events l
+JOIN events r
+  ON l.user_id = r.user_id
+ AND l.event_type = 'purchase'
+ AND r.event_type = 'error'
+ AND epoch_us(l.ts) >= epoch_us(r.ts)
+ AND epoch_us(l.ts) < epoch_us(r.ts) + 600000000
 """

@@ -339,6 +339,22 @@ def element_ops_capture(ds: ray.data.Dataset, cfg: EngineConfig) -> ray.data.Dat
     )
 
 
+def set_element_ops_capture(ds: ray.data.Dataset, cfg: EngineConfig) -> ray.data.Dataset:
+    """Set variant of :func:`element_ops_capture`: add/remove-by-value/wipe
+    deltas folded into value-ordered distinct post/pre images (re-adds
+    idempotent). Consumes the same element-op log shape as the list variant."""
+    from ..schema import decode_nested, encode_nested
+    from ..stages.element_ops import fold_set_element_ops
+
+    sharded = ds.map_batches(
+        lambda b: encode_nested(with_shard(b, cfg.num_shards)), batch_format="pyarrow"
+    )
+    return sharded.groupby("shard").map_groups(
+        lambda t: fold_set_element_ops(decode_nested(t.drop_columns(["shard"]))),
+        batch_format="pyarrow",
+    )
+
+
 def map_element_ops_capture(ds: ray.data.Dataset, cfg: EngineConfig) -> ray.data.Dataset:
     """Map variant of :func:`element_ops_capture`: upsert/delete-by-key/wipe
     entry deltas folded into key-ordered post/pre images."""

@@ -41,6 +41,7 @@ import os
 import time
 
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 import ray.data
@@ -119,6 +120,44 @@ def _with_extras(tbl: pa.Table, extras: tuple[tuple[str, str], ...]) -> pa.Table
     return tbl
 
 
+#: conv-state feature columns appended to the envelope, with their types —
+#: shared by the local enrichment, the salted merge stage and the fixup.
+_CSTATE_FEATURES: tuple[tuple[str, pa.DataType], ...] = (
+    ("prior_turns", pa.int64()),
+    ("prior_chars", pa.int64()),
+    ("prev_role", pa.string()),
+)
+
+
+def _append_aligned_features(
+    env: pa.Table, enriched: pa.Table, env_seq
+) -> pa.Table:
+    """Append the conv-state feature columns to ``env``, aligned by ``seq``
+    via vectorized searchsorted. Env rows whose seq is absent from
+    ``enriched`` (hot rows routed to the salted merge stage) get typed NULLs.
+    """
+    import numpy as np
+
+    ex_seq = enriched[SEQ_COL].combine_chunks().to_numpy(zero_copy_only=False)
+    n_ex, n_env = ex_seq.size, len(env_seq)
+    if n_ex == 0:
+        for c, typ in _CSTATE_FEATURES:
+            env = env.append_column(c, pa.nulls(n_env, typ))
+        return env
+    order = np.argsort(ex_seq)
+    pos = np.minimum(np.searchsorted(ex_seq[order], env_seq), n_ex - 1)
+    valid = ex_seq[order][pos] == env_seq
+    idx = pa.array(order[pos], pa.int64())
+    all_valid = bool(valid.all())
+    vmask = pa.array(valid)
+    for c, typ in _CSTATE_FEATURES:
+        col = pc.take(enriched[c].combine_chunks().cast(typ), idx)
+        if not all_valid:
+            col = pc.if_else(vmask, col, pa.nulls(n_env, typ))
+        env = env.append_column(c, col)
+    return env
+
+
 def _shard_task(
     group: pa.Table,
     *,
@@ -131,6 +170,8 @@ def _shard_task(
     salted_sessions: bool = False,
     salted_panes: bool = False,
     salted_pd: bool = False,
+    salted_cstate: bool = False,
+    hot_convs: frozenset[str] = frozenset(),
 ) -> pa.Table:
     shard = group["shard"][0].as_py()
     ckpt = Checkpoint(ckpt_dir)
@@ -352,22 +393,63 @@ def _shard_task(
     if cfg.enrich_conv_state:
         from ..stages.join import CONV_STATE_SCHEMA, conv_state_prefix
 
+        import numpy as np
+
+        genrich = group
+        if salted_cstate and hot_convs:
+            # hierarchical salted conv-state (north_star skew clause × the
+            # stream-state join): this salted sub-shard enriches only its
+            # NON-hot conversations; hot rows are slimmed to ~40 B/row
+            # (conv_id, ts, seq, role, chars) and handed to the per-BASE-shard
+            # merge stage (CaptureRunner._merge_cstate_partials), which owns
+            # the hot conversations' cstate store and computes the prefix in
+            # global (ts, seq) order. The envelope keeps typed NULLs here;
+            # _fixup_cstate_env patches them in place before commit.
+            from ..schema import shard_of
+
+            conv_np = group["conv_id"].combine_chunks().to_numpy(zero_copy_only=False)
+            hot_np = np.isin(conv_np, list(hot_convs))
+            if hot_np.any():
+                from .stream_agg import _atomic_pq as _apq
+
+                hot_rows = group.filter(pa.array(hot_np))
+                part = pa.table(
+                    {
+                        "conv_id": hot_rows["conv_id"].combine_chunks().cast(pa.string()),
+                        "ts": hot_rows["ts"].combine_chunks(),
+                        SEQ_COL: hot_rows[SEQ_COL].combine_chunks().cast(pa.int64()),
+                        "role": hot_rows["role"].combine_chunks().cast(pa.string()),
+                        "chars": pc.fill_null(
+                            pc.utf8_length(hot_rows["text"].combine_chunks()), 0
+                        ).cast(pa.int64()),
+                        "sub_shard": pa.array(
+                            np.full(hot_rows.num_rows, shard, np.int32), pa.int32()
+                        ),
+                        "base_shard": shard_of(hot_rows["conv_id"], cfg.num_shards),
+                    }
+                )
+                _apq(
+                    part,
+                    os.path.join(
+                        out_dir,
+                        "_cstate_partials",
+                        f"batch-{batch_id:06d}",
+                        f"shard={shard}.parquet",
+                    ),
+                )
+                genrich = group.filter(pa.array(~hot_np))
+
         cseed_path = ckpt.latest_state_path(shard, batch_id, kind="cstate")
         cseed = pq.read_table(cseed_path) if cseed_path else None
-        enriched, new_cstate = conv_state_prefix(group, seed=cseed)
+        enriched, new_cstate = conv_state_prefix(genrich, seed=cseed)
         ckpt.write_state(
             shard, batch_id, new_cstate.select(CONV_STATE_SCHEMA.names), kind="cstate"
         )
         # align by seq with a vectorized searchsorted (pyarrow join can't
-        # carry struct payload columns)
-        import numpy as np
-
-        ex_seq = enriched[SEQ_COL].combine_chunks().to_numpy(zero_copy_only=False)
+        # carry struct payload columns); env rows NOT enriched here (hot rows
+        # under salting) get typed NULLs for the fixup stage to fill
         env_seq = env[SEQ_COL].combine_chunks().to_numpy(zero_copy_only=False)
-        order = np.argsort(ex_seq)
-        pos = pa.array(order[np.searchsorted(ex_seq[order], env_seq)], pa.int64())
-        for c in ("prior_turns", "prior_chars", "prev_role"):
-            env = env.append_column(c, pc.take(enriched[c].combine_chunks(), pos))
+        env = _append_aligned_features(env, enriched, env_seq)
     from .stream_agg import _atomic_pq
 
     _atomic_pq(env, os.path.join(out_dir, f"batch-{batch_id:06d}", f"shard={shard}.parquet"))
@@ -689,20 +771,13 @@ class CaptureRunner:
             # state is placed — detection after batch 0 would orphan keys
             hot_convs = self._detect_hot_first_batch(files_per_batch)
         self._hot = frozenset(hot_convs or [])
-        if self._hot and self.cfg.enrich_conv_state:
-            # session windows and conv-keyed panes COMPOSE with salting via
-            # the hierarchical partial→merge paths (session_partials /
-            # window_partials + the per-base-shard merge stages); partition
-            # deletes compose via marker broadcast + base-shard-only 'pd'
-            # emission. Conv-state enrichment is the one stage left that
-            # needs whole-conversation co-location: its prefix fold is
-            # sequential in arrival order, which has no per-sub-shard
-            # decomposition (documented in COVERAGE.md "Known gaps").
-            raise ValueError(
-                "hot-conv salting splits a conversation across shards and is "
-                "incompatible with conv-state enrichment — disable salting "
-                "or the enrichment stage"
-            )
+        # Every conversation-level stateful stage now COMPOSES with salting:
+        # session windows and conv-keyed panes via the hierarchical
+        # partial→merge paths (session_partials / window_partials + the
+        # per-base-shard merge stages); partition deletes via marker
+        # broadcast + base-shard-only 'pd' emission; conv-state enrichment
+        # via the slim-row merge + in-place envelope fixup
+        # (_merge_cstate_partials / _fixup_cstate_env).
 
         def _lookback_skip(maxes: list[int | None]) -> int:
             """Cold-start lookback (≙ scylla.initial.lookback.ms,
@@ -875,6 +950,12 @@ class CaptureRunner:
                 for row in self._merge_window_partials(batch_id, watermarks):
                     k = f"win:{row['base_shard']}"
                     watermarks[k] = max(watermarks.get(k, 0), row["max_ts_us"])
+            if self._hot and self.cfg.enrich_conv_state:
+                # hierarchical salted conv-state: slim-row merge per base
+                # shard, then in-place envelope fixup — both before the
+                # commit so a replayed batch regenerates them byte-stable
+                self._merge_cstate_partials(batch_id)
+                self._fixup_cstate_env(batch_id)
             if crash_before_commit_at is not None and i >= crash_before_commit_at:
                 totals["crashed"] = True
                 return totals
@@ -898,7 +979,7 @@ class CaptureRunner:
                 # merge re-runs, so they are safe to drop once committed
                 import shutil
 
-                for scratch in ("_session_partials", "_window_partials"):
+                for scratch in ("_session_partials", "_window_partials", "_cstate_partials", "_cstate_features"):
                     shutil.rmtree(
                         os.path.join(self.out_dir, scratch, f"batch-{batch_id:06d}"),
                         ignore_errors=True,
@@ -1100,6 +1181,7 @@ class CaptureRunner:
         wm = dict(watermarks)  # tiny; captured by closure (ray.put for huge shard counts)
         salted_sessions = bool(hot) and cfg.session_gap_us is not None
         salted_panes = bool(hot) and cfg.window_agg and "conv_id" in cfg.window_agg_keys
+        salted_cstate = bool(hot) and cfg.enrich_conv_state
         stats_ds = ds.groupby("shard").map_groups(
             lambda g: _shard_task(
                 g,
@@ -1112,10 +1194,89 @@ class CaptureRunner:
                 salted_sessions=salted_sessions,
                 salted_panes=salted_panes,
                 salted_pd=salted_pd,
+                salted_cstate=salted_cstate,
+                hot_convs=hot,
             ),
             batch_format="pyarrow",
         )
         return stats_ds.take_all()
+
+    def _merge_cstate_partials(self, batch_id: int) -> list[dict]:
+        """Stage 2 of the hierarchical salted conv-state path: concatenate
+        the sub-shard slim rows per BASE shard (``hash(conv_id) % num_shards``),
+        fold the exclusive prefix in global (ts, seq) order against the hot
+        conversations' own ``cstate_hot`` store, and write the per-row feature
+        table partitioned by the SUB-shard that holds the full envelope row.
+        The exchange moves the slim projection only (~40 B/row vs the full
+        text-bearing envelope) — the streaming analogue of
+        :func:`..stages.join.conv_state_features`'s pre-shuffle slimming."""
+        pdir = os.path.join(self.out_dir, "_cstate_partials", f"batch-{batch_id:06d}")
+        if not os.path.isdir(pdir) or not os.listdir(pdir):
+            return []
+        cfg, ckpt_dir, out_dir = self.cfg, self.ckpt.dir, self.out_dir
+
+        def merge_task(g: pa.Table) -> pa.Table:
+            from ..stages.join import CONV_STATE_SCHEMA, conv_state_prefix
+            from .stream_agg import _atomic_pq
+
+            b = int(g["base_shard"][0].as_py())
+            ckpt = Checkpoint(ckpt_dir)
+            seed_path = ckpt.latest_state_path(b, batch_id, kind="cstate_hot")
+            seed = pq.read_table(seed_path) if seed_path else None
+            enriched, new_state = conv_state_prefix(g.drop_columns(["base_shard"]), seed=seed)
+            ckpt.write_state(
+                b, batch_id, new_state.select(CONV_STATE_SCHEMA.names), kind="cstate_hot"
+            )
+            feats = enriched.select(
+                ["sub_shard", SEQ_COL, *[c for c, _ in _CSTATE_FEATURES]]
+            )
+            _atomic_pq(
+                feats,
+                os.path.join(
+                    out_dir, "_cstate_features", f"batch-{batch_id:06d}", f"base={b}.parquet"
+                ),
+            )
+            return pa.table({"base_shard": pa.array([b], pa.int32())})
+
+        ds = ray.data.read_parquet(pdir)
+        return ds.groupby("base_shard").map_groups(merge_task, batch_format="pyarrow").take_all()
+
+    def _fixup_cstate_env(self, batch_id: int) -> None:
+        """Stage 3 of the hierarchical salted conv-state path: patch each
+        sub-shard's already-written envelope file in place (atomic temp +
+        rename), filling the typed-NULL feature columns of its hot rows from
+        the merge stage's feature table. Only files that contain hot rows are
+        rewritten; replay regenerates partials → merge → fixup
+        deterministically, so resumed batches stay byte-stable."""
+        fdir = os.path.join(self.out_dir, "_cstate_features", f"batch-{batch_id:06d}")
+        if not os.path.isdir(fdir) or not os.listdir(fdir):
+            return
+        out_dir = self.out_dir
+
+        def fix_task(g: pa.Table) -> pa.Table:
+            import numpy as np
+
+            from .stream_agg import _atomic_pq
+
+            s = int(g["sub_shard"][0].as_py())
+            path = os.path.join(out_dir, f"batch-{batch_id:06d}", f"shard={s}.parquet")
+            env = pq.read_table(path)
+            env_seq = env[SEQ_COL].combine_chunks().to_numpy(zero_copy_only=False)
+            f_seq = g[SEQ_COL].combine_chunks().to_numpy(zero_copy_only=False)
+            order = np.argsort(f_seq)
+            pos = np.minimum(np.searchsorted(f_seq[order], env_seq), f_seq.size - 1)
+            hit = f_seq[order][pos] == env_seq
+            idx = pa.array(order[pos], pa.int64())
+            hmask = pa.array(hit)
+            for c, typ in _CSTATE_FEATURES:
+                vals = pc.take(g[c].combine_chunks().cast(typ), idx)
+                merged = pc.if_else(hmask, vals, env[c].combine_chunks().cast(typ))
+                env = env.set_column(env.column_names.index(c), c, merged)
+            _atomic_pq(env, path)
+            return pa.table({"sub_shard": pa.array([s], pa.int32())})
+
+        ds = ray.data.read_parquet(fdir)
+        ds.groupby("sub_shard").map_groups(fix_task, batch_format="pyarrow").take_all()
 
     def _merge_session_partials(self, batch_id: int, watermarks: dict) -> list[dict]:
         """Stage 2 of the hierarchical salted-session path: gap-merge the

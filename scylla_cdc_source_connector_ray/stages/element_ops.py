@@ -170,17 +170,23 @@ def _empty() -> pa.Table:
     )
 
 
-def fold_map_element_ops(t: pa.Table) -> pa.Table:
-    """Map element-op fold (the map half of the reference's non-frozen
-    collection scenarios): per row, ``add_keys``/``add_vals`` upsert entries
-    (adding an existing key OVERWRITES its cell), ``rem_keys`` delete by key
-    (``cdc$deleted_elements``), ``kind='wipe'`` clears earlier entries. The
-    post-image is the live entries in KEY order (maps emit key-ordered, not
-    timeuuid-ordered — reference emitter :719-735). Same vectorized
-    interval-stab machinery as :func:`fold_element_ops`, with one extra kill
-    candidate: the next add of the same key."""
-    if t.num_rows == 0:
-        return _empty_map()
+def _fold_keyed_cells(
+    t: pa.Table,
+    *,
+    add_col: str,
+    vals_col: str | None,
+    rem_col: str,
+    modified_name: str,
+) -> pa.Table:
+    """Shared keyed-cell fold behind the map and set element-op variants:
+    each added element is a *cell* keyed by its (map key | set element);
+    ``rem_col`` kills by key (``cdc$deleted_elements``), ``kind='wipe'``
+    clears earlier cells, and adding an existing key OVERWRITES its cell —
+    which for a set makes re-adds idempotent. Post-images are the live cells
+    in KEY order (maps and sets emit key/value-ordered, not timeuuid-ordered
+    — reference emitter :719-735). Same vectorized interval-stab machinery as
+    :func:`fold_element_ops`, with one extra kill candidate: the next add of
+    the same key."""
     t = t.sort_by(
         [("conv_id", "ascending"), ("turn_idx", "ascending"), ("ts", "ascending"), ("seq", "ascending")]
     )
@@ -195,19 +201,20 @@ def fold_map_element_ops(t: pa.Table) -> pa.Table:
 
     is_wipe = pc.equal(kind, "wipe").to_numpy(zero_copy_only=False)
 
-    adds = t["add_keys"].combine_chunks()
+    adds = t[add_col].combine_chunks()
     add_lens = pc.list_value_length(adds).fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64)
     cell_row = np.repeat(np.arange(n, dtype=np.int64), add_lens)
     cell_key = adds.flatten().cast(pa.string())
-    cell_val = t["add_vals"].combine_chunks().flatten().cast(pa.string())
-    if len(cell_val) != len(cell_key):
-        raise ValueError("add_keys and add_vals must have identical list lengths")
+    if vals_col is not None:
+        cell_val = t[vals_col].combine_chunks().flatten().cast(pa.string())
+        if len(cell_val) != len(cell_key):
+            raise ValueError(f"{add_col} and {vals_col} must have identical list lengths")
     cell_kid = kid[cell_row]
 
     wipe_rows = np.flatnonzero(is_wipe).astype(np.int64)
     wipe_kill = _segmented_next(wipe_rows, kid[wipe_rows], cell_row, cell_kid)
 
-    rems = t["rem_keys"].combine_chunks()
+    rems = t[rem_col].combine_chunks()
     rem_lens = pc.list_value_length(rems).fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64)
     rem_row = np.repeat(np.arange(n, dtype=np.int64), rem_lens)
     rem_key = rems.flatten().cast(pa.string())
@@ -219,7 +226,7 @@ def fold_map_element_ops(t: pa.Table) -> pa.Table:
     cell_gid = cell_kid * span_codes + codes[:nv]
     rem_gid = kid[rem_row] * span_codes + codes[nv:]
     rem_kill = _segmented_next(rem_row, rem_gid, cell_row, cell_gid)
-    # overwrite: the NEXT add of the same (key-group, map key) kills this cell
+    # overwrite: the NEXT add of the same (key-group, cell key) kills this cell
     ovw_kill = _segmented_next(cell_row, cell_gid, cell_row, cell_gid)
 
     kill = np.minimum(np.minimum(wipe_kill, rem_kill), ovw_kill)
@@ -242,7 +249,11 @@ def fold_map_element_ops(t: pa.Table) -> pa.Table:
     lens_out = np.bincount(pair_event, minlength=n)
     offsets = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(lens_out, out=offsets[1:])
-    kv = pc.binary_join_element_wise(cell_key, cell_val, ":")
+    kv = (
+        pc.binary_join_element_wise(cell_key, cell_val, ":")
+        if vals_col is not None
+        else cell_key
+    )
     values = kv.take(pa.array(pair_cell[order]))
     lst = pa.LargeListArray.from_arrays(pa.array(offsets, pa.int64()), values)
     after_csv = pc.binary_join(lst.cast(pa.list_(pa.string())), ",")
@@ -261,8 +272,43 @@ def fold_map_element_ops(t: pa.Table) -> pa.Table:
             "after_csv": after_csv,
             "n_after": pa.array(lens_out.astype(np.int64), pa.int64()),
             "before_csv": before_csv,
-            "entries_modified": pc.not_equal(kind, "none"),
+            modified_name: pc.not_equal(kind, "none"),
         }
+    )
+
+
+def fold_map_element_ops(t: pa.Table) -> pa.Table:
+    """Map element-op fold (the map half of the reference's non-frozen
+    collection scenarios): per row, ``add_keys``/``add_vals`` upsert entries
+    (adding an existing key OVERWRITES its cell), ``rem_keys`` delete by key
+    (``cdc$deleted_elements``), ``kind='wipe'`` clears earlier entries."""
+    if t.num_rows == 0:
+        return _empty_map()
+    return _fold_keyed_cells(
+        t,
+        add_col="add_keys",
+        vals_col="add_vals",
+        rem_col="rem_keys",
+        modified_name="entries_modified",
+    )
+
+
+def fold_set_element_ops(t: pa.Table) -> pa.Table:
+    """Set element-op fold (the set half of the reference's non-frozen
+    collection scenarios, ``ScyllaTypesAllBase`` set add/remove transitions):
+    the cell key IS the element, so re-adding an element is idempotent
+    (overwrite of an identical cell), ``rem_elems`` removes by value, and the
+    post-image is the distinct live elements in VALUE order (CQL sets cluster
+    by element). Same log shape as :func:`fold_element_ops` — only the fold
+    semantics differ from the list variant."""
+    if t.num_rows == 0:
+        return _empty()
+    return _fold_keyed_cells(
+        t,
+        add_col="add_elems",
+        vals_col=None,
+        rem_col="rem_elems",
+        modified_name="elems_modified",
     )
 
 

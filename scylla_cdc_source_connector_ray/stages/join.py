@@ -154,9 +154,20 @@ def conv_state_prefix(
                 pa.array([c not in present for c in seed["conv_id"].to_pylist()])
             )
             if missing.num_rows:
-                new_state = pa.concat_tables([new_state.select(CONV_STATE_SCHEMA.names), missing.select(CONV_STATE_SCHEMA.names)])
+                # blocks off the Ray exchange carry large_string while a
+                # parquet-read seed carries string — pin both to the schema
+                new_state = pa.concat_tables(
+                    [
+                        new_state.select(CONV_STATE_SCHEMA.names).cast(CONV_STATE_SCHEMA),
+                        missing.select(CONV_STATE_SCHEMA.names).cast(CONV_STATE_SCHEMA),
+                    ]
+                )
     else:
-        new_state = seed if seed is not None else CONV_STATE_SCHEMA.empty_table()
+        new_state = (
+            seed.select(CONV_STATE_SCHEMA.names).cast(CONV_STATE_SCHEMA)
+            if seed is not None
+            else CONV_STATE_SCHEMA.empty_table()
+        )
     return enriched, new_state
 
 
@@ -257,3 +268,273 @@ def broadcast_join(
             return batch.join(self.small, on=left_on)
 
     return ds.map_batches(Joiner, batch_format="pandas", concurrency=(1, 8))
+
+
+# ---------------------------------------------------------------------------
+# As-of and interval (range) joins — custom ordered-join operators Ray Data
+# has no native kernel for (SURVEY §2.4 extension; round-3 brief "custom
+# operators": as-of join / range join). Both follow the same distributed
+# shape: tag each side, hash-co-partition on the equality key, union the two
+# streams, and run the vectorized ordered-join kernel (pandas C merge_asof /
+# merge+filter) once per partition via groupby().map_groups(). Shuffle cost =
+# both inputs moved exactly once; no barrier beyond the one keyed exchange.
+# Partitioning assumption: the by-key cardinality ≫ num_partitions and no
+# single key dominates (a hot key lands whole in one partition — salt the key
+# upstream if one key exceeds a worker's heap, as stages/salt.py does for
+# conversations).
+# ---------------------------------------------------------------------------
+
+_SIDE_COL = "__oj_side"
+_PART_COL = "__oj_part"
+_BUCKET_COL = "__oj_bucket"
+
+
+def _arrow_schema(ds: ray.data.Dataset) -> pa.Schema:
+    """Dataset schema as a real ``pa.Schema``. ``ds.schema().base_schema`` is
+    a ``PandasBlockSchema`` (parallel names/types lists) for pandas-backed
+    datasets — normalize both representations."""
+    schema = ds.schema()
+    if schema is None:
+        raise ValueError(
+            "ordered join: input dataset has no recoverable schema (an empty "
+            "pandas-block dataset loses its schema through repartition; read "
+            "from parquet or pass the empty side un-repartitioned)"
+        )
+    s = schema.base_schema
+    if isinstance(s, pa.Schema):
+        return s
+    return pa.schema(
+        [
+            pa.field(n, t if isinstance(t, pa.DataType) else pa.from_numpy_dtype(t))
+            for n, t in zip(s.names, s.types)
+        ]
+    )
+
+
+def _null_pad(t: pa.Table, target: pa.Schema) -> pa.Table:
+    """Conform a batch to ``target``: missing columns become typed nulls, and
+    column order matches — the two tagged sides must share one exact schema
+    for the union + keyed exchange."""
+    cols = []
+    for f in target:
+        if f.name in t.column_names:
+            c = t[f.name]
+            if c.type != f.type:
+                c = c.cast(f.type)
+            cols.append(c)
+        else:
+            cols.append(pa.nulls(t.num_rows, f.type))
+    return pa.table(dict(zip(target.names, cols)))
+
+
+def _part_of(key_arr: pa.ChunkedArray | pa.Array, num_partitions: int) -> pa.Array:
+    """Stable cross-process partition id for any castable-to-string key
+    (reuses the pinned polars hash from schema.shard_of)."""
+    from ..schema import shard_of
+
+    return shard_of(key_arr, num_partitions)
+
+
+def _restore_int_dtypes(df: pd.DataFrame, schema: pa.Schema) -> pd.DataFrame:
+    """Outer/left ordered joins surface unmatched rows as NaN, silently
+    promoting int64 payload columns to float64; restore pandas nullable Int64
+    so the Arrow output keeps the input's integer types (oracle parity)."""
+    for f in schema:
+        if (
+            f.name in df.columns
+            and pa.types.is_integer(f.type)
+            and df[f.name].dtype.kind == "f"
+        ):
+            df[f.name] = df[f.name].astype("Int64")
+    return df
+
+
+def _to_arrow_exact(df: pd.DataFrame, schema: pa.Schema) -> pa.Table:
+    """Group-fn output → Arrow at EXACTLY ``schema``. Per-group pandas frames
+    drift (all-NaN object columns infer null type, int-with-null promotes to
+    float); emitting a pinned schema from every group keeps Ray's block
+    concatenation and the downstream consumer schema-stable."""
+    df = _restore_int_dtypes(df.reindex(columns=schema.names), schema)
+    tbl = pa.Table.from_pandas(df, preserve_index=False)
+    cols = []
+    for f in schema:
+        c = tbl[f.name]
+        cols.append(c if c.type == f.type else c.cast(f.type))
+    return pa.table(dict(zip(schema.names, cols)))
+
+
+def asof_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    by: str,
+    on: str,
+    direction: str = "backward",
+    suffix: str = "_r",
+    tolerance: int | None = None,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Distributed as-of join: for every left row, attach the right row with
+    the same ``by`` key and the nearest ``on`` value (``backward``: greatest
+    right ``on`` <= left ``on``; ``forward``/``nearest`` as in pandas).
+    Left-outer semantics — unmatched left rows keep typed nulls.
+
+    ``on`` must be a numeric or timestamp column with identical type on both
+    sides; right payload columns (everything except ``by``) are renamed with
+    ``suffix``. ``tolerance`` bounds the match distance in ``on`` units.
+
+    Scale shape: one hash exchange of both inputs keyed on ``by``; each
+    partition sorts its slice and runs ``pandas.merge_asof`` (a vectorized C
+    merge over two sorted runs — no per-row Python). Prune columns before
+    calling; the exchange ships everything you keep.
+    """
+    if num_partitions is None:
+        num_partitions = default_join_partitions()
+    lschema, rschema = _arrow_schema(left), _arrow_schema(right)
+    if on not in lschema.names or on not in rschema.names or by not in lschema.names:
+        raise ValueError(f"asof_join: by={by!r}/on={on!r} missing from inputs")
+    on_r = on + suffix
+    r_renames = {n: (n if n == by else n + suffix) for n in rschema.names}
+    left_names = list(lschema.names)
+    right_out = [r_renames[n] for n in rschema.names if n != by]
+    clash = set(left_names) & set(right_out)
+    if clash:
+        raise ValueError(f"asof_join: suffixed right columns clash with left: {clash}")
+    target = pa.schema(
+        [*lschema, *[pa.field(r_renames[f.name], f.type) for f in rschema if f.name != by]]
+        + [pa.field(_SIDE_COL, pa.int8()), pa.field(_PART_COL, pa.int32())]
+    )
+
+    def tag(side: int, rename: dict[str, str] | None):
+        def fn(t: pa.Table) -> pa.Table:
+            if rename:
+                t = t.rename_columns([rename[n] for n in t.column_names])
+            t = _null_pad(t, pa.schema([f for f in target if f.name not in (_SIDE_COL, _PART_COL)]))
+            t = t.append_column(_SIDE_COL, pa.array(np.full(t.num_rows, side, np.int8)))
+            return t.append_column(_PART_COL, _part_of(t[by], num_partitions))
+
+        return fn
+
+    tagged = left.map_batches(tag(0, None), batch_format="pyarrow").union(
+        right.map_batches(tag(1, r_renames), batch_format="pyarrow")
+    )
+
+    out_cols = [*left_names, *right_out]
+    int_schema = pa.schema([target.field(n) for n in out_cols])
+
+    def join_group(df: pd.DataFrame) -> pa.Table:
+        l = df[df[_SIDE_COL] == 0]
+        r = df[df[_SIDE_COL] == 1]
+        if not len(l):
+            return int_schema.empty_table()
+        l = l[left_names].sort_values(on, kind="mergesort")
+        l_nullkey = l[l[by].isna()]  # merge_asof rejects null keys; keep unmatched
+        if len(l_nullkey):
+            l = l[l[by].notna()]
+        if not len(r) or not len(l):
+            out = pd.concat([l, l_nullkey]).reindex(columns=out_cols)
+        else:
+            r = r[[by, *right_out]].sort_values(on_r, kind="mergesort").dropna(subset=[by])
+            tol = tolerance
+            if tol is not None and l[on].dtype.kind == "f":
+                tol = float(tol)  # null-padding promoted on to float64 in this group
+            out = pd.merge_asof(
+                l,
+                r,
+                left_on=on,
+                right_on=on_r,
+                by=by,
+                direction=direction,
+                tolerance=tol,
+            )
+            if len(l_nullkey):
+                out = pd.concat([out, l_nullkey.reindex(columns=out_cols)])
+        return _to_arrow_exact(out[out_cols], int_schema)
+
+    return tagged.groupby(_PART_COL).map_groups(join_group, batch_format="pandas")
+
+
+def interval_join(
+    points: ray.data.Dataset,
+    intervals: ray.data.Dataset,
+    by: str,
+    ts: str,
+    start: str,
+    end: str,
+    bucket_width: int,
+    suffix: str = "_r",
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Distributed range (interval) join: emit one row per (point, interval)
+    pair with equal ``by`` key and ``start <= ts < end`` (inner semantics;
+    a point inside k intervals yields k rows).
+
+    ``ts``/``start``/``end`` are int64 (e.g. epoch-µs). The classic shuffle
+    trick for inequality predicates: time is cut into ``bucket_width`` cells;
+    every interval is REPLICATED to each cell it overlaps (np.repeat — no
+    Python loop), every point goes to its single cell, and the exchange
+    co-partitions on hash((by, cell)). Each partition then runs one hash
+    merge + vectorized band filter. Replication factor = avg interval length
+    / bucket_width + 1, so pick ``bucket_width`` ≈ the typical interval
+    length; shuffle cost = points once + intervals × replication.
+    """
+    if num_partitions is None:
+        num_partitions = default_join_partitions()
+    pschema, ischema = _arrow_schema(points), _arrow_schema(intervals)
+    i_renames = {n: (n if n == by else n + suffix if n in pschema.names else n) for n in ischema.names}
+    ivl_out = [i_renames[n] for n in ischema.names if n != by]
+    start_o, end_o = i_renames[start], i_renames[end]
+    target = pa.schema(
+        [*pschema, *[pa.field(i_renames[f.name], f.type) for f in ischema if f.name != by]]
+        + [
+            pa.field(_BUCKET_COL, pa.int64()),
+            pa.field(_SIDE_COL, pa.int8()),
+            pa.field(_PART_COL, pa.int32()),
+        ]
+    )
+    data_schema = pa.schema([f for f in target if f.name not in (_SIDE_COL, _PART_COL)])
+
+    def finish(t: pa.Table, side: int) -> pa.Table:
+        t = _null_pad(t, data_schema)
+        key = pc.binary_join_element_wise(
+            pc.cast(t[by], pa.string()), pc.cast(t[_BUCKET_COL], pa.string()), ":"
+        )
+        t = t.append_column(_SIDE_COL, pa.array(np.full(t.num_rows, side, np.int8)))
+        return t.append_column(_PART_COL, _part_of(key, num_partitions))
+
+    def tag_points(t: pa.Table) -> pa.Table:
+        b = pc.divide(t[ts].combine_chunks(), bucket_width).cast(pa.int64())
+        return finish(t.append_column(_BUCKET_COL, b), 0)
+
+    def tag_intervals(t: pa.Table) -> pa.Table:
+        from ..functions.dedup import _ranges
+
+        t = t.rename_columns([i_renames[n] for n in t.column_names])
+        s = t[start_o].combine_chunks().to_numpy(zero_copy_only=False)
+        e = t[end_o].combine_chunks().to_numpy(zero_copy_only=False)
+        b0 = s // bucket_width
+        b1 = np.maximum((e - 1) // bucket_width, b0)  # end exclusive
+        counts = (b1 - b0 + 1).astype(np.int64)
+        idx = np.repeat(np.arange(len(s), dtype=np.int64), counts)
+        buckets = b0[idx] + _ranges(counts)
+        rep = t.take(pa.array(idx))
+        return finish(rep.append_column(_BUCKET_COL, pa.array(buckets, pa.int64())), 1)
+
+    tagged = points.map_batches(tag_points, batch_format="pyarrow").union(
+        intervals.map_batches(tag_intervals, batch_format="pyarrow")
+    )
+
+    out_cols = [*pschema.names, *ivl_out]
+    int_schema = pa.schema([target.field(n) for n in out_cols])
+
+    def join_group(df: pd.DataFrame) -> pa.Table:
+        l = df[df[_SIDE_COL] == 0]
+        r = df[df[_SIDE_COL] == 1]
+        if not len(l) or not len(r):
+            return int_schema.empty_table()
+        m = l[[*pschema.names, _BUCKET_COL]].merge(
+            r[[by, _BUCKET_COL, *ivl_out]], on=[by, _BUCKET_COL]
+        )
+        m = m[(m[start_o] <= m[ts]) & (m[ts] < m[end_o])]
+        return _to_arrow_exact(m[out_cols], int_schema)
+
+    return tagged.groupby(_PART_COL).map_groups(join_group, batch_format="pandas")

@@ -111,7 +111,7 @@ class Checkpoint:
         unboundedly and every ``last_committed`` re-lists them). Per-batch
         metrics JSON is deliberately NOT pruned: it is the run's lineage
         record (north_rule), is never re-listed by the engine, and is tiny."""
-        for kind in ("state", "wstate", "cstate", "sstate", "sessstate", "imgstate"):
+        for kind in ("state", "wstate", "cstate", "cstate_hot", "sstate", "sessstate", "imgstate"):
             kd = os.path.join(self.dir, kind)
             if not os.path.isdir(kd):
                 continue

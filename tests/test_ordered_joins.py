@@ -1,0 +1,152 @@
+"""As-of and interval (range) joins vs brute-force references.
+
+The distributed kernels (stages/join.py::asof_join / interval_join) must
+match a single-frame pandas merge_asof / O(n*m) nested predicate scan for
+every partitioning, including keys split across partitions, empty sides in a
+partition, null keys, and intervals spanning multiple hash buckets.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data
+
+from scylla_cdc_source_connector_ray.stages.join import asof_join, interval_join
+
+
+def _mk(df: pd.DataFrame, parallelism: int = 4) -> ray.data.Dataset:
+    return ray.data.from_pandas(df).repartition(parallelism)
+
+
+def _sorted(df: pd.DataFrame) -> pd.DataFrame:
+    return (
+        df.sort_values(list(df.columns))
+        .reset_index(drop=True)
+        .astype({c: "float64" for c in df.columns if df[c].dtype.kind in "if"})
+    )
+
+
+def rand_events(seed: int, n: int, n_keys: int) -> pd.DataFrame:
+    rng = np.random.default_rng(seed)
+    return pd.DataFrame(
+        {
+            "eid": np.arange(n, dtype=np.int64),
+            "k": rng.integers(0, n_keys, n).astype(np.int64),
+            "t": rng.integers(0, 10_000, n).astype(np.int64),
+            "v": rng.normal(size=n),
+        }
+    )
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+def test_asof_matches_global_merge_asof(direction):
+    left = rand_events(1, 400, 17)
+    right = rand_events(2, 300, 17).rename(columns={"v": "w"})[["k", "t", "w"]]
+    # merge_asof tie-breaks among equal t by taking the LAST right row in
+    # sort order — make (k, t) unique on the right so the match is unique.
+    right = right.drop_duplicates(["k", "t"])
+
+    got = (
+        asof_join(_mk(left), _mk(right), by="k", on="t", direction=direction)
+        .to_pandas()
+    )
+    exp = pd.merge_asof(
+        left.sort_values("t", kind="mergesort"),
+        right.sort_values("t", kind="mergesort").rename(
+            columns={"t": "t_r", "w": "w_r"}
+        ),
+        left_on="t",
+        right_on="t_r",
+        by="k",
+        direction=direction,
+    )
+    pd.testing.assert_frame_equal(_sorted(got), _sorted(exp[got.columns]))
+
+
+def test_asof_unmatched_rows_keep_typed_nulls():
+    left = pd.DataFrame({"k": [1, 2], "t": [10, 10]}).astype(np.int64)
+    right = pd.DataFrame({"k": [1], "t": [20], "w": [7]}).astype(np.int64)  # only AFTER
+    out = asof_join(_mk(left, 2), _mk(right, 1), by="k", on="t")
+    tbl = out.take_all()
+    assert len(tbl) == 2
+    assert all(r["t_r"] is None and r["w_r"] is None for r in tbl)
+    assert out.schema().base_schema.field("w_r").type == pa.int64()
+
+
+def test_asof_tolerance_bounds_match_distance():
+    left = pd.DataFrame({"k": [1, 1], "t": [100, 200]}).astype(np.int64)
+    right = pd.DataFrame({"k": [1, 1], "t": [95, 50], "w": [1, 2]}).astype(np.int64)
+    rows = {
+        r["t"]: r["w_r"]
+        for r in asof_join(
+            _mk(left, 1), _mk(right, 1), by="k", on="t", tolerance=10
+        ).take_all()
+    }
+    assert rows == {100: 1, 200: None}  # 200-95=105 > 10 → no match
+
+
+def test_asof_null_left_key_survives_unmatched():
+    left = pd.DataFrame({"k": [1.0, None], "t": [10.0, 10.0]})
+    right = pd.DataFrame({"k": [1.0], "t": [5.0], "w": [3.0]})
+    out = asof_join(_mk(left, 1), _mk(right, 1), by="k", on="t").take_all()
+    by_k = {r["k"]: r["w_r"] for r in out}
+    assert by_k[1.0] == 3.0 and by_k[None] is None
+
+
+def _brute_interval(points, ivls):
+    m = points.merge(ivls, on="k")
+    return m[(m["s"] <= m["t"]) & (m["t"] < m["e"])][
+        ["eid", "k", "t", "iid", "s", "e"]
+    ]
+
+
+@pytest.mark.parametrize("bucket", [64, 1000, 7])
+def test_interval_join_matches_brute_force(bucket):
+    rng = np.random.default_rng(7)
+    points = rand_events(3, 500, 11)[["eid", "k", "t"]]
+    n_iv = 120
+    s = rng.integers(0, 10_000, n_iv).astype(np.int64)
+    ivls = pd.DataFrame(
+        {
+            "iid": np.arange(n_iv, dtype=np.int64),
+            "k": rng.integers(0, 11, n_iv).astype(np.int64),
+            "s": s,
+            # variable lengths: some spanning many buckets
+            "e": s + rng.integers(1, 900, n_iv).astype(np.int64),
+        }
+    )
+    got = interval_join(
+        _mk(points), _mk(ivls), by="k", ts="t", start="s", end="e",
+        bucket_width=bucket,
+    ).to_pandas()[["eid", "k", "t", "iid", "s", "e"]]
+    exp = _brute_interval(points, ivls)
+    pd.testing.assert_frame_equal(_sorted(got), _sorted(exp))
+
+
+def test_interval_join_boundaries_inclusive_exclusive():
+    points = pd.DataFrame({"eid": [0, 1], "k": [1, 1], "t": [100, 200]}).astype(
+        np.int64
+    )
+    ivls = pd.DataFrame({"iid": [0], "k": [1], "s": [100], "e": [200]}).astype(
+        np.int64
+    )
+    out = interval_join(
+        _mk(points, 1), _mk(ivls, 1), by="k", ts="t", start="s", end="e",
+        bucket_width=50,
+    ).take_all()
+    assert [r["eid"] for r in out] == [0]  # t=100 in, t=200 (== end) out
+
+
+def test_interval_join_empty_intervals_is_empty_with_schema():
+    points = pd.DataFrame({"eid": [0], "k": [1], "t": [5]}).astype(np.int64)
+    ivls = pd.DataFrame({"iid": [], "k": [], "s": [], "e": []}).astype(np.int64)
+    # an empty pandas-block dataset keeps its schema only un-repartitioned
+    out = interval_join(
+        _mk(points, 1), ray.data.from_pandas(ivls), by="k", ts="t", start="s",
+        end="e", bucket_width=10,
+    )
+    assert out.count() == 0
+    assert "iid" in out.schema().names

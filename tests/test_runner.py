@@ -480,16 +480,15 @@ def test_lock_released_on_midrun_exception(tmp_path):
     assert r2.run()["batches"] == 2
 
 
-def test_salting_incompatible_with_conv_level_stages(tmp_path):
-    import pytest
-
+def test_salting_composes_with_conv_level_stages(tmp_path):
+    """Every conversation-level stateful stage now composes with salting
+    (hierarchical partial→merge paths) — running salted with conv-state
+    enrichment must succeed, not raise."""
     t = generate(num_convs=4, turns_per_conv=4)
     write_windowed(t, str(tmp_path / "log"), num_files=1)
-    # session windows now COMPOSE with salting (hierarchical partial->merge);
-    # conv-state enrichment / partition deletes / conv-keyed panes still don't
     cfg = _cfg(tmp_path, enrich_conv_state=True)
-    with pytest.raises(ValueError, match="salting"):
-        CaptureRunner(str(tmp_path / "log"), cfg).run(hot_convs=["conv0"])
+    totals = CaptureRunner(str(tmp_path / "log"), cfg).run(hot_convs=["conv0"])
+    assert totals["batches"] == 1
 
 
 def test_lock_released_on_validation_error(tmp_path):
