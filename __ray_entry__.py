@@ -657,6 +657,25 @@ def _q_cdc_list_element_ops(sf_dir: str):
     return cap.element_ops_capture(ds, _CFG)
 
 
+def _q_cdc_set_element_ops(sf_dir: str):
+    """Set element-level ops: add/remove-by-value/wipe deltas folded into
+    value-ordered distinct post/pre images (re-adds idempotent) — same log
+    as the list variant, set fold semantics."""
+    import os
+
+    import ray.data
+
+    from scylla_cdc_source_connector_ray.sources.events_adapter import (
+        events_to_element_log,
+    )
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id", "event_type", "value"],
+    ).map_batches(events_to_element_log, batch_format="pyarrow")
+    return cap.set_element_ops_capture(ds, _CFG)
+
+
 def _q_cdc_map_element_ops(sf_dir: str):
     """Map element-level ops: upsert (overwrite), delete-by-key
     (cdc$deleted_elements), wipe — post-images in key order."""
@@ -998,6 +1017,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_multi_table": _q_cdc_multi_table,
         "cdc_list_rebuild": _q_cdc_list_rebuild,
         "cdc_list_element_ops": _q_cdc_list_element_ops,
+        "cdc_set_element_ops": _q_cdc_set_element_ops,
         "cdc_map_element_ops": _q_cdc_map_element_ops,
         "sample_documents": _q_sample_documents,
         "cdc_capture_maps": _q_cdc_capture_maps,
@@ -1057,6 +1077,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_multi_table": oracles.CDC_MULTI_TABLE,
         "cdc_list_rebuild": oracles.CDC_LIST_REBUILD,
         "cdc_list_element_ops": oracles.CDC_LIST_ELEMENT_OPS,
+        "cdc_set_element_ops": oracles.CDC_SET_ELEMENT_OPS,
         "cdc_map_element_ops": oracles.CDC_MAP_ELEMENT_OPS,
         "sample_documents": oracles.SAMPLE_DOCUMENTS,
         "cdc_capture_maps": oracles.CDC_CAPTURE_MAPS,

@@ -908,6 +908,55 @@ FROM after
 """
 
 
+#: set element-level ops (the set half of the reference's non-frozen
+#: collection scenarios, ScyllaTypesAllBase set add/remove transitions): same
+#: log as CDC_LIST_ELEMENT_OPS, but the cell key IS the element — re-adding
+#: an element overwrites its cell (idempotent) and the post-image is the
+#: distinct live elements in VALUE order (CQL sets cluster by element).
+CDC_SET_ELEMENT_OPS = f"""
+WITH eops AS ({ELEMENT_OPS_SQL}),
+cells AS (
+    SELECT conv_id, turn_idx, seq AS add_seq, event_type AS elem
+    FROM eops WHERE kind IN ('add', 'wipe')
+    UNION ALL
+    SELECT conv_id, turn_idx, seq, 'high'
+    FROM eops WHERE kind = 'add' AND value >= 10
+),
+killed AS (
+    SELECT c.conv_id, c.turn_idx, c.add_seq, c.elem,
+        LEAST(
+            COALESCE((SELECT MIN(w.seq) FROM eops w
+                      WHERE w.conv_id = c.conv_id AND w.turn_idx = c.turn_idx
+                        AND w.kind = 'wipe' AND w.seq > c.add_seq),
+                     9223372036854775807),
+            COALESCE((SELECT MIN(r.seq) FROM eops r
+                      WHERE r.conv_id = c.conv_id AND r.turn_idx = c.turn_idx
+                        AND r.kind = 'remove' AND r.event_type = c.elem
+                        AND r.seq > c.add_seq),
+                     9223372036854775807),
+            COALESCE((SELECT MIN(a2.add_seq) FROM cells a2
+                      WHERE a2.conv_id = c.conv_id AND a2.turn_idx = c.turn_idx
+                        AND a2.elem = c.elem AND a2.add_seq > c.add_seq),
+                     9223372036854775807)
+        ) AS kill_seq
+    FROM cells c
+),
+after AS (
+    SELECT e.conv_id, e.turn_idx, e.seq, e.kind,
+           COALESCE(string_agg(k.elem, ',' ORDER BY k.elem), '') AS after_csv,
+           CAST(COUNT(k.elem) AS BIGINT) AS n_after
+    FROM eops e LEFT JOIN killed k
+      ON k.conv_id = e.conv_id AND k.turn_idx = e.turn_idx
+     AND k.add_seq <= e.seq AND e.seq < k.kill_seq
+    GROUP BY e.conv_id, e.turn_idx, e.seq, e.kind
+)
+SELECT conv_id, turn_idx, seq, kind, after_csv, n_after,
+       lag(after_csv) OVER (PARTITION BY conv_id, turn_idx ORDER BY seq) AS before_csv,
+       (kind <> 'none') AS elems_modified
+FROM after
+"""
+
+
 #: tuple-typed value column (reference ScyllaChangeRecordEmitter.java:749-764,
 #: ScyllaSchema.java:390-406): struct<field_0,field_1> where an all-NULL
 #: tuple is a VALUE distinct from a NULL tuple. Canonical-string comparison

@@ -303,6 +303,24 @@ def fold_set_element_ops(t: pa.Table) -> pa.Table:
     semantics differ from the list variant."""
     if t.num_rows == 0:
         return _empty()
+    # same-row duplicate adds are one element in CQL (s + {'x','x'} == {'x'});
+    # the overwrite-kill only covers strictly-later rows, so dedupe in-row
+    adds = t["add_elems"].combine_chunks().cast(pa.list_(pa.string()))
+    lens = pc.list_value_length(adds).fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64)
+    if lens.sum():
+        row = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        vals = adds.flatten()
+        codes = pc.index_in(vals, value_set=vals.unique()).to_numpy(zero_copy_only=False).astype(np.int64)
+        _, keep = np.unique(row * (codes.max() + 1) + codes, return_index=True)
+        if len(keep) != len(row):
+            keep.sort()
+            new_lens = np.bincount(row[keep], minlength=len(lens))
+            off = np.zeros(len(lens) + 1, dtype=np.int32)
+            np.cumsum(new_lens, out=off[1:])
+            deduped = pa.ListArray.from_arrays(
+                pa.array(off, pa.int32()), vals.take(pa.array(keep))
+            )
+            t = t.set_column(t.column_names.index("add_elems"), "add_elems", deduped)
     return _fold_keyed_cells(
         t,
         add_col="add_elems",
