@@ -925,6 +925,21 @@ def _q_dedup_minhash(sf_dir: str):
     )
 
 
+def _q_dedup_clusters(sf_dir: str):
+    """Duplicate-cluster labels: minhash-verified pairs -> distributed
+    connected components (alternating large/small-star rounds), cluster_id =
+    min doc_id of the component."""
+    from scylla_cdc_source_connector_ray.functions.dedup import (
+        connected_components,
+        minhash_lsh_dedup,
+    )
+
+    pairs = minhash_lsh_dedup(_docs(sf_dir), threshold=0.7)
+    return connected_components(pairs, a="a", b="b").select_columns(
+        ["doc_id", "cluster_id"]
+    )
+
+
 def _q_dedup_simhash(sf_dir: str):
     from scylla_cdc_source_connector_ray.functions.dedup import simhash_near_dups
 
@@ -1046,6 +1061,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_bruteforce_topk": _q_ann_topk,
         "ann_ivf": _q_ann_ivf,
         "dedup_minhash_lsh": _q_dedup_minhash,
+        "dedup_clusters": _q_dedup_clusters,
         "dedup_simhash": _q_dedup_simhash,
         "lang_id": _q_lang_id,
         "multimodal_frame_plan": _q_multimodal_frame_plan,
@@ -1109,5 +1125,6 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_frame_plan": oracles.MULTIMODAL_FRAME_PLAN,
         "multimodal_resize_dims": oracles.MULTIMODAL_RESIZE_DIMS,
         "dedup_minhash_lsh": oracles.DEDUP_MINHASH_LSH,
+        "dedup_clusters": oracles.DEDUP_CLUSTERS,
         "dedup_simhash": oracles.DEDUP_SIMHASH,
     }

@@ -738,3 +738,148 @@ def deterministic_sample(
         return batch[ukeep[inv]]
 
     return ds.map_batches(keep, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-cluster connected components
+# ---------------------------------------------------------------------------
+
+_CC_MAX_ROUNDS = 64
+
+
+def _cc_kernel(mode: str):
+    """Vectorized star-round kernel over one co-located partition (all edges
+    of its ``u`` keys). ``large``: emit (v, m) for neighbors v > u; ``small``:
+    emit (v, m) for all neighbors plus (u, m); m = min(N(u) ∪ {u}). Input may
+    carry duplicates — deduped here with one np.unique."""
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["u"].to_numpy(np.int64)
+        v = g["v"].to_numpy(np.int64)
+        uv = np.unique(np.stack([u, v], axis=1), axis=0)
+        u, v = uv[:, 0], uv[:, 1]
+        # segment per u (rows are sorted by u after np.unique)
+        first = np.ones(len(u), dtype=bool)
+        first[1:] = u[1:] != u[:-1]
+        sid = np.cumsum(first) - 1
+        m = np.minimum.reduceat(np.minimum(u, v), np.flatnonzero(first))
+        mv = m[sid]
+        if mode == "large":
+            sel = v > u
+            out_u, out_v = v[sel], mv[sel]
+        else:
+            starts = np.flatnonzero(first)
+            out_u = np.concatenate([v, u[starts]])
+            out_v = np.concatenate([mv, m])
+        keep = out_u != out_v
+        return pd.DataFrame({"u": out_u[keep], "v": out_v[keep]})
+
+    return kernel
+
+
+def connected_components(
+    pairs: ray.data.Dataset,
+    a: str = "a",
+    b: str = "b",
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """Distributed connected components over an undirected int64 edge list →
+    ``(doc_id, cluster_id)`` with ``cluster_id`` = the minimum node id of the
+    component (the canonical duplicate-cluster representative).
+
+    Algorithm: alternating **large-star / small-star** rounds (Kiveris et
+    al., "Connected Components in MapReduce and Beyond", SoCC'14) — each
+    round is ONE hash exchange of the edge list keyed by node, with a
+    vectorized per-partition min-reduce; converges in O(log n) rounds. The
+    edge list is the *derived duplicate-pair set* (~1% of corpus rows for
+    typical near-dup rates), so the per-round materialize is small-side by
+    construction — the corpus itself is never shuffled.
+
+    Scale shape: partitions by ``node % num_partitions`` (doc ids are
+    assumed roughly uniform; salt upstream if one node's degree exceeds a
+    worker — a single mega-cluster degenerates to a star around the min id
+    after the first rounds, which is exactly the skew-safe fixpoint)."""
+
+    def bidir(cu: str, cv: str):
+        def fn(t: pa.Table) -> pa.Table:
+            ua = t[cu].combine_chunks().cast(pa.int64())
+            vb = t[cv].combine_chunks().cast(pa.int64())
+            return pa.table(
+                {"u": pa.concat_arrays([ua, vb]), "v": pa.concat_arrays([vb, ua])}
+            )
+
+        return fn
+
+    def part_by_u(t: pa.Table) -> pa.Table:
+        u = t["u"].combine_chunks().to_numpy(zero_copy_only=False)
+        part = (u & (2**31 - 1)) % num_partitions
+        return t.append_column("part", pa.array(part.astype(np.int32)))
+
+    def to_larger_first(t: pa.Table) -> pa.Table:
+        u = t["u"].combine_chunks()
+        v = t["v"].combine_chunks()
+        hi = pc.max_element_wise(u, v)
+        lo = pc.min_element_wise(u, v)
+        return pa.table({"u": hi, "v": lo})
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "u": t[a].combine_chunks().cast(pa.int64()),
+                "v": t[b].combine_chunks().cast(pa.int64()),
+            }
+        )
+
+    edges = pairs.map_batches(rename, batch_format="pyarrow").materialize()
+    prev_sig: tuple[int, int] | None = None
+    for _ in range(_CC_MAX_ROUNDS):
+        # large-star sees every edge under BOTH orientations (neighborhoods
+        # are undirected); small-star consumes the larger->smaller direction
+        large = (
+            edges.map_batches(bidir("u", "v"), batch_format="pyarrow")
+            .map_batches(part_by_u, batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(_cc_kernel("large"), batch_format="pandas")
+        )
+        # small-star consumes the large-star output pointed larger→smaller
+        small = (
+            large.map_batches(to_larger_first, batch_format="pyarrow")
+            .map_batches(part_by_u, batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(_cc_kernel("small"), batch_format="pandas")
+        )
+        edges = small.materialize()
+        # convergence: order-insensitive signature of the (deduped) edge set
+        def sig_batch(t: pa.Table) -> pa.Table:
+            u = t["u"].combine_chunks().to_numpy(zero_copy_only=False)
+            v = t["v"].combine_chunks().to_numpy(zero_copy_only=False)
+            h = (u.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) ^ v.astype(np.uint64)
+            x = int(h.sum(dtype=np.uint64)) & ((1 << 63) - 1)  # keep int64-safe
+            return pa.table({"n": [len(u)], "x": [x]})
+
+        parts = edges.map_batches(sig_batch, batch_format="pyarrow").take_all()
+        sig = (sum(p["n"] for p in parts), sum(p["x"] for p in parts) % (2**63 - 1))
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    else:
+        raise RuntimeError("connected_components did not converge")
+
+    # at the fixpoint every component is a star around its min id; label
+    # extraction = one more grouped min over both directions (covers roots)
+    def label_kernel(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["u"].to_numpy(np.int64)
+        v = g["v"].to_numpy(np.int64)
+        uv = np.unique(np.stack([u, v], axis=1), axis=0)
+        u, v = uv[:, 0], uv[:, 1]
+        first = np.ones(len(u), dtype=bool)
+        first[1:] = u[1:] != u[:-1]
+        m = np.minimum.reduceat(np.minimum(u, v), np.flatnonzero(first))
+        return pd.DataFrame({"doc_id": u[first], "cluster_id": m})
+
+    return (
+        edges.map_batches(bidir("u", "v"), batch_format="pyarrow")
+        .map_batches(part_by_u, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(label_kernel, batch_format="pandas")
+    )

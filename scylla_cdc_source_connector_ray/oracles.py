@@ -512,9 +512,9 @@ g AS (SELECT doc_id,
 shingles AS (SELECT DISTINCT doc_id, gh FROM g)
 """
 
-DEDUP_MINHASH_LSH = (
-    _SHINGLES_CTE
-    + f""",
+#: minhash body CTEs shared by the pair gate and the cluster gate — `jac`
+#: is the verified candidate-pair relation both final SELECTs consume
+_MINHASH_JAC_CTES = f""",
 perms(p, a, b) AS (VALUES {_minhash_perm_values()}),
 sig AS (
     SELECT s.doc_id, perms.p,
@@ -548,8 +548,31 @@ jac AS (
     LEFT JOIN inter i ON i.a = c.a AND i.b = c.b
     JOIN sets na ON na.doc_id = c.a
     JOIN sets nb ON nb.doc_id = c.b
+)"""
+
+DEDUP_MINHASH_LSH = (
+    _SHINGLES_CTE
+    + _MINHASH_JAC_CTES
+    + "\nSELECT a, b, jaccard_micro FROM jac WHERE jaccard_micro >= 700000\n"
 )
-SELECT a, b, jaccard_micro FROM jac WHERE jaccard_micro >= 700000
+
+#: duplicate-cluster labels over the verified minhash pair set: connected
+#: components via recursive min-reachability (cluster_id = min doc_id of the
+#: component). Only docs that belong to some duplicate pair appear — exactly
+#: the node set of the edge list, matching `connected_components`.
+DEDUP_CLUSTERS = (
+    _SHINGLES_CTE.replace("WITH ", "WITH RECURSIVE ", 1)
+    + _MINHASH_JAC_CTES
+    + """,
+pairs AS (SELECT a, b FROM jac WHERE jaccard_micro >= 700000),
+edges AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b AS u, a AS v FROM pairs),
+reach(doc_id, r) AS (
+    SELECT u, u FROM edges
+    UNION
+    SELECT reach.doc_id, e.v FROM reach JOIN edges e ON e.u = reach.r
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+FROM reach GROUP BY doc_id
 """
 )
 
