@@ -85,14 +85,12 @@ def _q_win_session_salted(sf_dir: str):
     )
 
 
-def _q_win_tumbling_conv_salted(sf_dir: str):
-    """Conv-keyed tumbling panes through the CHECKPOINTED salted runner:
-    every conversation treated as hot (maximal salting stress), so rows
-    shard on (conv, turn-bucket); salted sub-shards write pane PARTIALS and
-    the per-base-shard merge stage owns seed state + watermark-gated
-    emission (north_star skew clause composed with conversation-keyed
-    windowed aggregation). Salting must never change content — the oracle is
-    the plain batch tumbling SQL grouped by conversation."""
+def _run_salted_runner(sf_dir: str, tmp_name: str, cfg_kwargs: dict, read):
+    """Shared scaffold for the salted-runner gates: build a ts-ordered 4-file
+    log from events, run the CHECKPOINTED runner with EVERY conversation hot
+    (maximal salting stress), apply ``read(runner)`` to materialize the
+    result, then remove the /tmp scratch (pid-suffixed so concurrent
+    invocations never rmtree each other's checkpoint mid-run)."""
     import hashlib
     import os
     import shutil
@@ -108,7 +106,7 @@ def _q_win_tumbling_conv_salted(sf_dir: str):
     ev = pq.read_table(os.path.join(sf_dir, "events.parquet"))
     t = events_to_transcripts(ev).sort_by([("ts", "ascending"), ("seq", "ascending")])
     base = os.path.join(
-        "/tmp/scylla_cdc_convpanes",
+        f"/tmp/{tmp_name}",
         hashlib.md5(sf_dir.encode()).hexdigest()[:12] + f"-{os.getpid()}",
     )
     shutil.rmtree(base, ignore_errors=True)
@@ -120,79 +118,73 @@ def _q_win_tumbling_conv_salted(sf_dir: str):
         pq.write_table(t.slice(lo, hi - lo), os.path.join(log, f"window-{i:05d}.parquet"))
     cfg = EngineConfig(
         num_shards=8,
-        window_agg=True,
-        window_agg_keys=("conv_id",),
-        window_size_us=oracles.HOUR_US,
-        allowed_lateness_us=oracles.HOUR_US,
         hot_key_threshold=8,
         salt_factor=4,
         sink_dir=os.path.join(base, "out"),
         checkpoint_dir=os.path.join(base, "ckpt"),
+        **cfg_kwargs,
     )
     runner = CaptureRunner(log, cfg)
-    runner.run(files_per_batch=1, hot_convs=sorted(set(t["conv_id"].to_pylist())))
-    runner.flush_windows()
-    return runner.read_windows().select(
-        ["conv_id", "window_start_us", "n_events", "n_chars"]
+    try:
+        runner.run(files_per_batch=1, hot_convs=sorted(set(t["conv_id"].to_pylist())))
+        return read(runner)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def _q_win_tumbling_conv_salted(sf_dir: str):
+    """Conv-keyed tumbling panes through the CHECKPOINTED salted runner:
+    rows shard on (conv, turn-bucket); salted sub-shards write pane PARTIALS
+    and the per-base-shard merge stage owns seed state + watermark-gated
+    emission (north_star skew clause composed with conversation-keyed
+    windowed aggregation). Salting must never change content — the oracle is
+    the plain batch tumbling SQL grouped by conversation."""
+
+    def read(runner):
+        runner.flush_windows()
+        return runner.read_windows().select(
+            ["conv_id", "window_start_us", "n_events", "n_chars"]
+        )
+
+    return _run_salted_runner(
+        sf_dir,
+        "scylla_cdc_convpanes",
+        dict(
+            window_agg=True,
+            window_agg_keys=("conv_id",),
+            window_size_us=oracles.HOUR_US,
+            allowed_lateness_us=oracles.HOUR_US,
+        ),
+        read,
     )
 
 
 def _q_join_conv_state_salted(sf_dir: str):
-    """Stream-state join through the CHECKPOINTED salted runner: every
-    conversation treated as hot (maximal salting stress), so each conv's rows
-    split across salted sub-shards; sub-shards ship a slim projection to the
-    per-base-shard merge stage owning the hot cstate store, and the envelope
-    files are patched in place (north_star skew clause composed with the
-    stream-state join). Salting must never change content — the oracle is
+    """Stream-state join through the CHECKPOINTED salted runner: each conv's
+    rows split across salted sub-shards; sub-shards ship a slim projection to
+    the per-base-shard merge stage owning the hot cstate store, and the
+    envelope files are patched in place (north_star skew clause composed with
+    the stream-state join). Salting must never change content — the oracle is
     the plain exclusive-prefix window SQL."""
-    import hashlib
-    import os
-    import shutil
-
     import pyarrow as pa
     import pyarrow.compute as pc
-    import pyarrow.parquet as pq
 
-    from scylla_cdc_source_connector_ray.config import EngineConfig
-    from scylla_cdc_source_connector_ray.pipelines.runner import CaptureRunner
-    from scylla_cdc_source_connector_ray.sources.events_adapter import (
-        events_to_transcripts,
-    )
+    def read(runner):
+        env = runner.read_output()
+        key = env["key"].combine_chunks()
+        return pa.table(
+            {
+                "conv_id": pc.struct_field(key, "conv_id"),
+                "turn_idx": pc.struct_field(key, "turn_idx").cast(pa.int32()),
+                "seq": env["seq"].combine_chunks(),
+                "prior_turns": env["prior_turns"].combine_chunks(),
+                "prior_chars": env["prior_chars"].combine_chunks(),
+                "prev_role": env["prev_role"].combine_chunks(),
+            }
+        )
 
-    ev = pq.read_table(os.path.join(sf_dir, "events.parquet"))
-    t = events_to_transcripts(ev).sort_by([("ts", "ascending"), ("seq", "ascending")])
-    base = os.path.join(
-        "/tmp/scylla_cdc_cstate_salted",
-        hashlib.md5(sf_dir.encode()).hexdigest()[:12] + f"-{os.getpid()}",
-    )
-    shutil.rmtree(base, ignore_errors=True)
-    log = os.path.join(base, "log")
-    os.makedirs(log)
-    n, nf = t.num_rows, 4
-    for i in range(nf):
-        lo, hi = i * n // nf, (i + 1) * n // nf
-        pq.write_table(t.slice(lo, hi - lo), os.path.join(log, f"window-{i:05d}.parquet"))
-    cfg = EngineConfig(
-        num_shards=8,
-        enrich_conv_state=True,
-        hot_key_threshold=8,
-        salt_factor=4,
-        sink_dir=os.path.join(base, "out"),
-        checkpoint_dir=os.path.join(base, "ckpt"),
-    )
-    runner = CaptureRunner(log, cfg)
-    runner.run(files_per_batch=1, hot_convs=sorted(set(t["conv_id"].to_pylist())))
-    env = runner.read_output()
-    key = env["key"].combine_chunks()
-    return pa.table(
-        {
-            "conv_id": pc.struct_field(key, "conv_id"),
-            "turn_idx": pc.struct_field(key, "turn_idx").cast(pa.int32()),
-            "seq": env["seq"].combine_chunks(),
-            "prior_turns": env["prior_turns"].combine_chunks(),
-            "prior_chars": env["prior_chars"].combine_chunks(),
-            "prev_role": env["prev_role"].combine_chunks(),
-        }
+    return _run_salted_runner(
+        sf_dir, "scylla_cdc_cstate_salted", dict(enrich_conv_state=True), read
     )
 
 

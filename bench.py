@@ -299,8 +299,14 @@ if __name__ == "__main__":
         # optional pair after --scaling, e.g. `--scaling 8:32` (default 4:16)
         lo, hi = 4, 16
         i = sys.argv.index("--scaling")
-        if len(sys.argv) > i + 1 and ":" in sys.argv[i + 1]:
-            lo, hi = (int(x) for x in sys.argv[i + 1].split(":"))
+        if len(sys.argv) > i + 1 and not sys.argv[i + 1].startswith("-"):
+            arg = sys.argv[i + 1]
+            try:
+                lo, hi = (int(x) for x in arg.split(":"))
+            except ValueError:
+                sys.exit(f"--scaling expects LO:HI (two integers), got {arg!r}")
+            if not (0 < lo < hi):
+                sys.exit(f"--scaling expects 0 < LO < HI, got {arg!r}")
         print(json.dumps(run_scaling(sf_dir, lo, hi)))
     else:
         num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))

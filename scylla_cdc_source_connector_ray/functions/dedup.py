@@ -831,6 +831,14 @@ def connected_components(
         )
 
     edges = pairs.map_batches(rename, batch_format="pyarrow").materialize()
+    if edges.count() == 0:
+        # map_groups over zero groups loses the schema — return a typed
+        # empty table instead of running star rounds on nothing
+        return ray.data.from_arrow(
+            pa.table(
+                {"doc_id": pa.array([], pa.int64()), "cluster_id": pa.array([], pa.int64())}
+            )
+        )
     prev_sig: tuple[int, int] | None = None
     for _ in range(_CC_MAX_ROUNDS):
         # large-star sees every edge under BOTH orientations (neighborhoods

@@ -321,50 +321,40 @@ def capture_flat(ds: ray.data.Dataset, cfg: EngineConfig) -> ray.data.Dataset:
     return ev.map_batches(flatten_envelope, batch_format="pyarrow", batch_size=cfg.batch_size)
 
 
+def _element_capture(ds: ray.data.Dataset, cfg: EngineConfig, fold_name: str) -> ray.data.Dataset:
+    """Shared element-op exchange: encode nested cols into the flat counted
+    transport, one keyed shuffle on shard, decode + fold per group. The three
+    collection kinds differ only in the fold kernel."""
+    from ..schema import decode_nested, encode_nested
+    from ..stages import element_ops
+
+    fold = getattr(element_ops, fold_name)
+    sharded = ds.map_batches(
+        lambda b: encode_nested(with_shard(b, cfg.num_shards)), batch_format="pyarrow"
+    )
+    return sharded.groupby("shard").map_groups(
+        lambda t: fold(decode_nested(t.drop_columns(["shard"]))),
+        batch_format="pyarrow",
+    )
+
+
 def element_ops_capture(ds: ray.data.Dataset, cfg: EngineConfig) -> ray.data.Dataset:
     """Element-level non-frozen collection capture (reference M8 tail,
     ``ScyllaChangeRecordEmitter.java:683-746`` / ``:361-398``): per-element
     add/remove/overwrite deltas folded into per-change post/pre images in
     timeuuid order. Same single keyed shuffle as :func:`capture`; the element
     lists cross the exchange in the flat counted-join transport."""
-    from ..schema import decode_nested, encode_nested
-    from ..stages.element_ops import fold_element_ops
-
-    sharded = ds.map_batches(
-        lambda b: encode_nested(with_shard(b, cfg.num_shards)), batch_format="pyarrow"
-    )
-    return sharded.groupby("shard").map_groups(
-        lambda t: fold_element_ops(decode_nested(t.drop_columns(["shard"]))),
-        batch_format="pyarrow",
-    )
+    return _element_capture(ds, cfg, "fold_element_ops")
 
 
 def set_element_ops_capture(ds: ray.data.Dataset, cfg: EngineConfig) -> ray.data.Dataset:
     """Set variant of :func:`element_ops_capture`: add/remove-by-value/wipe
     deltas folded into value-ordered distinct post/pre images (re-adds
     idempotent). Consumes the same element-op log shape as the list variant."""
-    from ..schema import decode_nested, encode_nested
-    from ..stages.element_ops import fold_set_element_ops
-
-    sharded = ds.map_batches(
-        lambda b: encode_nested(with_shard(b, cfg.num_shards)), batch_format="pyarrow"
-    )
-    return sharded.groupby("shard").map_groups(
-        lambda t: fold_set_element_ops(decode_nested(t.drop_columns(["shard"]))),
-        batch_format="pyarrow",
-    )
+    return _element_capture(ds, cfg, "fold_set_element_ops")
 
 
 def map_element_ops_capture(ds: ray.data.Dataset, cfg: EngineConfig) -> ray.data.Dataset:
     """Map variant of :func:`element_ops_capture`: upsert/delete-by-key/wipe
     entry deltas folded into key-ordered post/pre images."""
-    from ..schema import decode_nested, encode_nested
-    from ..stages.element_ops import fold_map_element_ops
-
-    sharded = ds.map_batches(
-        lambda b: encode_nested(with_shard(b, cfg.num_shards)), batch_format="pyarrow"
-    )
-    return sharded.groupby("shard").map_groups(
-        lambda t: fold_map_element_ops(decode_nested(t.drop_columns(["shard"]))),
-        batch_format="pyarrow",
-    )
+    return _element_capture(ds, cfg, "fold_map_element_ops")

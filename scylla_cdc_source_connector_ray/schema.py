@@ -315,6 +315,11 @@ def encode_nested(t: pa.Table) -> pa.Table:
             vals = pc.struct_field(col.values, "value")
             if pa.types.is_string(vals.type) or pa.types.is_large_string(vals.type):
                 _check_no_separators(vals, f"map column {name!r} values")
+            keys = pc.struct_field(col.values, "key")
+            if pa.types.is_string(keys.type) or pa.types.is_large_string(keys.type):
+                # keys are cast to string and joined key\x02value — a
+                # separator in a string key corrupts the split just as badly
+                _check_no_separators(keys, f"map column {name!r} keys")
             t = t.drop_columns([name]).append_column(name + _MJ, map_entries_joined(col))
         elif pa.types.is_struct(typ):
             col = t[name].combine_chunks()

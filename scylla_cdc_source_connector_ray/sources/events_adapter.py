@@ -298,9 +298,15 @@ def _pair_col(batch: pa.Table) -> pa.Array:
     et = batch["event_type"].combine_chunks()
     val = batch["value"].combine_chunks().to_numpy(zero_copy_only=False)
     err = pc.equal(et, "error").to_numpy(zero_copy_only=False)
-    nullpair = err | ((val >= 5) & (val < 10))
-    fieldnull = val < 1
-    f0 = pa.array(np.floor(val).astype("int64"), mask=fieldnull)
+    # NULL value (NaN after to_numpy) must mean pair = NULL, mirroring the
+    # oracle's CASE ... THEN TRUE ELSE FALSE (NULL condition -> FALSE); a
+    # bare comparison would leave nullpair False and floor(NaN) garbage f0
+    isnull = np.isnan(val) if val.dtype.kind == "f" else np.zeros(len(val), bool)
+    nullpair = err | isnull | ((val >= 5) & (val < 10))
+    fieldnull = (val < 1) | isnull
+    f0 = pa.array(
+        np.floor(np.where(isnull, 0.0, val)).astype("int64"), mask=fieldnull
+    )
     from ..stages.op_derive import _mask_to_null
 
     f1 = _mask_to_null(et, fieldnull)

@@ -77,81 +77,21 @@ def fold_element_ops(t: pa.Table) -> pa.Table:
     """One co-located block (all rows of its keys) → per-row element-op
     capture: ``(conv_id, turn_idx, seq, kind, after_csv, n_after, before_csv,
     elems_modified)``. Input columns: conv_id, turn_idx, ts, seq, kind
-    (add|remove|wipe|none), add_elems list<string>, rem_elems list<string>."""
+    (add|remove|wipe|none), add_elems list<string>, rem_elems list<string>.
+
+    List semantics = the shared cell fold with NO overwrite-kill (every add
+    is a fresh timeuuid cell, duplicates coexist) and add (timeuuid) order
+    on emit."""
     if t.num_rows == 0:
         return _empty()
-    t = t.sort_by(
-        [("conv_id", "ascending"), ("turn_idx", "ascending"), ("ts", "ascending"), ("seq", "ascending")]
-    )
-    n = t.num_rows
-    conv = t["conv_id"].combine_chunks()
-    turn = t["turn_idx"].combine_chunks()
-    kind = t["kind"].combine_chunks()
-    first = _first_of_key(conv, turn, n)
-    kid = np.cumsum(first, dtype=np.int64) - 1
-    starts = np.flatnonzero(first)
-    ends = np.append(starts[1:], n)  # exclusive end row per key id
-
-    is_wipe = pc.equal(kind, "wipe").to_numpy(zero_copy_only=False)
-
-    # --- cells: one per added element, in row-major (timeuuid) order -------
-    adds = t["add_elems"].combine_chunks()
-    add_lens = pc.list_value_length(adds).fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64)
-    cell_row = np.repeat(np.arange(n, dtype=np.int64), add_lens)
-    cell_val = adds.flatten()  # non-null lists only; lens align
-    cell_kid = kid[cell_row]
-
-    # --- kill by wipe: first LATER wipe row in the same key ----------------
-    wipe_rows = np.flatnonzero(is_wipe).astype(np.int64)
-    wipe_kill = _segmented_next(wipe_rows, kid[wipe_rows], cell_row, cell_kid)
-
-    # --- kill by remove: first LATER remove of the same value in the key ---
-    rems = t["rem_elems"].combine_chunks()
-    rem_lens = pc.list_value_length(rems).fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64)
-    rem_row = np.repeat(np.arange(n, dtype=np.int64), rem_lens)
-    rem_val = rems.flatten()
-    # factorize values jointly so (kid, value) becomes one int gid
-    both = pa.concat_arrays([cell_val.cast(pa.string()), rem_val.cast(pa.string())])
-    codes = pc.index_in(both, value_set=both.unique()).to_numpy(zero_copy_only=False).astype(np.int64)
-    nv = len(cell_val)
-    cell_gid = cell_kid * (codes.max() + 1 if len(codes) else 1) + codes[:nv]
-    rem_gid = kid[rem_row] * (codes.max() + 1 if len(codes) else 1) + codes[nv:]
-    rem_kill = _segmented_next(rem_row, rem_gid, cell_row, cell_gid)
-
-    kill = np.minimum(wipe_kill, rem_kill)
-    hi = np.minimum(kill, ends[cell_kid])  # clip to the key's row range
-    lo = cell_row
-    counts = hi - lo  # ≥ 1: a cell is live in its own row's post-image
-
-    # --- expand to (event, cell) pairs with the ranges trick ----------------
-    total = int(counts.sum())
-    pair_cell = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
-    base = np.repeat(np.cumsum(counts) - counts, counts)
-    pair_event = np.arange(total, dtype=np.int64) - base + np.repeat(lo, counts)
-    order = np.lexsort((pair_cell, pair_event))  # cell order == timeuuid order
-    lens_out = np.bincount(pair_event, minlength=n)
-    offsets = np.zeros(n + 1, dtype=np.int64)
-    np.cumsum(lens_out, out=offsets[1:])
-    values = cell_val.take(pa.array(pair_cell[order]))
-    lst = pa.LargeListArray.from_arrays(pa.array(offsets, pa.int64()), values)
-    after_csv = pc.binary_join(lst.cast(pa.list_(pa.string())), ",")
-
-    ac = after_csv.combine_chunks() if isinstance(after_csv, pa.ChunkedArray) else after_csv
-    shifted = pa.concat_arrays([pa.nulls(1, pa.string()), ac.slice(0, n - 1)])
-    idx = pa.array(np.arange(n, dtype=np.int64), mask=first)
-    before_csv = shifted.take(idx)
-
-    return pa.table(
-        {
-            "conv_id": conv,
-            "turn_idx": turn,
-            "seq": t["seq"].combine_chunks(),
-            "kind": kind,
-            "after_csv": after_csv,
-            "n_after": pa.array(lens_out.astype(np.int64), pa.int64()),
-            "before_csv": before_csv,
-            "elems_modified": pc.not_equal(kind, "none"),
-        }
+    return _fold_keyed_cells(
+        t,
+        add_col="add_elems",
+        vals_col=None,
+        rem_col="rem_elems",
+        modified_name="elems_modified",
+        overwrite_kills=False,
+        key_order=False,
     )
 
 
@@ -177,16 +117,18 @@ def _fold_keyed_cells(
     vals_col: str | None,
     rem_col: str,
     modified_name: str,
+    overwrite_kills: bool = True,
+    key_order: bool = True,
 ) -> pa.Table:
-    """Shared keyed-cell fold behind the map and set element-op variants:
-    each added element is a *cell* keyed by its (map key | set element);
-    ``rem_col`` kills by key (``cdc$deleted_elements``), ``kind='wipe'``
-    clears earlier cells, and adding an existing key OVERWRITES its cell —
-    which for a set makes re-adds idempotent. Post-images are the live cells
-    in KEY order (maps and sets emit key/value-ordered, not timeuuid-ordered
-    — reference emitter :719-735). Same vectorized interval-stab machinery as
-    :func:`fold_element_ops`, with one extra kill candidate: the next add of
-    the same key."""
+    """Shared cell fold behind ALL three element-op variants: each added
+    element is a *cell* identified by its (map key | set element | list
+    value); ``rem_col`` kills by that identity (``cdc$deleted_elements``),
+    ``kind='wipe'`` clears earlier cells, and — when ``overwrite_kills`` —
+    adding an existing key OVERWRITES its cell (map upsert; set re-add
+    idempotence). Post-images emit live cells in KEY order when
+    ``key_order`` (maps/sets cluster by key — reference emitter :719-735)
+    else in add (timeuuid) order (non-frozen lists — :683-746). Everything
+    is one vectorized interval stab per kill candidate."""
     t = t.sort_by(
         [("conv_id", "ascending"), ("turn_idx", "ascending"), ("ts", "ascending"), ("seq", "ascending")]
     )
@@ -226,10 +168,11 @@ def _fold_keyed_cells(
     cell_gid = cell_kid * span_codes + codes[:nv]
     rem_gid = kid[rem_row] * span_codes + codes[nv:]
     rem_kill = _segmented_next(rem_row, rem_gid, cell_row, cell_gid)
-    # overwrite: the NEXT add of the same (key-group, cell key) kills this cell
-    ovw_kill = _segmented_next(cell_row, cell_gid, cell_row, cell_gid)
-
-    kill = np.minimum(np.minimum(wipe_kill, rem_kill), ovw_kill)
+    kill = np.minimum(wipe_kill, rem_kill)
+    if overwrite_kills:
+        # overwrite: the NEXT add of the same (key-group, cell key) kills it
+        ovw_kill = _segmented_next(cell_row, cell_gid, cell_row, cell_gid)
+        kill = np.minimum(kill, ovw_kill)
     hi = np.minimum(kill, ends[cell_kid])
     lo = cell_row
     counts = hi - lo
@@ -238,14 +181,19 @@ def _fold_keyed_cells(
     pair_cell = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
     base = np.repeat(np.cumsum(counts) - counts, counts)
     pair_event = np.arange(total, dtype=np.int64) - base + np.repeat(lo, counts)
-    # within an event: KEY order (codes are factorization order, so order by
-    # the actual string key via a sorted-code remap)
-    order_of_code = np.empty(span_codes, dtype=np.int64)
-    uniq_keys = both.unique()
-    rank = pc.array_sort_indices(uniq_keys).to_numpy(zero_copy_only=False)
-    order_of_code[rank] = np.arange(len(rank))
-    cell_keyrank = order_of_code[codes[:nv]]
-    order = np.lexsort((cell_keyrank[pair_cell], pair_event))
+    if key_order:
+        # within an event: KEY order (codes are factorization order, so order
+        # by the actual string key via a sorted-code remap)
+        order_of_code = np.empty(span_codes, dtype=np.int64)
+        uniq_keys = both.unique()
+        rank = pc.array_sort_indices(uniq_keys).to_numpy(zero_copy_only=False)
+        order_of_code[rank] = np.arange(len(rank))
+        cell_keyrank = order_of_code[codes[:nv]]
+        order = np.lexsort((cell_keyrank[pair_cell], pair_event))
+    else:
+        # within an event: add order — cell index is (row, position)-major,
+        # i.e. exactly timeuuid order
+        order = np.lexsort((pair_cell, pair_event))
     lens_out = np.bincount(pair_event, minlength=n)
     offsets = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(lens_out, out=offsets[1:])

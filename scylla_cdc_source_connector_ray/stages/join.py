@@ -433,7 +433,18 @@ def asof_join(
         if not len(r) or not len(l):
             out = pd.concat([l, l_nullkey]).reindex(columns=out_cols)
         else:
-            r = r[[by, *right_out]].sort_values(on_r, kind="mergesort").dropna(subset=[by])
+            r = r[[by, *right_out]].dropna(subset=[by])
+            # merge_asof keeps the LAST right row among equal `on` values and
+            # a plain on-sort is only stable w.r.t. Ray's nondeterministic
+            # block arrival order — total-order the right side so tied
+            # (by, on) rows resolve identically across runs (greatest row in
+            # column order wins); fall back if some column is unsortable
+            try:
+                r = r.sort_values(
+                    [on_r, *[c for c in right_out if c != on_r]], kind="mergesort"
+                )
+            except TypeError:
+                r = r.sort_values(on_r, kind="mergesort")
             tol = tolerance
             if tol is not None and l[on].dtype.kind == "f":
                 tol = float(tol)  # null-padding promoted on to float64 in this group
@@ -502,7 +513,11 @@ def interval_join(
         return t.append_column(_PART_COL, _part_of(key, num_partitions))
 
     def tag_points(t: pa.Table) -> pa.Table:
-        b = pc.divide(t[ts].combine_chunks(), bucket_width).cast(pa.int64())
+        # numpy floor division, NOT pc.divide: pc.divide truncates toward
+        # zero, so negative timestamps would land one cell off the interval
+        # side's `s // bucket_width` flooring and matching pairs vanish
+        tv = t[ts].combine_chunks().to_numpy(zero_copy_only=False)
+        b = pa.array(tv // bucket_width, pa.int64())
         return finish(t.append_column(_BUCKET_COL, b), 0)
 
     def tag_intervals(t: pa.Table) -> pa.Table:

@@ -215,3 +215,36 @@ def test_encode_nested_rejects_separator_chars():
         encode_nested(t)
     t2 = pa.table({"tags": pa.array([["fine"], []], pa.list_(pa.string()))})
     encode_nested(t2)  # clean input passes
+
+
+def test_encode_nested_rejects_separator_in_map_keys():
+    import pyarrow as pa
+    import pytest
+
+    from scylla_cdc_source_connector_ray.schema import encode_nested
+
+    entry = pa.struct([("key", pa.string()), ("value", pa.string())])
+    t = pa.table(
+        {"attrs": pa.array([[{"key": "a\x02b", "value": "ok"}]], pa.list_(entry))}
+    )
+    with pytest.raises(ValueError, match="keys"):
+        encode_nested(t)
+
+
+def test_pair_col_null_value_means_null_pair():
+    """NULL `value` must yield pair = NULL (oracle CASE→FALSE semantics),
+    never a set pair with floor(NaN) garbage in field_0."""
+    import pyarrow as pa
+
+    from scylla_cdc_source_connector_ray.sources.events_adapter import _pair_col
+
+    batch = pa.table(
+        {
+            "event_type": pa.array(["click", "error", "view"], pa.string()),
+            "value": pa.array([None, 2.0, 7.5], pa.float64()),
+        }
+    )
+    got = _pair_col(batch).to_pylist()
+    assert got[0] is None  # null value -> null pair
+    assert got[1] is None  # error -> null pair
+    assert got[2] is None  # 5 <= value < 10 -> null pair

@@ -71,3 +71,16 @@ def test_cc_skewed_mega_star():
     got = _run_cc(edges, num_partitions=8)
     # 900+i hangs off 400+i which hangs off 0: one big component, plus nothing else
     assert got == {i: 0 for i in range(500)} | {900 + i: 0 for i in range(5)}
+
+
+def test_cc_empty_edge_list_keeps_typed_schema():
+    out = connected_components(
+        ray.data.from_pandas(pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                                           "b": pd.Series([], dtype="int64")}))
+    )
+    # note: Ray's to_pandas() drops columns for ANY empty dataset; the
+    # Dataset-level schema is the contract here
+    sch = out.schema()
+    assert sch.names == ["doc_id", "cluster_id"]
+    assert [str(t) for t in sch.types] == ["int64", "int64"]
+    assert out.count() == 0

@@ -150,3 +150,32 @@ def test_interval_join_empty_intervals_is_empty_with_schema():
     )
     assert out.count() == 0
     assert "iid" in out.schema().names
+
+
+def test_interval_join_negative_timestamps_floor_bucketing():
+    # pre-1970 epochs: point bucketing must FLOOR like the interval side
+    # (truncation toward zero puts ts=-5 in cell 0 while [-10, 0) sits in
+    # cell -1 and the pair silently vanishes)
+    points = pd.DataFrame({"eid": [0, 1, 2], "k": [1, 1, 1], "t": [-5, -10, 0]}).astype(np.int64)
+    ivls = pd.DataFrame({"iid": [0], "k": [1], "s": [-10], "e": [0]}).astype(np.int64)
+    got = interval_join(
+        _mk(points, 1), _mk(ivls, 1), by="k", ts="t", start="s", end="e",
+        bucket_width=10,
+    ).to_pandas()[["eid", "k", "t", "iid", "s", "e"]]
+    exp = _brute_interval(points, ivls)
+    pd.testing.assert_frame_equal(_sorted(got), _sorted(exp))
+    assert sorted(got["eid"]) == [0, 1]  # -5 and -10 in, 0 (== end) out
+
+
+def test_asof_tied_right_rows_resolve_deterministically():
+    # two right rows with identical (k, t): the winner must not depend on Ray
+    # block arrival order — the greatest row in column order wins (w=9)
+    left = pd.DataFrame({"k": [1], "t": [150]}).astype(np.int64)
+    right = pd.DataFrame({"k": [1, 1], "t": [100, 100], "w": [9, 2]}).astype(np.int64)
+    winners = set()
+    for perm in ([0, 1], [1, 0]):
+        out = asof_join(
+            _mk(left, 1), _mk(right.iloc[perm], 2), by="k", on="t"
+        ).take_all()
+        winners.add(out[0]["w_r"])
+    assert winners == {9}
