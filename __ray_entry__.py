@@ -932,6 +932,69 @@ def _q_dedup_clusters(sf_dir: str):
     )
 
 
+def _q_dedup_stream(sf_dir: str):
+    """Streaming first-occurrence dedup: the documents table split into a
+    4-window log, consumed in 2 micro-batches with per-shard checkpointed
+    seen-hash state — output must equal the batch answer (min doc_id per
+    normalized text), i.e. batching never changes the result."""
+    import hashlib
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from scylla_cdc_source_connector_ray.pipelines.dedup_stream import (
+        DedupStreamRunner,
+    )
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet")).select(
+        ["doc_id", "text"]
+    )
+    # stream = documents ++ a shifted-id replay of every text (mirrors the
+    # oracle CTE): the second half is 100% duplicates the runner must drop
+    # across micro-batch boundaries
+    replay = docs.set_column(
+        0, "doc_id", pc.add(docs["doc_id"], 1_000_000)
+    )
+    t = pa.concat_tables([docs, replay]).sort_by([("doc_id", "ascending")])
+    base = os.path.join(
+        "/tmp/scylla_cdc_dedup_stream",
+        hashlib.md5(sf_dir.encode()).hexdigest()[:12] + f"-{os.getpid()}",
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    log = os.path.join(base, "log")
+    os.makedirs(log)
+    n, nf = t.num_rows, 4
+    for i in range(nf):
+        lo, hi = i * n // nf, (i + 1) * n // nf
+        pq.write_table(t.slice(lo, hi - lo), os.path.join(log, f"window-{i:05d}.parquet"))
+    runner = DedupStreamRunner(
+        log,
+        num_shards=8,
+        sink_dir=os.path.join(base, "out"),
+        checkpoint_dir=os.path.join(base, "ckpt"),
+    )
+    try:
+        runner.run(files_per_batch=2)
+        return runner.read_output().select(["doc_id"])
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def _q_dedup_keep_canonical(sf_dir: str):
+    """End-to-end near-dup filter: the corpus minus non-canonical duplicate-
+    cluster members (minhash pairs -> connected components -> broadcast drop
+    set, no corpus shuffle)."""
+    from scylla_cdc_source_connector_ray.functions.dedup import (
+        near_dedup_keep_canonical,
+    )
+
+    return near_dedup_keep_canonical(_docs(sf_dir)).select_columns(["doc_id"])
+
+
 def _q_dedup_simhash(sf_dir: str):
     from scylla_cdc_source_connector_ray.functions.dedup import simhash_near_dups
 
@@ -1054,6 +1117,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf": _q_ann_ivf,
         "dedup_minhash_lsh": _q_dedup_minhash,
         "dedup_clusters": _q_dedup_clusters,
+        "dedup_keep_canonical": _q_dedup_keep_canonical,
+        "dedup_stream_exact": _q_dedup_stream,
         "dedup_simhash": _q_dedup_simhash,
         "lang_id": _q_lang_id,
         "multimodal_frame_plan": _q_multimodal_frame_plan,
@@ -1118,5 +1183,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_resize_dims": oracles.MULTIMODAL_RESIZE_DIMS,
         "dedup_minhash_lsh": oracles.DEDUP_MINHASH_LSH,
         "dedup_clusters": oracles.DEDUP_CLUSTERS,
+        "dedup_keep_canonical": oracles.DEDUP_KEEP_CANONICAL,
+        "dedup_stream_exact": oracles.DEDUP_STREAM_EXACT,
         "dedup_simhash": oracles.DEDUP_SIMHASH,
     }

@@ -891,3 +891,48 @@ def connected_components(
         .groupby("part")
         .map_groups(label_kernel, batch_format="pandas")
     )
+
+
+def near_dedup_keep_canonical(
+    docs: ray.data.Dataset,
+    pairs: ray.data.Dataset | None = None,
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+) -> ray.data.Dataset:
+    """End-to-end near-dup corpus filter: minhash-verified pairs →
+    :func:`connected_components` → drop every doc whose cluster label is not
+    its own id (the min-id member is the canonical representative; docs in
+    no duplicate pair pass through untouched). Returns the surviving docs.
+
+    Scale shape: the drop set = non-canonical members of duplicate clusters
+    ≈ the corpus near-dup rate (~1% typical), so it is broadcast ONCE with
+    ``ray.put`` (sorted int64 ids) and each batch filters locally with a
+    vectorized ``np.isin`` — the corpus itself is never shuffled. If the dup
+    rate were adversarially large, swap the broadcast for a co-partitioned
+    anti join on ``id_col`` (stages/join.py::shuffle_hash_join shape)."""
+    if pairs is None:
+        pairs = minhash_lsh_dedup(docs, threshold=threshold)
+    labels = connected_components(pairs, a="a", b="b")
+
+    def non_canonical(t: pa.Table) -> pa.Table:
+        keep = pc.not_equal(t["doc_id"], t["cluster_id"])
+        return t.filter(keep).select(["doc_id"])
+
+    drop_parts = [
+        b["doc_id"].to_numpy(zero_copy_only=False)
+        for b in labels.map_batches(non_canonical, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        )
+    ]
+    drop = np.sort(np.concatenate(drop_parts)) if drop_parts else np.array([], np.int64)
+    ref = ray.put(drop)
+
+    class Filter:
+        def __init__(self):
+            self.drop = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids = t[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+            return t.filter(pa.array(~np.isin(ids, self.drop)))
+
+    return docs.map_batches(Filter, batch_format="pyarrow", concurrency=(1, 8))

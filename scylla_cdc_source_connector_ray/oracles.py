@@ -386,6 +386,24 @@ SELECT md5(trim(lower(regexp_replace(coalesce(text, ''), '\s+', ' ', 'g')))) AS 
 FROM documents GROUP BY 1
 """
 
+#: streaming first-occurrence dedup ≡ min doc_id per normalized-text hash —
+#: batching must never change the result. The stream is documents UNION a
+#: shifted-id replay of every text (sf0.01 documents are exact-dup-free, so
+#: the bare table would leave the dedup path unexercised); the runner must
+#: drop the entire second half across micro-batch boundaries.
+DEDUP_STREAM_EXACT = r"""
+WITH stream AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id, text FROM documents
+)
+SELECT doc_id FROM (
+    SELECT doc_id, row_number() OVER (
+        PARTITION BY md5(trim(lower(regexp_replace(coalesce(text, ''), '\s+', ' ', 'g'))))
+        ORDER BY doc_id) AS rn
+    FROM stream) WHERE rn = 1
+"""
+
 EMBEDDING_NEAR_DUPS = """
 SELECT a.vec_id AS a, b.vec_id AS b
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
@@ -573,6 +591,25 @@ reach(doc_id, r) AS (
 )
 SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
 FROM reach GROUP BY doc_id
+"""
+)
+
+#: end-to-end near-dup corpus filter: every doc survives except non-canonical
+#: duplicate-cluster members (cluster label != own id)
+DEDUP_KEEP_CANONICAL = (
+    _SHINGLES_CTE.replace("WITH ", "WITH RECURSIVE ", 1)
+    + _MINHASH_JAC_CTES
+    + """,
+pairs AS (SELECT a, b FROM jac WHERE jaccard_micro >= 700000),
+edges AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b AS u, a AS v FROM pairs),
+reach(doc_id, r) AS (
+    SELECT u, u FROM edges
+    UNION
+    SELECT reach.doc_id, e.v FROM reach JOIN edges e ON e.u = reach.r
+),
+cc AS (SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id)
+SELECT dd.doc_id FROM documents dd
+WHERE dd.doc_id NOT IN (SELECT doc_id FROM cc WHERE doc_id <> cluster_id)
 """
 )
 

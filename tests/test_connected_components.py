@@ -84,3 +84,19 @@ def test_cc_empty_edge_list_keeps_typed_schema():
     assert sch.names == ["doc_id", "cluster_id"]
     assert [str(t) for t in sch.types] == ["int64", "int64"]
     assert out.count() == 0
+
+
+def test_near_dedup_keep_canonical_with_explicit_pairs():
+    from scylla_cdc_source_connector_ray.functions.dedup import (
+        near_dedup_keep_canonical,
+    )
+
+    docs = pd.DataFrame({"doc_id": np.arange(10, dtype=np.int64),
+                         "text": [f"t{i}" for i in range(10)]})
+    pairs = pd.DataFrame({"a": [1, 2, 7], "b": [2, 3, 8]}).astype(np.int64)
+    kept = near_dedup_keep_canonical(
+        ray.data.from_pandas(docs), pairs=ray.data.from_pandas(pairs)
+    ).to_pandas()
+    # clusters {1,2,3} -> keep 1, {7,8} -> keep 7; singletons pass through
+    assert sorted(kept["doc_id"]) == [0, 1, 4, 5, 6, 7, 9]
+    assert list(kept.columns) == ["doc_id", "text"]
