@@ -995,6 +995,17 @@ def _q_dedup_keep_canonical(sf_dir: str):
     return near_dedup_keep_canonical(_docs(sf_dir)).select_columns(["doc_id"])
 
 
+def _q_dedup_embedding_lsh(sf_dir: str):
+    """SRP-LSH embedding near-dup (approximate scale path): fixed +-1
+    hyperplane signatures -> bucket-collision candidates -> exact cosine
+    verify in the bucket task."""
+    from scylla_cdc_source_connector_ray.functions.dedup import (
+        embedding_lsh_near_dups,
+    )
+
+    return embedding_lsh_near_dups(_emb(sf_dir), threshold=0.35)
+
+
 def _q_dedup_simhash(sf_dir: str):
     from scylla_cdc_source_connector_ray.functions.dedup import simhash_near_dups
 
@@ -1112,6 +1123,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint_md5": _q_fingerprint,
         "dedup_exact": _q_dedup_exact,
         "dedup_exact_hashed": _q_dedup_exact_hashed,
+        "dedup_embedding_lsh": _q_dedup_embedding_lsh,
         "dedup_embedding_cosine": _q_dedup_embedding,
         "ann_bruteforce_topk": _q_ann_topk,
         "ann_ivf": _q_ann_ivf,
@@ -1175,6 +1187,7 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint_md5": oracles.FINGERPRINT,
         "dedup_exact": oracles.DEDUP_EXACT,
         "dedup_exact_hashed": oracles.DEDUP_EXACT_HASHED,
+        "dedup_embedding_lsh": oracles.DEDUP_EMBEDDING_LSH,
         "dedup_embedding_cosine": oracles.EMBEDDING_NEAR_DUPS,
         "ann_bruteforce_topk": oracles.ANN_TOPK,
         "ann_ivf": oracles.ANN_IVF,

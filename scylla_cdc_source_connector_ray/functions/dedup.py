@@ -661,6 +661,120 @@ def embedding_near_dups_grid(
     return exploded.groupby(["gp", "gq"]).map_groups(pairs, batch_format="pandas")
 
 
+_LSH_SEED = 42
+
+
+def lsh_hyperplanes(dim: int, n_tables: int = 4, n_planes: int = 8, seed: int = _LSH_SEED) -> np.ndarray:
+    """Fixed random-hyperplane bank (n_tables, n_planes, dim) with ±1 entries:
+    signs are what matter for SRP-LSH, and integer entries embed EXACTLY into
+    the SQL oracle's literals (no float-repr round-trip)."""
+    rng = np.random.default_rng(seed)
+    return (rng.integers(0, 2, size=(n_tables, n_planes, dim)) * 2 - 1).astype(np.float64)
+
+
+def embedding_lsh_near_dups(
+    ds: ray.data.Dataset,
+    threshold: float = 0.35,
+    n_tables: int = 4,
+    n_planes: int = 8,
+) -> ray.data.Dataset:
+    """APPROXIMATE cosine near-dup pairs via sign-random-projection LSH
+    (Charikar): per table, a vector's signature is the sign bit-pattern of
+    ``n_planes`` fixed hyperplane dot products; vectors colliding on a full
+    table signature become candidates, verified with exact cosine in the
+    bucket task. Output = candidate pairs with cosine ≥ threshold (a < b).
+
+    Recall is the SRP collision bound 1 − θ/π per plane, amplified across
+    tables — the knob between this and the EXACT grid
+    (:func:`embedding_near_dups_grid`): LSH shuffles n×n_tables signature
+    rows instead of n×grid vector rows and does bucket-local work instead of
+    n²/grid² matmuls. Candidate-set + verify are both deterministic (fixed
+    seed), so the result is SQL-exact for the same hyperplanes even though
+    it is an approximation of the full near-dup relation.
+
+    Scale shape: signature rows carry the vector (needed for in-task verify);
+    one keyed exchange over salted coarse bucket partitions (whole buckets
+    co-locate — the minhash pair-gen lesson), pairs deduped across tables by
+    one (a, b) groupby over the (tiny) verified pair set."""
+    H = lsh_hyperplanes(64, n_tables, n_planes)
+
+    def sigs(batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0 or "vec_id" not in batch.columns:
+            return pd.DataFrame(
+                {
+                    "table_id": pd.Series(dtype="int64"),
+                    "sig": pd.Series(dtype="int64"),
+                    "vec_id": pd.Series(dtype="int64"),
+                    "embedding": pd.Series(dtype=object),
+                }
+            )
+        M = np.stack([np.asarray(v, dtype=np.float64) for v in batch["embedding"].values])
+        ids = batch["vec_id"].values.astype(np.int64)
+        recs = []
+        weights = (1 << np.arange(n_planes, dtype=np.int64))
+        for t in range(n_tables):
+            bits = (M @ H[t].T) > 0  # (n, n_planes)
+            recs.append(
+                pd.DataFrame(
+                    {
+                        "table_id": np.int64(t),
+                        "sig": bits @ weights,
+                        "vec_id": ids,
+                        "embedding": batch["embedding"].values,
+                    }
+                )
+            )
+        return pd.concat(recs, ignore_index=True)
+
+    def add_part(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["bucket_part"] = (
+            batch["table_id"].values * _BUCKET_SALT + batch["sig"].values % _BUCKET_SALT
+        ).astype(np.int64)
+        return batch
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64")})
+        g = g.drop_duplicates(["table_id", "sig", "vec_id"]).sort_values(
+            ["table_id", "sig", "vec_id"], kind="mergesort"
+        )
+        if len(g) < 2:
+            return empty
+        M = np.stack([np.asarray(v, dtype=np.float64) for v in g["embedding"].values])
+        M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        ids = g["vec_id"].values.astype(np.int64)
+        tb, sg = g["table_id"].values, g["sig"].values
+        new = np.empty(len(g), dtype=bool)
+        new[0] = True
+        new[1:] = (tb[1:] != tb[:-1]) | (sg[1:] != sg[:-1])
+        counts = np.bincount(np.cumsum(new) - 1)
+        starts = np.concatenate(([0], np.cumsum(counts)))
+        ia_parts, ib_parts = [], []
+        for r in np.flatnonzero(counts >= 2):
+            k, s = counts[r], starts[r]
+            iu, ju = np.triu_indices(k, 1)
+            ia_parts.append(s + iu)
+            ib_parts.append(s + ju)
+        if not ia_parts:
+            return empty
+        ia = np.concatenate(ia_parts)
+        ib = np.concatenate(ib_parts)
+        cos = (M[ia] * M[ib]).sum(axis=1)
+        keep = cos >= threshold
+        return pd.DataFrame({"a": ids[ia][keep], "b": ids[ib][keep]})
+
+    buckets = (
+        ds.select_columns(["vec_id", "embedding"])
+        .map_batches(sigs, batch_format="pandas")
+        .map_batches(add_part, batch_format="pandas")
+    )
+    cand = buckets.groupby("bucket_part").map_groups(pairs, batch_format="pandas")
+    from ray.data.aggregate import Count
+
+    dedup = cand.groupby(["a", "b"]).aggregate(Count(alias_name="_n"))
+    return dedup.select_columns(["a", "b"])
+
+
 def embedding_near_dups(
     ds: ray.data.Dataset, threshold: float = 0.95, id_limit: int | None = None
 ) -> ray.data.Dataset:

@@ -410,6 +410,45 @@ FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35
 """
 
+
+def _lsh_plane_values() -> str:
+    """±1 hyperplane literals shared with ``dedup.lsh_hyperplanes`` — integer
+    entries embed exactly, so both sides compute identical sign bits (modulo
+    float64 summation-order rounding at |dot| ≈ 1e-15, negligible for random
+    data — same accepted risk as the ann_ivf centroid gate)."""
+    from .functions.dedup import lsh_hyperplanes
+
+    H = lsh_hyperplanes(64)
+    rows = []
+    for t in range(H.shape[0]):
+        for p in range(H.shape[1]):
+            vec = ", ".join(str(int(x)) for x in H[t, p])
+            rows.append(f"({t}, {p}, [{vec}]::DOUBLE[])")
+    return ", ".join(rows)
+
+
+#: SRP-LSH embedding near-dup: full-table signature collision → exact cosine
+#: verify (the approximate scale path next to the exact grid)
+DEDUP_EMBEDDING_LSH = f"""
+WITH planes(t, p, vec) AS (VALUES {_lsh_plane_values()}),
+sig AS (
+    SELECT e.vec_id, pl.t,
+           CAST(sum(CASE WHEN list_dot_product(CAST(e.embedding AS DOUBLE[]), pl.vec) > 0
+                         THEN 1 << pl.p ELSE 0 END) AS BIGINT) AS s
+    FROM embeddings e CROSS JOIN planes pl
+    GROUP BY e.vec_id, pl.t
+),
+cand AS (
+    SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+    FROM sig x JOIN sig y ON x.t = y.t AND x.s = y.s AND x.vec_id < y.vec_id
+)
+SELECT c.a, c.b
+FROM cand c
+JOIN embeddings ea ON ea.vec_id = c.a
+JOIN embeddings eb ON eb.vec_id = c.b
+WHERE list_cosine_similarity(ea.embedding, eb.embedding) >= 0.35
+"""
+
 ANN_TOPK = """
 WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8),
 scored AS (

@@ -343,3 +343,35 @@ def test_multimodal_mixed_dimensions():
     mixed = pa.concat_tables([a, b])
     out = MM.decode_pipeline(ray.data.from_arrow(mixed), decoder="fake", batch_size=8, concurrency=2).to_pandas()
     assert len(out) == 5 and all(len(f) == 11 for f in out["features"])
+
+
+def test_embedding_lsh_subset_of_exact():
+    """SRP-LSH near-dups are a SUBSET of the exact relation — every emitted
+    pair is cosine-verified in the bucket task. (Recall at the gate's LOW
+    0.35 threshold is intentionally small: per-plane collision 1-θ/π ≈ 0.61
+    → ~2% per 8-plane table; SRP-LSH is the HIGH-similarity scale path,
+    tested below in its design regime.)"""
+    exact = D.embedding_near_dups(_emb(), threshold=0.35).to_pandas()
+    lsh = D.embedding_lsh_near_dups(_emb(), threshold=0.35).to_pandas()
+    e = set(map(tuple, exact[["a", "b"]].values.tolist()))
+    l = set(map(tuple, lsh[["a", "b"]].values.tolist()))
+    assert l <= e and len(l) > 0
+
+
+def test_embedding_lsh_recall_in_design_regime():
+    """Planted near-identical pairs (cosine ≈ 0.99): SRP-LSH must recover
+    nearly all of them — θ ≈ 8° → per-table collision ≈ 0.7, four tables
+    → ≈ 0.99 expected recall."""
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((60, 64))
+    noisy = base + 0.05 * rng.standard_normal((60, 64))
+    vecs = np.concatenate([base, noisy]).astype(np.float32)
+    df = pd.DataFrame(
+        {"vec_id": np.arange(120, dtype=np.int64), "embedding": list(vecs)}
+    )
+    out = D.embedding_lsh_near_dups(
+        ray.data.from_pandas(df), threshold=0.9
+    ).to_pandas()
+    got = set(map(tuple, out[["a", "b"]].values.tolist()))
+    planted = {(i, i + 60) for i in range(60)}
+    assert len(got & planted) >= 54  # ≥90% recall on planted near-identicals
