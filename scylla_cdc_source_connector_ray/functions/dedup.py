@@ -338,6 +338,26 @@ def with_bucket_part(buckets: pd.DataFrame, salt: int = _BUCKET_SALT) -> pd.Data
     return buckets
 
 
+def _triu_pairs_in_runs(run_start: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Row-index pairs (i < j) within each equal-key run of a run-sorted
+    frame; ``run_start`` marks run beginnings. THE shared pair-generation
+    kernel behind minhash/simhash/embedding-LSH bucket collisions — loops
+    once per collision run (k ≥ 2), never per pair."""
+    run_id = np.cumsum(run_start) - 1
+    counts = np.bincount(run_id)
+    starts = np.concatenate(([0], np.cumsum(counts)))
+    ia_parts, ib_parts = [], []
+    for r in np.flatnonzero(counts >= 2):
+        k, st = counts[r], starts[r]
+        iu, ju = np.triu_indices(k, 1)
+        ia_parts.append(st + iu)
+        ib_parts.append(st + ju)
+    if not ia_parts:
+        e = np.array([], np.int64)
+        return e, e
+    return np.concatenate(ia_parts), np.concatenate(ib_parts)
+
+
 def candidate_pairs_grouped(g: pd.DataFrame) -> pd.DataFrame:
     """All buckets of one salted partition → candidate pairs (a<b), pair
     generation vectorized over bucket runs; only collision runs (k≥2) loop,
@@ -352,19 +372,10 @@ def candidate_pairs_grouped(g: pd.DataFrame) -> pd.DataFrame:
     new = np.empty(len(g), dtype=bool)
     new[0] = True
     new[1:] = (band[1:] != band[:-1]) | (key[1:] != key[:-1])
-    run_id = np.cumsum(new) - 1
-    counts = np.bincount(run_id)
-    starts = np.concatenate(([0], np.cumsum(counts)))
-    a_parts, b_parts = [], []
-    for r in np.flatnonzero(counts >= 2):
-        k, s = counts[r], starts[r]
-        iu, ju = np.triu_indices(k, 1)
-        a_parts.append(ids[s + iu])
-        b_parts.append(ids[s + ju])
-    if not a_parts:
+    ia, ib = _triu_pairs_in_runs(new)
+    if not len(ia):
         return empty
-    a = np.concatenate(a_parts)
-    b = np.concatenate(b_parts)
+    a, b = ids[ia], ids[ib]
     keep = a != b  # a doc_id duplicated within a bucket must not self-pair
     a, b = a[keep], b[keep]
     return pd.DataFrame({"a": np.minimum(a, b), "b": np.maximum(a, b)})
@@ -549,18 +560,9 @@ def simhash_near_dups(ds: ray.data.Dataset, max_hamming: int = 3) -> ray.data.Da
         new = np.empty(len(g), dtype=bool)
         new[0] = True
         new[1:] = (ck[1:] != ck[:-1]) | (cv[1:] != cv[:-1])
-        counts = np.bincount(np.cumsum(new) - 1)
-        starts = np.concatenate(([0], np.cumsum(counts)))
-        ia_parts, ib_parts = [], []
-        for r in np.flatnonzero(counts >= 2):
-            k, s = counts[r], starts[r]
-            iu, ju = np.triu_indices(k, 1)
-            ia_parts.append(s + iu)
-            ib_parts.append(s + ju)
-        if not ia_parts:
+        ia, ib = _triu_pairs_in_runs(new)
+        if not len(ia):
             return empty
-        ia = np.concatenate(ia_parts)
-        ib = np.concatenate(ib_parts)
         x = hs[ia] ^ hs[ib]
         ham = np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1).sum(axis=1).astype(np.int64)
         return pd.DataFrame({"a": ids[ia], "b": ids[ib], "hamming": ham})
@@ -677,6 +679,7 @@ def embedding_lsh_near_dups(
     threshold: float = 0.35,
     n_tables: int = 4,
     n_planes: int = 8,
+    dim: int | None = None,
 ) -> ray.data.Dataset:
     """APPROXIMATE cosine near-dup pairs via sign-random-projection LSH
     (Charikar): per table, a vector's signature is the sign bit-pattern of
@@ -696,7 +699,9 @@ def embedding_lsh_near_dups(
     one keyed exchange over salted coarse bucket partitions (whole buckets
     co-locate — the minhash pair-gen lesson), pairs deduped across tables by
     one (a, b) groupby over the (tiny) verified pair set."""
-    H = lsh_hyperplanes(64, n_tables, n_planes)
+    if dim is None:
+        dim = len(ds.take(1)[0]["embedding"])  # one-row peek; plans stay lazy
+    H = lsh_hyperplanes(dim, n_tables, n_planes)
 
     def sigs(batch: pd.DataFrame) -> pd.DataFrame:
         if len(batch) == 0 or "vec_id" not in batch.columns:
@@ -747,18 +752,9 @@ def embedding_lsh_near_dups(
         new = np.empty(len(g), dtype=bool)
         new[0] = True
         new[1:] = (tb[1:] != tb[:-1]) | (sg[1:] != sg[:-1])
-        counts = np.bincount(np.cumsum(new) - 1)
-        starts = np.concatenate(([0], np.cumsum(counts)))
-        ia_parts, ib_parts = [], []
-        for r in np.flatnonzero(counts >= 2):
-            k, s = counts[r], starts[r]
-            iu, ju = np.triu_indices(k, 1)
-            ia_parts.append(s + iu)
-            ib_parts.append(s + ju)
-        if not ia_parts:
+        ia, ib = _triu_pairs_in_runs(new)
+        if not len(ia):
             return empty
-        ia = np.concatenate(ia_parts)
-        ib = np.concatenate(ib_parts)
         cos = (M[ia] * M[ib]).sum(axis=1)
         keep = cos >= threshold
         return pd.DataFrame({"a": ids[ia][keep], "b": ids[ib][keep]})

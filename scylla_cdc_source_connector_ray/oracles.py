@@ -613,6 +613,18 @@ DEDUP_MINHASH_LSH = (
     + "\nSELECT a, b, jaccard_micro FROM jac WHERE jaccard_micro >= 700000\n"
 )
 
+#: recursive connected-components block over the verified minhash pairs —
+#: shared by the cluster-label and keep-canonical oracles (one definition of
+#: the pair threshold and the reach formulation)
+_CC_CTES = """,
+pairs AS (SELECT a, b FROM jac WHERE jaccard_micro >= 700000),
+edges AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b AS u, a AS v FROM pairs),
+reach(doc_id, r) AS (
+    SELECT u, u FROM edges
+    UNION
+    SELECT reach.doc_id, e.v FROM reach JOIN edges e ON e.u = reach.r
+)"""
+
 #: duplicate-cluster labels over the verified minhash pair set: connected
 #: components via recursive min-reachability (cluster_id = min doc_id of the
 #: component). Only docs that belong to some duplicate pair appear — exactly
@@ -620,14 +632,8 @@ DEDUP_MINHASH_LSH = (
 DEDUP_CLUSTERS = (
     _SHINGLES_CTE.replace("WITH ", "WITH RECURSIVE ", 1)
     + _MINHASH_JAC_CTES
-    + """,
-pairs AS (SELECT a, b FROM jac WHERE jaccard_micro >= 700000),
-edges AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b AS u, a AS v FROM pairs),
-reach(doc_id, r) AS (
-    SELECT u, u FROM edges
-    UNION
-    SELECT reach.doc_id, e.v FROM reach JOIN edges e ON e.u = reach.r
-)
+    + _CC_CTES
+    + """
 SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
 FROM reach GROUP BY doc_id
 """
@@ -638,14 +644,8 @@ FROM reach GROUP BY doc_id
 DEDUP_KEEP_CANONICAL = (
     _SHINGLES_CTE.replace("WITH ", "WITH RECURSIVE ", 1)
     + _MINHASH_JAC_CTES
+    + _CC_CTES
     + """,
-pairs AS (SELECT a, b FROM jac WHERE jaccard_micro >= 700000),
-edges AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b AS u, a AS v FROM pairs),
-reach(doc_id, r) AS (
-    SELECT u, u FROM edges
-    UNION
-    SELECT reach.doc_id, e.v FROM reach JOIN edges e ON e.u = reach.r
-),
 cc AS (SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id)
 SELECT dd.doc_id FROM documents dd
 WHERE dd.doc_id NOT IN (SELECT doc_id FROM cc WHERE doc_id <> cluster_id)

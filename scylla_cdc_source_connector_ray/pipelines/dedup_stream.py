@@ -26,6 +26,7 @@ micro-batch loop to exactly-once and reuses it for corpus dedup.
 
 from __future__ import annotations
 
+import json
 import os
 import time
 
@@ -39,10 +40,34 @@ import ray.data
 from ..state.checkpoint import Checkpoint, _atomic_write
 
 
-def _norm_hash(texts: pd.Series) -> list[str]:
+def _hash128(texts: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+    """Full 16-byte md5 of the normalized text as two uint64 words — the
+    128-bit key keeps the stream EXACT (a bare 64-bit key expects ~n²/2^65
+    birthday collisions; real at 10^11 docs). One fromhex over the joined
+    digest string, no per-row parsing."""
     from ..functions.textops import md5_normalized
 
-    return md5_normalized(texts)
+    hexes = md5_normalized(texts)
+    if not hexes:
+        return np.array([], np.uint64), np.array([], np.uint64)
+    u = np.frombuffer(bytes.fromhex("".join(hexes)), dtype=np.uint64).reshape(-1, 2)
+    return u[:, 0].copy(), u[:, 1].copy()
+
+
+def _member128(h1s: np.ndarray, h2s: np.ndarray, h1q: np.ndarray, h2q: np.ndarray) -> np.ndarray:
+    """Exact membership of (h1q, h2q) in the state sorted by (h1, h2):
+    searchsorted on the first word, second-word equality inside the run
+    (runs longer than 1 are h1 collisions — essentially never)."""
+    out = np.zeros(len(h1q), dtype=bool)
+    if len(h1s) == 0 or len(h1q) == 0:
+        return out
+    lo = np.searchsorted(h1s, h1q, "left")
+    hi = np.searchsorted(h1s, h1q, "right")
+    single = (hi - lo) == 1
+    out[single] = h2s[lo[single]] == h2q[single]
+    for i in np.flatnonzero((hi - lo) > 1):
+        out[i] = h2q[i] in h2s[lo[i] : hi[i]]
+    return out
 
 
 class DedupStreamRunner:
@@ -87,6 +112,16 @@ class DedupStreamRunner:
                 f"{self.num_shards}: the hash layout would orphan seen-set "
                 "state — use a fresh checkpoint/sink dir"
             )
+        if last is not None and last.get("files_per_batch") != files_per_batch:
+            # batch composition is part of the replay identity: resuming with
+            # a different grouping would re-cut batch boundaries, leaving a
+            # crashed attempt's stale shard files inside a committed batch dir
+            raise ValueError(
+                f"checkpoint was written with files_per_batch="
+                f"{last.get('files_per_batch')}, run() got {files_per_batch}: "
+                "replay would not be byte-identical — keep it fixed per "
+                "checkpoint dir"
+            )
         consumed = last["consumed_files"] if last else 0
         next_batch = (last["batch_id"] + 1) if last else 0
         todo = files[consumed:]
@@ -114,6 +149,7 @@ class DedupStreamRunner:
                 {
                     "consumed_files": consumed,
                     "num_shards": self.num_shards,
+                    "files_per_batch": files_per_batch,
                     "rows": totals["rows"],
                     "kept": totals["kept"],
                 },
@@ -122,8 +158,7 @@ class DedupStreamRunner:
             sec = time.perf_counter() - t0
             _atomic_write(
                 os.path.join(self.ckpt.dir, "metrics", f"batch-{batch_id:06d}.json"),
-                __import__("json")
-                .dumps(
+                json.dumps(
                     {
                         "batch_id": batch_id,
                         "rows": sum(r["n_in"] for r in stats),
@@ -131,8 +166,7 @@ class DedupStreamRunner:
                         "sec": round(sec, 3),
                     },
                     sort_keys=True,
-                )
-                .encode(),
+                ).encode(),
             )
             totals["batches"] += 1
         return totals
@@ -146,12 +180,10 @@ class DedupStreamRunner:
 
         def add_hash(b: pd.DataFrame) -> pd.DataFrame:
             b = b.copy()
-            h = _norm_hash(b[text_col])
-            b["_ch"] = h
-            # first 8 hex chars → uniform int shard (md5 is the partitioner)
-            b["_shard"] = np.array(
-                [int(x[:8], 16) % num_shards for x in h], dtype=np.int32
-            )
+            h1, h2 = _hash128(b[text_col])
+            b["_h1"] = h1
+            b["_h2"] = h2
+            b["_shard"] = (h1 % np.uint64(num_shards)).astype(np.int32)
             return b
 
         # sink schema pinned from the log footer: an empty (or all-null) kept
@@ -163,21 +195,35 @@ class DedupStreamRunner:
             g = g.sort_values(order_col, kind="mergesort")
             ck = Checkpoint(ckpt_dir)  # path math only; no driver state
             prev_path = ck.latest_state_path(shard, before_batch=batch_id, kind="seen")
-            seen = (
-                pq.read_table(prev_path)["h"].to_numpy(zero_copy_only=False)
-                if prev_path
-                else np.array([], dtype=object)
-            )
-            h = g["_ch"].to_numpy()
-            # first occurrence within the batch, in arrival order
-            first_in_batch = ~pd.Series(h).duplicated().to_numpy()
-            unseen = ~np.isin(h, seen)
-            keep = first_in_batch & unseen
-            out = g[keep].drop(columns=["_ch", "_shard"])
-            # state = prev ∪ this batch's new hashes, sorted (np.isin fast path)
-            new_seen = np.unique(np.concatenate([seen.astype(object), h[keep]]))
+            if prev_path:
+                st = pq.read_table(prev_path)
+                s1 = st["h1"].to_numpy(zero_copy_only=False).astype(np.uint64)
+                s2 = st["h2"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            else:
+                s1 = s2 = np.array([], np.uint64)
+            h1 = g["_h1"].to_numpy().astype(np.uint64)
+            h2 = g["_h2"].to_numpy().astype(np.uint64)
+            # first occurrence within the batch, in arrival order: group equal
+            # (h1, h2) with arrival position as the final lexsort key — run
+            # starts are the arrival-first representatives
+            pos = np.arange(len(g), dtype=np.int64)
+            order = np.lexsort((pos, h2, h1))
+            oh1, oh2 = h1[order], h2[order]
+            run_start = np.ones(len(g), dtype=bool)
+            run_start[1:] = (oh1[1:] != oh1[:-1]) | (oh2[1:] != oh2[:-1])
+            first_in_batch = np.zeros(len(g), dtype=bool)
+            first_in_batch[order[run_start]] = True
+            keep = first_in_batch & ~_member128(s1, s2, h1, h2)
+            out = g[keep].drop(columns=["_h1", "_h2", "_shard"])
+            # state = prev ∪ this batch's new hashes, (h1, h2)-sorted so the
+            # next batch's searchsorted probe stays O(log n)
+            n1 = np.concatenate([s1, h1[keep]])
+            n2 = np.concatenate([s2, h2[keep]])
+            so = np.lexsort((n2, n1))
             ck.write_state(
-                shard, batch_id, pa.table({"h": pa.array(new_seen, pa.string())}),
+                shard,
+                batch_id,
+                pa.table({"h1": pa.array(n1[so]), "h2": pa.array(n2[so])}),
                 kind="seen",
             )
             d = os.path.join(sink_dir, f"batch-{batch_id:06d}")

@@ -111,11 +111,18 @@ class Checkpoint:
         unboundedly and every ``last_committed`` re-lists them). Per-batch
         metrics JSON is deliberately NOT pruned: it is the run's lineage
         record (north_rule), is never re-listed by the engine, and is tiny."""
-        for kind in ("state", "wstate", "cstate", "cstate_hot", "sstate", "sessstate", "imgstate"):
+        # enumerate state kinds on disk (shard=K layout) rather than a
+        # hardcoded list: a new state family (e.g. the dedup stream's "seen")
+        # must be pruned too, or the checkpoint grows one full snapshot per
+        # batch forever
+        reserved = {"manifest", "metrics"}
+        for kind in os.listdir(self.dir):
             kd = os.path.join(self.dir, kind)
-            if not os.path.isdir(kd):
+            if kind in reserved or not os.path.isdir(kd):
                 continue
             for sd in os.listdir(kd):
+                if not sd.startswith("shard="):
+                    continue
                 d = os.path.join(kd, sd)
                 files = sorted(
                     (f for f in os.listdir(d) if f.endswith(".parquet")), key=_batch_num

@@ -96,3 +96,26 @@ def test_num_shards_change_is_rejected(tmp_path):
 
     with pytest.raises(ValueError, match="num_shards"):
         other.run()
+
+
+def test_seen_state_is_gc_pruned(tmp_path):
+    tmp = str(tmp_path)
+    log = _write_log(tmp, [_mk([i], [f"t{i}"]) for i in range(5)])
+    r = _runner(tmp, log)
+    r.run(files_per_batch=1)
+    seen_root = os.path.join(tmp, "r", "ckpt", "seen")
+    assert os.path.isdir(seen_root)
+    for sd in os.listdir(seen_root):
+        files = [f for f in os.listdir(os.path.join(seen_root, sd)) if f.endswith(".parquet")]
+        assert len(files) <= 2, (sd, files)  # gc keeps 2 batches per shard
+
+
+def test_files_per_batch_change_is_rejected(tmp_path):
+    tmp = str(tmp_path)
+    log = _write_log(tmp, [_mk([0], ["x"]), _mk([1], ["y"])])
+    r = _runner(tmp, log)
+    r.run(files_per_batch=1, max_batches=1)
+    import pytest
+
+    with pytest.raises(ValueError, match="files_per_batch"):
+        _runner(tmp, log).run(files_per_batch=2)
