@@ -188,9 +188,54 @@ def cmd_ingest(args) -> int:
     return 0
 
 
+def cmd_dedup_stream(args) -> int:
+    """Streaming first-occurrence dedup over a windowed document log
+    (checkpointed seen-set, exactly-once; see pipelines/dedup_stream.py)."""
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=args.num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    from .pipelines.dedup_stream import DedupStreamRunner
+
+    runner = DedupStreamRunner(
+        args.log_dir,
+        num_shards=args.num_shards,
+        sink_dir=args.out,
+        checkpoint_dir=args.checkpoint,
+        text_col=args.text_col,
+        order_col=args.order_col,
+    )
+    totals = runner.run(
+        files_per_batch=args.files_per_batch, max_batches=args.max_batches
+    )
+    print(json.dumps({"ok": True, **totals, "out": args.out, "checkpoint": args.checkpoint}))
+    ray.shutdown()
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="scylla_cdc_source_connector_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
+    dp = sub.add_parser("dedup-stream", help="streaming first-occurrence text dedup")
+    dp.add_argument("--log-dir", required=True)
+    dp.add_argument("--out", default="/tmp/scylla_cdc_ray/dedup_out")
+    dp.add_argument("--checkpoint", default="/tmp/scylla_cdc_ray/dedup_ckpt")
+    dp.add_argument("--num-shards", type=int, default=64)
+    dp.add_argument("--num-cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
+    dp.add_argument("--files-per-batch", type=int, default=4)
+    dp.add_argument("--max-batches", type=int, default=None)
+    dp.add_argument("--text-col", default="text")
+    dp.add_argument("--order-col", default="doc_id")
+    dp.set_defaults(fn=cmd_dedup_stream)
     for name, fn in (("run", cmd_run), ("validate", cmd_validate), ("ingest", cmd_ingest)):
         sp = sub.add_parser(name)
         sp.add_argument("--log-dir", required=True)
