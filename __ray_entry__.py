@@ -800,7 +800,9 @@ def _q_text_stats(sf_dir: str):
     from scylla_cdc_source_connector_ray.functions.textops import text_stats
 
     out = _docs(sf_dir).map_batches(text_stats, batch_format="pyarrow")
-    return out.select_columns(["doc_id", "stat_chars", "stat_words", "stat_punct", "stat_stop"])
+    return out.select_columns(
+        ["doc_id", "stat_chars", "stat_words", "stat_punct", "stat_stop", "stat_bpe_tokens"]
+    )
 
 
 def _q_quality(sf_dir: str):

@@ -20,6 +20,11 @@ import ray.data
 TOKEN_RE = r"\S+"
 PUNCT_RE = r"[.,;:!?]"
 STOP_RE = r"\b(the|and|of|a|to|in|is)\b"
+#: GPT-2-style pre-tokenizer, RE2-compatible (no lookahead): contraction
+#: suffixes, letter runs, digit runs, punctuation runs. The SAME pattern
+#: string runs in DuckDB's regexp_extract_all (also RE2) — counts are
+#: identical by construction.
+BPE_TOKEN_RE = r"'(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s']+"
 
 
 def text_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
@@ -30,10 +35,12 @@ def text_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
     n_words = pc.fill_null(pc.count_substring_regex(txt, TOKEN_RE), 0).cast(pa.int64())
     n_punct = pc.fill_null(pc.count_substring_regex(txt, PUNCT_RE), 0).cast(pa.int64())
     n_stop = pc.fill_null(pc.count_substring_regex(txt, STOP_RE), 0).cast(pa.int64())
+    n_bpe = pc.fill_null(pc.count_substring_regex(txt, BPE_TOKEN_RE), 0).cast(pa.int64())
     out = batch.append_column("stat_chars", n_chars)
     out = out.append_column("stat_words", n_words)
     out = out.append_column("stat_punct", n_punct)
     out = out.append_column("stat_stop", n_stop)
+    out = out.append_column("stat_bpe_tokens", n_bpe)
     return out
 
 

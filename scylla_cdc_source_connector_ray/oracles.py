@@ -343,14 +343,22 @@ FROM events GROUP BY event_type
 
 # --- training-data ops -------------------------------------------------------
 
-TEXT_STATS = r"""
+def _text_stats_sql() -> str:
+    from .functions.textops import BPE_TOKEN_RE
+
+    pat = BPE_TOKEN_RE.replace("'", "''")  # SQL string-literal quoting
+    return rf"""
 SELECT doc_id,
        coalesce(length(text), 0) AS stat_chars,
        coalesce(length(regexp_extract_all(text, '\S+')), 0) AS stat_words,
        coalesce(length(regexp_extract_all(text, '[.,;:!?]')), 0) AS stat_punct,
-       coalesce(length(regexp_extract_all(text, '\b(the|and|of|a|to|in|is)\b')), 0) AS stat_stop
+       coalesce(length(regexp_extract_all(text, '\b(the|and|of|a|to|in|is)\b')), 0) AS stat_stop,
+       coalesce(length(regexp_extract_all(text, '{pat}')), 0) AS stat_bpe_tokens
 FROM documents
 """
+
+
+TEXT_STATS = _text_stats_sql()
 
 QUALITY_SCORE = r"""
 WITH s AS (
