@@ -649,6 +649,54 @@ def _q_cdc_list_element_ops(sf_dir: str):
     return cap.element_ops_capture(ds, _CFG)
 
 
+def _q_cdc_element_stream(sf_dir: str):
+    """STREAMING element-level list ops: the events-derived element log split
+    into a 4-window ts-ordered stream, consumed in 4 micro-batches with
+    per-shard live-cell carry state — output must equal the single-batch
+    fold (split invariance), so the oracle is CDC_LIST_ELEMENT_OPS."""
+    import hashlib
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from scylla_cdc_source_connector_ray.pipelines.element_stream import (
+        ElementStreamRunner,
+    )
+    from scylla_cdc_source_connector_ray.sources.events_adapter import (
+        events_to_element_log,
+    )
+
+    ev = pq.read_table(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id", "event_type", "value"],
+    )
+    t = events_to_element_log(ev).sort_by([("ts", "ascending"), ("seq", "ascending")])
+    base = os.path.join(
+        "/tmp/scylla_cdc_element_stream",
+        hashlib.md5(sf_dir.encode()).hexdigest()[:12] + f"-{os.getpid()}",
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    log = os.path.join(base, "log")
+    os.makedirs(log)
+    n, nf = t.num_rows, 4
+    for i in range(nf):
+        lo, hi = i * n // nf, (i + 1) * n // nf
+        pq.write_table(t.slice(lo, hi - lo), os.path.join(log, f"window-{i:05d}.parquet"))
+    runner = ElementStreamRunner(
+        log,
+        num_shards=8,
+        sink_dir=os.path.join(base, "out"),
+        checkpoint_dir=os.path.join(base, "ckpt"),
+        collection="list",
+    )
+    try:
+        runner.run(files_per_batch=1)
+        return runner.read_output()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def _q_cdc_set_element_ops(sf_dir: str):
     """Set element-level ops: add/remove-by-value/wipe deltas folded into
     value-ordered distinct post/pre images (re-adds idempotent) — same log
@@ -1100,6 +1148,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_multi_table": _q_cdc_multi_table,
         "cdc_list_rebuild": _q_cdc_list_rebuild,
         "cdc_list_element_ops": _q_cdc_list_element_ops,
+        "cdc_element_stream": _q_cdc_element_stream,
         "cdc_set_element_ops": _q_cdc_set_element_ops,
         "cdc_map_element_ops": _q_cdc_map_element_ops,
         "sample_documents": _q_sample_documents,
@@ -1164,6 +1213,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_multi_table": oracles.CDC_MULTI_TABLE,
         "cdc_list_rebuild": oracles.CDC_LIST_REBUILD,
         "cdc_list_element_ops": oracles.CDC_LIST_ELEMENT_OPS,
+        "cdc_element_stream": oracles.CDC_LIST_ELEMENT_OPS,
         "cdc_set_element_ops": oracles.CDC_SET_ELEMENT_OPS,
         "cdc_map_element_ops": oracles.CDC_MAP_ELEMENT_OPS,
         "sample_documents": oracles.SAMPLE_DOCUMENTS,

@@ -73,7 +73,7 @@ def _segmented_next(
     return out
 
 
-def fold_element_ops(t: pa.Table) -> pa.Table:
+def fold_element_ops(t: pa.Table, with_final_state: bool = False):
     """One co-located block (all rows of its keys) → per-row element-op
     capture: ``(conv_id, turn_idx, seq, kind, after_csv, n_after, before_csv,
     elems_modified)``. Input columns: conv_id, turn_idx, ts, seq, kind
@@ -83,7 +83,7 @@ def fold_element_ops(t: pa.Table) -> pa.Table:
     is a fresh timeuuid cell, duplicates coexist) and add (timeuuid) order
     on emit."""
     if t.num_rows == 0:
-        return _empty()
+        return (_empty(), _empty_state(False)) if with_final_state else _empty()
     return _fold_keyed_cells(
         t,
         add_col="add_elems",
@@ -92,6 +92,7 @@ def fold_element_ops(t: pa.Table) -> pa.Table:
         modified_name="elems_modified",
         overwrite_kills=False,
         key_order=False,
+        with_final_state=with_final_state,
     )
 
 
@@ -110,6 +111,17 @@ def _empty() -> pa.Table:
     )
 
 
+def _empty_state(with_vals: bool) -> pa.Table:
+    cols = {
+        "conv_id": pa.nulls(0, pa.string()),
+        "turn_idx": pa.nulls(0, pa.int32()),
+        "elems": pa.nulls(0, pa.list_(pa.string())),
+    }
+    if with_vals:
+        cols["vals"] = pa.nulls(0, pa.list_(pa.string()))
+    return pa.table(cols)
+
+
 def _fold_keyed_cells(
     t: pa.Table,
     *,
@@ -119,6 +131,7 @@ def _fold_keyed_cells(
     modified_name: str,
     overwrite_kills: bool = True,
     key_order: bool = True,
+    with_final_state: bool = False,
 ) -> pa.Table:
     """Shared cell fold behind ALL three element-op variants: each added
     element is a *cell* identified by its (map key | set element | list
@@ -128,7 +141,13 @@ def _fold_keyed_cells(
     idempotence). Post-images emit live cells in KEY order when
     ``key_order`` (maps/sets cluster by key — reference emitter :719-735)
     else in add (timeuuid) order (non-frozen lists — :683-746). Everything
-    is one vectorized interval stab per kill candidate."""
+    is one vectorized interval stab per kill candidate.
+
+    With ``with_final_state`` returns ``(events, state)`` where ``state`` has
+    one row per key — ``(conv_id, turn_idx, elems, vals)`` list columns of
+    the cells still alive after the key's LAST row, in emission order — the
+    carry needed to resume the fold in a later micro-batch (streaming
+    element ops)."""
     t = t.sort_by(
         [("conv_id", "ascending"), ("turn_idx", "ascending"), ("ts", "ascending"), ("seq", "ascending")]
     )
@@ -211,7 +230,7 @@ def _fold_keyed_cells(
     idx = pa.array(np.arange(n, dtype=np.int64), mask=first)
     before_csv = shifted.take(idx)
 
-    return pa.table(
+    result = pa.table(
         {
             "conv_id": conv,
             "turn_idx": turn,
@@ -223,25 +242,49 @@ def _fold_keyed_cells(
             modified_name: pc.not_equal(kind, "none"),
         }
     )
+    if not with_final_state:
+        return result
+    # cells alive past the key's last row (kill is same-key or _INF, so
+    # >= ends ⇔ never killed) in emission order — the next batch's carry
+    alive_sel = np.flatnonzero(kill >= ends[cell_kid])
+    crit = cell_keyrank[alive_sel] if key_order else alive_sel  # (row,pos) order
+    alive_sel = alive_sel[np.lexsort((crit, cell_kid[alive_sel]))]
+    skid = cell_kid[alive_sel]
+    nkeys = len(starts)
+    soff = np.concatenate(
+        ([0], np.cumsum(np.bincount(skid, minlength=nkeys)))
+    ).astype(np.int32)
+    take = pa.array(alive_sel)
+    state_cols = {
+        "conv_id": conv.take(pa.array(starts)),
+        "turn_idx": turn.take(pa.array(starts)),
+        "elems": pa.ListArray.from_arrays(pa.array(soff, pa.int32()), cell_key.take(take)),
+    }
+    if vals_col is not None:
+        state_cols["vals"] = pa.ListArray.from_arrays(
+            pa.array(soff, pa.int32()), cell_val.take(take)
+        )
+    return result, pa.table(state_cols)
 
 
-def fold_map_element_ops(t: pa.Table) -> pa.Table:
+def fold_map_element_ops(t: pa.Table, with_final_state: bool = False):
     """Map element-op fold (the map half of the reference's non-frozen
     collection scenarios): per row, ``add_keys``/``add_vals`` upsert entries
     (adding an existing key OVERWRITES its cell), ``rem_keys`` delete by key
     (``cdc$deleted_elements``), ``kind='wipe'`` clears earlier entries."""
     if t.num_rows == 0:
-        return _empty_map()
+        return (_empty_map(), _empty_state(True)) if with_final_state else _empty_map()
     return _fold_keyed_cells(
         t,
         add_col="add_keys",
         vals_col="add_vals",
         rem_col="rem_keys",
         modified_name="entries_modified",
+        with_final_state=with_final_state,
     )
 
 
-def fold_set_element_ops(t: pa.Table) -> pa.Table:
+def fold_set_element_ops(t: pa.Table, with_final_state: bool = False):
     """Set element-op fold (the set half of the reference's non-frozen
     collection scenarios, ``ScyllaTypesAllBase`` set add/remove transitions):
     the cell key IS the element, so re-adding an element is idempotent
@@ -250,7 +293,7 @@ def fold_set_element_ops(t: pa.Table) -> pa.Table:
     by element). Same log shape as :func:`fold_element_ops` — only the fold
     semantics differ from the list variant."""
     if t.num_rows == 0:
-        return _empty()
+        return (_empty(), _empty_state(False)) if with_final_state else _empty()
     # same-row duplicate adds are one element in CQL (s + {'x','x'} == {'x'});
     # the overwrite-kill only covers strictly-later rows, so dedupe in-row
     adds = t["add_elems"].combine_chunks().cast(pa.list_(pa.string()))
@@ -275,6 +318,7 @@ def fold_set_element_ops(t: pa.Table) -> pa.Table:
         vals_col=None,
         rem_col="rem_elems",
         modified_name="elems_modified",
+        with_final_state=with_final_state,
     )
 
 
