@@ -1,0 +1,116 @@
+"""Shared micro-batch protocol for the lean streaming runners
+(``DedupStreamRunner``, ``ElementStreamRunner``): file discovery, resume-pin
+checks, the batch loop with manifest commit + state GC + per-batch metrics,
+and the manifest-gated output readers. One definition of the replay-identity
+rules — a pin added here protects every runner.
+
+(The full ``CaptureRunner`` keeps its own loop: it owns watermarks, hot-set
+pinning, schema evolution and window flushing that don't fit this shape.)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from collections.abc import Callable
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..state.checkpoint import Checkpoint, _atomic_write
+
+
+def run_microbatches(
+    ckpt: Checkpoint,
+    log_dir: str,
+    *,
+    pins: dict,
+    process_batch: Callable[[int, list[str]], dict],
+    files_per_batch: int,
+    max_batches: int | None = None,
+    crash_before_commit_at: int | None = None,
+) -> dict:
+    """Consume ``log_dir/*.parquet`` in order, ``files_per_batch`` at a time.
+
+    ``pins`` are replay-identity fields: committed into every manifest and
+    required to match on resume (changing any of them would silently re-cut
+    batch boundaries, remap shards, or change semantics mid-stream).
+    ``process_batch(batch_id, files)`` does the work and returns a flat
+    numeric metrics dict; per-RUN sums are returned, per-STREAM cumulative
+    sums persist in the manifest under ``cum`` (so they survive resume)."""
+    files = sorted(
+        os.path.join(log_dir, f) for f in os.listdir(log_dir) if f.endswith(".parquet")
+    )
+    last = ckpt.last_committed()
+    all_pins = {**pins, "files_per_batch": files_per_batch}
+    for k, mine in all_pins.items():
+        if last is not None and last.get(k) != mine:
+            raise ValueError(
+                f"checkpoint has {k}={last.get(k)!r}, run has {mine!r}: replay "
+                "identity would change — keep it fixed or use a fresh "
+                "checkpoint/sink dir"
+            )
+    consumed = last["consumed_files"] if last else 0
+    next_batch = (last["batch_id"] + 1) if last else 0
+    cum = dict(last.get("cum", {})) if last else {}
+    todo = files[consumed:]
+    batches = [todo[i : i + files_per_batch] for i in range(0, len(todo), files_per_batch)]
+    if max_batches is not None:
+        batches = batches[:max_batches]
+
+    totals: dict = {"batches": 0, "crashed": False}
+    for i, bfiles in enumerate(batches):
+        batch_id = next_batch + i
+        t0 = time.perf_counter()
+        m = process_batch(batch_id, bfiles)
+        for k, v in m.items():
+            totals[k] = totals.get(k, 0) + v
+        if crash_before_commit_at is not None and i >= crash_before_commit_at:
+            totals["crashed"] = True
+            return totals
+        for k, v in m.items():  # cumulative only past the crash point
+            cum[k] = cum.get(k, 0) + v
+        consumed += len(bfiles)
+        ckpt.commit(batch_id, {"consumed_files": consumed, "cum": cum, **all_pins})
+        ckpt.gc_state(keep_batches=2)
+        _atomic_write(
+            os.path.join(ckpt.dir, "metrics", f"batch-{batch_id:06d}.json"),
+            json.dumps(
+                {"batch_id": batch_id, "sec": round(time.perf_counter() - t0, 3), **m},
+                sort_keys=True,
+            ).encode(),
+        )
+        totals["batches"] += 1
+    return totals
+
+
+def read_committed_output(ckpt: Checkpoint, sink_dir: str) -> pa.Table:
+    """Concat the sink files of COMMITTED batches only (a crashed attempt's
+    files for an uncommitted batch are invisible until its replay commits)."""
+    last = ckpt.last_committed()
+    if last is None:
+        raise ValueError("no committed batches")
+    parts = []
+    for b in range(last["batch_id"] + 1):
+        d = os.path.join(sink_dir, f"batch-{b:06d}")
+        if not os.path.isdir(d):
+            continue
+        for f in sorted(os.listdir(d)):
+            if f.endswith(".parquet"):
+                parts.append(pq.read_table(os.path.join(d, f)))
+    return pa.concat_tables(parts) if parts else pa.table({})
+
+
+def read_committed_output_ds(ckpt: Checkpoint, sink_dir: str):
+    import ray.data
+
+    last = ckpt.last_committed()
+    if last is None:
+        raise ValueError("no committed batches")
+    dirs = [
+        os.path.join(sink_dir, f"batch-{b:06d}")
+        for b in range(last["batch_id"] + 1)
+        if os.path.isdir(os.path.join(sink_dir, f"batch-{b:06d}"))
+    ]
+    return ray.data.read_parquet(dirs)

@@ -26,9 +26,7 @@ micro-batch loop to exactly-once and reuses it for corpus dedup.
 
 from __future__ import annotations
 
-import json
 import os
-import time
 
 import numpy as np
 import pandas as pd
@@ -37,7 +35,7 @@ import pyarrow.parquet as pq
 
 import ray.data
 
-from ..state.checkpoint import Checkpoint, _atomic_write
+from ..state.checkpoint import Checkpoint
 
 
 def _hash128(texts: pd.Series) -> tuple[np.ndarray, np.ndarray]:
@@ -100,76 +98,25 @@ class DedupStreamRunner:
         max_batches: int | None = None,
         crash_before_commit_at: int | None = None,
     ) -> dict:
-        files = sorted(
-            os.path.join(self.log_dir, f)
-            for f in os.listdir(self.log_dir)
-            if f.endswith(".parquet")
-        )
-        last = self.ckpt.last_committed()
-        if last is not None and last.get("num_shards") != self.num_shards:
-            raise ValueError(
-                f"checkpoint has num_shards={last.get('num_shards')}, config "
-                f"{self.num_shards}: the hash layout would orphan seen-set "
-                "state — use a fresh checkpoint/sink dir"
-            )
-        if last is not None and last.get("files_per_batch") != files_per_batch:
-            # batch composition is part of the replay identity: resuming with
-            # a different grouping would re-cut batch boundaries, leaving a
-            # crashed attempt's stale shard files inside a committed batch dir
-            raise ValueError(
-                f"checkpoint was written with files_per_batch="
-                f"{last.get('files_per_batch')}, run() got {files_per_batch}: "
-                "replay would not be byte-identical — keep it fixed per "
-                "checkpoint dir"
-            )
-        consumed = last["consumed_files"] if last else 0
-        next_batch = (last["batch_id"] + 1) if last else 0
-        todo = files[consumed:]
-        batches = [
-            todo[i : i + files_per_batch] for i in range(0, len(todo), files_per_batch)
-        ]
-        if max_batches is not None:
-            batches = batches[:max_batches]
+        from ._microbatch import run_microbatches
 
-        totals = {"batches": 0, "rows": 0, "kept": 0, "dups": 0, "crashed": False}
-        for i, bfiles in enumerate(batches):
-            batch_id = next_batch + i
-            t0 = time.perf_counter()
+        def process(batch_id: int, bfiles: list[str]) -> dict:
             stats = self._process_batch(batch_id, bfiles)
-            for r in stats:
-                totals["rows"] += r["n_in"]
-                totals["kept"] += r["n_kept"]
-                totals["dups"] += r["n_in"] - r["n_kept"]
-            if crash_before_commit_at is not None and i >= crash_before_commit_at:
-                totals["crashed"] = True
-                return totals
-            consumed += len(bfiles)
-            self.ckpt.commit(
-                batch_id,
-                {
-                    "consumed_files": consumed,
-                    "num_shards": self.num_shards,
-                    "files_per_batch": files_per_batch,
-                    "rows": totals["rows"],
-                    "kept": totals["kept"],
-                },
-            )
-            self.ckpt.gc_state(keep_batches=2)
-            sec = time.perf_counter() - t0
-            _atomic_write(
-                os.path.join(self.ckpt.dir, "metrics", f"batch-{batch_id:06d}.json"),
-                json.dumps(
-                    {
-                        "batch_id": batch_id,
-                        "rows": sum(r["n_in"] for r in stats),
-                        "kept": sum(r["n_kept"] for r in stats),
-                        "sec": round(sec, 3),
-                    },
-                    sort_keys=True,
-                ).encode(),
-            )
-            totals["batches"] += 1
-        return totals
+            rows = sum(r["n_in"] for r in stats)
+            kept = sum(r["n_kept"] for r in stats)
+            return {"rows": rows, "kept": kept, "dups": rows - kept}
+
+        # shard key is the md5 first word (hashlib) — version-independent, so
+        # no hash_impl pin is needed here (unlike the polars-backed shard_of)
+        return run_microbatches(
+            self.ckpt,
+            self.log_dir,
+            pins={"num_shards": self.num_shards},
+            process_batch=process,
+            files_per_batch=files_per_batch,
+            max_batches=max_batches,
+            crash_before_commit_at=crash_before_commit_at,
+        )
 
     # -------------------------------------------------------------- batches
     def _process_batch(self, batch_id: int, bfiles: list[str]) -> list[dict]:
@@ -247,26 +194,11 @@ class DedupStreamRunner:
 
     # --------------------------------------------------------------- output
     def read_output(self) -> pa.Table:
-        last = self.ckpt.last_committed()
-        if last is None:
-            raise ValueError("no committed batches")
-        parts = []
-        for b in range(last["batch_id"] + 1):
-            d = os.path.join(self.sink_dir, f"batch-{b:06d}")
-            if not os.path.isdir(d):
-                continue
-            for f in sorted(os.listdir(d)):
-                if f.endswith(".parquet"):
-                    parts.append(pq.read_table(os.path.join(d, f)))
-        return pa.concat_tables(parts) if parts else pa.table({})
+        from ._microbatch import read_committed_output
+
+        return read_committed_output(self.ckpt, self.sink_dir)
 
     def read_output_ds(self) -> ray.data.Dataset:
-        last = self.ckpt.last_committed()
-        if last is None:
-            raise ValueError("no committed batches")
-        dirs = [
-            os.path.join(self.sink_dir, f"batch-{b:06d}")
-            for b in range(last["batch_id"] + 1)
-            if os.path.isdir(os.path.join(self.sink_dir, f"batch-{b:06d}"))
-        ]
-        return ray.data.read_parquet(dirs)
+        from ._microbatch import read_committed_output_ds
+
+        return read_committed_output_ds(self.ckpt, self.sink_dir)

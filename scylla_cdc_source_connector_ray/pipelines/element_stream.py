@@ -16,8 +16,12 @@ Ordering contract: the log must be (ts, seq)-ordered across window files per
 key — the same in-order contract as the capture runner's windowed layout.
 
 Scale shape: rows exchange once per batch on the key shard (same
-``with_shard`` hash as batch capture); state I/O per shard ∝ its keys' LIVE
-cells only (killed cells leave the state). Exactly-once: deterministic
+``with_shard`` hash as batch capture). State holds one row per key ever seen
+(live cells only per key — killed cells leave it; an empty row is
+load-bearing for the empty-vs-null pre-image distinction), but only keys
+with rows in the CURRENT batch are replayed as seeds (state semi-join), so
+per-batch fold cost is proportional to the batch's keys, not the stream's
+total key count. Exactly-once: deterministic
 per-(batch, shard) sink files + manifest-gated ``read_output``, replay
 regenerates both state and output byte-identically (``Checkpoint``
 primitives shared with ``CaptureRunner`` / ``DedupStreamRunner``).
@@ -25,9 +29,7 @@ primitives shared with ``CaptureRunner`` / ``DedupStreamRunner``).
 
 from __future__ import annotations
 
-import json
 import os
-import time
 
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -35,7 +37,7 @@ import pyarrow.parquet as pq
 
 import ray.data
 
-from ..state.checkpoint import Checkpoint, _atomic_write
+from ..state.checkpoint import Checkpoint
 
 #: sorts before any real event's timestamp (timestamp[us] int64 range)
 _SEED_TS_US = -(2**62)
@@ -73,65 +75,29 @@ class ElementStreamRunner:
         max_batches: int | None = None,
         crash_before_commit_at: int | None = None,
     ) -> dict:
-        files = sorted(
-            os.path.join(self.log_dir, f)
-            for f in os.listdir(self.log_dir)
-            if f.endswith(".parquet")
-        )
-        last = self.ckpt.last_committed()
-        for pin, mine in (
-            ("num_shards", self.num_shards),
-            ("collection", self.collection),
-            ("files_per_batch", files_per_batch),
-        ):
-            if last is not None and last.get(pin) != mine:
-                raise ValueError(
-                    f"checkpoint has {pin}={last.get(pin)!r}, run has {mine!r}: "
-                    "replay identity would change — use a fresh checkpoint dir"
-                )
-        consumed = last["consumed_files"] if last else 0
-        next_batch = (last["batch_id"] + 1) if last else 0
-        todo = files[consumed:]
-        batches = [
-            todo[i : i + files_per_batch] for i in range(0, len(todo), files_per_batch)
-        ]
-        if max_batches is not None:
-            batches = batches[:max_batches]
+        from ..state.checkpoint import current_hash_impl
+        from ._microbatch import run_microbatches
 
-        totals = {"batches": 0, "events": 0, "crashed": False}
-        for i, bfiles in enumerate(batches):
-            batch_id = next_batch + i
-            t0 = time.perf_counter()
+        def process(batch_id: int, bfiles: list[str]) -> dict:
             stats = self._process_batch(batch_id, bfiles)
-            totals["events"] += sum(r["n_events"] for r in stats)
-            if crash_before_commit_at is not None and i >= crash_before_commit_at:
-                totals["crashed"] = True
-                return totals
-            consumed += len(bfiles)
-            self.ckpt.commit(
-                batch_id,
-                {
-                    "consumed_files": consumed,
-                    "num_shards": self.num_shards,
-                    "collection": self.collection,
-                    "files_per_batch": files_per_batch,
-                    "events": totals["events"],
-                },
-            )
-            self.ckpt.gc_state(keep_batches=2)
-            _atomic_write(
-                os.path.join(self.ckpt.dir, "metrics", f"batch-{batch_id:06d}.json"),
-                json.dumps(
-                    {
-                        "batch_id": batch_id,
-                        "events": sum(r["n_events"] for r in stats),
-                        "sec": round(time.perf_counter() - t0, 3),
-                    },
-                    sort_keys=True,
-                ).encode(),
-            )
-            totals["batches"] += 1
-        return totals
+            return {"events": sum(r["n_events"] for r in stats)}
+
+        return run_microbatches(
+            self.ckpt,
+            self.log_dir,
+            pins={
+                "num_shards": self.num_shards,
+                "collection": self.collection,
+                # with_shard hashes conv_id via the polars-backed shard_of: a
+                # polars upgrade could remap keys and orphan their carry state
+                # (same guard CaptureRunner carries) — pin the hash identity
+                "hash_impl": current_hash_impl(),
+            },
+            process_batch=process,
+            files_per_batch=files_per_batch,
+            max_batches=max_batches,
+            crash_before_commit_at=crash_before_commit_at,
+        )
 
     # -------------------------------------------------------------- internal
     def _process_batch(self, batch_id: int, bfiles: list[str]) -> list[dict]:
@@ -151,13 +117,38 @@ class ElementStreamRunner:
             t = decode_nested(t.drop_columns(["shard"]))
             ck = Checkpoint(ckpt_dir)
             prev = ck.latest_state_path(shard, before_batch=batch_id, kind="estate")
+            untouched = None
             if prev is not None:
                 st = pq.read_table(prev)
-                seeds = _seed_rows(st, in_schema, add_col, vals_col, rem_col)
+                # only keys with rows in THIS batch need seed replay — the
+                # rest of the state carries through untouched, so per-batch
+                # fold cost is proportional to the batch's keys, not every
+                # key ever seen
+                bkeys = _key_strings(t).unique()
+                touched_mask = pc.is_in(_key_strings(st), value_set=bkeys)
+                touched = st.filter(touched_mask)
+                untouched = st.filter(pc.invert(touched_mask))
+                seeds = _seed_rows(touched, in_schema, add_col, vals_col, rem_col)
                 t = pa.concat_tables([seeds, t], promote_options="permissive")
             events, state = fold(t, with_final_state=True)
             real = pc.not_equal(events["kind"], "seed")
             out = events.filter(real)
+            # the seed concat can promote string->large_string in some
+            # batches but not others; pin one sink schema so read_output's
+            # concat never sees mixed widths
+            out = out.cast(
+                pa.schema(
+                    [
+                        pa.field(
+                            f.name,
+                            pa.string() if pa.types.is_large_string(f.type) else f.type,
+                        )
+                        for f in out.schema
+                    ]
+                )
+            )
+            if untouched is not None and untouched.num_rows:
+                state = pa.concat_tables([state, untouched], promote_options="permissive")
             ck.write_state(shard, batch_id, state, kind="estate")
             d = os.path.join(sink_dir, f"batch-{batch_id:06d}")
             os.makedirs(d, exist_ok=True)
@@ -176,18 +167,18 @@ class ElementStreamRunner:
 
     # --------------------------------------------------------------- output
     def read_output(self) -> pa.Table:
-        last = self.ckpt.last_committed()
-        if last is None:
-            raise ValueError("no committed batches")
-        parts = []
-        for b in range(last["batch_id"] + 1):
-            d = os.path.join(self.sink_dir, f"batch-{b:06d}")
-            if not os.path.isdir(d):
-                continue
-            for f in sorted(os.listdir(d)):
-                if f.endswith(".parquet"):
-                    parts.append(pq.read_table(os.path.join(d, f)))
-        return pa.concat_tables(parts) if parts else pa.table({})
+        from ._microbatch import read_committed_output
+
+        return read_committed_output(self.ckpt, self.sink_dir)
+
+
+def _key_strings(t: pa.Table) -> pa.Array:
+    """(conv_id, turn_idx) as one string key for the state semi-join."""
+    return pc.binary_join_element_wise(
+        t["conv_id"].combine_chunks().cast(pa.string()),
+        t["turn_idx"].combine_chunks().cast(pa.string()),
+        "\x1f",
+    )
 
 
 def _seed_rows(

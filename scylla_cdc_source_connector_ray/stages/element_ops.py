@@ -132,7 +132,7 @@ def _fold_keyed_cells(
     overwrite_kills: bool = True,
     key_order: bool = True,
     with_final_state: bool = False,
-) -> pa.Table:
+) -> pa.Table | tuple[pa.Table, pa.Table]:
     """Shared cell fold behind ALL three element-op variants: each added
     element is a *cell* identified by its (map key | set element | list
     value); ``rem_col`` kills by that identity (``cdc$deleted_elements``),

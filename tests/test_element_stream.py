@@ -166,3 +166,32 @@ def test_collection_change_is_rejected(tmp_path):
     _run(tmp, log, "list")
     with pytest.raises(ValueError, match="collection"):
         _run(tmp, log, "set")
+
+
+def test_cumulative_events_survive_resume(tmp_path):
+    import json
+
+    t = _list_log([(f"c{i}", i, 10 * i, i, "add", [f"e{i}"], []) for i in range(8)])
+    tmp = str(tmp_path)
+    log = _write_windows(tmp, t, n_files=4)
+    r = _run(tmp, log, "list", files_per_batch=1, max_batches=2)
+    r2 = _run(tmp, log, "list", files_per_batch=1)  # resume, 2 more batches
+    last = r2.ckpt.last_committed()
+    assert last["cum"]["events"] == 8  # stream total, not count-since-resume
+
+
+def test_hash_impl_pin_rejects_mismatch(tmp_path):
+    import glob
+    import json
+
+    t = _list_log([("c", 0, 1, 0, "add", ["x"], [])])
+    tmp = str(tmp_path)
+    log = _write_windows(tmp, t, n_files=1)
+    r = _run(tmp, log, "list")
+    # simulate a polars upgrade: rewrite the committed manifest's hash pin
+    [mf] = glob.glob(os.path.join(tmp, "r", "ckpt", "manifest", "*.json"))
+    m = json.load(open(mf))
+    m["hash_impl"] = "polars-0.0.0"
+    open(mf, "w").write(json.dumps(m))
+    with pytest.raises(ValueError, match="hash_impl"):
+        _run(tmp, log, "list")
