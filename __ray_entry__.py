@@ -188,6 +188,31 @@ def _q_join_conv_state_salted(sf_dir: str):
     )
 
 
+def _q_top_turns_per_conv(sf_dir: str):
+    """Grouped top-k: the 2 longest turns per conversation — per-batch
+    partial top-k prune, one keyed exchange of at most k rows per
+    (key, batch), per-group rank finisher."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from scylla_cdc_source_connector_ray.stages.topk import top_k_per_group
+
+    ds = cap.read_transcripts_from_events(sf_dir)
+
+    def with_chars(t: pa.Table) -> pa.Table:
+        n = pc.fill_null(pc.utf8_length(t["text"].combine_chunks()), 0).cast(pa.int64())
+        return t.append_column("n_chars", n)
+
+    out = top_k_per_group(
+        ds.map_batches(with_chars, batch_format="pyarrow"),
+        keys=["conv_id"],
+        value_col="n_chars",
+        k=2,
+        tiebreak=["turn_idx", "seq"],
+    )
+    return out.select_columns(["conv_id", "turn_idx", "seq", "n_chars", "rank"])
+
+
 def _q_join_conv_state(sf_dir: str):
     from scylla_cdc_source_connector_ray.stages.join import conv_state_features
 
@@ -1163,6 +1188,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_capture_collections": _q_cdc_capture_collections,
         "q1_pricing_summary": _q_relational("q1_pricing_summary"),
         "nation_revenue": _q_relational("nation_revenue"),
+        "top_turns_per_conv": _q_top_turns_per_conv,
         "top_orders": _q_relational("top_orders"),
         "segment_stats": _q_relational("segment_stats"),
         "event_type_stats": _q_relational("event_type_stats"),
@@ -1228,6 +1254,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_capture_collections": oracles.CDC_CAPTURE_COLLECTIONS,
         "q1_pricing_summary": oracles.Q1_PRICING,
         "nation_revenue": oracles.NATION_REVENUE,
+        "top_turns_per_conv": oracles.TOP_TURNS_PER_CONV,
         "top_orders": oracles.TOP_ORDERS,
         "segment_stats": oracles.SEGMENT_STATS,
         "event_type_stats": oracles.EVENT_TYPE_STATS,

@@ -222,9 +222,52 @@ def cmd_dedup_stream(args) -> int:
     return 0
 
 
+def cmd_element_stream(args) -> int:
+    """Streaming element-level collection capture (list/set/map element-op
+    folds with cross-batch live-cell carry; pipelines/element_stream.py)."""
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=args.num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    from .pipelines.element_stream import ElementStreamRunner
+
+    runner = ElementStreamRunner(
+        args.log_dir,
+        num_shards=args.num_shards,
+        sink_dir=args.out,
+        checkpoint_dir=args.checkpoint,
+        collection=args.collection,
+    )
+    totals = runner.run(
+        files_per_batch=args.files_per_batch, max_batches=args.max_batches
+    )
+    print(json.dumps({"ok": True, **totals, "out": args.out, "checkpoint": args.checkpoint}))
+    ray.shutdown()
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="scylla_cdc_source_connector_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
+    ep = sub.add_parser("element-stream", help="streaming element-level collection capture")
+    ep.add_argument("--log-dir", required=True)
+    ep.add_argument("--out", default="/tmp/scylla_cdc_ray/element_out")
+    ep.add_argument("--checkpoint", default="/tmp/scylla_cdc_ray/element_ckpt")
+    ep.add_argument("--num-shards", type=int, default=64)
+    ep.add_argument("--num-cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
+    ep.add_argument("--files-per-batch", type=int, default=4)
+    ep.add_argument("--max-batches", type=int, default=None)
+    ep.add_argument("--collection", choices=("list", "set", "map"), default="list")
+    ep.set_defaults(fn=cmd_element_stream)
     dp = sub.add_parser("dedup-stream", help="streaming first-occurrence text dedup")
     dp.add_argument("--log-dir", required=True)
     dp.add_argument("--out", default="/tmp/scylla_cdc_ray/dedup_out")

@@ -341,6 +341,22 @@ SELECT event_type, count(*) AS n,
 FROM events GROUP BY event_type
 """
 
+#: per-conversation top-k turns by text length (deterministic total order:
+#: n_chars desc, turn_idx, seq) — grouped top-k operator gate
+TOP_TURNS_PER_CONV = f"""
+WITH transcripts AS ({TRANSCRIPTS_SQL}),
+r AS (
+    SELECT conv_id, turn_idx, seq,
+           CAST(coalesce(length(text), 0) AS BIGINT) AS n_chars,
+           row_number() OVER (
+               PARTITION BY conv_id
+               ORDER BY coalesce(length(text), 0) DESC, turn_idx, seq) AS rank
+    FROM transcripts)
+SELECT conv_id, turn_idx, seq, n_chars, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= 2
+"""
+
+
 # --- training-data ops -------------------------------------------------------
 
 def _text_stats_sql() -> str:

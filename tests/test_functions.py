@@ -375,3 +375,34 @@ def test_embedding_lsh_recall_in_design_regime():
     got = set(map(tuple, out[["a", "b"]].values.tolist()))
     planted = {(i, i + 60) for i in range(60)}
     assert len(got & planted) >= 54  # ≥90% recall on planted near-identicals
+
+
+def test_top_k_per_group_matches_pandas():
+    from scylla_cdc_source_connector_ray.stages.topk import top_k_per_group
+
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame(
+        {
+            "g": rng.integers(0, 7, 300).astype(np.int64),
+            "sub": rng.integers(0, 2, 300).astype(np.int64),
+            "v": rng.integers(0, 50, 300).astype(np.int64),
+            "uid": np.arange(300, dtype=np.int64),
+        }
+    )
+    out = top_k_per_group(
+        ray.data.from_pandas(df).repartition(6),
+        keys=["g", "sub"],
+        value_col="v",
+        k=3,
+        tiebreak=["uid"],
+    ).to_pandas()
+    want = (
+        df.sort_values(["g", "sub", "v", "uid"], ascending=[True, True, False, True])
+        .groupby(["g", "sub"])
+        .head(3)
+    )
+    got = out.sort_values(["g", "sub", "rank"]).reset_index(drop=True)
+    assert len(got) == len(want)
+    w = want.sort_values(["g", "sub", "v", "uid"], ascending=[True, True, False, True])
+    assert got["uid"].tolist() == w["uid"].tolist()
+    assert got["rank"].max() <= 3 and got["rank"].min() == 1
