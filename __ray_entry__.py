@@ -1192,6 +1192,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_orders": _q_relational("top_orders"),
         "segment_stats": _q_relational("segment_stats"),
         "event_type_stats": _q_relational("event_type_stats"),
+        "event_value_quantiles": _q_relational("event_value_quantiles"),
         "part_type_stats": _q_relational("part_type_stats"),
         "supplier_nation_join": _q_relational("supplier_nation_join"),
         "order_priority_revenue": _q_relational("order_priority_revenue"),
@@ -1258,6 +1259,7 @@ def oracle_sql() -> dict[str, str]:
         "top_orders": oracles.TOP_ORDERS,
         "segment_stats": oracles.SEGMENT_STATS,
         "event_type_stats": oracles.EVENT_TYPE_STATS,
+        "event_value_quantiles": oracles.EVENT_VALUE_QUANTILES,
         "part_type_stats": oracles.PART_TYPE_STATS,
         "supplier_nation_join": oracles.SUPPLIER_NATION_JOIN,
         "order_priority_revenue": oracles.ORDER_PRIORITY_REVENUE,

@@ -357,6 +357,27 @@ FROM r WHERE rank <= 2
 """
 
 
+#: exact grouped order statistics: shared index convention (n-1)*q // 100 on
+#: the ascending micro-scaled values — no library interpolation on either side
+EVENT_VALUE_QUANTILES = """
+WITH v AS (
+    SELECT event_type, CAST(floor(value * 1000000) AS BIGINT) AS vm
+    FROM events WHERE value IS NOT NULL
+),
+r AS (
+    SELECT event_type, vm,
+           row_number() OVER (PARTITION BY event_type ORDER BY vm) - 1 AS i,
+           count(*) OVER (PARTITION BY event_type) AS n
+    FROM v
+)
+SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+       max(CASE WHEN i = (n - 1) * 25 // 100 THEN vm END) AS p25,
+       max(CASE WHEN i = (n - 1) * 50 // 100 THEN vm END) AS p50,
+       max(CASE WHEN i = (n - 1) * 95 // 100 THEN vm END) AS p95
+FROM r GROUP BY event_type
+"""
+
+
 # --- training-data ops -------------------------------------------------------
 
 def _text_stats_sql() -> str:

@@ -194,6 +194,32 @@ def event_type_stats(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def event_value_quantiles(sf_dir: str) -> ray.data.Dataset:
+    """Exact per-event-type value quantiles (p25/p50/p95 of the micro-scaled
+    value) — §2.5 grouped aggregation beyond sums: only (key, value_micro)
+    pairs shuffle; per-group numpy sort computes the exact order statistics
+    (shared index convention with the SQL twin)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..stages.topk import grouped_quantiles
+
+    ev = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def micro(t: pa.Table) -> pa.Table:
+        v = t["value"].combine_chunks().to_numpy(zero_copy_only=False)
+        vm = pa.array(
+            np.floor(v * 1_000_000), pa.int64(), from_pandas=True  # NaN -> null
+        )
+        return pa.table({"event_type": t["event_type"], "value_micro": vm})
+
+    return grouped_quantiles(
+        ev.map_batches(micro, batch_format="pyarrow"),
+        keys=["event_type"],
+        value_col="value_micro",
+    )
+
+
 def part_type_stats(sf_dir: str) -> ray.data.Dataset:
     """Filter + grouped stats on part (LIKE-filter pushed into the batch fn)."""
     ds = _read(sf_dir, "part", columns=["p_type", "p_size", "p_retailprice"])

@@ -406,3 +406,28 @@ def test_top_k_per_group_matches_pandas():
     w = want.sort_values(["g", "sub", "v", "uid"], ascending=[True, True, False, True])
     assert got["uid"].tolist() == w["uid"].tolist()
     assert got["rank"].max() <= 3 and got["rank"].min() == 1
+
+
+def test_grouped_quantiles_matches_numpy():
+    from scylla_cdc_source_connector_ray.stages.topk import grouped_quantiles
+
+    rng = np.random.default_rng(9)
+    df = pd.DataFrame(
+        {
+            "g": rng.integers(0, 5, 400).astype(np.int64),
+            "v": rng.integers(-100, 100, 400).astype(np.int64),
+        }
+    )
+    df.loc[df.index % 17 == 0, "v"] = None  # nulls dropped
+    out = (
+        grouped_quantiles(ray.data.from_pandas(df).repartition(5), ["g"], "v")
+        .to_pandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    for _, row in out.iterrows():
+        vals = np.sort(df[(df["g"] == row["g"]) & df["v"].notna()]["v"].to_numpy(dtype=np.int64))
+        n = len(vals)
+        assert row["n"] == n
+        for q in (25, 50, 95):
+            assert row[f"p{q}"] == vals[(n - 1) * q // 100]
