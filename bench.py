@@ -236,6 +236,38 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
             lambda: minhash_lsh_dedup(ray.data.read_parquet(docs_path), threshold=0.7).count(),
         )
 
+    # streaming first-occurrence dedup over 2 transcript-log windows (~1/4 of
+    # the corpus): exercises the checkpointed seen-set runner at real volume
+    # (the documents table is tiny at every sf)
+    from scylla_cdc_source_connector_ray.pipelines.dedup_stream import (
+        DedupStreamRunner,
+    )
+
+    dstream_files = sorted(
+        f for f in os.listdir(log_dir) if f.endswith(".parquet")
+    )[:2]
+    if dstream_files:
+        dlog = f"{scratch}/dstream_log"
+        os.makedirs(dlog, exist_ok=True)
+        for f in dstream_files:
+            dst = os.path.join(dlog, f)
+            if not os.path.exists(dst):
+                os.symlink(os.path.join(log_dir, f), dst)
+
+        def _dedup_stream():
+            base = f"{scratch}/dstream_run"
+            shutil.rmtree(base, ignore_errors=True)
+            DedupStreamRunner(
+                dlog,
+                num_shards=num_shards,
+                sink_dir=f"{base}/out",
+                checkpoint_dir=f"{base}/ckpt",
+                text_col="text",
+                order_col="seq",
+            ).run(files_per_batch=1)
+
+        timed("dedup_stream_transcripts", _dedup_stream)
+
     if os.path.exists(emb_path):
         qdf = ray.data.read_parquet(emb_path).limit(16).to_pandas()
         timed(

@@ -184,6 +184,11 @@ class DedupStreamRunner:
             )
 
         ds = ray.data.read_parquet(bfiles, override_num_blocks=2 * num_shards)
+        # a batch of few files (or single-row-group files) cannot split at
+        # read time, which would fuse the hash stage onto one core —
+        # shuffle-FREE repartition slices the blocks so normalization+md5
+        # parallelize before the one keyed exchange
+        ds = ds.repartition(2 * num_shards, shuffle=False)
         stats = (
             ds.map_batches(add_hash, batch_format="pandas")
             .groupby("_shard")

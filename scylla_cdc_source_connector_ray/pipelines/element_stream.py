@@ -156,6 +156,9 @@ class ElementStreamRunner:
             return pa.table({"shard": [shard], "n_events": [out.num_rows]})
 
         ds = ray.data.read_parquet(bfiles, override_num_blocks=2 * num_shards)
+        # single-row-group window files can't split at read time — slice the
+        # blocks (no shuffle) so the encode+shard stage parallelizes
+        ds = ds.repartition(2 * num_shards, shuffle=False)
         sharded = ds.map_batches(
             lambda b: encode_nested(with_shard(b, num_shards)), batch_format="pyarrow"
         )
