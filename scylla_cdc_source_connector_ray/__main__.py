@@ -124,7 +124,9 @@ def cmd_validate(args) -> int:
     return 0 if not problems else 1
 
 
-def cmd_run(args) -> int:
+def _init_ray(args) -> None:
+    """One definition of the CLI Ray-session setup (the init tweaks must not
+    drift between subcommands — they did once: use_polars_sort)."""
     import ray
 
     if not ray.is_initialized():
@@ -139,6 +141,12 @@ def cmd_run(args) -> int:
 
     DataContext.get_current().enable_progress_bars = False
     DataContext.get_current().use_polars_sort = True
+
+
+def cmd_run(args) -> int:
+    import ray
+
+    _init_ray(args)
     from .pipelines.runner import CaptureRunner
 
     cfg = _build_cfg(args)
@@ -168,18 +176,7 @@ def cmd_ingest(args) -> int:
     distributed keyed exchange; afterwards every run is shuffle-free)."""
     import ray
 
-    if not ray.is_initialized():
-        ray.init(
-            address="local",
-            num_cpus=args.num_cpus,
-            include_dashboard=False,
-            ignore_reinit_error=True,
-            logging_level="ERROR",
-        )
-    from ray.data import DataContext
-
-    DataContext.get_current().enable_progress_bars = False
-    DataContext.get_current().use_polars_sort = True
+    _init_ray(args)
     from .sources.ingest import bucketize
 
     counts = bucketize(args.log_dir, args.out, args.num_shards)
@@ -193,17 +190,7 @@ def cmd_dedup_stream(args) -> int:
     (checkpointed seen-set, exactly-once; see pipelines/dedup_stream.py)."""
     import ray
 
-    if not ray.is_initialized():
-        ray.init(
-            address="local",
-            num_cpus=args.num_cpus,
-            include_dashboard=False,
-            ignore_reinit_error=True,
-            logging_level="ERROR",
-        )
-    from ray.data import DataContext
-
-    DataContext.get_current().enable_progress_bars = False
+    _init_ray(args)
     from .pipelines.dedup_stream import DedupStreamRunner
 
     runner = DedupStreamRunner(
@@ -227,17 +214,7 @@ def cmd_element_stream(args) -> int:
     folds with cross-batch live-cell carry; pipelines/element_stream.py)."""
     import ray
 
-    if not ray.is_initialized():
-        ray.init(
-            address="local",
-            num_cpus=args.num_cpus,
-            include_dashboard=False,
-            ignore_reinit_error=True,
-            logging_level="ERROR",
-        )
-    from ray.data import DataContext
-
-    DataContext.get_current().enable_progress_bars = False
+    _init_ray(args)
     from .pipelines.element_stream import ElementStreamRunner
 
     runner = ElementStreamRunner(

@@ -127,6 +127,13 @@ FROM c
         return batch.append_column("lang_pred", pa.array(pred, pa.string()))
 
 
+#: Replay-identity version of the normalization below. Bump whenever the
+#: normalization semantics change (e.g. the Python-re unicode-\s → RE2
+#: ASCII-\s swap): streaming runners pin this into their checkpoint manifest
+#: so a stale checkpoint fails loudly instead of re-admitting seen docs.
+NORM_IMPL = "re2-ascii-ws-v2"
+
+
 def md5_normalized(texts: pd.Series) -> list[str]:
     """THE oracle normalization (one definition for fingerprint + dedup):
     collapse whitespace, lower, strip, md5 — matches the DuckDB

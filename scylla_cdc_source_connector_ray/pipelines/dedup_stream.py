@@ -106,12 +106,16 @@ class DedupStreamRunner:
             kept = sum(r["n_kept"] for r in stats)
             return {"rows": rows, "kept": kept, "dups": rows - kept}
 
-        # shard key is the md5 first word (hashlib) — version-independent, so
-        # no hash_impl pin is needed here (unlike the polars-backed shard_of)
+        # shard key is the md5 first word (hashlib) — version-independent —
+        # but the NORMALIZATION feeding the md5 is not: pin its version so a
+        # checkpoint written under different \s semantics fails loudly
+        # instead of silently re-admitting previously-seen docs.
+        from ..functions.textops import NORM_IMPL
+
         return run_microbatches(
             self.ckpt,
             self.log_dir,
-            pins={"num_shards": self.num_shards},
+            pins={"num_shards": self.num_shards, "norm_impl": NORM_IMPL},
             process_batch=process,
             files_per_batch=files_per_batch,
             max_batches=max_batches,

@@ -33,17 +33,22 @@ def _rank_in_key(
         + [(c, "ascending") for c in tiebreak]
     )
     t = t.sort_by(order)
-    comb = t[keys[0]].combine_chunks().cast(pa.string())
-    for c in keys[1:]:
-        comb = pc.binary_join_element_wise(
-            comb, t[c].combine_chunks().cast(pa.string()), "\x1f"
-        )
-    arr = comb.to_numpy(zero_copy_only=False)
-    first = np.ones(len(arr), dtype=bool)
-    first[1:] = arr[1:] != arr[:-1]
+    n = t.num_rows
+    # Per-column null-safe boundary detection (never a joined composite
+    # string: a NULL in any key column would null the join and merge distinct
+    # groups, and a separator char inside a string key would collide them).
+    first = np.zeros(n, dtype=bool)
+    if n:
+        first[0] = True
+    for c in keys:
+        a = t[c].combine_chunks()
+        cur, prev = a.slice(1), a.slice(0, n - 1)
+        neq = pc.fill_null(pc.not_equal(cur, prev), False)
+        vdiff = pc.xor(pc.is_null(cur), pc.is_null(prev))
+        first[1:] |= pc.or_(neq, vdiff).to_numpy(zero_copy_only=False)
     run_id = np.cumsum(first) - 1
     starts = np.flatnonzero(first)
-    pos = np.arange(len(arr), dtype=np.int64) - starts[run_id]
+    pos = np.arange(n, dtype=np.int64) - starts[run_id]
     return t, pos
 
 

@@ -98,6 +98,23 @@ def test_num_shards_change_is_rejected(tmp_path):
         other.run()
 
 
+def test_norm_impl_change_is_rejected(tmp_path, monkeypatch):
+    """A checkpoint written under different text-normalization semantics must
+    fail loudly on resume (the seen-set hashes would no longer match new
+    batches' hashes, silently re-admitting previously-seen docs)."""
+    tmp = str(tmp_path)
+    log = _write_log(tmp, [_mk([0], ["x"]), _mk([1], ["y"])])
+    _runner(tmp, log).run(files_per_batch=1, max_batches=1)
+
+    from scylla_cdc_source_connector_ray.functions import textops
+
+    monkeypatch.setattr(textops, "NORM_IMPL", "python-re-unicode-ws-v1")
+    import pytest
+
+    with pytest.raises(ValueError, match="norm_impl"):
+        _runner(tmp, log).run(files_per_batch=1)
+
+
 def test_seen_state_is_gc_pruned(tmp_path):
     tmp = str(tmp_path)
     log = _write_log(tmp, [_mk([i], [f"t{i}"]) for i in range(5)])

@@ -408,6 +408,37 @@ def test_top_k_per_group_matches_pandas():
     assert got["rank"].max() <= 3 and got["rank"].min() == 1
 
 
+def test_top_k_per_group_null_and_separator_keys():
+    """Regression: run detection must be per-column null-safe — a NULL in any
+    key column (joined-string nulls the composite) or a \\x1f inside a string
+    key (non-injective join) used to merge adjacent distinct groups and drop
+    whole groups from the partial prune."""
+    from scylla_cdc_source_connector_ray.stages.topk import top_k_per_group
+
+    df = pd.DataFrame(
+        {
+            "g": ["a", "b", "a\x1fb", "a", "a", None],
+            "sub": [None, None, "c", "b\x1fc", "b\x1fc", None],
+            "v": [10, 99, 10, 99, 5, 7],
+            "uid": [0, 1, 2, 3, 4, 5],
+        }
+    )
+    out = (
+        top_k_per_group(
+            ray.data.from_pandas(df).repartition(2),
+            keys=["g", "sub"],
+            value_col="v",
+            k=1,
+            tiebreak=["uid"],
+        )
+        .to_pandas()
+        .sort_values("uid")
+    )
+    # five distinct (g, sub) groups -> five rank-1 rows
+    assert sorted(out["uid"].tolist()) == [0, 1, 2, 3, 5]
+    assert (out["rank"] == 1).all()
+
+
 def test_grouped_quantiles_matches_numpy():
     from scylla_cdc_source_connector_ray.stages.topk import grouped_quantiles
 
