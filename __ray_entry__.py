@@ -1149,6 +1149,73 @@ def _q_multimodal_resize_dims(sf_dir: str):
     return out.map_batches(dims, batch_format="pyarrow")
 
 
+def _q_cep_pattern_match(sf_dir: str):
+    """CEP: count + extract occurrences of the 'user, tool+, assistant'
+    pattern over each conversation's ordered role-symbol sequence (one keyed
+    exchange, RE2 over #conversations strings — stages/cep.py)."""
+    from scylla_cdc_source_connector_ray.stages import cep
+
+    ds = cap.read_transcripts_from_events(
+        sf_dir, columns=["conv_id", "role", "ts", "seq"]
+    )
+
+    def syms(t):
+        return t.append_column("sym", cep.role_symbols(t["role"])).drop_columns(["role"])
+
+    ds = ds.map_batches(syms, batch_format="pyarrow")
+    return cep.match_pattern(
+        ds, oracles.CEP_PATTERN, keys=["conv_id"], num_shards=_CFG.num_shards
+    )
+
+
+def _q_cep_stream_pattern(sf_dir: str):
+    """Streaming CEP through the CHECKPOINTED micro-batch runner: literal
+    'uta' counted per conversation with the exact cross-batch suffix carry
+    (pipelines/cep_stream.py); 4 ts-ordered window files consumed one per
+    batch so every carry path is exercised. The oracle is the global
+    string_split count — micro-batching must never change the totals."""
+    import hashlib
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from scylla_cdc_source_connector_ray.pipelines.cep_stream import CepStreamRunner
+    from scylla_cdc_source_connector_ray.sources.events_adapter import (
+        events_to_transcripts,
+    )
+
+    ev = pq.read_table(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "event_id", "event_type", "ts"],
+    )
+    t = events_to_transcripts(ev, columns=["conv_id", "role", "ts", "seq"]).sort_by(
+        [("ts", "ascending"), ("seq", "ascending")]
+    )
+    base = os.path.join(
+        "/tmp/scylla_cdc_cep_stream",
+        hashlib.md5(sf_dir.encode()).hexdigest()[:12] + f"-{os.getpid()}",
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    log = os.path.join(base, "log")
+    os.makedirs(log)
+    n, nf = t.num_rows, 4
+    for i in range(nf):  # ts-ordered windows: in-order log
+        lo, hi = i * n // nf, (i + 1) * n // nf
+        pq.write_table(t.slice(lo, hi - lo), os.path.join(log, f"window-{i:05d}.parquet"))
+    runner = CepStreamRunner(
+        log,
+        num_shards=8,
+        checkpoint_dir=os.path.join(base, "ckpt"),
+        literal=oracles.CEP_STREAM_LITERAL,
+    )
+    try:
+        runner.run(files_per_batch=1)
+        return runner.read_counts()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "cdc_capture_flat": _q_cdc_capture_flat,
@@ -1189,6 +1256,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q1_pricing_summary": _q_relational("q1_pricing_summary"),
         "nation_revenue": _q_relational("nation_revenue"),
         "top_turns_per_conv": _q_top_turns_per_conv,
+        "cep_pattern_match": _q_cep_pattern_match,
+        "cep_stream_pattern": _q_cep_stream_pattern,
         "top_orders": _q_relational("top_orders"),
         "segment_stats": _q_relational("segment_stats"),
         "event_type_stats": _q_relational("event_type_stats"),
@@ -1256,6 +1325,8 @@ def oracle_sql() -> dict[str, str]:
         "q1_pricing_summary": oracles.Q1_PRICING,
         "nation_revenue": oracles.NATION_REVENUE,
         "top_turns_per_conv": oracles.TOP_TURNS_PER_CONV,
+        "cep_pattern_match": oracles.CEP_PATTERN_MATCH,
+        "cep_stream_pattern": oracles.CEP_STREAM_PATTERN,
         "top_orders": oracles.TOP_ORDERS,
         "segment_stats": oracles.SEGMENT_STATS,
         "event_type_stats": oracles.EVENT_TYPE_STATS,

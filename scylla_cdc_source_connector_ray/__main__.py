@@ -232,6 +232,30 @@ def cmd_element_stream(args) -> int:
     return 0
 
 
+def cmd_cep_stream(args) -> int:
+    """Streaming CEP literal-pattern counting (per-conversation counts with
+    cross-batch carry; pipelines/cep_stream.py)."""
+    import ray
+
+    _init_ray(args)
+    from .pipelines.cep_stream import CepStreamRunner
+
+    runner = CepStreamRunner(
+        args.log_dir,
+        num_shards=args.num_shards,
+        checkpoint_dir=args.checkpoint,
+        literal=args.pattern,
+        key_col=args.key_col,
+        role_col=args.role_col,
+    )
+    totals = runner.run(
+        files_per_batch=args.files_per_batch, max_batches=args.max_batches
+    )
+    print(json.dumps({"ok": True, **totals, "checkpoint": args.checkpoint}))
+    ray.shutdown()
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="scylla_cdc_source_connector_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -256,6 +280,17 @@ def main(argv=None) -> int:
     dp.add_argument("--text-col", default="text")
     dp.add_argument("--order-col", default="doc_id")
     dp.set_defaults(fn=cmd_dedup_stream)
+    cp = sub.add_parser("cep-stream", help="streaming per-conversation literal-pattern counting")
+    cp.add_argument("--log-dir", required=True)
+    cp.add_argument("--checkpoint", default="/tmp/scylla_cdc_ray/cep_ckpt")
+    cp.add_argument("--num-shards", type=int, default=64)
+    cp.add_argument("--num-cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
+    cp.add_argument("--files-per-batch", type=int, default=4)
+    cp.add_argument("--max-batches", type=int, default=None)
+    cp.add_argument("--pattern", default="uta", help="literal role-symbol sequence (u/a/t/s/d)")
+    cp.add_argument("--key-col", default="conv_id")
+    cp.add_argument("--role-col", default="role")
+    cp.set_defaults(fn=cmd_cep_stream)
     for name, fn in (("run", cmd_run), ("validate", cmd_validate), ("ingest", cmd_ingest)):
         sp = sub.add_parser(name)
         sp.add_argument("--log-dir", required=True)

@@ -1298,3 +1298,61 @@ JOIN events r
  AND epoch_us(l.ts) >= epoch_us(r.ts)
  AND epoch_us(l.ts) < epoch_us(r.ts) + 600000000
 """
+
+
+# ---------------------------------------------------------------------------
+# CEP pattern matching (stages/cep.py)
+# ---------------------------------------------------------------------------
+def _cep_sql(pattern: str) -> str:
+    """Regex-CEP twin: per-conversation symbol string via string_agg (skips
+    NULL symbols like the engine's is_valid filter), RE2 non-overlapping
+    count + first match — DuckDB and Arrow both run RE2, so leftmost-first
+    greedy semantics match by construction."""
+    from .stages.cep import role_case_sql
+
+    return f"""
+WITH transcripts AS ({TRANSCRIPTS_SQL}),
+syms AS (
+    SELECT conv_id, {role_case_sql("role")} AS sym, ts, seq
+    FROM transcripts
+),
+strs AS (
+    SELECT conv_id, string_agg(sym, '' ORDER BY ts, seq) AS s
+    FROM syms GROUP BY conv_id
+)
+SELECT conv_id,
+       CAST(len(regexp_extract_all(s, '{pattern}')) AS BIGINT) AS n_matches,
+       CASE WHEN regexp_matches(s, '{pattern}')
+            THEN regexp_extract(s, '{pattern}') END AS first_match
+FROM strs
+"""
+
+
+#: the gate pattern: a user turn, one-or-more tool calls, then an assistant turn
+CEP_PATTERN = "ut+a"
+CEP_PATTERN_MATCH = _cep_sql(CEP_PATTERN)
+
+#: streaming CEP twin: LITERAL pattern, count = len(string_split) - 1 (same
+#: non-overlapping left-to-right scan as the engine's pc.split_pattern fold)
+CEP_STREAM_LITERAL = "uta"
+
+
+def _cep_stream_sql(literal: str) -> str:
+    from .stages.cep import role_case_sql
+
+    return f"""
+WITH transcripts AS ({TRANSCRIPTS_SQL}),
+syms AS (
+    SELECT conv_id, {role_case_sql("role")} AS sym, ts, seq
+    FROM transcripts
+),
+strs AS (
+    SELECT conv_id, string_agg(sym, '' ORDER BY ts, seq) AS s
+    FROM syms GROUP BY conv_id
+)
+SELECT conv_id, CAST(len(string_split(s, '{literal}')) - 1 AS BIGINT) AS n_matches
+FROM strs
+"""
+
+
+CEP_STREAM_PATTERN = _cep_stream_sql(CEP_STREAM_LITERAL)

@@ -1,0 +1,218 @@
+"""Streaming CEP: checkpointed per-conversation pattern counting over a
+windowed transcript log — the micro-batch composition of ``stages/cep.py``.
+
+Detects a LITERAL symbol sequence (e.g. ``uta`` = user → tool → assistant)
+in each conversation's event stream, counting non-overlapping occurrences
+left-to-right across micro-batch boundaries. The cross-batch carry is exact
+and tiny: after splitting a conversation's symbols on the literal, no part
+can contain an occurrence, so an occurrence spanning a batch boundary must
+start within the last ``len(literal) - 1`` symbols of the final part — that
+suffix (plus the running count) is the entire per-conversation state.
+
+Scale shape: state is O(live conversations × pattern length) bytes per
+shard; rows are exchanged once per batch on ``hash(conv_id)`` (the same
+stream-id → Vnode mapping as the capture runner, so a conversation never
+straddles shards); the fold inside a shard is all Arrow kernels
+(``split_pattern`` + offset math), no per-row Python. Replay of a batch
+reads the pre-batch state snapshot, so a killed run resumes without double
+counting (same exactly-once contract as ``CaptureRunner``).
+
+Reference anchor: the connector emits per-row SourceRecords only; this is
+the "CEP engine" half of the north_rule, built on the shared micro-batch
+protocol (``_microbatch.py``).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray.data
+
+from ..state.checkpoint import Checkpoint, current_hash_impl
+
+
+class CepStreamRunner:
+    """Micro-batch literal-pattern counter over ``log_dir/window-*.parquet``
+    transcript files. Log windows must be event-time-ordered (the standard
+    in-order CDC log layout); within a batch rows are ordered by
+    ``(ts, seq)``.
+
+    Final per-conversation counts live in the checkpointed state
+    (``read_counts``); per-batch metrics flow through the shared manifest.
+    """
+
+    STATE_KIND = "cep"
+
+    def __init__(
+        self,
+        log_dir: str,
+        num_shards: int,
+        checkpoint_dir: str,
+        literal: str,
+        key_col: str = "conv_id",
+        role_col: str = "role",
+    ):
+        if len(literal) < 1:
+            raise ValueError("literal pattern must be non-empty")
+        self.log_dir = log_dir
+        self.num_shards = num_shards
+        self.literal = literal
+        self.key_col = key_col
+        self.role_col = role_col
+        self.ckpt = Checkpoint(checkpoint_dir)
+
+    # ------------------------------------------------------------------ run
+    def run(
+        self,
+        files_per_batch: int = 4,
+        max_batches: int | None = None,
+        crash_before_commit_at: int | None = None,
+    ) -> dict:
+        from ._microbatch import run_microbatches
+
+        def process(batch_id: int, bfiles: list[str]) -> dict:
+            stats = self._process_batch(batch_id, bfiles)
+            return {
+                "rows": sum(r["n_in"] for r in stats),
+                "matches": sum(r["n_matches"] for r in stats),
+            }
+
+        return run_microbatches(
+            self.ckpt,
+            self.log_dir,
+            pins={
+                "num_shards": self.num_shards,
+                "hash_impl": current_hash_impl(),
+                "cep_literal": self.literal,
+            },
+            process_batch=process,
+            files_per_batch=files_per_batch,
+            max_batches=max_batches,
+            crash_before_commit_at=crash_before_commit_at,
+        )
+
+    # -------------------------------------------------------------- batches
+    def _process_batch(self, batch_id: int, bfiles: list[str]) -> list[dict]:
+        key_col, role_col = self.key_col, self.role_col
+        num_shards, literal = self.num_shards, self.literal
+        ckpt_dir = self.ckpt.dir
+        state_kind = self.STATE_KIND
+
+        def project(t: pa.Table) -> pa.Table:
+            from ..schema import shard_of
+            from ..stages.cep import role_symbols
+
+            out = pa.table(
+                {
+                    key_col: t[key_col],
+                    "sym": role_symbols(t[role_col]),
+                    "ts": t["ts"],
+                    "seq": t["seq"],
+                }
+            )
+            return out.append_column("shard", shard_of(out[key_col], num_shards))
+
+        def shard_task(g: pa.Table) -> pa.Table:
+            from ..stages.cep import join_symbols
+
+            shard = int(g["shard"][0].as_py())
+            g = g.sort_by([(key_col, "ascending"), ("ts", "ascending"), ("seq", "ascending")])
+            key_rows, strs = join_symbols(g, [key_col], "sym")
+            keys = key_rows[key_col].to_pandas().astype(object)
+
+            ck = Checkpoint(ckpt_dir)  # path math only; no driver state
+            prev = ck.latest_state_path(shard, before_batch=batch_id, kind=state_kind)
+            if prev:
+                st = pq.read_table(prev).to_pandas()
+            else:
+                st = pd.DataFrame({key_col: [], "n_matches": [], "tail": []})
+
+            bt = pd.DataFrame({key_col: keys, "s": strs.to_pandas().astype(object)})
+            m = bt.merge(st, on=key_col, how="left")
+            full = pa.array(
+                (m["tail"].fillna("") + m["s"]).to_numpy(dtype=object), pa.string()
+            )
+            parts = pc.split_pattern(full, literal)
+            delta = pc.add(pc.list_value_length(parts).cast(pa.int64()), -1)
+            # carry = last <=len-1 symbols of the final (occurrence-free) part
+            last_idx = parts.offsets.to_numpy(zero_copy_only=False)[1:] - 1
+            last = pc.take(parts.values, pa.array(last_idx))
+            tail = pc.utf8_reverse(
+                pc.utf8_slice_codeunits(pc.utf8_reverse(last), 0, len(literal) - 1)
+            )
+            n_new = (
+                m["n_matches"].fillna(0).to_numpy(dtype=np.int64)
+                + delta.to_numpy(zero_copy_only=False)
+            )
+            touched = pd.DataFrame(
+                {
+                    key_col: m[key_col],
+                    "n_matches": n_new,
+                    "tail": tail.to_pandas().astype(object),
+                }
+            )
+            untouched = st[~st[key_col].isin(bt[key_col])]
+            out = (
+                pd.concat([touched, untouched[[key_col, "n_matches", "tail"]]])
+                .sort_values(key_col, kind="mergesort")
+                .reset_index(drop=True)
+            )
+            ck.write_state(
+                shard,
+                batch_id,
+                pa.table(
+                    {
+                        key_col: pa.array(out[key_col], pa.string()),
+                        "n_matches": pa.array(out["n_matches"].astype(np.int64)),
+                        "tail": pa.array(out["tail"], pa.string()),
+                    }
+                ),
+                kind=state_kind,
+            )
+            return pa.table(
+                {
+                    "shard": pa.array([shard], pa.int32()),
+                    "n_in": pa.array([g.num_rows], pa.int64()),
+                    "n_matches": pa.array([int(delta.to_numpy().sum())], pa.int64()),
+                }
+            )
+
+        ds = ray.data.read_parquet(bfiles, override_num_blocks=2 * num_shards)
+        ds = ds.repartition(2 * num_shards, shuffle=False)
+        return (
+            ds.map_batches(project, batch_format="pyarrow")
+            .groupby("shard")
+            .map_groups(shard_task, batch_format="pyarrow")
+            .take_all()
+        )
+
+    # --------------------------------------------------------------- output
+    def read_counts(self) -> pa.Table:
+        """Final (key, n_matches) across all shards — the latest COMMITTED
+        state snapshot per shard."""
+        last = self.ckpt.last_committed()
+        if last is None:
+            raise ValueError("no committed batches")
+        upto = last["batch_id"]
+        tables = []
+        root = os.path.join(self.ckpt.dir, self.STATE_KIND)
+        if os.path.isdir(root):
+            for d in sorted(os.listdir(root)):
+                if not d.startswith("shard="):
+                    continue
+                p = self.ckpt.latest_state_path(
+                    int(d.split("=", 1)[1]), before_batch=upto + 1, kind=self.STATE_KIND
+                )
+                if p:
+                    tables.append(pq.read_table(p, columns=[self.key_col, "n_matches"]))
+        if not tables:
+            return pa.table(
+                {self.key_col: pa.array([], pa.string()), "n_matches": pa.array([], pa.int64())}
+            )
+        return pa.concat_tables(tables)

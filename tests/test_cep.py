@@ -1,0 +1,154 @@
+"""CEP pattern matching: batch regex operator + streaming literal counter
+(cross-batch carry, kill-resume, pin rejection)."""
+
+import os
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+import ray.data
+
+from scylla_cdc_source_connector_ray.pipelines.cep_stream import CepStreamRunner
+from scylla_cdc_source_connector_ray.stages.cep import match_pattern, role_symbols
+
+
+def _mk_events(rng, n_convs=12, n_rows=400, seed_ts=1_700_000_000_000_000):
+    conv = rng.integers(0, n_convs, n_rows)
+    roles = rng.choice(["user", "assistant", "tool", "system", "__tombstone__"], n_rows)
+    return pd.DataFrame(
+        {
+            "conv_id": [f"conv{c}" for c in conv],
+            "role": roles,
+            "ts": pd.to_datetime(seed_ts + np.arange(n_rows) * 1_000_000, unit="us"),
+            "seq": np.arange(n_rows, dtype=np.int64),
+        }
+    )
+
+
+_SYM = {"user": "u", "assistant": "a", "tool": "t", "system": "s", "__tombstone__": "d"}
+
+
+def _ref_strings(df):
+    df = df.sort_values(["conv_id", "ts", "seq"])
+    return {
+        k: "".join(_SYM[r] for r in g["role"]) for k, g in df.groupby("conv_id")
+    }
+
+
+def test_match_pattern_vs_python_re():
+    rng = np.random.default_rng(7)
+    df = _mk_events(rng)
+    ds = ray.data.from_pandas(df).repartition(5)
+
+    def syms(t: pa.Table) -> pa.Table:
+        return t.append_column("sym", role_symbols(t["role"])).drop_columns(["role"])
+
+    out = (
+        match_pattern(
+            ds.map_batches(syms, batch_format="pyarrow"),
+            "ut+a",
+            keys=["conv_id"],
+            num_shards=4,
+        )
+        .to_pandas()
+        .set_index("conv_id")
+        .sort_index()
+    )
+    want = {}
+    for k, s in _ref_strings(df).items():
+        ms = re.findall("ut+a", s)
+        want[k] = (len(ms), ms[0] if ms else None)
+    assert len(out) == len(want)
+    for k, (n, first) in want.items():
+        assert out.loc[k, "n_matches"] == n, k
+        got_first = out.loc[k, "first_match"]
+        assert (got_first is None or pd.isna(got_first)) if first is None else got_first == first
+
+
+def _write_windows(tmp, df, n_files=4):
+    """ts-ordered window files (the in-order CDC log layout)."""
+    log = os.path.join(tmp, "log")
+    os.makedirs(log, exist_ok=True)
+    df = df.sort_values(["ts", "seq"])
+    t = pa.Table.from_pandas(df, preserve_index=False)
+    n = t.num_rows
+    for i in range(n_files):
+        lo, hi = i * n // n_files, (i + 1) * n // n_files
+        pq.write_table(t.slice(lo, hi - lo), os.path.join(log, f"window-{i:05d}.parquet"))
+    return log
+
+
+def _runner(tmp, log, literal="uta", name="r"):
+    return CepStreamRunner(
+        log,
+        num_shards=4,
+        checkpoint_dir=os.path.join(tmp, name, "ckpt"),
+        literal=literal,
+    )
+
+
+def test_stream_counts_match_global_split(tmp_path):
+    tmp = str(tmp_path)
+    rng = np.random.default_rng(11)
+    df = _mk_events(rng, n_convs=8, n_rows=300)
+    log = _write_windows(tmp, df, n_files=5)
+    r = _runner(tmp, log)
+    totals = r.run(files_per_batch=1)  # 5 batches -> real cross-batch carries
+    got = {
+        k: n
+        for k, n in zip(*[c.to_pylist() for c in r.read_counts().columns])
+    }
+    want = {k: len(s.split("uta")) - 1 for k, s in _ref_strings(df).items()}
+    assert got == want
+    assert totals["matches"] == sum(want.values())
+
+
+def test_stream_boundary_crossing_literal(tmp_path):
+    """An occurrence split across batch files must still be counted once."""
+    tmp = str(tmp_path)
+    roles = ["user", "tool", "assistant", "user", "tool", "assistant"]
+    df = pd.DataFrame(
+        {
+            "conv_id": ["c"] * 6,
+            "role": roles,
+            "ts": pd.to_datetime(np.arange(6) * 1_000_000, unit="us"),
+            "seq": np.arange(6, dtype=np.int64),
+        }
+    )
+    # 6 files of 1 row each: every occurrence spans two or three batches
+    log = _write_windows(tmp, df, n_files=6)
+    r = _runner(tmp, log)
+    r.run(files_per_batch=1)
+    got = r.read_counts().to_pydict()
+    assert got == {"conv_id": ["c"], "n_matches": [2]}
+
+
+def test_stream_kill_resume_no_double_count(tmp_path):
+    tmp = str(tmp_path)
+    rng = np.random.default_rng(13)
+    df = _mk_events(rng, n_convs=6, n_rows=200)
+    log = _write_windows(tmp, df, n_files=4)
+    r = _runner(tmp, log, name="crash")
+    totals = r.run(files_per_batch=1, crash_before_commit_at=2)
+    assert totals["crashed"] and totals["batches"] == 2
+    resumed = _runner(tmp, log, name="crash")
+    resumed.run(files_per_batch=1)  # replays batch 2, finishes 3
+    got = {
+        k: n
+        for k, n in zip(*[c.to_pylist() for c in resumed.read_counts().columns])
+    }
+    want = {k: len(s.split("uta")) - 1 for k, s in _ref_strings(df).items()}
+    assert got == want
+
+
+def test_stream_literal_change_is_rejected(tmp_path):
+    tmp = str(tmp_path)
+    df = _mk_events(np.random.default_rng(3), n_convs=3, n_rows=40)
+    log = _write_windows(tmp, df, n_files=2)
+    _runner(tmp, log).run(files_per_batch=1, max_batches=1)
+    with pytest.raises(ValueError, match="cep_literal"):
+        _runner(tmp, log, literal="ua").run(files_per_batch=1)
