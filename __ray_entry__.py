@@ -1168,6 +1168,34 @@ def _q_cep_pattern_match(sf_dir: str):
     )
 
 
+def _q_embedding_centroids(sf_dir: str):
+    """Grouped vector aggregation: per-IVF-bucket dimension-wise integer-grid
+    sums + counts (k-means update step). Vectors never cross the exchange —
+    per-batch partials only (functions/similarity.py::grouped_centroid_sums)."""
+    import pyarrow.compute as pc
+
+    from scylla_cdc_source_connector_ray.functions.similarity import (
+        IVFIndex,
+        _normalize,
+        _stack,
+        grouped_centroid_sums,
+    )
+
+    cent_ids = list(oracles.ANN_IVF_CENTROID_IDS)
+    emb = _emb(sf_dir)
+    cent = (
+        emb.map_batches(
+            lambda t: t.filter(pc.is_in(t["vec_id"], value_set=__import__("pyarrow").array(cent_ids))),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+        .sort_values("vec_id")  # centroid POSITION = ascending vec_id order
+    )
+    index = IVFIndex(n_centroids=len(cent_ids))
+    index.centroids = _normalize(_stack(cent["embedding"].values))
+    return grouped_centroid_sums(emb, index)
+
+
 def _q_cep_stream_pattern(sf_dir: str):
     """Streaming CEP through the CHECKPOINTED micro-batch runner: literal
     'uta' counted per conversation with the exact cross-batch suffix carry
@@ -1258,6 +1286,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_turns_per_conv": _q_top_turns_per_conv,
         "cep_pattern_match": _q_cep_pattern_match,
         "cep_stream_pattern": _q_cep_stream_pattern,
+        "embedding_centroids": _q_embedding_centroids,
         "top_orders": _q_relational("top_orders"),
         "segment_stats": _q_relational("segment_stats"),
         "event_type_stats": _q_relational("event_type_stats"),
@@ -1327,6 +1356,7 @@ def oracle_sql() -> dict[str, str]:
         "top_turns_per_conv": oracles.TOP_TURNS_PER_CONV,
         "cep_pattern_match": oracles.CEP_PATTERN_MATCH,
         "cep_stream_pattern": oracles.CEP_STREAM_PATTERN,
+        "embedding_centroids": oracles.EMBEDDING_CENTROIDS,
         "top_orders": oracles.TOP_ORDERS,
         "segment_stats": oracles.SEGMENT_STATS,
         "event_type_stats": oracles.EVENT_TYPE_STATS,

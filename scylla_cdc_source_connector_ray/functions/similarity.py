@@ -200,3 +200,57 @@ def ann_ivf(
     out = partials.groupby("query_id", as_index=False).head(k).reset_index(drop=True)
     out["rank"] = out.groupby("query_id").cumcount() + 1
     return out
+
+
+def grouped_centroid_sums(
+    ds: ray.data.Dataset, index: IVFIndex, scale: int = 1_000_000
+) -> ray.data.Dataset:
+    """Grouped VECTOR aggregation: per-bucket dimension-wise sums + counts of
+    the raw embeddings — the k-means update step (new centroid = sum/n) and
+    the per-cluster "prototype vector" primitive, run as a distributed
+    partial aggregate.
+
+    Exactness: each value is floored to an integer grid (``floor(v * scale)``
+    in float64) BEFORE summing, so distributed sum order cannot change the
+    result and the DuckDB twin matches hash-exactly (floor, not round —
+    round-half semantics differ between numpy and SQL).
+
+    Scale shape: vectors never cross the exchange — each batch emits at most
+    ``buckets_present × dims`` partial rows (a matmul-free ``np.add.at``
+    fold), and the final groupby reduces ``batches × k × d`` tiny rows.
+    """
+
+    assigned = index.assign_batches(ds)
+    n_buckets = len(index.centroids)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        M = _stack(b["embedding"].values)  # raw values, NOT normalized
+        Q = np.floor(M * float(scale)).astype(np.int64)
+        buckets = b["bucket"].to_numpy(dtype=np.int64)
+        d = Q.shape[1]
+        sums = np.zeros((n_buckets, d), dtype=np.int64)
+        np.add.at(sums, buckets, Q)
+        counts = np.bincount(buckets, minlength=n_buckets).astype(np.int64)
+        present = np.flatnonzero(counts)
+        return pd.DataFrame(
+            {
+                "bucket": np.repeat(present, d),
+                "dim": np.tile(np.arange(d, dtype=np.int64), len(present)),
+                "sum_q": sums[present].reshape(-1),
+                "n": np.repeat(counts[present], d),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    from ..schema import select_agg
+
+    agg = (
+        assigned.map_batches(partial, batch_format="pandas")
+        .groupby(["bucket", "dim"])
+        .aggregate(Sum("sum_q", alias_name="sum_q"), Sum("n", alias_name="n"))
+    )
+    return agg.map_batches(
+        lambda t: select_agg(t, ["bucket", "dim"], [("sum_q", "sum_q"), ("n", "n")]),
+        batch_format="pyarrow",
+    )

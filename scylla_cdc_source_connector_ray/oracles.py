@@ -1356,3 +1356,35 @@ FROM strs
 
 
 CEP_STREAM_PATTERN = _cep_stream_sql(CEP_STREAM_LITERAL)
+
+
+#: functions/similarity.py::grouped_centroid_sums — per-IVF-bucket
+#: dimension-wise integer-grid sums + counts (the k-means update step).
+#: floor (not round) before summing on BOTH sides: floor semantics are
+#: identical in numpy and DuckDB, while round-half differs (banker's vs
+#: away-from-zero). Bucket assignment reuses the ann_ivf fixed centroids.
+EMBEDDING_CENTROIDS = f"""
+WITH cent AS (
+    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cpos, embedding AS ce
+    FROM embeddings WHERE vec_id IN {ANN_IVF_CENTROID_IDS}
+),
+assign AS (
+    SELECT vec_id, bucket FROM (
+        SELECT e.vec_id, c.cpos AS bucket,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY list_cosine_similarity(e.embedding, c.ce) DESC,
+                                           c.cpos) AS rn
+        FROM embeddings e CROSS JOIN cent c
+    ) WHERE rn = 1
+),
+flat AS (
+    SELECT a.bucket,
+           unnest(generate_series(0, len(e.embedding) - 1)) AS dim,
+           unnest(e.embedding) AS val
+    FROM embeddings e JOIN assign a USING (vec_id)
+)
+SELECT bucket, dim,
+       CAST(sum(CAST(floor(CAST(val AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT) AS sum_q,
+       CAST(count(*) AS BIGINT) AS n
+FROM flat GROUP BY bucket, dim
+"""

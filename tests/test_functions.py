@@ -439,6 +439,35 @@ def test_top_k_per_group_null_and_separator_keys():
     assert (out["rank"] == 1).all()
 
 
+def test_grouped_centroid_sums_matches_numpy():
+    from scylla_cdc_source_connector_ray.functions.similarity import (
+        IVFIndex,
+        _normalize,
+        grouped_centroid_sums,
+    )
+
+    rng = np.random.default_rng(21)
+    X = rng.normal(size=(200, 8)).astype(np.float32)
+    C = _normalize(rng.normal(size=(4, 8)))
+    df = pd.DataFrame({"vec_id": np.arange(200, dtype=np.int64), "embedding": list(X)})
+    index = IVFIndex(n_centroids=4)
+    index.centroids = C
+    out = (
+        grouped_centroid_sums(ray.data.from_pandas(df).repartition(5), index)
+        .to_pandas()
+        .sort_values(["bucket", "dim"])
+        .reset_index(drop=True)
+    )
+    Xd = X.astype(np.float64)
+    assign = np.argmax(_normalize(Xd) @ C.T, axis=1)
+    Q = np.floor(Xd * 1e6).astype(np.int64)
+    for b in np.unique(assign):
+        rows = out[out["bucket"] == b]
+        np.testing.assert_array_equal(rows["sum_q"].to_numpy(), Q[assign == b].sum(axis=0))
+        assert (rows["n"] == int((assign == b).sum())).all()
+    assert len(out) == len(np.unique(assign)) * 8
+
+
 def test_grouped_quantiles_matches_numpy():
     from scylla_cdc_source_connector_ray.stages.topk import grouped_quantiles
 
