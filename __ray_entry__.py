@@ -1168,6 +1168,49 @@ def _q_cep_pattern_match(sf_dir: str):
     )
 
 
+def _q_dedup_stream_minhash(sf_dir: str):
+    """Streaming near-dup through the CHECKPOINTED micro-batch runner:
+    arrival-order LSH band-collision filter (pipelines/minhash_stream.py);
+    4 doc_id-ordered window files consumed one per batch so cross-batch
+    band state is exercised. The oracle is the global earlier-doc
+    band-collision anti-join — micro-batching must never change the result."""
+    import hashlib
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from scylla_cdc_source_connector_ray.pipelines.minhash_stream import (
+        MinHashStreamRunner,
+    )
+
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet")).sort_by(
+        [("doc_id", "ascending")]
+    )
+    base = os.path.join(
+        "/tmp/scylla_cdc_mh_stream",
+        hashlib.md5(sf_dir.encode()).hexdigest()[:12] + f"-{os.getpid()}",
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    log = os.path.join(base, "log")
+    os.makedirs(log)
+    n, nf = t.num_rows, 4
+    for i in range(nf):  # doc_id-ordered windows: arrival order = doc_id
+        lo, hi = i * n // nf, (i + 1) * n // nf
+        pq.write_table(t.slice(lo, hi - lo), os.path.join(log, f"window-{i:05d}.parquet"))
+    runner = MinHashStreamRunner(
+        log,
+        num_shards=8,
+        sink_dir=os.path.join(base, "out"),
+        checkpoint_dir=os.path.join(base, "ckpt"),
+    )
+    try:
+        runner.run(files_per_batch=1)
+        return runner.read_output().select(["doc_id"])
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def _q_embedding_centroids(sf_dir: str):
     """Grouped vector aggregation: per-IVF-bucket dimension-wise integer-grid
     sums + counts (k-means update step). Vectors never cross the exchange —
@@ -1287,6 +1330,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cep_pattern_match": _q_cep_pattern_match,
         "cep_stream_pattern": _q_cep_stream_pattern,
         "embedding_centroids": _q_embedding_centroids,
+        "dedup_stream_minhash": _q_dedup_stream_minhash,
         "top_orders": _q_relational("top_orders"),
         "segment_stats": _q_relational("segment_stats"),
         "event_type_stats": _q_relational("event_type_stats"),
@@ -1357,6 +1401,7 @@ def oracle_sql() -> dict[str, str]:
         "cep_pattern_match": oracles.CEP_PATTERN_MATCH,
         "cep_stream_pattern": oracles.CEP_STREAM_PATTERN,
         "embedding_centroids": oracles.EMBEDDING_CENTROIDS,
+        "dedup_stream_minhash": oracles.DEDUP_STREAM_MINHASH,
         "top_orders": oracles.TOP_ORDERS,
         "segment_stats": oracles.SEGMENT_STATS,
         "event_type_stats": oracles.EVENT_TYPE_STATS,

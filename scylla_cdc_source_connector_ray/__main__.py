@@ -232,6 +232,30 @@ def cmd_element_stream(args) -> int:
     return 0
 
 
+def cmd_minhash_stream(args) -> int:
+    """Streaming arrival-order LSH near-dup filter
+    (pipelines/minhash_stream.py)."""
+    import ray
+
+    _init_ray(args)
+    from .pipelines.minhash_stream import MinHashStreamRunner
+
+    runner = MinHashStreamRunner(
+        args.log_dir,
+        num_shards=args.num_shards,
+        sink_dir=args.out,
+        checkpoint_dir=args.checkpoint,
+        text_col=args.text_col,
+        order_col=args.order_col,
+    )
+    totals = runner.run(
+        files_per_batch=args.files_per_batch, max_batches=args.max_batches
+    )
+    print(json.dumps({"ok": True, **totals, "out": args.out, "checkpoint": args.checkpoint}))
+    ray.shutdown()
+    return 0
+
+
 def cmd_cep_stream(args) -> int:
     """Streaming CEP literal-pattern counting (per-conversation counts with
     cross-batch carry; pipelines/cep_stream.py)."""
@@ -280,6 +304,17 @@ def main(argv=None) -> int:
     dp.add_argument("--text-col", default="text")
     dp.add_argument("--order-col", default="doc_id")
     dp.set_defaults(fn=cmd_dedup_stream)
+    mp = sub.add_parser("minhash-stream", help="streaming arrival-order LSH near-dup filter")
+    mp.add_argument("--log-dir", required=True)
+    mp.add_argument("--out", default="/tmp/scylla_cdc_ray/mh_out")
+    mp.add_argument("--checkpoint", default="/tmp/scylla_cdc_ray/mh_ckpt")
+    mp.add_argument("--num-shards", type=int, default=64)
+    mp.add_argument("--num-cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
+    mp.add_argument("--files-per-batch", type=int, default=4)
+    mp.add_argument("--max-batches", type=int, default=None)
+    mp.add_argument("--text-col", default="text")
+    mp.add_argument("--order-col", default="doc_id")
+    mp.set_defaults(fn=cmd_minhash_stream)
     cp = sub.add_parser("cep-stream", help="streaming per-conversation literal-pattern counting")
     cp.add_argument("--log-dir", required=True)
     cp.add_argument("--checkpoint", default="/tmp/scylla_cdc_ray/cep_ckpt")

@@ -1388,3 +1388,24 @@ SELECT bucket, dim,
        CAST(count(*) AS BIGINT) AS n
 FROM flat GROUP BY bucket, dim
 """
+
+
+#: pipelines/minhash_stream.py — streaming arrival-order LSH near-dup
+#: filter: a doc is dropped iff ANY earlier doc (by doc_id = arrival order)
+#: shares a band signature, whether or not that doc was itself kept — one
+#: anti-join, no transitive kept-set recursion, so micro-batching cannot
+#: change the result. Reuses the exact minhash literal machinery; the unused
+#: cand/jac CTEs are pruned by the planner.
+DEDUP_STREAM_MINHASH = (
+    _SHINGLES_CTE
+    + _MINHASH_JAC_CTES
+    + """,
+dropped AS (
+    SELECT DISTINCT y.doc_id
+    FROM bands x JOIN bands y
+      ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id
+)
+SELECT d.doc_id FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM dropped)
+"""
+)
