@@ -1168,6 +1168,15 @@ def _q_cep_pattern_match(sf_dir: str):
     )
 
 
+def _q_corpus_prep(sf_dir: str):
+    """Composed training-data pipeline: quality filter -> exact dedup among
+    survivors -> deterministic sample, one streaming Dataset chain
+    (functions/corpus.py)."""
+    from scylla_cdc_source_connector_ray.functions.corpus import corpus_prep
+
+    return corpus_prep(_docs(sf_dir))
+
+
 def _q_dedup_stream_minhash(sf_dir: str):
     """Streaming near-dup through the CHECKPOINTED micro-batch runner:
     arrival-order LSH band-collision filter (pipelines/minhash_stream.py);
@@ -1331,6 +1340,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cep_stream_pattern": _q_cep_stream_pattern,
         "embedding_centroids": _q_embedding_centroids,
         "dedup_stream_minhash": _q_dedup_stream_minhash,
+        "corpus_prep": _q_corpus_prep,
         "top_orders": _q_relational("top_orders"),
         "segment_stats": _q_relational("segment_stats"),
         "event_type_stats": _q_relational("event_type_stats"),
@@ -1402,6 +1412,7 @@ def oracle_sql() -> dict[str, str]:
         "cep_stream_pattern": oracles.CEP_STREAM_PATTERN,
         "embedding_centroids": oracles.EMBEDDING_CENTROIDS,
         "dedup_stream_minhash": oracles.DEDUP_STREAM_MINHASH,
+        "corpus_prep": oracles.CORPUS_PREP,
         "top_orders": oracles.TOP_ORDERS,
         "segment_stats": oracles.SEGMENT_STATS,
         "event_type_stats": oracles.EVENT_TYPE_STATS,

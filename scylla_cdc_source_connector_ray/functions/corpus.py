@@ -1,0 +1,70 @@
+"""End-to-end corpus preparation: the composition a training-data pipeline
+actually runs — quality filter → exact dedup → deterministic sample — as one
+streaming Dataset chain (each stage is an existing gated operator; this
+module wires them without materializing between stages).
+
+Scale shape: the quality filter is a per-batch Arrow kernel (no exchange);
+the dedup stage shuffles only (content_hash, doc_id, quality) rows
+partitioned by a stable 8-byte hash (the exact_dedup pattern — one keyed
+exchange, run-boundary first-row selection inside the partition, never a
+per-group UDF over O(corpus) tiny groups); the sample is shuffle-free
+md5-nibble bucketing. Order matters and is the conventional one: filter
+first (cheapest, biggest reduction), dedup before sampling (so the sample
+rate applies to unique documents).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+
+def corpus_prep(
+    docs: ray.data.Dataset,
+    min_quality_micro: int = 300_000,
+    sample_buckets: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Quality-filter, exact-dedup (keep min ``id_col`` per normalized
+    content hash among survivors), then deterministically sample. Output:
+    (``id_col``, ``quality_micro``) of the final surviving documents."""
+    import polars as pl
+
+    from ..stages.cep import run_starts
+    from .dedup import deterministic_sample, with_content_hash
+    from .textops import quality_score
+
+    def qfilter(t: pa.Table) -> pa.Table:
+        s = quality_score(t, text_col)
+        q = s["quality"].to_numpy(zero_copy_only=False)
+        qm = pa.array(np.floor(q * 1e6).astype("int64"))
+        out = pa.table(
+            {id_col: t[id_col], text_col: t[text_col], "quality_micro": qm}
+        )
+        return out.filter(pc.greater_equal(out["quality_micro"], min_quality_micro))
+
+    def add_kh(t: pa.Table) -> pa.Table:
+        # stable 8-byte partition hash of the 32-hex content hash: only
+        # (hash, id, quality) rows cross the exchange, never the text
+        h = pl.Series(
+            pl.from_arrow(t["content_hash"].combine_chunks().cast(pa.string())).hash(seed=0)
+        ).reinterpret(signed=True).to_arrow()
+        return t.select(["content_hash", id_col, "quality_micro"]).append_column("_kh", h)
+
+    def first_per_hash(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("content_hash", "ascending"), (id_col, "ascending")])
+        first = run_starts(g, ["content_hash"])
+        return g.filter(pa.array(first)).select([id_col, "quality_micro"])
+
+    filtered = docs.map_batches(qfilter, batch_format="pyarrow")
+    hashed = filtered.map_batches(
+        lambda b: with_content_hash(b, text_col), batch_format="pandas"
+    ).map_batches(add_kh, batch_format="pyarrow")
+    deduped = hashed.groupby("_kh").map_groups(
+        lambda g: first_per_hash(g.drop_columns(["_kh"])), batch_format="pyarrow"
+    )
+    return deterministic_sample(deduped, id_col, buckets_kept=sample_buckets)

@@ -1409,3 +1409,26 @@ SELECT d.doc_id FROM documents d
 WHERE d.doc_id NOT IN (SELECT doc_id FROM dropped)
 """
 )
+
+
+#: functions/corpus.py::corpus_prep — the composed training-data pipeline:
+#: quality filter (>= 0.3) -> exact dedup among survivors (min doc_id per
+#: normalized content hash) -> deterministic 4/16 nibble sample. Each stage
+#: reuses a gated operator's exact SQL semantics.
+CORPUS_PREP = (
+    "WITH qscore AS (" + QUALITY_SCORE + r"""),
+q AS (
+    SELECT d.doc_id, d.text, qs.quality_micro
+    FROM documents d JOIN qscore qs USING (doc_id)
+    WHERE qs.quality_micro >= 300000
+),
+dedup AS (
+    SELECT min(doc_id) AS doc_id
+    FROM q
+    GROUP BY md5(trim(lower(regexp_replace(coalesce(text, ''), '\s+', ' ', 'g'))))
+)
+SELECT q.doc_id, q.quality_micro
+FROM q JOIN dedup USING (doc_id)
+WHERE substr(md5(CAST(q.doc_id AS VARCHAR)), 1, 1) IN ('0', '1', '2', '3')
+"""
+)
