@@ -959,10 +959,11 @@ def _q_ann_ivf(sf_dir: str):
     )
 
     cent_ids = list(oracles.ANN_IVF_CENTROID_IDS)
+    value_set = __import__("pyarrow").array(cent_ids)
     emb = _emb(sf_dir)
     cent = (
         emb.map_batches(
-            lambda t: t.filter(pc.is_in(t["vec_id"], value_set=__import__("pyarrow").array(cent_ids))),
+            lambda t: t.filter(pc.is_in(t["vec_id"], value_set=value_set)),
             batch_format="pyarrow",
         )
         .to_pandas()
@@ -1224,6 +1225,7 @@ def _q_embedding_centroids(sf_dir: str):
     """Grouped vector aggregation: per-IVF-bucket dimension-wise integer-grid
     sums + counts (k-means update step). Vectors never cross the exchange —
     per-batch partials only (functions/similarity.py::grouped_centroid_sums)."""
+    import pyarrow as pa
     import pyarrow.compute as pc
 
     from scylla_cdc_source_connector_ray.functions.similarity import (
@@ -1234,10 +1236,11 @@ def _q_embedding_centroids(sf_dir: str):
     )
 
     cent_ids = list(oracles.ANN_IVF_CENTROID_IDS)
+    value_set = pa.array(cent_ids)
     emb = _emb(sf_dir)
     cent = (
         emb.map_batches(
-            lambda t: t.filter(pc.is_in(t["vec_id"], value_set=__import__("pyarrow").array(cent_ids))),
+            lambda t: t.filter(pc.is_in(t["vec_id"], value_set=value_set)),
             batch_format="pyarrow",
         )
         .to_pandas()

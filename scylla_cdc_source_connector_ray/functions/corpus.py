@@ -32,10 +32,7 @@ def corpus_prep(
     """Quality-filter, exact-dedup (keep min ``id_col`` per normalized
     content hash among survivors), then deterministically sample. Output:
     (``id_col``, ``quality_micro``) of the final surviving documents."""
-    import polars as pl
-
-    from ..stages.cep import run_starts
-    from .dedup import deterministic_sample, with_content_hash
+    from .dedup import deterministic_sample, first_row_per_key, with_content_hash
     from .textops import quality_score
 
     def qfilter(t: pa.Table) -> pa.Table:
@@ -47,24 +44,16 @@ def corpus_prep(
         )
         return out.filter(pc.greater_equal(out["quality_micro"], min_quality_micro))
 
-    def add_kh(t: pa.Table) -> pa.Table:
-        # stable 8-byte partition hash of the 32-hex content hash: only
-        # (hash, id, quality) rows cross the exchange, never the text
-        h = pl.Series(
-            pl.from_arrow(t["content_hash"].combine_chunks().cast(pa.string())).hash(seed=0)
-        ).reinterpret(signed=True).to_arrow()
-        return t.select(["content_hash", id_col, "quality_micro"]).append_column("_kh", h)
-
-    def first_per_hash(g: pa.Table) -> pa.Table:
-        g = g.sort_by([("content_hash", "ascending"), (id_col, "ascending")])
-        first = run_starts(g, ["content_hash"])
-        return g.filter(pa.array(first)).select([id_col, "quality_micro"])
-
     filtered = docs.map_batches(qfilter, batch_format="pyarrow")
+    # project to (hash, id, quality) BEFORE the dedup exchange — the text
+    # never crosses
     hashed = filtered.map_batches(
         lambda b: with_content_hash(b, text_col), batch_format="pandas"
-    ).map_batches(add_kh, batch_format="pyarrow")
-    deduped = hashed.groupby("_kh").map_groups(
-        lambda g: first_per_hash(g.drop_columns(["_kh"])), batch_format="pyarrow"
+    ).map_batches(
+        lambda t: t.select(["content_hash", id_col, "quality_micro"]),
+        batch_format="pyarrow",
+    )
+    deduped = first_row_per_key(hashed, "content_hash", id_col).map_batches(
+        lambda t: t.select([id_col, "quality_micro"]), batch_format="pyarrow"
     )
     return deterministic_sample(deduped, id_col, buckets_kept=sample_buckets)

@@ -33,23 +33,26 @@ import ray.data
 # ---------------------------------------------------------------------------
 
 
+def _add_key_hash(t: pa.Table, key_col: str) -> pa.Table:
+    """Append ``_kh`` = stable 8-byte polars hash of ``key_col`` — THE shared
+    shuffle key of the exact-dedup family (engine-internal, so no md5 parity
+    needed; groups re-split by raw key inside the group task, so a hash
+    collision can never merge two distinct keys)."""
+    import polars as pl
+
+    key = t[key_col].combine_chunks().cast(pa.string())
+    h = pl.Series(pl.from_arrow(key).hash(seed=0)).reinterpret(signed=True).to_arrow()
+    return t.append_column("_kh", h)
+
+
 def exact_dedup(
     ds: ray.data.Dataset, key_col: str = "text", id_col: str = "doc_id"
 ) -> ray.data.Dataset:
     """Keep the minimum ``id_col`` per distinct ``key_col`` value.
 
     The 100 TB shape even for the raw-key variant: the SHUFFLE/sort key is
-    a vectorized 8-byte stable hash of the key (engine-internal, so no md5
-    parity needed); the key value itself crosses as payload only (it must —
-    it's in the output) and groups split by raw key inside the group task,
-    so a hash collision can never merge two distinct keys."""
-    import polars as pl
-    import pyarrow as pa
-
-    def add_hash(t: pa.Table) -> pa.Table:
-        key = t[key_col].combine_chunks().cast(pa.string())
-        h = pl.Series(pl.from_arrow(key).hash(seed=0)).reinterpret(signed=True).to_arrow()
-        return t.select([key_col, id_col]).append_column("_kh", h)
+    the 8-byte ``_add_key_hash``; the key value itself crosses as payload
+    only (it must — it's in the output)."""
 
     def per_group(g: pa.Table) -> pa.Table:
         from ..schema import select_agg
@@ -62,9 +65,35 @@ def exact_dedup(
         return out
 
     return (
-        ds.map_batches(add_hash, batch_format="pyarrow")
+        ds.map_batches(
+            lambda t: _add_key_hash(t.select([key_col, id_col]), key_col),
+            batch_format="pyarrow",
+        )
         .groupby("_kh")
         .map_groups(lambda g: per_group(g.drop_columns(["_kh"])), batch_format="pyarrow")
+    )
+
+
+def first_row_per_key(
+    ds: ray.data.Dataset, key_col: str, id_col: str
+) -> ray.data.Dataset:
+    """Keep the full min-``id_col`` ROW per distinct ``key_col`` —
+    ``exact_dedup``'s row-carrying sibling (same one-keyed-exchange shape;
+    project ``ds`` to the columns you need BEFORE calling so only those
+    cross the exchange). Run-boundary first-row selection inside the
+    partition — never a per-group UDF over O(corpus) tiny groups."""
+    from ..stages.cep import run_starts
+
+    def per_part(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["_kh"]).sort_by(
+            [(key_col, "ascending"), (id_col, "ascending")]
+        )
+        return g.filter(pa.array(run_starts(g, [key_col])))
+
+    return (
+        ds.map_batches(lambda t: _add_key_hash(t, key_col), batch_format="pyarrow")
+        .groupby("_kh")
+        .map_groups(per_part, batch_format="pyarrow")
     )
 
 

@@ -252,7 +252,11 @@ def grouped_centroid_sums(
         dm = t["dim"].to_numpy(zero_copy_only=False).astype(np.int64)
         sq = t["sum_q"].to_numpy(zero_copy_only=False).astype(np.int64)
         nn = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
-        d = int(dm.max()) + 1  # every partial carries the full dim range
+        # per-block dense re-key: (bucket, dim) -> bucket*d + dm is injective
+        # for ANY d > max(dm) and decoded with the SAME per-block d, so this
+        # is correct even when repartition splits a partial's rows across
+        # blocks (do NOT hoist d to a global constant derived elsewhere)
+        d = int(dm.max()) + 1
         uk, inv = np.unique(b * d + dm, return_inverse=True)
         s = np.zeros(len(uk), np.int64)
         np.add.at(s, inv, sq)

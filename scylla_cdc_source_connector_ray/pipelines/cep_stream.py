@@ -121,17 +121,30 @@ class CepStreamRunner:
         def shard_task(g: pa.Table) -> pa.Table:
             from ..stages.cep import join_symbols
 
+            # canonical key type for the state file: the exchange may promote
+            # string → large_string per worker; pin string so replay is
+            # byte-stable. Non-string keys (e.g. int64) keep their own type.
+            kt = g.schema.field(key_col).type
+            if pa.types.is_large_string(kt):
+                kt = pa.string()
+
             shard = int(g["shard"][0].as_py())
             g = g.sort_by([(key_col, "ascending"), ("ts", "ascending"), ("seq", "ascending")])
             key_rows, strs = join_symbols(g, [key_col], "sym")
-            keys = key_rows[key_col].to_pandas().astype(object)
+            keys = key_rows[key_col].to_pandas()  # native dtype: merges with state
 
             ck = Checkpoint(ckpt_dir)  # path math only; no driver state
             prev = ck.latest_state_path(shard, before_batch=batch_id, kind=state_kind)
             if prev:
                 st = pq.read_table(prev).to_pandas()
             else:
-                st = pd.DataFrame({key_col: [], "n_matches": [], "tail": []})
+                st = pd.DataFrame(
+                    {
+                        key_col: keys.iloc[:0],  # empty, same dtype as batch keys
+                        "n_matches": pd.Series(dtype="int64"),
+                        "tail": pd.Series(dtype=object),
+                    }
+                )
 
             bt = pd.DataFrame({key_col: keys, "s": strs.to_pandas().astype(object)})
             m = bt.merge(st, on=key_col, how="left")
@@ -168,7 +181,7 @@ class CepStreamRunner:
                 batch_id,
                 pa.table(
                     {
-                        key_col: pa.array(out[key_col], pa.string()),
+                        key_col: pa.array(out[key_col], kt),
                         "n_matches": pa.array(out["n_matches"].astype(np.int64)),
                         "tail": pa.array(out["tail"], pa.string()),
                     }

@@ -50,10 +50,13 @@ def _band_hashes(band: np.ndarray, band_key: np.ndarray) -> tuple[np.ndarray, np
     equal key strings in different bands never collide)."""
     if len(band) == 0:
         return np.array([], np.uint64), np.array([], np.uint64)
-    hexes = [
-        hashlib.md5(f"{b}:{k}".encode()).hexdigest()
-        for b, k in zip(band.tolist(), band_key.tolist())
-    ]
+    # string build vectorized; the md5 itself is the per-row loop (hashlib
+    # has no batch API) at ~16 digests/doc — bounded well below the minhash
+    # signature stage's cost (64 permutations × shingles per doc)
+    strs = np.char.add(
+        np.char.add(band.astype("U3"), ":"), band_key.astype("U")
+    )
+    hexes = [hashlib.md5(s.encode()).hexdigest() for s in strs.tolist()]
     u = np.frombuffer(bytes.fromhex("".join(hexes)), dtype=np.uint64).reshape(-1, 2)
     return u[:, 0].copy(), u[:, 1].copy()
 
@@ -126,6 +129,14 @@ class MinHashStreamRunner:
         ckpt_dir = self.ckpt.dir
         state_kind = self.STATE_KIND
 
+        out_schema = pq.read_schema(bfiles[0])
+        if not pa.types.is_integer(out_schema.field(order_col).type):
+            raise ValueError(
+                f"order_col {order_col!r} must be an integer column "
+                f"(got {out_schema.field(order_col).type}); arrival order "
+                "and the sink shard layout are derived from it"
+            )
+
         class BandRows:
             """Signature + band explosion + band-hash, one actor-held hasher."""
 
@@ -196,7 +207,6 @@ class MinHashStreamRunner:
 
         # second distributed pass: filter survivors (tiny dropped-id set in
         # the closure) and write one deterministic sink file per doc-shard
-        out_schema = pq.read_schema(bfiles[0])
         sink_dir = self.sink_dir
 
         def filt(b: pd.DataFrame) -> pd.DataFrame:

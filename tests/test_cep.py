@@ -145,6 +145,24 @@ def test_stream_kill_resume_no_double_count(tmp_path):
     assert got == want
 
 
+def test_stream_int64_key_col(tmp_path):
+    """key_col need not be a string: state files keep the key's own type."""
+    tmp = str(tmp_path)
+    df = pd.DataFrame(
+        {
+            "conv_id": np.array([7, 7, 7, 9, 9, 9], np.int64),
+            "role": ["user", "tool", "assistant"] * 2,
+            "ts": pd.to_datetime(np.arange(6) * 1_000_000, unit="us"),
+            "seq": np.arange(6, dtype=np.int64),
+        }
+    )
+    log = _write_windows(tmp, df, n_files=3)
+    r = _runner(tmp, log)
+    r.run(files_per_batch=1)
+    got = dict(zip(*[c.to_pylist() for c in r.read_counts().columns]))
+    assert got == {7: 1, 9: 1}
+
+
 def test_stream_literal_change_is_rejected(tmp_path):
     tmp = str(tmp_path)
     df = _mk_events(np.random.default_rng(3), n_convs=3, n_rows=40)
