@@ -208,6 +208,20 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         ).count(),
     )
 
+    # --- CEP pattern matching over the log ---------------------------------
+    from scylla_cdc_source_connector_ray.stages import cep as CEP
+
+    def _cep():
+        ds = ray.data.read_parquet(
+            log_dir, columns=["conv_id", "role", "ts", "seq"], override_num_blocks=2 * num_cpus
+        ).map_batches(
+            lambda t: t.append_column("sym", CEP.role_symbols(t["role"])).drop_columns(["role"]),
+            batch_format="pyarrow",
+        )
+        CEP.match_pattern(ds, "ut+a", keys=["conv_id"], num_shards=num_shards).count()
+
+    timed("cep_pattern_match", _cep)
+
     # --- training-data ops over the testdata tables at this sf -------------
     import numpy as np
 
@@ -234,6 +248,13 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         timed(
             "dedup_minhash_lsh",
             lambda: minhash_lsh_dedup(ray.data.read_parquet(docs_path), threshold=0.7).count(),
+        )
+
+        from scylla_cdc_source_connector_ray.functions.corpus import corpus_prep
+
+        timed(
+            "corpus_prep",
+            lambda: corpus_prep(ray.data.read_parquet(docs_path)).count(),
         )
 
     # streaming first-occurrence dedup over 2 transcript-log windows (~1/4 of
@@ -278,6 +299,20 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                 qdf["vec_id"].values,
                 k=10,
             ),
+        )
+
+        from scylla_cdc_source_connector_ray.functions.similarity import (
+            IVFIndex,
+            _stack,
+            grouped_centroid_sums,
+        )
+
+        ivf = IVFIndex(n_centroids=8).fit(
+            _stack(ray.data.read_parquet(emb_path).limit(1024).to_pandas()["embedding"].values)
+        )
+        timed(
+            "embedding_centroids",
+            lambda: grouped_centroid_sums(ray.data.read_parquet(emb_path), ivf).count(),
         )
 
     result = {
