@@ -1348,6 +1348,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "segment_stats": _q_relational("segment_stats"),
         "event_type_stats": _q_relational("event_type_stats"),
         "event_value_quantiles": _q_relational("event_value_quantiles"),
+        "event_value_quantiles_hist": _q_relational("event_value_quantiles_hist"),
         "part_type_stats": _q_relational("part_type_stats"),
         "supplier_nation_join": _q_relational("supplier_nation_join"),
         "order_priority_revenue": _q_relational("order_priority_revenue"),
@@ -1420,6 +1421,7 @@ def oracle_sql() -> dict[str, str]:
         "segment_stats": oracles.SEGMENT_STATS,
         "event_type_stats": oracles.EVENT_TYPE_STATS,
         "event_value_quantiles": oracles.EVENT_VALUE_QUANTILES,
+        "event_value_quantiles_hist": oracles.EVENT_VALUE_QUANTILES_HIST,
         "part_type_stats": oracles.PART_TYPE_STATS,
         "supplier_nation_join": oracles.SUPPLIER_NATION_JOIN,
         "order_priority_revenue": oracles.ORDER_PRIORITY_REVENUE,

@@ -1432,3 +1432,29 @@ FROM q JOIN dedup USING (doc_id)
 WHERE substr(md5(CAST(q.doc_id AS VARCHAR)), 1, 1) IN ('0', '1', '2', '3')
 """
 )
+
+
+#: stages/topk.py::grouped_quantiles_hist — mergeable fixed-width histogram
+#: quantiles (the exact op's 100 TB scale path). p{q}_bin = the bin index
+#: floor(value / W) holding the ascending element at 0-based rank
+#: (n-1)*q//100; floor + float division are IEEE-identical in numpy and
+#: DuckDB. Bin width 5.0 over events.value per event_type.
+EVENT_VALUE_QUANTILES_HIST = """
+WITH b AS (
+    SELECT event_type, CAST(floor(value / 5.0) AS BIGINT) AS bin
+    FROM events WHERE value IS NOT NULL
+),
+counts AS (SELECT event_type, bin, count(*) AS n FROM b GROUP BY 1, 2),
+cum AS (
+    SELECT event_type, bin,
+           sum(n) OVER (PARTITION BY event_type ORDER BY bin) AS c,
+           sum(n) OVER (PARTITION BY event_type) AS tot
+    FROM counts
+)
+SELECT event_type,
+       CAST(max(tot) AS BIGINT) AS n,
+       CAST(min(CASE WHEN c > (tot - 1) * 25 // 100 THEN bin END) AS BIGINT) AS p25_bin,
+       CAST(min(CASE WHEN c > (tot - 1) * 50 // 100 THEN bin END) AS BIGINT) AS p50_bin,
+       CAST(min(CASE WHEN c > (tot - 1) * 95 // 100 THEN bin END) AS BIGINT) AS p95_bin
+FROM cum GROUP BY event_type
+"""

@@ -220,6 +220,18 @@ def event_value_quantiles(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def event_value_quantiles_hist(sf_dir: str) -> ray.data.Dataset:
+    """Histogram-sketch per-event-type value quantiles (the mergeable 100 TB
+    scale path of :func:`event_value_quantiles`): only (key, bin, count)
+    partials shuffle, pre-aggregated per batch."""
+    from ..stages.topk import grouped_quantiles_hist
+
+    ev = _read(sf_dir, "events", columns=["event_type", "value"])
+    return grouped_quantiles_hist(
+        ev, keys=["event_type"], value_col="value", bin_width=5.0
+    )
+
+
 def part_type_stats(sf_dir: str) -> ray.data.Dataset:
     """Filter + grouped stats on part (LIKE-filter pushed into the batch fn)."""
     ds = _read(sf_dir, "part", columns=["p_type", "p_size", "p_retailprice"])

@@ -12,6 +12,7 @@ prescribes for skewed groupbys.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -118,6 +119,63 @@ def grouped_quantiles(
 
     return (
         ds.map_batches(project, batch_format="pyarrow")
+        .groupby(keys)
+        .map_groups(per_group, batch_format="pyarrow")
+    )
+
+
+def grouped_quantiles_hist(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    value_col: str,
+    bin_width: float,
+    quantiles: tuple[int, ...] = (25, 50, 95),
+) -> ray.data.Dataset:
+    """APPROXIMATE per-group quantiles via a mergeable fixed-width histogram
+    — the 100 TB scale path :func:`grouped_quantiles`'s docstring promises:
+    only (keys, bin, count) partial rows cross the exchange (pre-aggregated
+    per batch), state is O(groups × occupied bins) regardless of row count,
+    and partials merge by integer addition (order-free, exact).
+
+    Result convention (shared with the SQL twin): ``p{q}_bin`` is the bin
+    index ``floor(value / bin_width)`` containing the ascending element at
+    0-based rank ``(n-1)*q // 100`` — i.e. the exact quantile rounded down
+    to its bin boundary. Deterministic: float division + floor are IEEE-
+    identical in numpy and SQL. NULL values are dropped, like SQL aggregates.
+    """
+    keys = list(keys)
+    qs = tuple(quantiles)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[[*keys, value_col]].dropna(subset=[value_col])
+        out = pd.DataFrame({k: b[k] for k in keys})
+        out["bin"] = np.floor(
+            b[value_col].to_numpy(dtype=np.float64) / bin_width
+        ).astype(np.int64)
+        return (
+            out.groupby([*keys, "bin"], sort=False, observed=True)
+            .size()
+            .reset_index(name="cnt")
+        )
+
+    def per_group(t: pa.Table) -> pa.Table:
+        bins = t["bin"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cnts = t["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ub, inv = np.unique(bins, return_inverse=True)
+        merged = np.zeros(len(ub), np.int64)
+        np.add.at(merged, inv, cnts)
+        cum = np.cumsum(merged)
+        n = int(cum[-1])
+        cols = {k: t[k].slice(0, 1) for k in keys}
+        cols["n"] = pa.array([n], pa.int64())
+        for q in qs:
+            rank = (n - 1) * q // 100  # 0-based, same as grouped_quantiles
+            idx = int(np.searchsorted(cum, rank + 1, side="left"))
+            cols[f"p{q}_bin"] = pa.array([int(ub[idx])], pa.int64())
+        return pa.table(cols)
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
         .groupby(keys)
         .map_groups(per_group, batch_format="pyarrow")
     )

@@ -439,6 +439,40 @@ def test_top_k_per_group_null_and_separator_keys():
     assert (out["rank"] == 1).all()
 
 
+def test_grouped_quantiles_hist_matches_reference():
+    """Histogram-sketch quantiles: p{q}_bin must equal the bin of the exact
+    order statistic, including negative values (floor, not truncation)."""
+    from scylla_cdc_source_connector_ray.stages.topk import grouped_quantiles_hist
+
+    rng = np.random.default_rng(17)
+    df = pd.DataFrame(
+        {
+            "g": rng.choice(["a", "b", "c"], 500),
+            "v": rng.normal(0, 40, 500),  # negatives exercise floor semantics
+        }
+    )
+    df.loc[::50, "v"] = np.nan  # NULLs dropped like SQL
+    W = 5.0
+    out = (
+        grouped_quantiles_hist(
+            ray.data.from_pandas(df).repartition(6),
+            keys=["g"],
+            value_col="v",
+            bin_width=W,
+        )
+        .to_pandas()
+        .set_index("g")
+        .sort_index()
+    )
+    for g, grp in df.dropna(subset=["v"]).groupby("g"):
+        v = np.sort(grp["v"].to_numpy())
+        n = len(v)
+        assert out.loc[g, "n"] == n
+        for q in (25, 50, 95):
+            exact = v[(n - 1) * q // 100]
+            assert out.loc[g, f"p{q}_bin"] == int(np.floor(exact / W)), (g, q)
+
+
 def test_grouped_centroid_sums_matches_numpy():
     from scylla_cdc_source_connector_ray.functions.similarity import (
         IVFIndex,
