@@ -1251,6 +1251,36 @@ def _q_embedding_centroids(sf_dir: str):
     return grouped_centroid_sums(emb, index)
 
 
+def _q_cep_session_pattern(sf_dir: str):
+    """CEP composed with session windows: 'ut+a' counted within each
+    (conversation, session) — the sessionization rule of win_session plus
+    the CEP regex stage, one keyed exchange (stages/cep.py)."""
+    import pyarrow as pa
+
+    from scylla_cdc_source_connector_ray.stages import cep
+
+    ds = cap.read_transcripts_from_events(
+        sf_dir, columns=["conv_id", "role", "ts", "seq"]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "conv_id": t["conv_id"],
+                "sym": cep.role_symbols(t["role"]),
+                "ts_us": t["ts"].combine_chunks().cast(pa.int64()),
+                "seq": t["seq"],
+            }
+        )
+
+    return cep.match_pattern_sessions(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        oracles.CEP_PATTERN,
+        gap_us=oracles.GAP30M_US,
+        num_shards=_CFG.num_shards,
+    )
+
+
 def _q_cep_stream_pattern(sf_dir: str):
     """Streaming CEP through the CHECKPOINTED micro-batch runner: literal
     'uta' counted per conversation with the exact cross-batch suffix carry
@@ -1341,6 +1371,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_turns_per_conv": _q_top_turns_per_conv,
         "cep_pattern_match": _q_cep_pattern_match,
         "cep_stream_pattern": _q_cep_stream_pattern,
+        "cep_session_pattern": _q_cep_session_pattern,
         "embedding_centroids": _q_embedding_centroids,
         "dedup_stream_minhash": _q_dedup_stream_minhash,
         "corpus_prep": _q_corpus_prep,
@@ -1414,6 +1445,7 @@ def oracle_sql() -> dict[str, str]:
         "top_turns_per_conv": oracles.TOP_TURNS_PER_CONV,
         "cep_pattern_match": oracles.CEP_PATTERN_MATCH,
         "cep_stream_pattern": oracles.CEP_STREAM_PATTERN,
+        "cep_session_pattern": oracles.CEP_SESSION_PATTERN,
         "embedding_centroids": oracles.EMBEDDING_CENTROIDS,
         "dedup_stream_minhash": oracles.DEDUP_STREAM_MINHASH,
         "corpus_prep": oracles.CORPUS_PREP,

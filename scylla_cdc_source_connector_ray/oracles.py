@@ -1458,3 +1458,41 @@ SELECT event_type,
        CAST(min(CASE WHEN c > (tot - 1) * 95 // 100 THEN bin END) AS BIGINT) AS p95_bin
 FROM cum GROUP BY event_type
 """
+
+
+def _cep_session_sql(pattern: str, gap_us: int) -> str:
+    """Sessionized-CEP twin: the WIN_SESSION sessionization (gap rule,
+    (ts, seq) order) composed with the CEP string_agg + RE2 count."""
+    from .stages.cep import role_case_sql
+
+    return f"""
+WITH transcripts AS ({TRANSCRIPTS_SQL}),
+syms AS (
+    SELECT conv_id, {role_case_sql("role")} AS sym, epoch_us(ts) AS ts_us, seq
+    FROM transcripts
+),
+marks AS (
+    SELECT conv_id, sym, ts_us, seq,
+           CASE WHEN lag(ts_us) OVER w IS NULL
+                     OR ts_us - lag(ts_us) OVER w > {gap_us}
+                THEN 1 ELSE 0 END AS is_start
+    FROM syms WINDOW w AS (PARTITION BY conv_id ORDER BY ts_us, seq)
+),
+sess AS (
+    SELECT conv_id, sym, ts_us, seq,
+           sum(is_start) OVER (PARTITION BY conv_id ORDER BY ts_us, seq
+                               ROWS UNBOUNDED PRECEDING) AS sid
+    FROM marks
+),
+strs AS (
+    SELECT conv_id, sid, min(ts_us) AS session_start_us,
+           string_agg(sym, '' ORDER BY ts_us, seq) AS s
+    FROM sess GROUP BY conv_id, sid
+)
+SELECT conv_id, session_start_us,
+       CAST(len(regexp_extract_all(s, '{pattern}')) AS BIGINT) AS n_matches
+FROM strs
+"""
+
+
+CEP_SESSION_PATTERN = _cep_session_sql(CEP_PATTERN, GAP30M_US)

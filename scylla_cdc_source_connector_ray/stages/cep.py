@@ -84,12 +84,9 @@ def run_starts(t: pa.Table, keys: list[str]) -> np.ndarray:
     return first
 
 
-def join_symbols(t: pa.Table, keys: list[str], sym_col: str) -> tuple[pa.Table, pa.Array]:
-    """Per-key symbol strings from a table ALREADY sorted by
-    (keys, event order). NULL symbols must be filtered out beforehand (SQL
-    ``string_agg`` skips NULLs; callers mirror that). Returns (one row of
-    ``keys`` per run, joined string per run)."""
-    first = run_starts(t, keys)
+def join_runs(t: pa.Table, first: np.ndarray, sym_col: str) -> tuple[np.ndarray, pa.Array]:
+    """Join ``sym_col`` into one string per run given a boundary mask over an
+    already-sorted table. Returns (run start indices, joined strings)."""
     starts = np.flatnonzero(first)
     offsets = pa.array(np.append(starts, t.num_rows), pa.int64())
     flat = t[sym_col].combine_chunks()
@@ -97,6 +94,15 @@ def join_symbols(t: pa.Table, keys: list[str], sym_col: str) -> tuple[pa.Table, 
     # the value type or the binary_join kernel lookup fails
     sep = pa.scalar("", type=flat.type)
     strs = pc.binary_join(pa.LargeListArray.from_arrays(offsets, flat), sep)
+    return starts, strs
+
+
+def join_symbols(t: pa.Table, keys: list[str], sym_col: str) -> tuple[pa.Table, pa.Array]:
+    """Per-key symbol strings from a table ALREADY sorted by
+    (keys, event order). NULL symbols must be filtered out beforehand (SQL
+    ``string_agg`` skips NULLs; callers mirror that). Returns (one row of
+    ``keys`` per run, joined string per run)."""
+    starts, strs = join_runs(t, run_starts(t, keys), sym_col)
     return t.select(keys).take(pa.array(starts)), strs
 
 
@@ -129,6 +135,54 @@ def match_pattern(
         n = pc.count_substring_regex(strs, pattern).cast(pa.int64())
         first = pc.struct_field(pc.extract_regex(strs, wrapped), "m")
         return key_rows.append_column("n_matches", n).append_column("first_match", first)
+
+    return (
+        ds.map_batches(project, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(per_shard, batch_format="pyarrow")
+    )
+
+
+def match_pattern_sessions(
+    ds: ray.data.Dataset,
+    pattern: str,
+    gap_us: int,
+    key: str = "conv_id",
+    sym_col: str = "sym",
+    ts_us_col: str = "ts_us",
+    seq_col: str = "seq",
+    num_shards: int = 32,
+) -> ray.data.Dataset:
+    """CEP composed with SESSION windows: count non-overlapping RE2
+    ``pattern`` matches within each (key, session) — sessions split where
+    the event-time gap exceeds ``gap_us`` (same sessionization rule as
+    ``stages/windows.py::session``). One keyed exchange; session boundaries
+    are one extra vectorized diff on top of the key run mask. Output: key,
+    ``session_start_us``, int64 ``n_matches`` (every session appears)."""
+
+    def project(t: pa.Table) -> pa.Table:
+        t = t.select([key, sym_col, ts_us_col, seq_col])
+        t = t.filter(pc.is_valid(t[sym_col]))  # string_agg skips NULLs
+        return t.append_column("shard", shard_of(t[key], num_shards))
+
+    def per_shard(g: pa.Table) -> pa.Table:
+        g = g.sort_by(
+            [(key, "ascending"), (ts_us_col, "ascending"), (seq_col, "ascending")]
+        )
+        first = run_starts(g, [key])
+        ts = g[ts_us_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(ts) > 1:  # a gap inside a key also starts a run; across keys
+            first[1:] |= (ts[1:] - ts[:-1]) > gap_us  # conv boundary already set
+        starts, strs = join_runs(g, first, sym_col)
+        n = pc.count_substring_regex(strs, pattern).cast(pa.int64())
+        idx = pa.array(starts)
+        return pa.table(
+            {
+                key: g[key].take(idx),
+                "session_start_us": pa.array(ts[starts], pa.int64()),
+                "n_matches": n,
+            }
+        )
 
     return (
         ds.map_batches(project, batch_format="pyarrow")

@@ -69,6 +69,42 @@ def test_match_pattern_vs_python_re():
         assert (got_first is None or pd.isna(got_first)) if first is None else got_first == first
 
 
+def test_match_pattern_sessions_vs_reference():
+    """Sessionized CEP: gaps split a conversation into sessions; each match
+    is counted in its own session (a pattern spanning a gap must NOT match)."""
+    from scylla_cdc_source_connector_ray.stages.cep import match_pattern_sessions
+
+    GAP = 1_000_000  # 1s
+    rows = []
+    # conv A: u t a | (gap) | u t t a  -> two sessions, one match each
+    for i, (role, off) in enumerate(
+        [("user", 0), ("tool", 1), ("assistant", 2),
+         ("user", 100), ("tool", 101), ("tool", 102), ("assistant", 103)]
+    ):
+        rows.append(("A", role, off * 1_000_000, i))
+    # conv B: u t (1s apart = within gap) | (4s gap) | a -> the match is
+    # split by the gap: two sessions, zero matches
+    rows += [("B", "user", 0, 10), ("B", "tool", 1_000_000, 11), ("B", "assistant", 5_000_000, 12)]
+    df = pd.DataFrame(rows, columns=["conv_id", "role", "ts_us", "seq"])
+    ds = ray.data.from_pandas(
+        df.assign(sym=df["role"].map(_SYM))[["conv_id", "sym", "ts_us", "seq"]]
+    ).repartition(3)
+    out = (
+        match_pattern_sessions(ds, "ut+a", gap_us=GAP, num_shards=2)
+        .to_pandas()
+        .sort_values(["conv_id", "session_start_us"])
+        .reset_index(drop=True)
+    )
+    want = pd.DataFrame(
+        {
+            "conv_id": ["A", "A", "B", "B"],
+            "session_start_us": [0, 100_000_000, 0, 5_000_000],
+            "n_matches": [1, 1, 0, 0],
+        }
+    )
+    pd.testing.assert_frame_equal(out, want)
+
+
 def _write_windows(tmp, df, n_files=4):
     """ts-ordered window files (the in-order CDC log layout)."""
     log = os.path.join(tmp, "log")
