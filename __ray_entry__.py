@@ -1169,6 +1169,18 @@ def _q_cep_pattern_match(sf_dir: str):
     )
 
 
+def _q_token_pack_plan(sf_dir: str):
+    """Sequence packing via the distributed prefix scan (stages/scan.py):
+    two-pass range scan — per-range subtotals to the driver (num_ranges
+    ints), then one range-keyed exchange adding base offsets to local
+    cumsums."""
+    from scylla_cdc_source_connector_ray.stages.scan import token_pack_plan
+
+    return token_pack_plan(
+        _docs(sf_dir), capacity=oracles.TOKEN_PACK_CAPACITY, num_ranges=16
+    )
+
+
 def _q_corpus_prep(sf_dir: str):
     """Composed training-data pipeline: quality filter -> exact dedup among
     survivors -> deterministic sample, one streaming Dataset chain
@@ -1375,6 +1387,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_centroids": _q_embedding_centroids,
         "dedup_stream_minhash": _q_dedup_stream_minhash,
         "corpus_prep": _q_corpus_prep,
+        "token_pack_plan": _q_token_pack_plan,
         "top_orders": _q_relational("top_orders"),
         "segment_stats": _q_relational("segment_stats"),
         "event_type_stats": _q_relational("event_type_stats"),
@@ -1449,6 +1462,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_centroids": oracles.EMBEDDING_CENTROIDS,
         "dedup_stream_minhash": oracles.DEDUP_STREAM_MINHASH,
         "corpus_prep": oracles.CORPUS_PREP,
+        "token_pack_plan": oracles.TOKEN_PACK_PLAN,
         "top_orders": oracles.TOP_ORDERS,
         "segment_stats": oracles.SEGMENT_STATS,
         "event_type_stats": oracles.EVENT_TYPE_STATS,

@@ -1496,3 +1496,26 @@ FROM strs
 
 
 CEP_SESSION_PATTERN = _cep_session_sql(CEP_PATTERN, GAP30M_US)
+
+
+def _token_pack_sql(capacity: int) -> str:
+    """stages/scan.py::token_pack_plan twin — the distributed prefix scan is
+    one SQL window cumsum; pack_id = exclusive-prefix tokens // capacity."""
+    from .functions.textops import BPE_TOKEN_RE
+
+    pat = BPE_TOKEN_RE.replace("'", "''")
+    return f"""
+WITH t AS (
+    SELECT doc_id,
+           CAST(coalesce(length(regexp_extract_all(text, '{pat}')), 0) AS BIGINT) AS n_tokens
+    FROM documents
+)
+SELECT doc_id, n_tokens,
+       CAST((CAST(sum(n_tokens) OVER (ORDER BY doc_id) AS BIGINT) - n_tokens)
+            // {capacity} AS BIGINT) AS pack_id
+FROM t
+"""
+
+
+TOKEN_PACK_CAPACITY = 4096
+TOKEN_PACK_PLAN = _token_pack_sql(TOKEN_PACK_CAPACITY)

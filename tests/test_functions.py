@@ -473,6 +473,42 @@ def test_grouped_quantiles_hist_matches_reference():
             assert out.loc[g, f"p{q}_bin"] == int(np.floor(exact / W)), (g, q)
 
 
+def test_running_total_matches_cumsum():
+    from scylla_cdc_source_connector_ray.stages.scan import running_total
+
+    rng = np.random.default_rng(23)
+    ids = rng.permutation(300).astype(np.int64)  # arrives unordered
+    df = pd.DataFrame({"oid": ids, "v": rng.integers(-5, 50, 300).astype(np.int64)})
+    out = (
+        running_total(
+            ray.data.from_pandas(df).repartition(7), "oid", "v", num_ranges=8
+        )
+        .to_pandas()
+        .sort_values("oid")
+        .reset_index(drop=True)
+    )
+    want = df.sort_values("oid").reset_index(drop=True)
+    np.testing.assert_array_equal(out["cum"].to_numpy(), want["v"].cumsum().to_numpy())
+
+
+def test_running_total_single_range_and_explicit_boundaries():
+    from scylla_cdc_source_connector_ray.stages.scan import running_total
+
+    df = pd.DataFrame({"oid": np.arange(10, dtype=np.int64), "v": np.ones(10, np.int64)})
+    # all rows land in one range (boundaries outside the domain)
+    out = (
+        running_total(
+            ray.data.from_pandas(df).repartition(3),
+            "oid",
+            "v",
+            boundaries=np.array([1000.0, 2000.0]),
+        )
+        .to_pandas()
+        .sort_values("oid")
+    )
+    assert out["cum"].tolist() == list(range(1, 11))
+
+
 def test_grouped_centroid_sums_matches_numpy():
     from scylla_cdc_source_connector_ray.functions.similarity import (
         IVFIndex,
