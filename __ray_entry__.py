@@ -1169,6 +1169,14 @@ def _q_cep_pattern_match(sf_dir: str):
     )
 
 
+def _q_quality_above_median(sf_dir: str):
+    """Global exact median as a broadcast filter threshold (aggregate →
+    scalar → filter; functions/corpus.py::quality_above_median)."""
+    from scylla_cdc_source_connector_ray.functions.corpus import quality_above_median
+
+    return quality_above_median(_docs(sf_dir))
+
+
 def _q_token_pack_plan(sf_dir: str):
     """Sequence packing via the distributed prefix scan (stages/scan.py):
     two-pass range scan — per-range subtotals to the driver (num_ranges
@@ -1388,6 +1396,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_stream_minhash": _q_dedup_stream_minhash,
         "corpus_prep": _q_corpus_prep,
         "token_pack_plan": _q_token_pack_plan,
+        "quality_above_median": _q_quality_above_median,
         "top_orders": _q_relational("top_orders"),
         "segment_stats": _q_relational("segment_stats"),
         "event_type_stats": _q_relational("event_type_stats"),
@@ -1463,6 +1472,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_stream_minhash": oracles.DEDUP_STREAM_MINHASH,
         "corpus_prep": oracles.CORPUS_PREP,
         "token_pack_plan": oracles.TOKEN_PACK_PLAN,
+        "quality_above_median": oracles.QUALITY_ABOVE_MEDIAN,
         "top_orders": oracles.TOP_ORDERS,
         "segment_stats": oracles.SEGMENT_STATS,
         "event_type_stats": oracles.EVENT_TYPE_STATS,

@@ -57,3 +57,47 @@ def corpus_prep(
         lambda t: t.select([id_col, "quality_micro"]), batch_format="pyarrow"
     )
     return deterministic_sample(deduped, id_col, buckets_kept=sample_buckets)
+
+
+def quality_above_median(
+    docs: ray.data.Dataset, text_col: str = "text", id_col: str = "doc_id"
+) -> ray.data.Dataset:
+    """Keep documents at or above the corpus-wide EXACT median quality — the
+    aggregate → broadcast-scalar → filter pattern: the median is computed
+    once from (id, quality) pairs (the honest exact cost; swap in
+    ``grouped_quantiles_hist`` for an approximate threshold at 100 TB), then
+    shipped to every filter task as one int in the closure. The corpus
+    itself is scanned twice and never shuffled."""
+    from ..stages.topk import grouped_quantiles
+    from .textops import quality_score
+
+    def qm(t: pa.Table) -> pa.Table:
+        s = quality_score(t, text_col)
+        q = s["quality"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "quality_micro": pa.array(np.floor(q * 1e6).astype("int64")),
+            }
+        )
+
+    scored = docs.map_batches(qm, batch_format="pyarrow")
+
+    def const_g(t: pa.Table) -> pa.Table:
+        return t.append_column("_g", pa.array(np.zeros(t.num_rows, np.int8)))
+
+    med_rows = (
+        grouped_quantiles(
+            scored.map_batches(const_g, batch_format="pyarrow"),
+            keys=["_g"],
+            value_col="quality_micro",
+            quantiles=(50,),
+        )
+        .take_all()
+    )
+    threshold = int(med_rows[0]["p50"])
+
+    return scored.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["quality_micro"], threshold)),
+        batch_format="pyarrow",
+    )

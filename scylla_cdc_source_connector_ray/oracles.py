@@ -1519,3 +1519,21 @@ FROM t
 
 TOKEN_PACK_CAPACITY = 4096
 TOKEN_PACK_PLAN = _token_pack_sql(TOKEN_PACK_CAPACITY)
+
+
+#: functions/corpus.py::quality_above_median — global exact median as the
+#: broadcast filter threshold (aggregate → scalar → filter). Same 0-based
+#: (n-1)*50//100 order-statistic convention as the quantile operators.
+QUALITY_ABOVE_MEDIAN = (
+    "WITH qscore AS (" + QUALITY_SCORE + """),
+r AS (
+    SELECT quality_micro,
+           row_number() OVER (ORDER BY quality_micro) - 1 AS i,
+           count(*) OVER () AS n
+    FROM qscore
+),
+med AS (SELECT max(CASE WHEN i = (n - 1) * 50 // 100 THEN quality_micro END) AS m FROM r)
+SELECT q.doc_id, q.quality_micro
+FROM qscore q, med WHERE q.quality_micro >= med.m
+"""
+)
