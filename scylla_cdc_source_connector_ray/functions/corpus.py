@@ -22,6 +22,19 @@ import pyarrow.compute as pc
 import ray.data
 
 
+def _quality_micro_table(t: pa.Table, text_col: str, keep_cols: list[str]) -> pa.Table:
+    """ONE definition of the oracle-critical quality_micro derivation
+    (floor(quality * 1e6) as int64) — both corpus operators must stay
+    bit-identical to the QUALITY_SCORE twin."""
+    from .textops import quality_score
+
+    s = quality_score(t, text_col)
+    q = s["quality"].to_numpy(zero_copy_only=False)
+    cols = {c: t[c] for c in keep_cols}
+    cols["quality_micro"] = pa.array(np.floor(q * 1e6).astype("int64"))
+    return pa.table(cols)
+
+
 def corpus_prep(
     docs: ray.data.Dataset,
     min_quality_micro: int = 300_000,
@@ -33,15 +46,9 @@ def corpus_prep(
     content hash among survivors), then deterministically sample. Output:
     (``id_col``, ``quality_micro``) of the final surviving documents."""
     from .dedup import deterministic_sample, first_row_per_key, with_content_hash
-    from .textops import quality_score
 
     def qfilter(t: pa.Table) -> pa.Table:
-        s = quality_score(t, text_col)
-        q = s["quality"].to_numpy(zero_copy_only=False)
-        qm = pa.array(np.floor(q * 1e6).astype("int64"))
-        out = pa.table(
-            {id_col: t[id_col], text_col: t[text_col], "quality_micro": qm}
-        )
+        out = _quality_micro_table(t, text_col, [id_col, text_col])
         return out.filter(pc.greater_equal(out["quality_micro"], min_quality_micro))
 
     filtered = docs.map_batches(qfilter, batch_format="pyarrow")
@@ -69,19 +76,11 @@ def quality_above_median(
     shipped to every filter task as one int in the closure. The corpus
     itself is scanned twice and never shuffled."""
     from ..stages.topk import grouped_quantiles
-    from .textops import quality_score
 
-    def qm(t: pa.Table) -> pa.Table:
-        s = quality_score(t, text_col)
-        q = s["quality"].to_numpy(zero_copy_only=False)
-        return pa.table(
-            {
-                id_col: t[id_col],
-                "quality_micro": pa.array(np.floor(q * 1e6).astype("int64")),
-            }
-        )
-
-    scored = docs.map_batches(qm, batch_format="pyarrow")
+    scored = docs.map_batches(
+        lambda t: _quality_micro_table(t, text_col, [id_col]),
+        batch_format="pyarrow",
+    )
 
     def const_g(t: pa.Table) -> pa.Table:
         return t.append_column("_g", pa.array(np.zeros(t.num_rows, np.int8)))
@@ -95,6 +94,8 @@ def quality_above_median(
         )
         .take_all()
     )
+    if not med_rows:  # empty corpus: the twin's NULL threshold keeps nothing
+        return scored
     threshold = int(med_rows[0]["p50"])
 
     return scored.map_batches(

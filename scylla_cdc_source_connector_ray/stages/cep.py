@@ -158,11 +158,19 @@ def match_pattern_sessions(
     the event-time gap exceeds ``gap_us`` (same sessionization rule as
     ``stages/windows.py::session``). One keyed exchange; session boundaries
     are one extra vectorized diff on top of the key run mask. Output: key,
-    ``session_start_us``, int64 ``n_matches`` (every session appears)."""
+    ``session_start_us``, int64 ``n_matches`` (every session appears).
+
+    NULL symbols contribute NO characters (string_agg-skip semantics) but
+    their timestamps STILL sessionize — a filtered row must not merge the
+    sessions around it — so they are blanked, not dropped."""
 
     def project(t: pa.Table) -> pa.Table:
         t = t.select([key, sym_col, ts_us_col, seq_col])
-        t = t.filter(pc.is_valid(t[sym_col]))  # string_agg skips NULLs
+        t = t.set_column(
+            t.schema.get_field_index(sym_col),
+            sym_col,
+            pc.fill_null(t[sym_col].combine_chunks(), ""),
+        )
         return t.append_column("shard", shard_of(t[key], num_shards))
 
     def per_shard(g: pa.Table) -> pa.Table:

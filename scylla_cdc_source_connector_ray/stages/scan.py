@@ -45,11 +45,23 @@ def running_total(
     """Append int64 ``cum`` = inclusive running sum of ``value_col`` in
     ``order_col`` order (the order column must be globally unique — ties
     would make the scan order undefined). Output rows keep all input
-    columns; the dataset comes back range-ordered by ``order_col``."""
+    columns; the dataset comes back range-ordered by ``order_col``.
+
+    The input is MATERIALIZED once up front: a scan is inherently multi-pass
+    (domain probe, subtotals, final cumsum), and Ray re-executes
+    un-materialized lineage on every consumption — project ``ds`` down to
+    (order, value) before calling so the cached blocks stay narrow."""
     from ray.data.aggregate import Max, Min
+
+    ds = ds.materialize()
 
     if boundaries is None:
         mm = ds.aggregate(Min(order_col), Max(order_col))
+        if not mm or mm.get(f"min({order_col})") is None:  # empty input
+            return ds.map_batches(
+                lambda t: t.append_column("cum", pa.array([], pa.int64())),
+                batch_format="pyarrow",
+            )
         lo, hi = mm[f"min({order_col})"], mm[f"max({order_col})"]
         # num_ranges-1 interior cut points over the observed domain
         boundaries = np.linspace(lo, hi, num_ranges + 1)[1:-1].astype(np.float64)

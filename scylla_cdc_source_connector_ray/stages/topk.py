@@ -53,6 +53,33 @@ def _rank_in_key(
     return t, pos
 
 
+def null_safe_group_cols(t: pa.Table, keys: list[str]) -> tuple[pa.Table, list[str]]:
+    """Append (filled, is_null) companion columns for each groupby key and
+    return their names — group on THESE, never on nullable key columns
+    directly: Ray's polars-backed sort shuffle (use_polars_sort = True, our
+    CLI/bench/test default) does NOT merge null keys across blocks, silently
+    splitting the SQL-standard single NULL group into one group per block.
+    (filled, false) and (filled, true) can never collide, so the companion
+    pair is an injective null-safe encoding."""
+    comp: list[str] = []
+    for k in keys:
+        a = t[k].combine_chunks()
+        isn = pc.is_null(a)
+        if pa.types.is_null(a.type):  # an all-null batch infers null type
+            filled = pa.array([""] * len(a), pa.string())
+        elif pa.types.is_string(a.type) or pa.types.is_large_string(a.type):
+            filled = pc.fill_null(a, "")
+        else:
+            filled = pc.fill_null(a, pa.scalar(0, a.type))
+        t = t.append_column(f"__nn_{k}", filled).append_column(f"__in_{k}", isn)
+        comp += [f"__nn_{k}", f"__in_{k}"]
+    return t, comp
+
+
+def _drop_companions(t: pa.Table, keys: list[str]) -> pa.Table:
+    return t.drop_columns([c for k in keys for c in (f"__nn_{k}", f"__in_{k}")])
+
+
 def top_k_per_group(
     ds: ray.data.Dataset,
     keys: list[str],
@@ -69,19 +96,21 @@ def top_k_per_group(
     tiebreak = list(tiebreak)
 
     def partial(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return t
         t, pos = _rank_in_key(t, keys, value_col, tiebreak, descending)
-        return t.filter(pa.array(pos < k))
+        t = t.filter(pa.array(pos < k))  # empty batches flow through: the
+        t, _ = null_safe_group_cols(t, keys)  # groupby needs every column
+        return t
 
     def final(t: pa.Table) -> pa.Table:
+        t = _drop_companions(t, keys)
         t, pos = _rank_in_key(t, keys, value_col, tiebreak, descending)
         t = t.append_column("rank", pa.array(pos + 1, pa.int64()))
         return t.filter(pc.less_equal(t["rank"], k))
 
+    comp = [c for k in keys for c in (f"__nn_{k}", f"__in_{k}")]
     return (
         ds.map_batches(partial, batch_format="pyarrow")
-        .groupby(keys)
+        .groupby(comp)
         .map_groups(final, batch_format="pyarrow")
     )
 
@@ -106,7 +135,9 @@ def grouped_quantiles(
 
     def project(t: pa.Table) -> pa.Table:
         t = t.select([*keys, value_col])
-        return t.filter(pc.is_valid(t[value_col]))
+        t = t.filter(pc.is_valid(t[value_col]))
+        t, _ = null_safe_group_cols(t, keys)
+        return t
 
     def per_group(t: pa.Table) -> pa.Table:
         v = np.sort(t[value_col].combine_chunks().to_numpy(zero_copy_only=False))
@@ -117,9 +148,10 @@ def grouped_quantiles(
             cols[f"p{q}"] = pa.array([int(v[(n - 1) * q // 100])], pa.int64())
         return pa.table(cols)
 
+    comp = [c for k in keys for c in (f"__nn_{k}", f"__in_{k}")]
     return (
         ds.map_batches(project, batch_format="pyarrow")
-        .groupby(keys)
+        .groupby(comp)
         .map_groups(per_group, batch_format="pyarrow")
     )
 
@@ -152,11 +184,33 @@ def grouped_quantiles_hist(
         out["bin"] = np.floor(
             b[value_col].to_numpy(dtype=np.float64) / bin_width
         ).astype(np.int64)
-        return (
-            out.groupby([*keys, "bin"], sort=False, observed=True)
+        # dropna=False: SQL GROUP BY (and grouped_quantiles) keep one
+        # NULL-key group; the default would silently drop those rows
+        res = (
+            out.groupby([*keys, "bin"], sort=False, observed=True, dropna=False)
             .size()
             .reset_index(name="cnt")
         )
+        # pandas surfaces the null key as float NaN (an all-null batch even
+        # retypes the column float64), which Ray's sort-shuffle cannot order
+        # against strings — restore the input dtype and hand back Arrow with
+        # real nulls
+        for k in keys:
+            if res[k].dtype != b[k].dtype:
+                res[k] = res[k].astype(b[k].dtype)
+            if res[k].dtype == object:
+                res[k] = res[k].where(res[k].notna(), None)
+        tbl = pa.Table.from_pandas(res, preserve_index=False)
+        for k in keys:
+            # a batch whose keys are ALL null infers a null-typed column,
+            # which the groupby would treat as a schema distinct from the
+            # other blocks' string keys — pin string (string keys are the
+            # supported null-able case; numeric keys cannot be all-NaN here)
+            if pa.types.is_null(tbl.schema.field(k).type):
+                i = tbl.schema.get_field_index(k)
+                tbl = tbl.set_column(i, k, tbl[k].cast(pa.string()))
+        tbl, _ = null_safe_group_cols(tbl, keys)
+        return tbl
 
     def per_group(t: pa.Table) -> pa.Table:
         bins = t["bin"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -174,8 +228,9 @@ def grouped_quantiles_hist(
             cols[f"p{q}_bin"] = pa.array([int(ub[idx])], pa.int64())
         return pa.table(cols)
 
+    comp = [c for k in keys for c in (f"__nn_{k}", f"__in_{k}")]
     return (
         ds.map_batches(partial, batch_format="pandas")
-        .groupby(keys)
+        .groupby(comp)
         .map_groups(per_group, batch_format="pyarrow")
     )

@@ -105,6 +105,29 @@ def test_match_pattern_sessions_vs_reference():
     pd.testing.assert_frame_equal(out, want)
 
 
+def test_match_pattern_sessions_null_sym_still_sessionizes():
+    """A NULL-symbol event contributes no characters but its timestamp still
+    splits sessions (string_agg-skip over the FULL sessionization)."""
+    from scylla_cdc_source_connector_ray.stages.cep import match_pattern_sessions
+
+    GAP = 1_000_000
+    df = pd.DataFrame(
+        {
+            "conv_id": ["K"] * 3,
+            "sym": ["u", None, "a"],
+            # each consecutive pair is within the gap, but dropping the NULL
+            # row would make the 0 -> 2*GAP diff exceed it
+            "ts_us": np.array([0, GAP, 2 * GAP], np.int64),
+            "seq": np.arange(3, dtype=np.int64),
+        }
+    )
+    out = match_pattern_sessions(
+        ray.data.from_pandas(df), "ua", gap_us=GAP, num_shards=2
+    ).to_pandas()
+    # one session (no gap exceeded), symbols 'ua' -> one match
+    assert len(out) == 1 and int(out["n_matches"].iloc[0]) == 1
+
+
 def _write_windows(tmp, df, n_files=4):
     """ts-ordered window files (the in-order CDC log layout)."""
     log = os.path.join(tmp, "log")

@@ -473,6 +473,19 @@ def test_grouped_quantiles_hist_matches_reference():
             assert out.loc[g, f"p{q}_bin"] == int(np.floor(exact / W)), (g, q)
 
 
+def test_grouped_quantiles_hist_keeps_null_group():
+    """Regression: SQL GROUP BY keeps one NULL-key group; the per-batch
+    pandas groupby must not dropna it."""
+    from scylla_cdc_source_connector_ray.stages.topk import grouped_quantiles_hist
+
+    df = pd.DataFrame({"g": [None, None, "a"], "v": [2.0, 4.0, 9.0]})
+    out = grouped_quantiles_hist(
+        ray.data.from_pandas(df).repartition(2), keys=["g"], value_col="v", bin_width=5.0
+    ).to_pandas()
+    nulls = out[out["g"].isna()]
+    assert len(nulls) == 1 and int(nulls["n"].iloc[0]) == 2
+
+
 def test_running_total_matches_cumsum():
     from scylla_cdc_source_connector_ray.stages.scan import running_total
 
