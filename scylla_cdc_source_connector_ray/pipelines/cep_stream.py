@@ -37,6 +37,21 @@ import ray.data
 from ..state.checkpoint import Checkpoint, current_hash_impl
 
 
+def fold_literal(full: pa.Array, literal: str) -> tuple[np.ndarray, pa.Array]:
+    """The carry fold kernel: split each (carried-tail + new-symbols) string
+    on the literal; return (#occurrences per row, next tail per row = last
+    ≤len-1 chars of the final occurrence-free part). Property-tested for
+    split-invariance against the global count at arbitrary cut points."""
+    parts = pc.split_pattern(full, literal)
+    delta = pc.add(pc.list_value_length(parts).cast(pa.int64()), -1)
+    last_idx = parts.offsets.to_numpy(zero_copy_only=False)[1:] - 1
+    last = pc.take(parts.values, pa.array(last_idx))
+    tail = pc.utf8_reverse(
+        pc.utf8_slice_codeunits(pc.utf8_reverse(last), 0, len(literal) - 1)
+    )
+    return delta.to_numpy(zero_copy_only=False), tail
+
+
 class CepStreamRunner:
     """Micro-batch literal-pattern counter over ``log_dir/window-*.parquet``
     transcript files. Log windows must be event-time-ordered (the standard
@@ -151,18 +166,8 @@ class CepStreamRunner:
             full = pa.array(
                 (m["tail"].fillna("") + m["s"]).to_numpy(dtype=object), pa.string()
             )
-            parts = pc.split_pattern(full, literal)
-            delta = pc.add(pc.list_value_length(parts).cast(pa.int64()), -1)
-            # carry = last <=len-1 symbols of the final (occurrence-free) part
-            last_idx = parts.offsets.to_numpy(zero_copy_only=False)[1:] - 1
-            last = pc.take(parts.values, pa.array(last_idx))
-            tail = pc.utf8_reverse(
-                pc.utf8_slice_codeunits(pc.utf8_reverse(last), 0, len(literal) - 1)
-            )
-            n_new = (
-                m["n_matches"].fillna(0).to_numpy(dtype=np.int64)
-                + delta.to_numpy(zero_copy_only=False)
-            )
+            delta, tail = fold_literal(full, literal)
+            n_new = m["n_matches"].fillna(0).to_numpy(dtype=np.int64) + delta
             touched = pd.DataFrame(
                 {
                     key_col: m[key_col],
@@ -192,7 +197,7 @@ class CepStreamRunner:
                 {
                     "shard": pa.array([shard], pa.int32()),
                     "n_in": pa.array([g.num_rows], pa.int64()),
-                    "n_matches": pa.array([int(delta.to_numpy().sum())], pa.int64()),
+                    "n_matches": pa.array([int(delta.sum())], pa.int64()),
                 }
             )
 

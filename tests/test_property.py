@@ -219,3 +219,35 @@ def test_windows_match_duckdb_on_random_logs(rows, slide_div):
     assert got_s[["window_start_us", "n_events"]].astype("int64").values.tolist() == want_s[
         ["window_start_us", "n_events"]
     ].astype("int64").values.tolist()
+
+
+# ---------------------------------------------------------------------------
+# CEP literal-carry fold: split invariance at arbitrary cut points
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.text(alphabet="uatsd", max_size=60),
+    st.sampled_from(["uta", "ua", "ttt", "u", "dd"]),
+    st.lists(st.integers(0, 60), max_size=6),
+)
+def test_cep_fold_literal_split_invariant(s, literal, cuts):
+    """Folding a symbol stream chunk-by-chunk with the ≤len-1 suffix carry
+    must count exactly the global non-overlapping occurrences, for ANY cut
+    points (including empty chunks and cuts inside an occurrence)."""
+    import pyarrow as pa
+
+    from scylla_cdc_source_connector_ray.pipelines.cep_stream import fold_literal
+
+    bounds = sorted(min(c, len(s)) for c in cuts)
+    chunks, prev = [], 0
+    for b in [*bounds, len(s)]:
+        chunks.append(s[prev:b])
+        prev = b
+    count, tail = 0, ""
+    for ch in chunks:
+        delta, tails = fold_literal(pa.array([tail + ch], pa.string()), literal)
+        count += int(delta[0])
+        tail = tails[0].as_py()
+    assert count == len(s.split(literal)) - 1
