@@ -1169,6 +1169,48 @@ def _q_cep_pattern_match(sf_dir: str):
     )
 
 
+def _q_event_quantiles_stream_hist(sf_dir: str):
+    """Streaming grouped histogram through the CHECKPOINTED micro-batch
+    runner (pipelines/hist_stream.py): per-key bin counts are purely
+    additive state, so the oracle is the batch histogram SQL verbatim —
+    micro-batching can never change the result."""
+    import hashlib
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from scylla_cdc_source_connector_ray.pipelines.hist_stream import HistStreamRunner
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "value", "ts"]
+    ).sort_by([("ts", "ascending")])
+    base = os.path.join(
+        "/tmp/scylla_cdc_hist_stream",
+        hashlib.md5(sf_dir.encode()).hexdigest()[:12] + f"-{os.getpid()}",
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    log = os.path.join(base, "log")
+    os.makedirs(log)
+    n, nf = t.num_rows, 4
+    for i in range(nf):
+        lo, hi = i * n // nf, (i + 1) * n // nf
+        pq.write_table(t.slice(lo, hi - lo), os.path.join(log, f"window-{i:05d}.parquet"))
+    runner = HistStreamRunner(
+        log,
+        num_shards=8,
+        checkpoint_dir=os.path.join(base, "ckpt"),
+        bin_width=5.0,
+        key_col="event_type",
+        value_col="value",
+    )
+    try:
+        runner.run(files_per_batch=1)
+        return runner.read_quantiles()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def _q_quality_above_median(sf_dir: str):
     """Global exact median as a broadcast filter threshold (aggregate →
     scalar → filter; functions/corpus.py::quality_above_median)."""
@@ -1397,6 +1439,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_prep": _q_corpus_prep,
         "token_pack_plan": _q_token_pack_plan,
         "quality_above_median": _q_quality_above_median,
+        "event_quantiles_stream_hist": _q_event_quantiles_stream_hist,
         "top_orders": _q_relational("top_orders"),
         "segment_stats": _q_relational("segment_stats"),
         "event_type_stats": _q_relational("event_type_stats"),
@@ -1473,6 +1516,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_prep": oracles.CORPUS_PREP,
         "token_pack_plan": oracles.TOKEN_PACK_PLAN,
         "quality_above_median": oracles.QUALITY_ABOVE_MEDIAN,
+        "event_quantiles_stream_hist": oracles.EVENT_VALUE_QUANTILES_HIST,
         "top_orders": oracles.TOP_ORDERS,
         "segment_stats": oracles.SEGMENT_STATS,
         "event_type_stats": oracles.EVENT_TYPE_STATS,
