@@ -1169,6 +1169,64 @@ def _q_cep_pattern_match(sf_dir: str):
     )
 
 
+def _q_top_turns_stream(sf_dir: str):
+    """Streaming per-group top-k through the CHECKPOINTED micro-batch runner
+    (pipelines/topk_stream.py): bounded k-rows-per-key state — a mergeable
+    aggregate, so the oracle is the batch row_number SQL verbatim."""
+    import hashlib
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from scylla_cdc_source_connector_ray.pipelines.topk_stream import TopKStreamRunner
+    from scylla_cdc_source_connector_ray.sources.events_adapter import (
+        events_to_transcripts,
+    )
+
+    ev = pq.read_table(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "event_id", "event_type", "props", "ts"],
+    )
+    t = events_to_transcripts(ev).sort_by([("ts", "ascending"), ("seq", "ascending")])
+    n_chars = pc.fill_null(pc.utf8_length(t["text"].combine_chunks()), 0).cast(pa.int64())
+    t = pa.table(
+        {
+            "conv_id": t["conv_id"],
+            "turn_idx": t["turn_idx"],
+            "seq": t["seq"],
+            "n_chars": n_chars,
+        }
+    )
+    base = os.path.join(
+        "/tmp/scylla_cdc_topk_stream",
+        hashlib.md5(sf_dir.encode()).hexdigest()[:12] + f"-{os.getpid()}",
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    log = os.path.join(base, "log")
+    os.makedirs(log)
+    n, nf = t.num_rows, 4
+    for i in range(nf):
+        lo, hi = i * n // nf, (i + 1) * n // nf
+        pq.write_table(t.slice(lo, hi - lo), os.path.join(log, f"window-{i:05d}.parquet"))
+    runner = TopKStreamRunner(
+        log,
+        num_shards=8,
+        checkpoint_dir=os.path.join(base, "ckpt"),
+        keys=["conv_id"],
+        value_col="n_chars",
+        k=2,
+        tiebreak=["turn_idx", "seq"],
+    )
+    try:
+        runner.run(files_per_batch=1)
+        return runner.read_topk().select(["conv_id", "turn_idx", "seq", "n_chars", "rank"])
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def _q_event_quantiles_stream_hist(sf_dir: str):
     """Streaming grouped histogram through the CHECKPOINTED micro-batch
     runner (pipelines/hist_stream.py): per-key bin counts are purely
@@ -1440,6 +1498,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_pack_plan": _q_token_pack_plan,
         "quality_above_median": _q_quality_above_median,
         "event_quantiles_stream_hist": _q_event_quantiles_stream_hist,
+        "top_turns_stream": _q_top_turns_stream,
         "top_orders": _q_relational("top_orders"),
         "segment_stats": _q_relational("segment_stats"),
         "event_type_stats": _q_relational("event_type_stats"),
@@ -1517,6 +1576,7 @@ def oracle_sql() -> dict[str, str]:
         "token_pack_plan": oracles.TOKEN_PACK_PLAN,
         "quality_above_median": oracles.QUALITY_ABOVE_MEDIAN,
         "event_quantiles_stream_hist": oracles.EVENT_VALUE_QUANTILES_HIST,
+        "top_turns_stream": oracles.TOP_TURNS_PER_CONV,
         "top_orders": oracles.TOP_ORDERS,
         "segment_stats": oracles.SEGMENT_STATS,
         "event_type_stats": oracles.EVENT_TYPE_STATS,
