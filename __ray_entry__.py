@@ -1502,6 +1502,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_orders": _q_relational("top_orders"),
         "segment_stats": _q_relational("segment_stats"),
         "event_type_stats": _q_relational("event_type_stats"),
+        "event_rollup": _q_relational("event_rollup"),
         "event_value_quantiles": _q_relational("event_value_quantiles"),
         "event_value_quantiles_hist": _q_relational("event_value_quantiles_hist"),
         "part_type_stats": _q_relational("part_type_stats"),
@@ -1580,6 +1581,7 @@ def oracle_sql() -> dict[str, str]:
         "top_orders": oracles.TOP_ORDERS,
         "segment_stats": oracles.SEGMENT_STATS,
         "event_type_stats": oracles.EVENT_TYPE_STATS,
+        "event_rollup": oracles.EVENT_ROLLUP,
         "event_value_quantiles": oracles.EVENT_VALUE_QUANTILES,
         "event_value_quantiles_hist": oracles.EVENT_VALUE_QUANTILES_HIST,
         "part_type_stats": oracles.PART_TYPE_STATS,

@@ -1537,3 +1537,13 @@ SELECT q.doc_id, q.quality_micro
 FROM qscore q, med WHERE q.quality_micro >= med.m
 """
 )
+
+
+#: pipelines/relational.py::event_rollup — GROUP BY ROLLUP(event_type):
+#: per-type rows plus the grand-total row (event_type NULL); counts exact,
+#: sums integer-scaled (cents) so distributed order cannot matter.
+EVENT_ROLLUP = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT) AS sum_value_c
+FROM events GROUP BY ROLLUP(event_type)
+"""

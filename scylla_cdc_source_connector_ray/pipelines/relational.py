@@ -194,6 +194,35 @@ def event_type_stats(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def event_rollup(sf_dir: str) -> ray.data.Dataset:
+    """GROUP BY ROLLUP(event_type): the per-type rows plus the grand-total
+    row (event_type NULL) — a rollup is the union of its grouping sets, and
+    the grand total re-aggregates the tiny per-type result rather than
+    rescanning the input (one scan, one keyed exchange, one trivial
+    reduce)."""
+    import numpy as np
+    import pyarrow as pa
+
+    per_type = event_type_stats(sf_dir)
+
+    def grand_total(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": pa.array([None], pa.string()),
+                "n": pa.array([int(t["n"].to_numpy(zero_copy_only=False).sum())], pa.int64()),
+                "sum_value_c": pa.array(
+                    [int(t["sum_value_c"].to_numpy(zero_copy_only=False).sum())],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    total = per_type.repartition(1, shuffle=False).map_batches(
+        grand_total, batch_format="pyarrow", batch_size=None
+    )
+    return per_type.union(total)
+
+
 def event_value_quantiles(sf_dir: str) -> ray.data.Dataset:
     """Exact per-event-type value quantiles (p25/p50/p95 of the micro-scaled
     value) — §2.5 grouped aggregation beyond sums: only (key, value_micro)
