@@ -85,6 +85,28 @@ def run_microbatches(
     return totals
 
 
+def read_committed_state(ckpt: Checkpoint, kind: str) -> list[pa.Table]:
+    """Latest COMMITTED state snapshot per shard for ``kind`` — ONE
+    definition of the manifest-gated state-read rule (a crashed attempt's
+    uncommitted state files are invisible: latest_state_path filters to
+    batch_id <= last committed)."""
+    last = ckpt.last_committed()
+    if last is None:
+        raise ValueError("no committed batches")
+    tables = []
+    root = os.path.join(ckpt.dir, kind)
+    if os.path.isdir(root):
+        for d in sorted(os.listdir(root)):
+            if not d.startswith("shard="):
+                continue
+            p = ckpt.latest_state_path(
+                int(d.split("=", 1)[1]), before_batch=last["batch_id"] + 1, kind=kind
+            )
+            if p:
+                tables.append(pq.read_table(p))
+    return tables
+
+
 def read_committed_output(ckpt: Checkpoint, sink_dir: str) -> pa.Table:
     """Concat the sink files of COMMITTED batches only (a crashed attempt's
     files for an uncommitted batch are invisible until its replay commits)."""

@@ -24,7 +24,6 @@ protocol (``_microbatch.py``).
 
 from __future__ import annotations
 
-import os
 
 import numpy as np
 import pandas as pd
@@ -214,21 +213,12 @@ class CepStreamRunner:
     def read_counts(self) -> pa.Table:
         """Final (key, n_matches) across all shards — the latest COMMITTED
         state snapshot per shard."""
-        last = self.ckpt.last_committed()
-        if last is None:
-            raise ValueError("no committed batches")
-        upto = last["batch_id"]
-        tables = []
-        root = os.path.join(self.ckpt.dir, self.STATE_KIND)
-        if os.path.isdir(root):
-            for d in sorted(os.listdir(root)):
-                if not d.startswith("shard="):
-                    continue
-                p = self.ckpt.latest_state_path(
-                    int(d.split("=", 1)[1]), before_batch=upto + 1, kind=self.STATE_KIND
-                )
-                if p:
-                    tables.append(pq.read_table(p, columns=[self.key_col, "n_matches"]))
+        from ._microbatch import read_committed_state
+
+        tables = [
+            t.select([self.key_col, "n_matches"])
+            for t in read_committed_state(self.ckpt, self.STATE_KIND)
+        ]
         if not tables:
             return pa.table(
                 {self.key_col: pa.array([], pa.string()), "n_matches": pa.array([], pa.int64())}

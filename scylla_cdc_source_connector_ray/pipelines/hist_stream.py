@@ -17,7 +17,6 @@ pre-batch snapshots), manifest-gated reads.
 
 from __future__ import annotations
 
-import os
 
 import numpy as np
 import pandas as pd
@@ -76,6 +75,10 @@ class HistStreamRunner:
                 "num_shards": self.num_shards,
                 "hash_impl": current_hash_impl(),
                 "bin_width": self.bin_width,
+                # the measured quantity is replay identity too: resuming
+                # with a different key/value column would merge histograms
+                # of different things into one state
+                "hist_cols": f"{self.key_col}/{self.value_col}",
             },
             process_batch=process,
             files_per_batch=files_per_batch,
@@ -99,11 +102,20 @@ class HistStreamRunner:
                 b[value_col].to_numpy(dtype=np.float64) / width
             ).astype(np.int64)
             res = (
-                out.groupby([key_col, "bin"], sort=False, observed=True)
+                # dropna=False: SQL GROUP BY keeps one NULL-key group
+                out.groupby([key_col, "bin"], sort=False, observed=True, dropna=False)
                 .size()
                 .reset_index(name="cnt")
             )
-            sh = shard_of(pa.array(res[key_col].astype(str)), num_shards)
+            # NaN keys back to real nulls (never astype(str): that would
+            # turn NULL into the literal string 'None' and collide with it;
+            # an all-null batch retypes the column float64 — object first)
+            kc = res[key_col]
+            if kc.dtype != object:
+                kc = kc.astype(object)
+            keys_arr = pa.array(kc.where(kc.notna(), None), pa.string())
+            res[key_col] = keys_arr.to_pandas().astype(object)
+            sh = shard_of(keys_arr, num_shards)
             res["_shard"] = sh.to_numpy(zero_copy_only=False)
             return res
 
@@ -116,10 +128,11 @@ class HistStreamRunner:
                 frames.append(pq.read_table(prev).to_pandas())
             merged = (
                 pd.concat(frames)
-                .groupby([key_col, "bin"], sort=True, observed=True)["cnt"]
+                .groupby([key_col, "bin"], sort=True, observed=True, dropna=False)["cnt"]
                 .sum()
                 .reset_index()
             )
+            merged[key_col] = merged[key_col].where(merged[key_col].notna(), None)
             ck.write_state(
                 shard,
                 batch_id,
@@ -153,28 +166,17 @@ class HistStreamRunner:
     def read_quantiles(self, quantiles: tuple[int, ...] = (25, 50, 95)) -> pa.Table:
         """(key, n, p{q}_bin ...) from the latest COMMITTED state — the same
         rank convention as ``grouped_quantiles_hist``."""
-        last = self.ckpt.last_committed()
-        if last is None:
-            raise ValueError("no committed batches")
-        frames = []
-        root = os.path.join(self.ckpt.dir, self.STATE_KIND)
-        if os.path.isdir(root):
-            for d in sorted(os.listdir(root)):
-                if not d.startswith("shard="):
-                    continue
-                p = self.ckpt.latest_state_path(
-                    int(d.split("=", 1)[1]),
-                    before_batch=last["batch_id"] + 1,
-                    kind=self.STATE_KIND,
-                )
-                if p:
-                    frames.append(pq.read_table(p).to_pandas())
+        from ._microbatch import read_committed_state
+
+        frames = [t.to_pandas() for t in read_committed_state(self.ckpt, self.STATE_KIND)]
         cols: dict = {self.key_col: [], "n": []}
         for q in quantiles:
             cols[f"p{q}_bin"] = []
         if frames:
             state = pd.concat(frames)
-            for key, grp in state.groupby(self.key_col, sort=True):
+            for key, grp in state.groupby(self.key_col, sort=True, dropna=False):
+                if pd.isna(key):  # restore the SQL NULL group key
+                    key = None
                 grp = grp.sort_values("bin")
                 cum = grp["cnt"].to_numpy(dtype=np.int64).cumsum()
                 n = int(cum[-1])

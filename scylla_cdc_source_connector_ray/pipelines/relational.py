@@ -200,20 +200,19 @@ def event_rollup(sf_dir: str) -> ray.data.Dataset:
     the grand total re-aggregates the tiny per-type result rather than
     rescanning the input (one scan, one keyed exchange, one trivial
     reduce)."""
-    import numpy as np
     import pyarrow as pa
 
     per_type = event_type_stats(sf_dir)
 
     def grand_total(t: pa.Table) -> pa.Table:
+        n = int(t["n"].to_numpy(zero_copy_only=False).sum())
+        # SQL's grand total over zero rows is (n=0, sum NULL)
+        sv = [int(t["sum_value_c"].to_numpy(zero_copy_only=False).sum())] if n else [None]
         return pa.table(
             {
                 "event_type": pa.array([None], pa.string()),
-                "n": pa.array([int(t["n"].to_numpy(zero_copy_only=False).sum())], pa.int64()),
-                "sum_value_c": pa.array(
-                    [int(t["sum_value_c"].to_numpy(zero_copy_only=False).sum())],
-                    pa.int64(),
-                ),
+                "n": pa.array([n], pa.int64()),
+                "sum_value_c": pa.array(sv, pa.int64()),
             }
         )
 

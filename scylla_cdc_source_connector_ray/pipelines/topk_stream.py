@@ -17,8 +17,6 @@ from __future__ import annotations
 
 import os
 
-import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 
@@ -79,7 +77,18 @@ class TopKStreamRunner:
             pins={
                 "num_shards": self.num_shards,
                 "hash_impl": current_hash_impl(),
-                "topk_impl": f"{self.k}/{self.value_col}/{','.join(self.keys)}",
+                # EVERY ranking ingredient is replay identity — a resumed run
+                # with a different tiebreak or payload would silently replay
+                # a batch under different pruning
+                "topk_impl": "/".join(
+                    [
+                        str(self.k),
+                        self.value_col,
+                        ",".join(self.keys),
+                        ",".join(self.tiebreak),
+                        ",".join(self.columns),
+                    ]
+                ),
             },
             process_batch=process,
             files_per_batch=files_per_batch,
@@ -88,18 +97,20 @@ class TopKStreamRunner:
         )
 
     # -------------------------------------------------------------- batches
-    def _prune(self, t: pa.Table) -> pa.Table:
-        from ..stages.topk import _rank_in_key
-
-        t, pos = _rank_in_key(t, self.keys, self.value_col, self.tiebreak, True)
-        return t.filter(pa.array(pos < self.k))
-
     def _process_batch(self, batch_id: int, bfiles: list[str]) -> list[dict]:
         keys, columns = self.keys, self.columns
+        value_col, tiebreak, k = self.value_col, self.tiebreak, self.k
         num_shards = self.num_shards
         ckpt_dir = self.ckpt.dir
         state_kind = self.STATE_KIND
-        prune = self._prune
+
+        def prune(t: pa.Table) -> pa.Table:
+            # plain closure over scalars — a bound method would ship the
+            # whole runner (incl. its Checkpoint) into every map task
+            from ..stages.topk import _rank_in_key
+
+            t, pos = _rank_in_key(t, keys, value_col, tiebreak, True)
+            return t.filter(pa.array(pos < k))
 
         def partial(t: pa.Table) -> pa.Table:
             from ..schema import shard_of
@@ -110,6 +121,7 @@ class TopKStreamRunner:
         def shard_task(g: pa.Table) -> pa.Table:
             shard = int(g["_shard"][0].as_py())
             g = g.drop_columns(["_shard"])
+            n_in = g.num_rows  # batch rows only, BEFORE the state concat
             ck = Checkpoint(ckpt_dir)  # path math only; no driver state
             prev = ck.latest_state_path(shard, before_batch=batch_id, kind=state_kind)
             if prev:
@@ -127,7 +139,7 @@ class TopKStreamRunner:
             return pa.table(
                 {
                     "shard": pa.array([shard], pa.int32()),
-                    "n_in": pa.array([g.num_rows], pa.int64()),
+                    "n_in": pa.array([n_in], pa.int64()),
                     "n_state": pa.array([merged.num_rows], pa.int64()),
                 }
             )
@@ -146,25 +158,20 @@ class TopKStreamRunner:
         """Final top-k rows + 1-based int64 ``rank`` from the COMMITTED
         state."""
         from ..stages.topk import _rank_in_key
+        from ._microbatch import read_committed_state
 
-        last = self.ckpt.last_committed()
-        if last is None:
-            raise ValueError("no committed batches")
-        frames = []
-        root = os.path.join(self.ckpt.dir, self.STATE_KIND)
-        if os.path.isdir(root):
-            for d in sorted(os.listdir(root)):
-                if not d.startswith("shard="):
-                    continue
-                p = self.ckpt.latest_state_path(
-                    int(d.split("=", 1)[1]),
-                    before_batch=last["batch_id"] + 1,
-                    kind=self.STATE_KIND,
-                )
-                if p:
-                    frames.append(pq.read_table(p))
+        frames = read_committed_state(self.ckpt, self.STATE_KIND)
         if not frames:
-            return pa.table({})
+            # typed empty result (an all-empty log commits but writes no
+            # state): schema from the log + the rank column
+            files = sorted(
+                f for f in os.listdir(self.log_dir) if f.endswith(".parquet")
+            )
+            schema = pq.read_schema(os.path.join(self.log_dir, files[0]))
+            empty = pa.table(
+                {c: pa.array([], schema.field(c).type) for c in self.columns}
+            )
+            return empty.append_column("rank", pa.array([], pa.int64()))
         t = pa.concat_tables(frames, promote_options="permissive")
         t, pos = _rank_in_key(t, self.keys, self.value_col, self.tiebreak, True)
         return t.append_column("rank", pa.array(pos + 1, pa.int64()))

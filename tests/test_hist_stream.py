@@ -65,6 +65,21 @@ def test_stream_hist_matches_batch_reference(tmp_path):
     assert got == _reference(pd.concat(frames))
 
 
+def test_stream_hist_keeps_null_key_group(tmp_path):
+    """SQL GROUP BY keeps one NULL-key group; the runner must too (batch 0
+    is ALL-null keys — the column-retype edge)."""
+    tmp = str(tmp_path)
+    frames = [
+        pd.DataFrame({"k": [None, None], "v": np.array([2.0, 4.0])}),
+        pd.DataFrame({"k": ["a", None], "v": np.array([9.0, 7.0])}),
+    ]
+    log = _write_log(tmp, frames)
+    r = _runner(tmp, log)
+    r.run(files_per_batch=1)
+    rows = {row["k"]: row["n"] for row in r.read_quantiles().to_pylist()}
+    assert rows == {None: 3, "a": 1}
+
+
 def test_stream_hist_kill_resume(tmp_path):
     tmp = str(tmp_path)
     rng = np.random.default_rng(37)
