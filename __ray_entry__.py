@@ -1269,6 +1269,39 @@ def _q_event_quantiles_stream_hist(sf_dir: str):
         shutil.rmtree(base, ignore_errors=True)
 
 
+def _semi_anti(sf_dir: str, anti: bool):
+    """Distributed semi/anti join (stages/join.py::semi_anti_join): right
+    side shrinks to distinct keys per batch, one co-partitioned exchange,
+    vectorized is_in membership per partition."""
+    import pyarrow.compute as pc
+
+    import ray.data
+
+    from scylla_cdc_source_connector_ray.stages.join import semi_anti_join
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderpriority"]
+    )
+    if anti:  # customers with no URGENT order
+        orders = orders.map_batches(
+            lambda t: t.filter(pc.equal(t["o_orderpriority"], "1-URGENT")),
+            batch_format="pyarrow",
+        )
+    out = semi_anti_join(cust, orders, "c_custkey", "o_custkey", anti=anti)
+    return out.select_columns(["c_custkey", "c_name"])
+
+
+def _q_customers_without_orders(sf_dir: str):
+    return _semi_anti(sf_dir, anti=True)
+
+
+def _q_customers_with_orders(sf_dir: str):
+    return _semi_anti(sf_dir, anti=False)
+
+
 def _q_quality_above_median(sf_dir: str):
     """Global exact median as a broadcast filter threshold (aggregate →
     scalar → filter; functions/corpus.py::quality_above_median)."""
@@ -1499,6 +1532,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_above_median": _q_quality_above_median,
         "event_quantiles_stream_hist": _q_event_quantiles_stream_hist,
         "top_turns_stream": _q_top_turns_stream,
+        "customers_without_orders": _q_customers_without_orders,
+        "customers_with_orders": _q_customers_with_orders,
         "top_orders": _q_relational("top_orders"),
         "segment_stats": _q_relational("segment_stats"),
         "event_type_stats": _q_relational("event_type_stats"),
@@ -1578,6 +1613,8 @@ def oracle_sql() -> dict[str, str]:
         "quality_above_median": oracles.QUALITY_ABOVE_MEDIAN,
         "event_quantiles_stream_hist": oracles.EVENT_VALUE_QUANTILES_HIST,
         "top_turns_stream": oracles.TOP_TURNS_PER_CONV,
+        "customers_without_orders": oracles.CUSTOMERS_WITHOUT_ORDERS,
+        "customers_with_orders": oracles.CUSTOMERS_WITH_ORDERS,
         "top_orders": oracles.TOP_ORDERS,
         "segment_stats": oracles.SEGMENT_STATS,
         "event_type_stats": oracles.EVENT_TYPE_STATS,

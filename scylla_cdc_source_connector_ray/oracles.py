@@ -1547,3 +1547,18 @@ SELECT event_type, CAST(count(*) AS BIGINT) AS n,
        CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT) AS sum_value_c
 FROM events GROUP BY ROLLUP(event_type)
 """
+
+
+#: stages/join.py::semi_anti_join — NOT EXISTS (anti) and EXISTS (semi)
+#: against the orders fact table.
+CUSTOMERS_WITHOUT_ORDERS = """
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+"""
+
+CUSTOMERS_WITH_ORDERS = """
+SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""

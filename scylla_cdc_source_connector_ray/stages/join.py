@@ -553,3 +553,55 @@ def interval_join(
         return _to_arrow_exact(m[out_cols], int_schema)
 
     return tagged.groupby(_PART_COL).map_groups(join_group, batch_format="pandas")
+
+
+def semi_anti_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    left_on: str,
+    right_on: str | None = None,
+    anti: bool = False,
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """Distributed SEMI (EXISTS) / ANTI (NOT EXISTS) join: keep left rows
+    whose key does (semi) or does not (anti) appear in ``right``.
+
+    Scale shape: the right side is projected to DISTINCT KEYS PER BATCH
+    before the exchange (the probe needs membership only — right payload and
+    right duplicates never ship), both sides co-partition once on the pinned
+    key hash, and each partition task answers membership with one vectorized
+    ``pc.is_in``. No pairing, no row multiplication — bytes moved = left
+    once + right's unique keys once.
+
+    Reference anchor: the relational family SURVEY §2.4 implies but
+    Dataset.join does not provide (inner/outer only)."""
+    right_on = right_on or left_on
+
+    left_schema = _arrow_schema(left)
+    target = pa.schema([*left_schema, pa.field("__side", pa.int8())])
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        t = t.append_column("__side", pa.array(np.zeros(t.num_rows, np.int8)))
+        t = _null_pad(t, target)
+        return t.append_column("_part", _part_of(t[left_on], num_partitions))
+
+    def tag_right(t: pa.Table) -> pa.Table:
+        keys = pc.unique(t[right_on].combine_chunks())
+        t = pa.table({left_on: keys.cast(left_schema.field(left_on).type)})
+        t = t.append_column("__side", pa.array(np.ones(len(keys), np.int8)))
+        t = _null_pad(t, target)
+        return t.append_column("_part", _part_of(t[left_on], num_partitions))
+
+    def per_part(g: pa.Table) -> pa.Table:
+        side = g["__side"].combine_chunks()
+        is_right = pc.equal(side, 1)
+        probe = pc.unique(g.filter(is_right)[left_on].combine_chunks())
+        lrows = g.filter(pc.equal(side, 0)).drop_columns(["__side", "_part"])
+        member = pc.is_in(lrows[left_on].combine_chunks(), value_set=probe)
+        keep = pc.invert(member) if anti else member
+        return lrows.filter(keep)
+
+    tagged = left.map_batches(tag_left, batch_format="pyarrow").union(
+        right.map_batches(tag_right, batch_format="pyarrow")
+    )
+    return tagged.groupby("_part").map_groups(per_part, batch_format="pyarrow")
