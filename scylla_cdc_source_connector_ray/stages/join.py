@@ -586,7 +586,9 @@ def semi_anti_join(
         return t.append_column("_part", _part_of(t[left_on], num_partitions))
 
     def tag_right(t: pa.Table) -> pa.Table:
-        keys = pc.unique(t[right_on].combine_chunks())
+        # drop null right keys: SQL `o.k = c.k` never matches NULL, while
+        # is_in with a null in the value_set would match null left keys
+        keys = pc.drop_null(pc.unique(t[right_on].combine_chunks()))
         t = pa.table({left_on: keys.cast(left_schema.field(left_on).type)})
         t = t.append_column("__side", pa.array(np.ones(len(keys), np.int8)))
         t = _null_pad(t, target)

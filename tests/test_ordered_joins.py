@@ -179,3 +179,20 @@ def test_asof_tied_right_rows_resolve_deterministically():
         ).take_all()
         winners.add(out[0]["w_r"])
     assert winners == {9}
+
+
+def test_semi_anti_join_null_keys_and_duplicates():
+    """SQL EXISTS semantics: NULL left keys never match (kept by anti,
+    dropped by semi); NULL right keys match nothing; right duplicates do not
+    multiply left rows."""
+    from scylla_cdc_source_connector_ray.stages.join import semi_anti_join
+
+    left = pa.table({"k": pa.array([1, 2, None, 4], pa.int64()),
+                     "payload": ["a", "b", "c", "d"]})
+    right = pa.table({"rk": pa.array([2, 2, 2, None], pa.int64())})
+    lds = ray.data.from_arrow(left).repartition(2)
+    rds = ray.data.from_arrow(right).repartition(2)
+    semi = semi_anti_join(lds, rds, "k", "rk", anti=False, num_partitions=4).to_pandas()
+    anti = semi_anti_join(lds, rds, "k", "rk", anti=True, num_partitions=4).to_pandas()
+    assert semi["payload"].tolist() == ["b"]
+    assert sorted(anti["payload"].tolist()) == ["a", "c", "d"]
