@@ -1302,6 +1302,24 @@ def _q_customers_with_orders(sf_dir: str):
     return _semi_anti(sf_dir, anti=False)
 
 
+def _q_sample_stratified(sf_dir: str):
+    """Stratified deterministic sample: downsample the dominant language
+    (en at 2/16 nibbles), keep the rest at 8/16 — shuffle-free, RNG-free,
+    reproducible across cluster sizes (functions/dedup.py)."""
+    import os
+
+    import ray.data
+
+    from scylla_cdc_source_connector_ray.functions.dedup import stratified_sample
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "lang", "source"]
+    )
+    return stratified_sample(
+        ds, "doc_id", "lang", rates={"en": 2}, default_buckets=8
+    )
+
+
 def _q_quality_above_median(sf_dir: str):
     """Global exact median as a broadcast filter threshold (aggregate →
     scalar → filter; functions/corpus.py::quality_above_median)."""
@@ -1534,6 +1552,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_turns_stream": _q_top_turns_stream,
         "customers_without_orders": _q_customers_without_orders,
         "customers_with_orders": _q_customers_with_orders,
+        "sample_stratified": _q_sample_stratified,
         "top_orders": _q_relational("top_orders"),
         "segment_stats": _q_relational("segment_stats"),
         "event_type_stats": _q_relational("event_type_stats"),
@@ -1615,6 +1634,7 @@ def oracle_sql() -> dict[str, str]:
         "top_turns_stream": oracles.TOP_TURNS_PER_CONV,
         "customers_without_orders": oracles.CUSTOMERS_WITHOUT_ORDERS,
         "customers_with_orders": oracles.CUSTOMERS_WITH_ORDERS,
+        "sample_stratified": oracles.SAMPLE_STRATIFIED,
         "top_orders": oracles.TOP_ORDERS,
         "segment_stats": oracles.SEGMENT_STATS,
         "event_type_stats": oracles.EVENT_TYPE_STATS,

@@ -1075,3 +1075,41 @@ def near_dedup_keep_canonical(
             return t.filter(pa.array(~np.isin(ids, self.drop)))
 
     return docs.map_batches(Filter, batch_format="pyarrow", concurrency=(1, 8))
+
+
+def stratified_sample(
+    ds: ray.data.Dataset,
+    id_col: str,
+    stratum_col: str,
+    rates: dict[str, int],
+    default_buckets: int,
+) -> ray.data.Dataset:
+    """Stratified deterministic sample: per-stratum nibble-bucket counts
+    (``rates[stratum] / 16``; strata not listed use ``default_buckets``).
+    Same md5-nibble rule as :func:`deterministic_sample`, so it is
+    shuffle-free, RNG-free, and reproducible across runs and cluster sizes —
+    the knob a 100 TB corpus uses to rebalance sources (e.g. downsample the
+    dominant language, keep the rare ones whole)."""
+    for name, b in [("default_buckets", default_buckets), *rates.items()]:
+        if not 1 <= b <= 16:
+            raise ValueError(f"bucket count for {name!r} must be in 1..16, got {b}")
+
+    def keep(batch: pd.DataFrame) -> pd.DataFrame:
+        col = batch[id_col]
+        ids = (col.astype("int64") if pd.api.types.is_numeric_dtype(col) else col).astype(str)
+        uniq, inv = np.unique(ids.values.astype(object), return_inverse=True)
+        unib = np.fromiter(
+            (int(hashlib.md5(s.encode()).hexdigest()[0], 16) for s in uniq),
+            dtype=np.int64,
+            count=len(uniq),
+        )
+        nib = unib[inv]
+        strata = batch[stratum_col].astype(object).where(batch[stratum_col].notna(), None)
+        limits = np.fromiter(
+            (rates.get(s, default_buckets) for s in strata),
+            dtype=np.int64,
+            count=len(batch),
+        )
+        return batch[nib < limits]
+
+    return ds.map_batches(keep, batch_format="pandas")

@@ -1562,3 +1562,12 @@ CUSTOMERS_WITH_ORDERS = """
 SELECT c_custkey, c_name FROM customer c
 WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
 """
+
+
+#: functions/dedup.py::stratified_sample — per-stratum md5-nibble rates:
+#: downsample the dominant language (en: 2/16), keep the rest at 8/16.
+SAMPLE_STRATIFIED = """
+SELECT doc_id, lang, source FROM documents
+WHERE strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1
+      < CASE WHEN lang = 'en' THEN 2 ELSE 8 END
+"""
