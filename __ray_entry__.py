@@ -1302,6 +1302,29 @@ def _q_customers_with_orders(sf_dir: str):
     return _semi_anti(sf_dir, anti=False)
 
 
+def _q_orders_left_join_segment(sf_dir: str):
+    """LEFT OUTER co-partitioned hash join: unmatched orders keep NULL
+    payload (customer side pre-filtered to one segment so the outer
+    semantics actually fire; stages/join.py::shuffle_hash_join)."""
+    import pyarrow.compute as pc
+
+    import ray.data
+
+    from scylla_cdc_source_connector_ray.stages.join import shuffle_hash_join
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    ).map_batches(
+        lambda t: t.filter(pc.equal(t["c_mktsegment"], "BUILDING")),
+        batch_format="pyarrow",
+    )
+    out = shuffle_hash_join(orders, cust, "o_custkey", "c_custkey", how="left_outer")
+    return out.select_columns(["o_orderkey", "o_custkey", "c_mktsegment"])
+
+
 def _q_sample_stratified(sf_dir: str):
     """Stratified deterministic sample: downsample the dominant language
     (en at 2/16 nibbles), keep the rest at 8/16 — shuffle-free, RNG-free,
@@ -1553,6 +1576,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_without_orders": _q_customers_without_orders,
         "customers_with_orders": _q_customers_with_orders,
         "sample_stratified": _q_sample_stratified,
+        "orders_left_join_segment": _q_orders_left_join_segment,
         "top_orders": _q_relational("top_orders"),
         "segment_stats": _q_relational("segment_stats"),
         "event_type_stats": _q_relational("event_type_stats"),
@@ -1635,6 +1659,7 @@ def oracle_sql() -> dict[str, str]:
         "customers_without_orders": oracles.CUSTOMERS_WITHOUT_ORDERS,
         "customers_with_orders": oracles.CUSTOMERS_WITH_ORDERS,
         "sample_stratified": oracles.SAMPLE_STRATIFIED,
+        "orders_left_join_segment": oracles.ORDERS_LEFT_JOIN_SEGMENT,
         "top_orders": oracles.TOP_ORDERS,
         "segment_stats": oracles.SEGMENT_STATS,
         "event_type_stats": oracles.EVENT_TYPE_STATS,

@@ -1571,3 +1571,15 @@ SELECT doc_id, lang, source FROM documents
 WHERE strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1
       < CASE WHEN lang = 'en' THEN 2 ELSE 8 END
 """
+
+
+#: stages/join.py::shuffle_hash_join how='left_outer' — unmatched left rows
+#: survive with NULL payload (customer side filtered to one segment so the
+#: outer semantics actually fire).
+ORDERS_LEFT_JOIN_SEGMENT = """
+SELECT o.o_orderkey, o.o_custkey, c.c_mktsegment
+FROM orders o
+LEFT JOIN (SELECT c_custkey, c_mktsegment FROM customer
+           WHERE c_mktsegment = 'BUILDING') c
+  ON o.o_custkey = c.c_custkey
+"""
