@@ -1325,6 +1325,30 @@ def _q_orders_left_join_segment(sf_dir: str):
     return out.select_columns(["o_orderkey", "o_custkey", "c_mktsegment"])
 
 
+def _q_unnest_tags(sf_dir: str):
+    """UNNEST (flat-map): explode the tags list column to one row per
+    element, no exchange (stages/transforms.py::explode_list)."""
+    import os
+
+    import ray.data
+
+    from scylla_cdc_source_connector_ray.sources.events_adapter import (
+        events_to_transcripts,
+    )
+    from scylla_cdc_source_connector_ray.stages.transforms import explode_list
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "event_type", "value"],
+    )
+
+    def prep(t):
+        tr = events_to_transcripts(t, columns=["tags", "seq"])
+        return explode_list(tr, "tags", ["seq"], "tag")
+
+    return ds.map_batches(prep, batch_format="pyarrow")
+
+
 def _q_sample_stratified(sf_dir: str):
     """Stratified deterministic sample: downsample the dominant language
     (en at 2/16 nibbles), keep the rest at 8/16 — shuffle-free, RNG-free,
@@ -1577,10 +1601,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_with_orders": _q_customers_with_orders,
         "sample_stratified": _q_sample_stratified,
         "orders_left_join_segment": _q_orders_left_join_segment,
+        "unnest_tags": _q_unnest_tags,
         "top_orders": _q_relational("top_orders"),
         "segment_stats": _q_relational("segment_stats"),
         "event_type_stats": _q_relational("event_type_stats"),
         "event_rollup": _q_relational("event_rollup"),
+        "event_type_pivot": _q_relational("event_type_pivot"),
         "event_value_quantiles": _q_relational("event_value_quantiles"),
         "event_value_quantiles_hist": _q_relational("event_value_quantiles_hist"),
         "part_type_stats": _q_relational("part_type_stats"),
@@ -1660,10 +1686,12 @@ def oracle_sql() -> dict[str, str]:
         "customers_with_orders": oracles.CUSTOMERS_WITH_ORDERS,
         "sample_stratified": oracles.SAMPLE_STRATIFIED,
         "orders_left_join_segment": oracles.ORDERS_LEFT_JOIN_SEGMENT,
+        "unnest_tags": oracles.UNNEST_TAGS,
         "top_orders": oracles.TOP_ORDERS,
         "segment_stats": oracles.SEGMENT_STATS,
         "event_type_stats": oracles.EVENT_TYPE_STATS,
         "event_rollup": oracles.EVENT_ROLLUP,
+        "event_type_pivot": oracles.EVENT_TYPE_PIVOT,
         "event_value_quantiles": oracles.EVENT_VALUE_QUANTILES,
         "event_value_quantiles_hist": oracles.EVENT_VALUE_QUANTILES_HIST,
         "part_type_stats": oracles.PART_TYPE_STATS,

@@ -1583,3 +1583,33 @@ LEFT JOIN (SELECT c_custkey, c_mktsegment FROM customer
            WHERE c_mktsegment = 'BUILDING') c
   ON o.o_custkey = c.c_custkey
 """
+
+
+#: stages/transforms.py::explode_list — UNNEST of the tags list column (the
+#: flat-map family): NULL lists and [] contribute no rows; pos is 1-based.
+UNNEST_TAGS = """
+WITH t AS (
+    SELECT event_id AS seq,
+           CASE WHEN event_type = 'error' THEN NULL
+                WHEN value < 1 THEN []
+                WHEN value >= 10 THEN [event_type, 'high']
+                ELSE [event_type] END AS tags
+    FROM events
+)
+SELECT seq, unnest(tags) AS tag,
+       CAST(unnest(generate_series(1, len(tags))) AS BIGINT) AS pos
+FROM t
+"""
+
+
+#: pipelines/relational.py::event_type_pivot — PIVOT: one row per user
+#: bucket, one count column per event type (filtered aggregation).
+EVENT_TYPE_PIVOT = """
+SELECT user_id % 10 AS bucket,
+       CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS n_click,
+       CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS n_view,
+       CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n_purchase,
+       CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS n_signup,
+       CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS n_error
+FROM events GROUP BY 1
+"""

@@ -300,3 +300,45 @@ def supplier_nation_join(sf_dir: str) -> ray.data.Dataset:
     return joined.groupby("n_name").aggregate(
         Count(alias_name="n_suppliers"), Sum("bal_c", alias_name="sum_bal_c")
     )
+
+
+PIVOT_TYPES = ("click", "view", "purchase", "signup", "error")
+
+
+def event_type_pivot(sf_dir: str) -> ray.data.Dataset:
+    """PIVOT (long → wide): one row per user bucket with a count column per
+    event type. Per-batch partials pre-aggregate to (bucket, type, cnt)
+    rows, the exchange carries only those, and the per-bucket finisher lays
+    the fixed column set out wide — the filtered-aggregation pattern, never
+    a Python loop over rows."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "bucket": (b["user_id"].to_numpy(dtype=np.int64) % 10),
+                "event_type": b["event_type"],
+            }
+        )
+        return (
+            out.groupby(["bucket", "event_type"], sort=False, observed=True)
+            .size()
+            .reset_index(name="cnt")
+        )
+
+    def widen(g: pd.DataFrame) -> pa.Table:
+        cols = {"bucket": pa.array([int(g["bucket"].iloc[0])], pa.int64())}
+        sums = g.groupby("event_type", observed=True)["cnt"].sum()
+        for t in PIVOT_TYPES:
+            cols[f"n_{t}"] = pa.array([int(sums.get(t, 0))], pa.int64())
+        return pa.table(cols)
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(widen, batch_format="pandas")
+    )

@@ -100,3 +100,34 @@ def apply_post_transforms(
     for fn in transforms:
         ds = ds.map_batches(fn, batch_format="pyarrow")
     return ds
+
+
+def explode_list(
+    batch: pa.Table,
+    list_col: str,
+    keep: list[str],
+    out_col: str,
+    pos_col: str = "pos",
+) -> pa.Table:
+    """UNNEST: one output row per element of ``list_col`` (NULL lists and
+    empty lists contribute none), with 1-based ``pos_col`` and the ``keep``
+    columns repeated — fully vectorized (list_parent_indices / list_flatten),
+    embarrassingly parallel (no exchange: each batch explodes locally, the
+    flat-map family of SURVEY §2.2)."""
+    import numpy as np
+
+    arr = batch[list_col].combine_chunks()
+    parent = pc.list_parent_indices(arr)
+    flat = pc.list_flatten(arr)
+    counts = (
+        pc.fill_null(pc.list_value_length(arr), 0)
+        .cast(pa.int64())
+        .to_numpy(zero_copy_only=False)
+    )
+    total = int(counts.sum())
+    starts_at = np.cumsum(counts) - counts
+    pos = np.arange(total, dtype=np.int64) - np.repeat(starts_at, counts) + 1
+    cols = {c: batch[c].take(parent) for c in keep}
+    cols[out_col] = flat
+    cols[pos_col] = pa.array(pos, pa.int64())
+    return pa.table(cols)
