@@ -845,6 +845,23 @@ def embedding_near_dups(
 # ---------------------------------------------------------------------------
 
 
+def _nibble_of(col: pd.Series) -> np.ndarray:
+    """First md5 hex nibble of the canonical str(id), as int 0..15 — THE
+    sampling rule shared by every deterministic sampler (one definition of
+    the oracle-parity-critical id canonicalization). Integers normalize
+    through int64 so 5 and 5.0 hash alike; strings pass through. md5-per-row
+    is forced by DuckDB parity, but only UNIQUE ids pay it (factorize-first).
+    """
+    ids = (col.astype("int64") if pd.api.types.is_numeric_dtype(col) else col).astype(str)
+    uniq, inv = np.unique(ids.values.astype(object), return_inverse=True)
+    unib = np.fromiter(
+        (int(hashlib.md5(s.encode()).hexdigest()[0], 16) for s in uniq),
+        dtype=np.int64,
+        count=len(uniq),
+    )
+    return unib[inv]
+
+
 def deterministic_sample(
     ds: ray.data.Dataset, id_col: str = "doc_id", buckets_kept: int = 2, out_of: int = 16
 ) -> ray.data.Dataset:
@@ -858,23 +875,8 @@ def deterministic_sample(
         raise ValueError("nibble-bucket sampling is base-16 (out_of=16)")
     if not 1 <= buckets_kept <= out_of:
         raise ValueError(f"buckets_kept must be in 1..{out_of}, got {buckets_kept}")
-    kept = set("0123456789abcdef"[:buckets_kept])
-
     def keep(batch: pd.DataFrame) -> pd.DataFrame:
-        col = batch[id_col]
-        # canonical str(id): integers normalized through int64 so 5 and 5.0
-        # hash alike; strings pass through untouched
-        ids = (col.astype("int64") if pd.api.types.is_numeric_dtype(col) else col).astype(str)
-        # md5-per-row is forced by DuckDB parity, but hash UNIQUE ids only
-        # (factorize-first): duplicate-heavy id columns pay md5 once per value
-        uniq, inv = np.unique(ids.values.astype(object), return_inverse=True)
-        unib = np.fromiter(
-            (hashlib.md5(s.encode()).hexdigest()[0] for s in uniq),
-            dtype="U1",
-            count=len(uniq),
-        )
-        ukeep = np.isin(unib, list(kept))
-        return batch[ukeep[inv]]
+        return batch[_nibble_of(batch[id_col]) < buckets_kept]
 
     return ds.map_batches(keep, batch_format="pandas")
 
@@ -1095,20 +1097,13 @@ def stratified_sample(
             raise ValueError(f"bucket count for {name!r} must be in 1..16, got {b}")
 
     def keep(batch: pd.DataFrame) -> pd.DataFrame:
-        col = batch[id_col]
-        ids = (col.astype("int64") if pd.api.types.is_numeric_dtype(col) else col).astype(str)
-        uniq, inv = np.unique(ids.values.astype(object), return_inverse=True)
-        unib = np.fromiter(
-            (int(hashlib.md5(s.encode()).hexdigest()[0], 16) for s in uniq),
-            dtype=np.int64,
-            count=len(uniq),
-        )
-        nib = unib[inv]
-        strata = batch[stratum_col].astype(object).where(batch[stratum_col].notna(), None)
-        limits = np.fromiter(
-            (rates.get(s, default_buckets) for s in strata),
-            dtype=np.int64,
-            count=len(batch),
+        nib = _nibble_of(batch[id_col])
+        # vectorized per-stratum limits: Series.map over the few strata
+        limits = (
+            batch[stratum_col]
+            .map(rates)
+            .fillna(default_buckets)
+            .to_numpy(dtype=np.int64)
         )
         return batch[nib < limits]
 

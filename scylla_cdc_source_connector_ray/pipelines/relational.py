@@ -315,30 +315,50 @@ def event_type_pivot(sf_dir: str) -> ray.data.Dataset:
     import pandas as pd
     import pyarrow as pa
 
+    from ..stages.topk import null_safe_group_cols
+
     ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
 
-    def partial(b: pd.DataFrame) -> pd.DataFrame:
-        out = pd.DataFrame(
-            {
-                "bucket": (b["user_id"].to_numpy(dtype=np.int64) % 10),
-                "event_type": b["event_type"],
-            }
-        )
-        return (
-            out.groupby(["bucket", "event_type"], sort=False, observed=True)
+    def partial(b: pd.DataFrame) -> pa.Table:
+        # SQL parity on general input: NULL user_id -> NULL bucket (not a
+        # crash), negative user_id -> TRUNCATED modulo like SQL % (np.fmod;
+        # numpy's % is floored), NULL groups kept (dropna=False)
+        u = b["user_id"].to_numpy(dtype=np.float64)
+        bucket = np.fmod(u, 10.0)
+        out = pd.DataFrame({"bucket": bucket, "event_type": b["event_type"]})
+        res = (
+            out.groupby(["bucket", "event_type"], sort=False, observed=True, dropna=False)
             .size()
             .reset_index(name="cnt")
         )
+        # explicit Arrow schema: empty or all-null blocks must not retype
+        bk = res["bucket"].to_numpy(dtype=np.float64)
+        et = res["event_type"].astype(object)
+        t = pa.table(
+            {
+                "bucket": pa.Array.from_pandas(pd.Series(bk), type=pa.float64()).cast(
+                    pa.int64()
+                ),
+                "event_type": pa.array(et.where(et.notna(), None), pa.string()),
+                "cnt": pa.array(res["cnt"].to_numpy(dtype=np.int64)),
+            }
+        )
+        t, _ = null_safe_group_cols(t, ["bucket"])
+        return t
 
     def widen(g: pd.DataFrame) -> pa.Table:
-        cols = {"bucket": pa.array([int(g["bucket"].iloc[0])], pa.int64())}
+        b = g["bucket"].iloc[0]
+        cols = {
+            "bucket": pa.array([None if pd.isna(b) else int(b)], pa.int64())
+        }
         sums = g.groupby("event_type", observed=True)["cnt"].sum()
         for t in PIVOT_TYPES:
             cols[f"n_{t}"] = pa.array([int(sums.get(t, 0))], pa.int64())
         return pa.table(cols)
 
+    comp = [c for c in ("__nn_bucket", "__in_bucket")]
     return (
         ds.map_batches(partial, batch_format="pandas")
-        .groupby("bucket")
+        .groupby(comp)
         .map_groups(widen, batch_format="pandas")
     )

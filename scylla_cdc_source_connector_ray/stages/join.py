@@ -561,7 +561,7 @@ def semi_anti_join(
     left_on: str,
     right_on: str | None = None,
     anti: bool = False,
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """Distributed SEMI (EXISTS) / ANTI (NOT EXISTS) join: keep left rows
     whose key does (semi) or does not (anti) appear in ``right``.
@@ -576,29 +576,34 @@ def semi_anti_join(
     Reference anchor: the relational family SURVEY §2.4 implies but
     Dataset.join does not provide (inner/outer only)."""
     right_on = right_on or left_on
+    if num_partitions is None:
+        num_partitions = default_join_partitions()
 
     left_schema = _arrow_schema(left)
-    target = pa.schema([*left_schema, pa.field("__side", pa.int8())])
+    for reserved in (_SIDE_COL, _PART_COL):
+        if reserved in left_schema.names:
+            raise ValueError(f"left dataset already has a {reserved!r} column")
+    target = pa.schema([*left_schema, pa.field(_SIDE_COL, pa.int8())])
 
     def tag_left(t: pa.Table) -> pa.Table:
-        t = t.append_column("__side", pa.array(np.zeros(t.num_rows, np.int8)))
+        t = t.append_column(_SIDE_COL, pa.array(np.zeros(t.num_rows, np.int8)))
         t = _null_pad(t, target)
-        return t.append_column("_part", _part_of(t[left_on], num_partitions))
+        return t.append_column(_PART_COL, _part_of(t[left_on], num_partitions))
 
     def tag_right(t: pa.Table) -> pa.Table:
         # drop null right keys: SQL `o.k = c.k` never matches NULL, while
         # is_in with a null in the value_set would match null left keys
         keys = pc.drop_null(pc.unique(t[right_on].combine_chunks()))
         t = pa.table({left_on: keys.cast(left_schema.field(left_on).type)})
-        t = t.append_column("__side", pa.array(np.ones(len(keys), np.int8)))
+        t = t.append_column(_SIDE_COL, pa.array(np.ones(len(keys), np.int8)))
         t = _null_pad(t, target)
-        return t.append_column("_part", _part_of(t[left_on], num_partitions))
+        return t.append_column(_PART_COL, _part_of(t[left_on], num_partitions))
 
     def per_part(g: pa.Table) -> pa.Table:
-        side = g["__side"].combine_chunks()
+        side = g[_SIDE_COL].combine_chunks()
         is_right = pc.equal(side, 1)
         probe = pc.unique(g.filter(is_right)[left_on].combine_chunks())
-        lrows = g.filter(pc.equal(side, 0)).drop_columns(["__side", "_part"])
+        lrows = g.filter(pc.equal(side, 0)).drop_columns([_SIDE_COL, _PART_COL])
         member = pc.is_in(lrows[left_on].combine_chunks(), value_set=probe)
         keep = pc.invert(member) if anti else member
         return lrows.filter(keep)
@@ -606,4 +611,4 @@ def semi_anti_join(
     tagged = left.map_batches(tag_left, batch_format="pyarrow").union(
         right.map_batches(tag_right, batch_format="pyarrow")
     )
-    return tagged.groupby("_part").map_groups(per_part, batch_format="pyarrow")
+    return tagged.groupby(_PART_COL).map_groups(per_part, batch_format="pyarrow")

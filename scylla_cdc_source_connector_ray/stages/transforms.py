@@ -116,14 +116,20 @@ def explode_list(
     flat-map family of SURVEY §2.2)."""
     import numpy as np
 
+    for name in (out_col, pos_col):
+        if name in keep:
+            raise ValueError(f"output column {name!r} collides with a keep column")
     arr = batch[list_col].combine_chunks()
-    parent = pc.list_parent_indices(arr)
     flat = pc.list_flatten(arr)
     counts = (
         pc.fill_null(pc.list_value_length(arr), 0)
         .cast(pa.int64())
         .to_numpy(zero_copy_only=False)
     )
+    # parent indices derived from the SAME counts as list_flatten: a
+    # null-masked list whose offsets still span values would make
+    # pc.list_parent_indices disagree with list_flatten's element count
+    parent = pa.array(np.repeat(np.arange(len(counts), dtype=np.int64), counts))
     total = int(counts.sum())
     starts_at = np.cumsum(counts) - counts
     pos = np.arange(total, dtype=np.int64) - np.repeat(starts_at, counts) + 1
