@@ -201,9 +201,7 @@ def cmd_dedup_stream(args) -> int:
         text_col=args.text_col,
         order_col=args.order_col,
     )
-    totals = runner.run(
-        files_per_batch=args.files_per_batch, max_batches=args.max_batches
-    )
+    totals = _run_or_tail(runner, args)
     print(json.dumps({"ok": True, **totals, "out": args.out, "checkpoint": args.checkpoint}))
     ray.shutdown()
     return 0
@@ -224,12 +222,23 @@ def cmd_element_stream(args) -> int:
         checkpoint_dir=args.checkpoint,
         collection=args.collection,
     )
-    totals = runner.run(
-        files_per_batch=args.files_per_batch, max_batches=args.max_batches
-    )
+    totals = _run_or_tail(runner, args)
     print(json.dumps({"ok": True, **totals, "out": args.out, "checkpoint": args.checkpoint}))
     ray.shutdown()
     return 0
+
+
+def _run_or_tail(runner, args) -> dict:
+    """Shared lean-runner dispatch: one-shot drain or live tail."""
+    if getattr(args, "tail", False):
+        return runner.follow(
+            files_per_batch=args.files_per_batch,
+            poll_interval_s=args.poll_ms / 1000.0,
+            idle_polls=args.idle_polls,
+        )
+    return runner.run(
+        files_per_batch=args.files_per_batch, max_batches=args.max_batches
+    )
 
 
 def cmd_minhash_stream(args) -> int:
@@ -248,9 +257,7 @@ def cmd_minhash_stream(args) -> int:
         text_col=args.text_col,
         order_col=args.order_col,
     )
-    totals = runner.run(
-        files_per_batch=args.files_per_batch, max_batches=args.max_batches
-    )
+    totals = _run_or_tail(runner, args)
     print(json.dumps({"ok": True, **totals, "out": args.out, "checkpoint": args.checkpoint}))
     ray.shutdown()
     return 0
@@ -272,9 +279,7 @@ def cmd_cep_stream(args) -> int:
         key_col=args.key_col,
         role_col=args.role_col,
     )
-    totals = runner.run(
-        files_per_batch=args.files_per_batch, max_batches=args.max_batches
-    )
+    totals = _run_or_tail(runner, args)
     print(json.dumps({"ok": True, **totals, "checkpoint": args.checkpoint}))
     ray.shutdown()
     return 0
@@ -292,6 +297,9 @@ def main(argv=None) -> int:
     ep.add_argument("--files-per-batch", type=int, default=4)
     ep.add_argument("--max-batches", type=int, default=None)
     ep.add_argument("--collection", choices=("list", "set", "map"), default="list")
+    ep.add_argument("--tail", action="store_true", help="live tail: poll for new files")
+    ep.add_argument("--poll-ms", type=int, default=1000)
+    ep.add_argument("--idle-polls", type=int, default=3)
     ep.set_defaults(fn=cmd_element_stream)
     dp = sub.add_parser("dedup-stream", help="streaming first-occurrence text dedup")
     dp.add_argument("--log-dir", required=True)
@@ -303,6 +311,9 @@ def main(argv=None) -> int:
     dp.add_argument("--max-batches", type=int, default=None)
     dp.add_argument("--text-col", default="text")
     dp.add_argument("--order-col", default="doc_id")
+    dp.add_argument("--tail", action="store_true", help="live tail: poll for new files")
+    dp.add_argument("--poll-ms", type=int, default=1000)
+    dp.add_argument("--idle-polls", type=int, default=3)
     dp.set_defaults(fn=cmd_dedup_stream)
     mp = sub.add_parser("minhash-stream", help="streaming arrival-order LSH near-dup filter")
     mp.add_argument("--log-dir", required=True)
@@ -314,6 +325,9 @@ def main(argv=None) -> int:
     mp.add_argument("--max-batches", type=int, default=None)
     mp.add_argument("--text-col", default="text")
     mp.add_argument("--order-col", default="doc_id")
+    mp.add_argument("--tail", action="store_true", help="live tail: poll for new files")
+    mp.add_argument("--poll-ms", type=int, default=1000)
+    mp.add_argument("--idle-polls", type=int, default=3)
     mp.set_defaults(fn=cmd_minhash_stream)
     cp = sub.add_parser("cep-stream", help="streaming per-conversation literal-pattern counting")
     cp.add_argument("--log-dir", required=True)
@@ -325,6 +339,9 @@ def main(argv=None) -> int:
     cp.add_argument("--pattern", default="uta", help="literal role-symbol sequence (u/a/t/s/d)")
     cp.add_argument("--key-col", default="conv_id")
     cp.add_argument("--role-col", default="role")
+    cp.add_argument("--tail", action="store_true", help="live tail: poll for new files")
+    cp.add_argument("--poll-ms", type=int, default=1000)
+    cp.add_argument("--idle-polls", type=int, default=3)
     cp.set_defaults(fn=cmd_cep_stream)
     for name, fn in (("run", cmd_run), ("validate", cmd_validate), ("ingest", cmd_ingest)):
         sp = sub.add_parser(name)

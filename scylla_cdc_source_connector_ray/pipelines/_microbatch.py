@@ -85,6 +85,47 @@ def run_microbatches(
     return totals
 
 
+def follow_microbatches(
+    ckpt: Checkpoint,
+    log_dir: str,
+    *,
+    pins: dict,
+    process_batch: Callable[[int, list[str]], dict],
+    files_per_batch: int,
+    poll_interval_s: float = 1.0,
+    idle_polls: int = 3,
+) -> dict:
+    """Live tail for the lean runners: keep draining ``log_dir`` until
+    ``idle_polls`` consecutive polls find nothing new. Each drain is a
+    normal :func:`run_microbatches` pass, so every batch commits through
+    the same manifest/pins/replay contract — killing the tail and resuming
+    (in either mode) never duplicates or drops a batch. A trailing
+    incomplete file group is consumed rather than held back (tail = lowest
+    latency); a replayed-after-crash batch may therefore contain MORE files
+    than the crashed attempt saw, which is safe: the crashed attempt never
+    committed and its state/sink files are overwritten by batch id."""
+    totals: dict = {"batches": 0, "crashed": False, "polls": 0}
+    idle = 0
+    while idle < idle_polls:
+        r = run_microbatches(
+            ckpt,
+            log_dir,
+            pins=pins,
+            process_batch=process_batch,
+            files_per_batch=files_per_batch,
+        )
+        for k, v in r.items():
+            if k != "crashed":
+                totals[k] = totals.get(k, 0) + v
+        totals["polls"] += 1
+        if r["batches"] == 0:
+            idle += 1
+            time.sleep(poll_interval_s)
+        else:
+            idle = 0
+    return totals
+
+
 def read_committed_state(ckpt: Checkpoint, kind: str) -> list[pa.Table]:
     """Latest COMMITTED state snapshot per shard for ``kind`` — ONE
     definition of the manifest-gated state-read rule (a crashed attempt's

@@ -82,6 +82,21 @@ class CepStreamRunner:
         self.ckpt = Checkpoint(checkpoint_dir)
 
     # ------------------------------------------------------------------ run
+    def _loop(self):
+        def process(batch_id: int, bfiles: list[str]) -> dict:
+            stats = self._process_batch(batch_id, bfiles)
+            return {
+                "rows": sum(r["n_in"] for r in stats),
+                "matches": sum(r["n_matches"] for r in stats),
+            }
+
+        pins = {
+            "num_shards": self.num_shards,
+            "hash_impl": current_hash_impl(),
+            "cep_literal": self.literal,
+        }
+        return pins, process
+
     def run(
         self,
         files_per_batch: int = 4,
@@ -90,25 +105,36 @@ class CepStreamRunner:
     ) -> dict:
         from ._microbatch import run_microbatches
 
-        def process(batch_id: int, bfiles: list[str]) -> dict:
-            stats = self._process_batch(batch_id, bfiles)
-            return {
-                "rows": sum(r["n_in"] for r in stats),
-                "matches": sum(r["n_matches"] for r in stats),
-            }
-
+        pins, process = self._loop()
         return run_microbatches(
             self.ckpt,
             self.log_dir,
-            pins={
-                "num_shards": self.num_shards,
-                "hash_impl": current_hash_impl(),
-                "cep_literal": self.literal,
-            },
+            pins=pins,
             process_batch=process,
             files_per_batch=files_per_batch,
             max_batches=max_batches,
             crash_before_commit_at=crash_before_commit_at,
+        )
+
+    def follow(
+        self,
+        files_per_batch: int = 4,
+        poll_interval_s: float = 1.0,
+        idle_polls: int = 3,
+    ) -> dict:
+        """Live tail: drain new window files until ``idle_polls`` empty
+        polls (same manifest/replay contract as ``run``)."""
+        from ._microbatch import follow_microbatches
+
+        pins, process = self._loop()
+        return follow_microbatches(
+            self.ckpt,
+            self.log_dir,
+            pins=pins,
+            process_batch=process,
+            files_per_batch=files_per_batch,
+            poll_interval_s=poll_interval_s,
+            idle_polls=idle_polls,
         )
 
     # -------------------------------------------------------------- batches

@@ -92,14 +92,7 @@ class DedupStreamRunner:
         self.ckpt = Checkpoint(checkpoint_dir)
 
     # ------------------------------------------------------------------ run
-    def run(
-        self,
-        files_per_batch: int = 4,
-        max_batches: int | None = None,
-        crash_before_commit_at: int | None = None,
-    ) -> dict:
-        from ._microbatch import run_microbatches
-
+    def _loop(self):
         def process(batch_id: int, bfiles: list[str]) -> dict:
             stats = self._process_batch(batch_id, bfiles)
             rows = sum(r["n_in"] for r in stats)
@@ -112,14 +105,46 @@ class DedupStreamRunner:
         # instead of silently re-admitting previously-seen docs.
         from ..functions.textops import NORM_IMPL
 
+        return {"num_shards": self.num_shards, "norm_impl": NORM_IMPL}, process
+
+    def run(
+        self,
+        files_per_batch: int = 4,
+        max_batches: int | None = None,
+        crash_before_commit_at: int | None = None,
+    ) -> dict:
+        from ._microbatch import run_microbatches
+
+        pins, process = self._loop()
         return run_microbatches(
             self.ckpt,
             self.log_dir,
-            pins={"num_shards": self.num_shards, "norm_impl": NORM_IMPL},
+            pins=pins,
             process_batch=process,
             files_per_batch=files_per_batch,
             max_batches=max_batches,
             crash_before_commit_at=crash_before_commit_at,
+        )
+
+    def follow(
+        self,
+        files_per_batch: int = 4,
+        poll_interval_s: float = 1.0,
+        idle_polls: int = 3,
+    ) -> dict:
+        """Live tail: drain new window files until ``idle_polls`` empty
+        polls (same manifest/replay contract as ``run``)."""
+        from ._microbatch import follow_microbatches
+
+        pins, process = self._loop()
+        return follow_microbatches(
+            self.ckpt,
+            self.log_dir,
+            pins=pins,
+            process_batch=process,
+            files_per_batch=files_per_batch,
+            poll_interval_s=poll_interval_s,
+            idle_polls=idle_polls,
         )
 
     # -------------------------------------------------------------- batches

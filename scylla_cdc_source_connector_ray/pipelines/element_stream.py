@@ -69,34 +69,61 @@ class ElementStreamRunner:
         self.collection = collection
         self.ckpt = Checkpoint(checkpoint_dir)
 
+    def _loop(self):
+        from ..state.checkpoint import current_hash_impl
+
+        def process(batch_id: int, bfiles: list[str]) -> dict:
+            stats = self._process_batch(batch_id, bfiles)
+            return {"events": sum(r["n_events"] for r in stats)}
+
+        pins = {
+            "num_shards": self.num_shards,
+            "collection": self.collection,
+            # with_shard hashes conv_id via the polars-backed shard_of: a
+            # polars upgrade could remap keys and orphan their carry state
+            # (same guard CaptureRunner carries) — pin the hash identity
+            "hash_impl": current_hash_impl(),
+        }
+        return pins, process
+
     def run(
         self,
         files_per_batch: int = 4,
         max_batches: int | None = None,
         crash_before_commit_at: int | None = None,
     ) -> dict:
-        from ..state.checkpoint import current_hash_impl
         from ._microbatch import run_microbatches
 
-        def process(batch_id: int, bfiles: list[str]) -> dict:
-            stats = self._process_batch(batch_id, bfiles)
-            return {"events": sum(r["n_events"] for r in stats)}
-
+        pins, process = self._loop()
         return run_microbatches(
             self.ckpt,
             self.log_dir,
-            pins={
-                "num_shards": self.num_shards,
-                "collection": self.collection,
-                # with_shard hashes conv_id via the polars-backed shard_of: a
-                # polars upgrade could remap keys and orphan their carry state
-                # (same guard CaptureRunner carries) — pin the hash identity
-                "hash_impl": current_hash_impl(),
-            },
+            pins=pins,
             process_batch=process,
             files_per_batch=files_per_batch,
             max_batches=max_batches,
             crash_before_commit_at=crash_before_commit_at,
+        )
+
+    def follow(
+        self,
+        files_per_batch: int = 4,
+        poll_interval_s: float = 1.0,
+        idle_polls: int = 3,
+    ) -> dict:
+        """Live tail: drain new window files until ``idle_polls`` empty
+        polls (same manifest/replay contract as ``run``)."""
+        from ._microbatch import follow_microbatches
+
+        pins, process = self._loop()
+        return follow_microbatches(
+            self.ckpt,
+            self.log_dir,
+            pins=pins,
+            process_batch=process,
+            files_per_batch=files_per_batch,
+            poll_interval_s=poll_interval_s,
+            idle_polls=idle_polls,
         )
 
     # -------------------------------------------------------------- internal

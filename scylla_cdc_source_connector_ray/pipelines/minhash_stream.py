@@ -95,6 +95,16 @@ class MinHashStreamRunner:
         self.ckpt = Checkpoint(checkpoint_dir)
 
     # ------------------------------------------------------------------ run
+    def _loop(self):
+        def process(batch_id: int, bfiles: list[str]) -> dict:
+            return self._process_batch(batch_id, bfiles)
+
+        pins = {
+            "num_shards": self.num_shards,
+            "minhash_impl": f"{self.num_perm}/{self.ngram}/{self.seed}/{self.bands}",
+        }
+        return pins, process
+
     def run(
         self,
         files_per_batch: int = 4,
@@ -103,20 +113,36 @@ class MinHashStreamRunner:
     ) -> dict:
         from ._microbatch import run_microbatches
 
-        def process(batch_id: int, bfiles: list[str]) -> dict:
-            return self._process_batch(batch_id, bfiles)
-
+        pins, process = self._loop()
         return run_microbatches(
             self.ckpt,
             self.log_dir,
-            pins={
-                "num_shards": self.num_shards,
-                "minhash_impl": f"{self.num_perm}/{self.ngram}/{self.seed}/{self.bands}",
-            },
+            pins=pins,
             process_batch=process,
             files_per_batch=files_per_batch,
             max_batches=max_batches,
             crash_before_commit_at=crash_before_commit_at,
+        )
+
+    def follow(
+        self,
+        files_per_batch: int = 4,
+        poll_interval_s: float = 1.0,
+        idle_polls: int = 3,
+    ) -> dict:
+        """Live tail: drain new window files until ``idle_polls`` empty
+        polls (same manifest/replay contract as ``run``)."""
+        from ._microbatch import follow_microbatches
+
+        pins, process = self._loop()
+        return follow_microbatches(
+            self.ckpt,
+            self.log_dir,
+            pins=pins,
+            process_batch=process,
+            files_per_batch=files_per_batch,
+            poll_interval_s=poll_interval_s,
+            idle_polls=idle_polls,
         )
 
     # -------------------------------------------------------------- batches

@@ -98,6 +98,34 @@ def test_num_shards_change_is_rejected(tmp_path):
         other.run()
 
 
+def test_follow_live_tail_drains_arriving_files(tmp_path):
+    """follow() keeps draining while a writer lands new window files, then
+    exits after idle_polls empty polls; resume contract identical to run()."""
+    import threading
+    import time
+
+    tmp = str(tmp_path)
+    log = _write_log(tmp, [_mk([0, 1], ["a", "b"])])
+    r = _runner(tmp, log)
+
+    def writer():
+        time.sleep(0.6)
+        for i, (ids, texts) in enumerate([([2], ["a"]), ([3], ["c"])], start=1):
+            df = _mk(ids, texts)
+            tmp_f = os.path.join(log, f".window-{i:05d}.parquet.tmp")
+            pq.write_table(pa.Table.from_pandas(df, preserve_index=False), tmp_f)
+            os.rename(tmp_f, os.path.join(log, f"window-{i:05d}.parquet"))
+            time.sleep(0.4)
+
+    t = threading.Thread(target=writer)
+    t.start()
+    totals = r.follow(files_per_batch=1, poll_interval_s=0.3, idle_polls=4)
+    t.join()
+    assert totals["batches"] == 3  # all three windows consumed
+    got = sorted(r.read_output()["doc_id"].to_pylist())
+    assert got == [0, 1, 3]  # doc 2 is a dup of doc 0 across a tail poll
+
+
 def test_norm_impl_change_is_rejected(tmp_path, monkeypatch):
     """A checkpoint written under different text-normalization semantics must
     fail loudly on resume (the seen-set hashes would no longer match new
