@@ -481,6 +481,13 @@ def _q_win_ops_by_window(sf_dir: str):
     )
 
 
+def _q_cdc_history_intervals(sf_dir: str):
+    """SCD2 history view of the changelog: per-key validity intervals
+    (pipelines/capture.py::history_intervals)."""
+    ds = cap.read_transcripts_from_events(sf_dir)
+    return cap.history_intervals(ds, _CFG)
+
+
 def _q_cdc_compaction(sf_dir: str):
     ds = cap.read_transcripts_from_events(sf_dir)
     return cap.compaction(ds, _CFG)
@@ -1563,6 +1570,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_asof_purchase_click": _q_join_asof_purchase_click,
         "join_range_error_window": _q_join_range_error_window,
         "cdc_compaction": _q_cdc_compaction,
+        "cdc_history_intervals": _q_cdc_history_intervals,
         "cdc_partition_delete": _q_cdc_partition_delete,
         "cdc_compaction_pd": _q_cdc_compaction_pd,
         "cdc_capture_evolved": _q_cdc_capture_evolved,
@@ -1648,6 +1656,7 @@ def oracle_sql() -> dict[str, str]:
         "join_asof_purchase_click": oracles.JOIN_ASOF_PURCHASE_CLICK,
         "join_range_error_window": oracles.JOIN_RANGE_ERROR_WINDOW,
         "cdc_compaction": oracles.CDC_COMPACTION,
+        "cdc_history_intervals": oracles.CDC_HISTORY_INTERVALS,
         "cdc_partition_delete": oracles.CDC_PARTITION_DELETE,
         "cdc_compaction_pd": oracles.CDC_COMPACTION_PD,
         "cdc_capture_evolved": oracles.CDC_CAPTURE_EVOLVED,

@@ -1613,3 +1613,16 @@ SELECT user_id % 10 AS bucket,
        CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS n_error
 FROM events GROUP BY 1
 """
+
+
+#: stages/op_derive-family consumer op: SCD2 history materialization — each
+#: change version's validity interval [ts, next change of the same key);
+#: the open (current) version has valid_to_us NULL. Pure lead() per key.
+CDC_HISTORY_INTERVALS = f"""
+WITH transcripts AS ({TRANSCRIPTS_SQL})
+SELECT conv_id, turn_idx, seq, text,
+       epoch_us(ts) AS valid_from_us,
+       lead(epoch_us(ts)) OVER (PARTITION BY conv_id, turn_idx
+                                ORDER BY ts, seq) AS valid_to_us
+FROM transcripts
+"""

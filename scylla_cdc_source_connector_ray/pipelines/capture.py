@@ -201,6 +201,50 @@ def capture_pd(ds: ray.data.Dataset, cfg: EngineConfig) -> ray.data.Dataset:
     )
 
 
+def history_intervals(ds: ray.data.Dataset, cfg: EngineConfig) -> ray.data.Dataset:
+    """SCD2 history materialization: each change version of a key becomes a
+    row with its validity interval [ts, next change of the same key); the
+    current version stays open (valid_to NULL) — the temporal-table consumer
+    view of the changelog, one keyed exchange + a vectorized within-key
+    shift per shard."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    def lead_per_key(t: pa.Table) -> pa.Table:
+        t = t.sort_by(
+            [("conv_id", "ascending"), ("turn_idx", "ascending"),
+             ("ts", "ascending"), ("seq", "ascending")]
+        )
+        n = t.num_rows
+        ts_us = t["ts"].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        conv = t["conv_id"].combine_chunks()
+        turn = t["turn_idx"].combine_chunks()
+        valid_to = np.full(n, np.nan)
+        if n > 1:
+            same = pc.and_(
+                pc.equal(conv.slice(0, n - 1), conv.slice(1)),
+                pc.equal(turn.slice(0, n - 1), turn.slice(1)),
+            ).to_numpy(zero_copy_only=False)
+            valid_to[:-1] = np.where(same, ts_us[1:].astype(np.float64), np.nan)
+        return pa.table(
+            {
+                "conv_id": conv,
+                "turn_idx": turn,
+                "seq": t["seq"],
+                "text": t["text"],
+                "valid_from_us": pa.array(ts_us, pa.int64()),
+                "valid_to_us": pa.Array.from_pandas(
+                    __import__("pandas").Series(valid_to), type=pa.float64()
+                ).cast(pa.int64()),
+            }
+        )
+
+    sharded = ds.map_batches(lambda b: with_shard(b, cfg.num_shards), batch_format="pyarrow")
+    return sharded.groupby("shard").map_groups(
+        lambda g: lead_per_key(g.drop_columns(["shard"])), batch_format="pyarrow"
+    )
+
+
 def compaction_pd(ds: ray.data.Dataset, cfg: EngineConfig) -> ray.data.Dataset:
     """Current-state view honouring conversation tombstones: keys whose last
     event precedes the conversation's final tombstone drop out."""
