@@ -124,6 +124,47 @@ def cmd_validate(args) -> int:
     return 0 if not problems else 1
 
 
+def cmd_metrics(args) -> int:
+    """Summarize a checkpoint's per-batch lineage metrics (the JSON records
+    every runner commits next to the manifest): totals, batch timings, and
+    the last committed batch. No Ray needed."""
+    mdir = os.path.join(args.checkpoint, "metrics")
+    if not os.path.isdir(mdir):
+        print(json.dumps({"ok": False, "error": f"no metrics dir: {mdir}"}))
+        return 1
+    batches = []
+    for f in sorted(os.listdir(mdir)):
+        if f.startswith("batch-") and f.endswith(".json"):
+            with open(os.path.join(mdir, f)) as fh:
+                batches.append(json.load(fh))
+    if not batches:
+        print(json.dumps({"ok": False, "error": "no batch metrics"}))
+        return 1
+    secs = sorted(b.get("sec", 0.0) for b in batches)
+    totals: dict = {}
+    for b in batches:
+        for k, v in b.items():
+            if k not in ("batch_id", "sec") and isinstance(v, (int, float)):
+                totals[k] = totals.get(k, 0) + v
+    out = {
+        "ok": True,
+        "batches": len(batches),
+        "last_batch_id": batches[-1]["batch_id"],
+        "sec_total": round(sum(secs), 3),
+        "sec_p50": round(secs[len(secs) // 2], 3),
+        "sec_max": round(secs[-1], 3),
+        **{f"total_{k}": v for k, v in sorted(totals.items())},
+    }
+    from .state.checkpoint import Checkpoint
+
+    last = Checkpoint(args.checkpoint).last_committed()
+    if last is not None:
+        out["committed_batch_id"] = last["batch_id"]
+        out["consumed_files"] = last["consumed_files"]
+    print(json.dumps(out))
+    return 0
+
+
 def _init_ray(args) -> None:
     """One definition of the CLI Ray-session setup (the init tweaks must not
     drift between subcommands — they did once: use_polars_sort)."""
@@ -288,6 +329,9 @@ def cmd_cep_stream(args) -> int:
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="scylla_cdc_source_connector_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
+    mx = sub.add_parser("metrics", help="summarize a checkpoint's per-batch lineage metrics")
+    mx.add_argument("--checkpoint", required=True)
+    mx.set_defaults(fn=cmd_metrics)
     ep = sub.add_parser("element-stream", help="streaming element-level collection capture")
     ep.add_argument("--log-dir", required=True)
     ep.add_argument("--out", default="/tmp/scylla_cdc_ray/element_out")
