@@ -132,11 +132,16 @@ def cmd_metrics(args) -> int:
     if not os.path.isdir(mdir):
         print(json.dumps({"ok": False, "error": f"no metrics dir: {mdir}"}))
         return 1
+    names = [
+        f for f in os.listdir(mdir) if f.startswith("batch-") and f.endswith(".json")
+    ]
+    # numeric order: 'batch-1000000.json' sorts lexicographically BEFORE
+    # 'batch-999999.json' past the 6-digit padding (checkpoint.py's rule)
+    names.sort(key=lambda f: int(f[len("batch-") : -len(".json")]))
     batches = []
-    for f in sorted(os.listdir(mdir)):
-        if f.startswith("batch-") and f.endswith(".json"):
-            with open(os.path.join(mdir, f)) as fh:
-                batches.append(json.load(fh))
+    for f in names:
+        with open(os.path.join(mdir, f)) as fh:
+            batches.append(json.load(fh))
     if not batches:
         print(json.dumps({"ok": False, "error": "no batch metrics"}))
         return 1

@@ -52,6 +52,19 @@ def run_microbatches(
                 "checkpoint/sink dir"
             )
     consumed = last["consumed_files"] if last else 0
+    # consumption is positional over the SORTED listing, which requires the
+    # CDC-log contract that window file names arrive in monotone order: a
+    # late file sorting BEFORE already-consumed names would silently shift
+    # the positions (one consumed file re-processed, the new one skipped
+    # forever). Verify the boundary file and fail loud instead.
+    if last is not None and consumed > 0 and "last_file" in last:
+        if consumed > len(files) or os.path.basename(files[consumed - 1]) != last["last_file"]:
+            raise ValueError(
+                f"log listing changed under the checkpoint: expected "
+                f"{last['last_file']!r} at consumed position {consumed}, found "
+                f"{os.path.basename(files[consumed - 1]) if consumed <= len(files) else 'missing'!r} "
+                "— window files must be named in monotone arrival order"
+            )
     next_batch = (last["batch_id"] + 1) if last else 0
     cum = dict(last.get("cum", {})) if last else {}
     todo = files[consumed:]
@@ -72,7 +85,15 @@ def run_microbatches(
         for k, v in m.items():  # cumulative only past the crash point
             cum[k] = cum.get(k, 0) + v
         consumed += len(bfiles)
-        ckpt.commit(batch_id, {"consumed_files": consumed, "cum": cum, **all_pins})
+        ckpt.commit(
+            batch_id,
+            {
+                "consumed_files": consumed,
+                "last_file": os.path.basename(bfiles[-1]),
+                "cum": cum,
+                **all_pins,
+            },
+        )
         ckpt.gc_state(keep_batches=2)
         _atomic_write(
             os.path.join(ckpt.dir, "metrics", f"batch-{batch_id:06d}.json"),
@@ -176,4 +197,6 @@ def read_committed_output_ds(ckpt: Checkpoint, sink_dir: str):
         for b in range(last["batch_id"] + 1)
         if os.path.isdir(os.path.join(sink_dir, f"batch-{b:06d}"))
     ]
+    if not dirs:  # committed all-empty log: mirror read_committed_output
+        return ray.data.from_arrow(pa.table({}))
     return ray.data.read_parquet(dirs)

@@ -93,7 +93,10 @@ class CepStreamRunner:
         pins = {
             "num_shards": self.num_shards,
             "hash_impl": current_hash_impl(),
-            "cep_literal": self.literal,
+            # the measured quantity is replay identity: resuming with a
+            # different key/role column would merge counts of different
+            # things into one state
+            "cep_impl": f"{self.literal}/{self.key_col}/{self.role_col}",
         }
         return pins, process
 

@@ -105,7 +105,13 @@ class DedupStreamRunner:
         # instead of silently re-admitting previously-seen docs.
         from ..functions.textops import NORM_IMPL
 
-        return {"num_shards": self.num_shards, "norm_impl": NORM_IMPL}, process
+        pins = {
+            "num_shards": self.num_shards,
+            "norm_impl": NORM_IMPL,
+            # the deduped quantity is replay identity too
+            "dedup_cols": f"{self.text_col}/{self.order_col}",
+        }
+        return pins, process
 
     def run(
         self,

@@ -176,6 +176,20 @@ class ElementStreamRunner:
             )
             if untouched is not None and untouched.num_rows:
                 state = pa.concat_tables([state, untouched], promote_options="permissive")
+            # canonicalize STATE types too (not just the sink): the exchange
+            # may promote string→large_string on some replays but not
+            # others, and replayed state files must be byte-identical
+            state = state.cast(
+                pa.schema(
+                    [
+                        pa.field(
+                            f.name,
+                            pa.string() if pa.types.is_large_string(f.type) else f.type,
+                        )
+                        for f in state.schema
+                    ]
+                )
+            )
             ck.write_state(shard, batch_id, state, kind="estate")
             d = os.path.join(sink_dir, f"batch-{batch_id:06d}")
             os.makedirs(d, exist_ok=True)

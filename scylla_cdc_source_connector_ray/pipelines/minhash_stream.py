@@ -101,7 +101,9 @@ class MinHashStreamRunner:
 
         pins = {
             "num_shards": self.num_shards,
-            "minhash_impl": f"{self.num_perm}/{self.ngram}/{self.seed}/{self.bands}",
+            "minhash_impl": f"{self.num_perm}/{self.ngram}/{self.seed}/{self.bands}"
+            # the measured columns are replay identity too
+            f"/{self.text_col}/{self.order_col}",
         }
         return pins, process
 

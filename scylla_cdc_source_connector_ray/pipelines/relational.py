@@ -205,14 +205,16 @@ def event_rollup(sf_dir: str) -> ray.data.Dataset:
     per_type = event_type_stats(sf_dir)
 
     def grand_total(t: pa.Table) -> pa.Table:
-        n = int(t["n"].to_numpy(zero_copy_only=False).sum())
-        # SQL's grand total over zero rows is (n=0, sum NULL)
-        sv = [int(t["sum_value_c"].to_numpy(zero_copy_only=False).sum())] if n else [None]
+        # null-aware sums like SQL: a per-type sum can itself be NULL (a
+        # group whose values are all NULL) — pc.sum skips nulls; the grand
+        # total over zero contributing rows is (n=0, sum NULL)
+        n = pc.sum(t["n"]).as_py() or 0
+        sv = pc.sum(t["sum_value_c"]).as_py()
         return pa.table(
             {
                 "event_type": pa.array([None], pa.string()),
-                "n": pa.array([n], pa.int64()),
-                "sum_value_c": pa.array(sv, pa.int64()),
+                "n": pa.array([int(n)], pa.int64()),
+                "sum_value_c": pa.array([None if sv is None else int(sv)], pa.int64()),
             }
         )
 

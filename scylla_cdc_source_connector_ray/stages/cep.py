@@ -73,8 +73,11 @@ def run_starts(t: pa.Table, keys: list[str]) -> np.ndarray:
     boundary), never a joined composite string."""
     n = t.num_rows
     first = np.zeros(n, dtype=bool)
-    if n:
-        first[0] = True
+    if n == 0:
+        return first
+    first[0] = True
+    if n == 1:
+        return first  # slice(0, n-1) would raise on n=0 and is empty on n=1
     for c in keys:
         a = t[c].combine_chunks()
         cur, prev = a.slice(1), a.slice(0, n - 1)

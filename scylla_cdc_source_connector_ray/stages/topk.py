@@ -35,18 +35,13 @@ def _rank_in_key(
     )
     t = t.sort_by(order)
     n = t.num_rows
-    # Per-column null-safe boundary detection (never a joined composite
-    # string: a NULL in any key column would null the join and merge distinct
-    # groups, and a separator char inside a string key would collide them).
-    first = np.zeros(n, dtype=bool)
-    if n:
-        first[0] = True
-    for c in keys:
-        a = t[c].combine_chunks()
-        cur, prev = a.slice(1), a.slice(0, n - 1)
-        neq = pc.fill_null(pc.not_equal(cur, prev), False)
-        vdiff = pc.xor(pc.is_null(cur), pc.is_null(prev))
-        first[1:] |= pc.or_(neq, vdiff).to_numpy(zero_copy_only=False)
+    # Per-column null-safe boundary detection — ONE definition, shared with
+    # the CEP family (never a joined composite string: a NULL in any key
+    # column would null the join and merge distinct groups, and a separator
+    # char inside a string key would collide them).
+    from .cep import run_starts
+
+    first = run_starts(t, keys)
     run_id = np.cumsum(first) - 1
     starts = np.flatnonzero(first)
     pos = np.arange(n, dtype=np.int64) - starts[run_id]

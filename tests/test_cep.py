@@ -227,5 +227,5 @@ def test_stream_literal_change_is_rejected(tmp_path):
     df = _mk_events(np.random.default_rng(3), n_convs=3, n_rows=40)
     log = _write_windows(tmp, df, n_files=2)
     _runner(tmp, log).run(files_per_batch=1, max_batches=1)
-    with pytest.raises(ValueError, match="cep_literal"):
+    with pytest.raises(ValueError, match="cep_impl"):
         _runner(tmp, log, literal="ua").run(files_per_batch=1)

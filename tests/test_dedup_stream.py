@@ -126,6 +126,29 @@ def test_follow_live_tail_drains_arriving_files(tmp_path):
     assert got == [0, 1, 3]  # doc 2 is a dup of doc 0 across a tail poll
 
 
+def test_out_of_order_file_arrival_is_rejected(tmp_path):
+    """Positional consumption requires monotone window names: a file landing
+    BEFORE already-consumed names must fail loud, not silently re-process a
+    consumed file and skip the new one."""
+    tmp = str(tmp_path)
+    log = _write_log(tmp, [])
+    pq.write_table(
+        pa.Table.from_pandas(_mk([0], ["x"]), preserve_index=False),
+        os.path.join(log, "window-00005.parquet"),
+    )
+    r = _runner(tmp, log)
+    r.run(files_per_batch=1)
+    # a straggler sorting before the consumed file
+    pq.write_table(
+        pa.Table.from_pandas(_mk([1], ["y"]), preserve_index=False),
+        os.path.join(log, "window-00002.parquet"),
+    )
+    import pytest
+
+    with pytest.raises(ValueError, match="monotone"):
+        _runner(tmp, log).run(files_per_batch=1)
+
+
 def test_norm_impl_change_is_rejected(tmp_path, monkeypatch):
     """A checkpoint written under different text-normalization semantics must
     fail loudly on resume (the seen-set hashes would no longer match new
