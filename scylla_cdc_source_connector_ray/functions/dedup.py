@@ -321,35 +321,56 @@ def _shift32_mod(v: np.ndarray) -> np.ndarray:
     return (lo & np.uint64(_MERSENNE)) + (lo >> np.uint64(61)) + hi * np.uint64(8)
 
 
-def lsh_bucket_rows(sig_batch: pd.DataFrame, bands: int = 16) -> pd.DataFrame:
-    """Explode signatures into (band, band_key, doc_id) bucket rows.
+def _bk_cols(rows_per_band: int) -> list[str]:
+    return [f"bk{c}" for c in range(rows_per_band)]
 
-    band_key is the '-'-joined decimal band signature — collision-free by
-    construction so the candidate set is exactly reproducible by the SQL
-    oracle's ``string_agg(v, '-' ORDER BY p)``."""
+
+def lsh_bucket_rows(
+    sig_batch: pd.DataFrame, bands: int = 16, rows_per_band: int | None = None
+) -> pd.DataFrame:
+    """Explode signatures into (band, bk0..bk{R-1}, doc_id) bucket rows.
+
+    The band key is the R raw minhash values of the band as int64 columns
+    (values live in [0, 2^61) so int64 is lossless) — collision-free by
+    construction, so the candidate set is exactly the one the SQL oracle's
+    ``string_agg(v, '-' ORDER BY p)`` equality reproduces, while the
+    exchange ships 8·R fixed-width bytes per row instead of a ~R·20-char
+    object-dtype string (≈4× fewer shuffled bytes at R=4, no numpy string
+    concatenation pass)."""
+    if rows_per_band is None and len(sig_batch):
+        rows_per_band = len(sig_batch["sig"].iloc[0]) // bands
     if len(sig_batch) == 0:
-        return pd.DataFrame(
-            {
-                "band": pd.Series(dtype="int64"),
-                "band_key": pd.Series(dtype=object),
-                "doc_id": pd.Series(dtype="int64"),
-            }
-        )
-    sigs = np.stack(sig_batch["sig"].values).astype(np.uint64)
+        cols = {"band": pd.Series(dtype="int64")}
+        for c in _bk_cols(rows_per_band or 4):
+            cols[c] = pd.Series(dtype="int64")
+        cols["doc_id"] = pd.Series(dtype="int64")
+        return pd.DataFrame(cols)
+    sigs = np.stack(sig_batch["sig"].values).astype(np.int64)
     D, P = sigs.shape
-    rows_per_band = P // bands
-    recs = []
-    for b in range(bands):
-        chunk = sigs[:, b * rows_per_band : (b + 1) * rows_per_band]
-        key = chunk[:, 0].astype("U20")
-        for c in range(1, rows_per_band):
-            key = np.char.add(np.char.add(key, "-"), chunk[:, c].astype("U20"))
-        recs.append(
-            pd.DataFrame(
-                {"band": b, "band_key": key.astype(object), "doc_id": sig_batch["doc_id"].values}
-            )
-        )
-    return pd.concat(recs, ignore_index=True)
+    R = P // bands
+    # band-major long form: [band0 rows for all docs, band1 rows, ...]
+    bk = sigs.reshape(D, bands, R).transpose(1, 0, 2).reshape(bands * D, R)
+    out = pd.DataFrame(
+        {"band": np.repeat(np.arange(bands, dtype=np.int64), D)}
+    )
+    for c in range(R):
+        out[f"bk{c}"] = bk[:, c]
+    out["doc_id"] = np.tile(sig_batch["doc_id"].values.astype(np.int64), bands)
+    return out
+
+
+def band_key_strings(rows: pd.DataFrame) -> np.ndarray:
+    """'-'-joined decimal band signature rebuilt from the bk columns —
+    byte-identical to the pre-round-4 string band_key (decimal int64 join),
+    kept ONLY for the streaming runner whose manifest pins the md5 of this
+    exact string representation (pipelines/minhash_stream.py)."""
+    cols = sorted(
+        (c for c in rows.columns if c.startswith("bk")), key=lambda c: int(c[2:])
+    )
+    key = rows[cols[0]].to_numpy().astype("U20")
+    for c in cols[1:]:
+        key = np.char.add(np.char.add(key, "-"), rows[c].to_numpy().astype("U20"))
+    return key
 
 
 #: sub-partitions per band for pair generation: whole buckets stay together
@@ -361,9 +382,19 @@ _BUCKET_SALT = 64
 
 
 def with_bucket_part(buckets: pd.DataFrame, salt: int = _BUCKET_SALT) -> pd.DataFrame:
-    part = pd.util.hash_array(buckets["band_key"].values.astype(object)) % salt
+    # Fibonacci-mix the int64 band-key columns into one 64-bit word — a
+    # deterministic partition assignment only (collisions just co-locate
+    # extra buckets; pair generation still compares the raw columns)
+    h = np.zeros(len(buckets), dtype=np.uint64)
+    for c in sorted(
+        (c for c in buckets.columns if c.startswith("bk")), key=lambda c: int(c[2:])
+    ):
+        h = h * np.uint64(0x9E3779B97F4A7C15) + buckets[c].to_numpy().astype(np.uint64)
+    part = h % np.uint64(salt)
     buckets = buckets.copy()
-    buckets["bucket_part"] = (buckets["band"].values * salt + part).astype(np.int64)
+    buckets["bucket_part"] = (
+        buckets["band"].values * salt + part.astype(np.int64)
+    ).astype(np.int64)
     return buckets
 
 
@@ -394,13 +425,17 @@ def candidate_pairs_grouped(g: pd.DataFrame) -> pd.DataFrame:
     empty = pd.DataFrame({"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64")})
     if len(g) < 2:
         return empty
-    g = g.sort_values(["band", "band_key", "doc_id"], kind="mergesort")
-    band = g["band"].values
-    key = g["band_key"].values
+    bk = sorted(
+        (c for c in g.columns if c.startswith("bk")), key=lambda c: int(c[2:])
+    )
+    g = g.sort_values(["band", *bk, "doc_id"], kind="mergesort")
     ids = g["doc_id"].values.astype(np.int64)
     new = np.empty(len(g), dtype=bool)
     new[0] = True
-    new[1:] = (band[1:] != band[:-1]) | (key[1:] != key[:-1])
+    new[1:] = g["band"].values[1:] != g["band"].values[:-1]
+    for c in bk:
+        v = g[c].values
+        new[1:] |= v[1:] != v[:-1]
     ia, ib = _triu_pairs_in_runs(new)
     if not len(ia):
         return empty
@@ -442,16 +477,24 @@ def minhash_lsh_dedup(
     ngram: int = 3,
     threshold: float = 0.7,
     num_partitions: int | None = None,
+    spill_dir: str | None = None,
 ) -> ray.data.Dataset:
     """Full MinHash-LSH near-dup pipeline → verified duplicate pairs
     (a < b, exact shingle Jaccard ≥ threshold), emitted as
     (a, b, jaccard_micro).
 
-    100 TB shape: signatures+grams computed once and forked (materialized —
-    the signature table is ~1% of corpus bytes; a production run would
-    write it to parquet); bucket rows are the only all-to-all shuffle; the
-    verify stage attaches each side's shingle blob via a co-partitioned hash
-    join on doc_id — no driver-side collect, no whole-corpus broadcast."""
+    100 TB shape: signatures+grams computed once and FORKED VIA PARQUET
+    SPILL — the signature table (~1–5% of corpus bytes) is written once to
+    ``spill_dir`` and read back by both the bucketing and the verify branch,
+    so it never has whole-table plasma residency (at 100 TB that would be
+    1–5 TB of object store). Bucket rows are the only all-to-all shuffle;
+    the verify stage attaches each side's shingle blob via a co-partitioned
+    hash join on doc_id — no driver-side collect, no whole-corpus
+    broadcast. The spill directory is scratch owned by the caller (defaults
+    to a fresh tempdir under /tmp); it must outlive consumption of the
+    returned lazy Dataset."""
+    import tempfile
+
     from ..stages.join import default_join_partitions
 
     if num_partitions is None:
@@ -460,15 +503,21 @@ def minhash_lsh_dedup(
         num_partitions = default_join_partitions()
     thr_micro = round(threshold * 1_000_000)
 
-    sigs = ds.map_batches(
+    if spill_dir is None:
+        spill_dir = tempfile.mkdtemp(prefix="minhash_fork_", dir="/tmp")
+    ds.map_batches(
         FastMinHasher,
         batch_format="pandas",
         batch_size=2048,
         concurrency=(1, 8),
         fn_constructor_kwargs={"num_perm": num_perm, "ngram": ngram},
-    ).materialize()  # fork point: consumed by both bucketing and verify
+    ).write_parquet(spill_dir)  # fork point: both branches read from disk
+    sigs = ray.data.read_parquet(spill_dir)
     buckets = sigs.select_columns(["doc_id", "sig"]).map_batches(
-        lambda b: with_bucket_part(lsh_bucket_rows(b, bands=bands)), batch_format="pandas"
+        lambda b: with_bucket_part(
+            lsh_bucket_rows(b, bands=bands, rows_per_band=num_perm // bands)
+        ),
+        batch_format="pandas",
     )
     pairs = buckets.groupby("bucket_part").map_groups(
         candidate_pairs_grouped, batch_format="pandas"
@@ -845,14 +894,31 @@ def embedding_near_dups(
 # ---------------------------------------------------------------------------
 
 
+#: Fibonacci / splitmix-style multiplier (2^64 / golden ratio) — the pinned
+#: engine-internal sampling mixer. The SQL twin computes the identical value
+#: with HUGEINT split-multiply arithmetic (oracles._nibble_sql), so the rule
+#: is vectorized on BOTH sides — no per-row hashing anywhere.
+_SAMPLE_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
 def _nibble_of(col: pd.Series) -> np.ndarray:
-    """First md5 hex nibble of the canonical str(id), as int 0..15 — THE
-    sampling rule shared by every deterministic sampler (one definition of
-    the oracle-parity-critical id canonicalization). Integers normalize
-    through int64 so 5 and 5.0 hash alike; strings pass through. md5-per-row
-    is forced by DuckDB parity, but only UNIQUE ids pay it (factorize-first).
-    """
-    ids = (col.astype("int64") if pd.api.types.is_numeric_dtype(col) else col).astype(str)
+    """Sampling bucket 0..15 per id — THE rule shared by every deterministic
+    sampler (one definition of the oracle-parity-critical canonicalization).
+
+    Integer ids (the 100 TB doc_id case): ``(((u ^ (u>>33)) * phi64) mod
+    2^64) >> 60`` — one vectorized numpy pass, exactly reproduced by the
+    DuckDB twin via HUGEINT split-multiply (verified bit-identical incl.
+    negative ids, which normalize through the uint64 wrap both sides).
+    Numerics normalize through int64 so 5 and 5.0 hash alike.
+
+    String ids keep the legacy md5 first-hex-nibble rule — the one case
+    where a SQL twin literally needs md5 — paid only per UNIQUE id
+    (factorize-first)."""
+    if pd.api.types.is_numeric_dtype(col):
+        u = col.to_numpy(dtype=np.int64).astype(np.uint64)
+        h = (u ^ (u >> np.uint64(33))) * _SAMPLE_MIX  # uint64 wraps = mod 2^64
+        return (h >> np.uint64(60)).astype(np.int64)
+    ids = col.astype(str)
     uniq, inv = np.unique(ids.values.astype(object), return_inverse=True)
     unib = np.fromiter(
         (int(hashlib.md5(s.encode()).hexdigest()[0], 16) for s in uniq),
@@ -866,11 +932,11 @@ def deterministic_sample(
     ds: ray.data.Dataset, id_col: str = "doc_id", buckets_kept: int = 2, out_of: int = 16
 ) -> ray.data.Dataset:
     """Hash-based deterministic sample (SURVEY §2.6 sampling): keep a row iff
-    the first hex nibble of ``md5(str(id))`` falls in the first
-    ``buckets_kept`` of ``out_of`` buckets — embarrassingly parallel, no
-    shuffle, no RNG state, reproducible across runs and cluster sizes
-    (the property a 100 TB sampling pass needs). DuckDB twin:
-    ``substr(md5(CAST(id AS VARCHAR)), 1, 1)`` bucket test."""
+    its ``_nibble_of`` bucket falls in the first ``buckets_kept`` of
+    ``out_of`` — embarrassingly parallel, no shuffle, no RNG state,
+    reproducible across runs and cluster sizes (the property a 100 TB
+    sampling pass needs). DuckDB twin: ``oracles._nibble_sql`` (identical
+    vectorized integer mix; md5 only for string ids)."""
     if out_of != 16:
         raise ValueError("nibble-bucket sampling is base-16 (out_of=16)")
     if not 1 <= buckets_kept <= out_of:
@@ -1088,7 +1154,7 @@ def stratified_sample(
 ) -> ray.data.Dataset:
     """Stratified deterministic sample: per-stratum nibble-bucket counts
     (``rates[stratum] / 16``; strata not listed use ``default_buckets``).
-    Same md5-nibble rule as :func:`deterministic_sample`, so it is
+    Same ``_nibble_of`` rule as :func:`deterministic_sample`, so it is
     shuffle-free, RNG-free, and reproducible across runs and cluster sizes —
     the knob a 100 TB corpus uses to rebalance sources (e.g. downsample the
     dominant language, keep the rare ones whole)."""

@@ -997,12 +997,30 @@ FROM transcripts
 GROUP BY conv_id, turn_idx
 """
 
-#: deterministic hash sampling (SURVEY §2.6): md5-nibble bucket test —
-#: reproducible across runs and cluster sizes, no RNG state
-SAMPLE_DOCUMENTS = """
+def _nibble_sql(col: str) -> str:
+    """SQL twin of ``functions.dedup._nibble_of`` for INTEGER ids: bucket =
+    (((u ^ (u>>33)) * phi64) mod 2^64) >> 60, computed with HUGEINT
+    split-multiply so the 64x64 product never overflows INT128 — verified
+    bit-identical to the numpy uint64 path incl. negative ids. Vectorized on
+    both sides; md5 remains only for string-id sampling (no gated query
+    samples by string id)."""
+    m64 = "18446744073709551616"
+    u = f"((CAST({col} AS HUGEINT) % {m64}) + {m64}) % {m64}"
+    x = f"xor({u}, ({u}) // 8589934592)"
+    mul = (
+        f"(({x}) % 4294967296) * CAST(11400714819323198485 AS HUGEINT)"
+        f" + ((({x}) // 4294967296) * CAST(11400714819323198485 AS HUGEINT))"
+        f" % 4294967296 * 4294967296"
+    )
+    return f"CAST((({mul}) % {m64}) // 1152921504606846976 AS BIGINT)"
+
+
+#: deterministic hash sampling (SURVEY §2.6): vectorized integer-mix bucket
+#: test — reproducible across runs and cluster sizes, no RNG state
+SAMPLE_DOCUMENTS = f"""
 SELECT doc_id, lang, source
 FROM documents
-WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')
+WHERE {_nibble_sql('doc_id')} < 2
 """
 
 
@@ -1429,8 +1447,9 @@ dedup AS (
 )
 SELECT q.doc_id, q.quality_micro
 FROM q JOIN dedup USING (doc_id)
-WHERE substr(md5(CAST(q.doc_id AS VARCHAR)), 1, 1) IN ('0', '1', '2', '3')
-"""
+WHERE """
+    + _nibble_sql("q.doc_id")
+    + " < 4\n"
 )
 
 
@@ -1564,11 +1583,11 @@ WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
 """
 
 
-#: functions/dedup.py::stratified_sample — per-stratum md5-nibble rates:
+#: functions/dedup.py::stratified_sample — per-stratum nibble rates:
 #: downsample the dominant language (en: 2/16), keep the rest at 8/16.
-SAMPLE_STRATIFIED = """
+SAMPLE_STRATIFIED = f"""
 SELECT doc_id, lang, source FROM documents
-WHERE strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1
+WHERE {_nibble_sql('doc_id')}
       < CASE WHEN lang = 'en' THEN 2 ELSE 8 END
 """
 

@@ -149,7 +149,7 @@ class MinHashStreamRunner:
 
     # -------------------------------------------------------------- batches
     def _process_batch(self, batch_id: int, bfiles: list[str]) -> dict:
-        from ..functions.dedup import FastMinHasher, lsh_bucket_rows
+        from ..functions.dedup import FastMinHasher, band_key_strings, lsh_bucket_rows
 
         text_col, order_col = self.text_col, self.order_col
         num_shards, bands = self.num_shards, self.bands
@@ -173,8 +173,15 @@ class MinHashStreamRunner:
 
             def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
                 b = b.rename(columns={order_col: "doc_id", text_col: "text"})
-                rows = lsh_bucket_rows(self.mh(b[["doc_id", "text"]]), bands=bands)
-                h1, h2 = _band_hashes(rows["band"].to_numpy(), rows["band_key"].to_numpy())
+                rows = lsh_bucket_rows(
+                    self.mh(b[["doc_id", "text"]]),
+                    bands=bands,
+                    rows_per_band=num_perm // bands,
+                )
+                # the manifest pins md5('band:band_key-string') as the state
+                # representation — rebuild the exact decimal string from the
+                # packed bk columns (lossless int64 decimal join)
+                h1, h2 = _band_hashes(rows["band"].to_numpy(), band_key_strings(rows))
                 return pd.DataFrame(
                     {
                         "doc_id": rows["doc_id"].to_numpy(dtype=np.int64),
