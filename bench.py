@@ -65,12 +65,63 @@ def _median(xs: list[float]) -> float:
     return xs[n // 2] if n % 2 else (xs[n // 2 - 1] + xs[n // 2]) / 2.0
 
 
+def calibration_probe(repeats: int = 3) -> dict:
+    """Fixed-work host-speed probe, run before Ray starts: constant CPU
+    (matmul), memory-bandwidth (large-array sweep — the component that
+    drifted 1.5-1.6x intra-day in round 3), and parquet write+read legs.
+    The SAME work every run, so ``probe_sec`` ratios between two bench runs
+    estimate host drift and let cross-round deltas be normalized
+    mechanically (BASELINE.md §6). Median of ``repeats``."""
+    import tempfile
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(42)
+    a = rng.standard_normal((1024, 1024))
+    big = rng.standard_normal(32 * 1024 * 1024)  # 256 MB
+    tbl = pa.table(
+        {
+            "x": np.arange(2_000_000, dtype=np.int64),
+            "y": rng.standard_normal(2_000_000),
+        }
+    )
+    cpu_t, mem_t, io_t = [], [], []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        for _ in range(4):
+            a @ a
+        cpu_t.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        s = 0.0
+        for _ in range(4):
+            s += float(big.sum())
+            big *= 1.0
+        mem_t.append(time.perf_counter() - t0)
+        with tempfile.TemporaryDirectory(dir="/tmp") as d:
+            p = os.path.join(d, "probe.parquet")
+            t0 = time.perf_counter()
+            pq.write_table(tbl, p)
+            pq.read_table(p)
+            io_t.append(time.perf_counter() - t0)
+    probe = {
+        "probe_cpu_sec": round(_median(cpu_t), 3),
+        "probe_mem_sec": round(_median(mem_t), 3),
+        "probe_io_sec": round(_median(io_t), 3),
+    }
+    probe["probe_sec"] = round(sum(probe.values()), 3)
+    return probe
+
+
 #: repeats per timed query; median reported (run-to-run object-store variance
 #: made round-1 driver numbers drift ~1.7x from single-shot builder numbers)
 REPEATS = int(os.environ.get("BENCH_REPEATS", "3"))
 
 
 def run_bench(sf_dir: str, num_cpus: int) -> dict:
+    probe = calibration_probe()
+
     import ray
 
     ray.init(
@@ -165,6 +216,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
             "events": events,
             "events_per_sec": round(events / headline, 1),
             "repeats": REPEATS,
+            **probe,
         }
 
     # --- batch-mode capture over the UNpartitioned log (includes the one
@@ -325,6 +377,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "events": events,
         "events_per_sec": round(events / headline, 1),
         "repeats": REPEATS,
+        **probe,
     }
     ray.shutdown()
     return result
@@ -357,6 +410,10 @@ def run_scaling(sf_dir: str, lo: int = 4, hi: int = 16) -> dict:
         f"events_per_sec_{lo}": thr_lo,
         f"events_per_sec_{hi}": thr_hi,
         "scaling_efficiency": round(eff, 3),
+        # per-leg host-speed probes: a drifting ratio between legs flags a
+        # contaminated pair (round-3 lesson) — re-run rather than conclude
+        f"probe_sec_{lo}": r_lo.get("probe_sec"),
+        f"probe_sec_{hi}": r_hi.get("probe_sec"),
     }
 
 
