@@ -161,12 +161,31 @@ class DedupStreamRunner:
         sink_dir = self.sink_dir
 
         def add_hash(b: pd.DataFrame) -> pd.DataFrame:
+            """Hash + route + LOCAL COMBINER: pre-dedup within the block,
+            keeping the min-``order_col`` row per (h1, h2) and carrying the
+            dropped count as a weight column ``_w``. The block-local min
+            preserves the global arrival-first winner, so output is
+            byte-identical — but only unique-per-block rows cross the
+            exchange (at real web-corpus dup rates of 30-60% that halves the
+            all-to-all bytes; state merge still happens in the shard task)."""
             b = b.copy()
             h1, h2 = _hash128(b[text_col])
             b["_h1"] = h1
             b["_h2"] = h2
             b["_shard"] = (h1 % np.uint64(num_shards)).astype(np.int32)
-            return b
+            ordv = b[order_col].to_numpy()
+            order = np.lexsort((ordv, h2, h1))
+            oh1, oh2 = h1[order], h2[order]
+            rs = np.ones(len(b), dtype=bool)
+            rs[1:] = (oh1[1:] != oh1[:-1]) | (oh2[1:] != oh2[:-1])
+            rid = np.cumsum(rs) - 1
+            winners = np.sort(order[rs])  # arrival positions of block winners
+            out = b.iloc[winners].copy()
+            w = np.bincount(rid)  # rows folded into each hash-run
+            ww = np.empty(len(b), np.int64)
+            ww[order[rs]] = w
+            out["_w"] = ww[winners]
+            return out
 
         # sink schema pinned from the log footer: an empty (or all-null) kept
         # frame must not degrade string columns to null type through pandas
@@ -175,6 +194,7 @@ class DedupStreamRunner:
         def shard_task(g: pd.DataFrame) -> pd.DataFrame:
             shard = int(g["_shard"].iloc[0])
             g = g.sort_values(order_col, kind="mergesort")
+            n_in = int(g["_w"].sum())  # combiner-folded rows count as seen
             ck = Checkpoint(ckpt_dir)  # path math only; no driver state
             prev_path = ck.latest_state_path(shard, before_batch=batch_id, kind="seen")
             if prev_path:
@@ -196,7 +216,7 @@ class DedupStreamRunner:
             first_in_batch = np.zeros(len(g), dtype=bool)
             first_in_batch[order[run_start]] = True
             keep = first_in_batch & ~_member128(s1, s2, h1, h2)
-            out = g[keep].drop(columns=["_h1", "_h2", "_shard"])
+            out = g[keep].drop(columns=["_h1", "_h2", "_shard", "_w"])
             # state = prev ∪ this batch's new hashes, (h1, h2)-sorted so the
             # next batch's searchsorted probe stays O(log n)
             n1 = np.concatenate([s1, h1[keep]])
@@ -215,7 +235,7 @@ class DedupStreamRunner:
             )
             pq.write_table(tbl, os.path.join(d, f"shard-{shard:05d}.parquet"))
             return pd.DataFrame(
-                {"shard": [shard], "n_in": [len(g)], "n_kept": [int(keep.sum())]}
+                {"shard": [shard], "n_in": [n_in], "n_kept": [int(keep.sum())]}
             )
 
         ds = ray.data.read_parquet(bfiles, override_num_blocks=2 * num_shards)

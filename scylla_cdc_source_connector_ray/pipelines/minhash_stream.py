@@ -10,12 +10,15 @@ the streaming analogue of the batch ``dedup_minhash_lsh`` CANDIDATE stage:
 an arrival-order online filter that admits a document only if nothing seen
 before it minhash-collides.
 
-State: the set of all band signatures ever seen, stored per shard as
-md5-128 of the exact ``band:band_key`` string (two sorted uint64 columns —
-the same exact-membership layout as ``DedupStreamRunner``; crypto-hash
-collisions are the accepted 2^-128 risk, the band_key string itself is
-collision-free vs the SQL twin). State size is O(unique band signatures) ≈
-bands × unique docs — ~256 B/doc across all shards.
+State: the set of all band signatures ever seen, stored per shard as two
+independent 64-bit splitmix digests of the packed (band, bk0..bkR) int64
+band signature (two sorted uint64 columns — the same exact-membership
+layout as ``DedupStreamRunner``; hash collisions are the accepted ~2^-128
+non-adversarial risk, the packed band signature itself is collision-free
+vs the SQL twin). Fully vectorized — the previous md5-per-band-row Python
+loop (16 digests/doc) dominated pass 1 at 1M-doc batches. State size is
+O(unique band signatures) ≈ bands × unique docs — ~256 B/doc across all
+shards.
 
 Scale shape: signatures are computed in the vectorized ``FastMinHasher``
 actor stage; band rows (16/doc) are exchanged once, hash-partitioned on the
@@ -31,7 +34,6 @@ lacks.
 
 from __future__ import annotations
 
-import hashlib
 import os
 
 import numpy as np
@@ -45,20 +47,36 @@ from ..state.checkpoint import Checkpoint
 from .dedup_stream import _member128
 
 
-def _band_hashes(band: np.ndarray, band_key: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """md5-128 of 'band:band_key' as two uint64 words (band index prefixed so
-    equal key strings in different bands never collide)."""
-    if len(band) == 0:
+def _splitmix64(h: np.ndarray) -> np.ndarray:
+    """SplitMix64 finalizer — the standard 64-bit avalanche mix (public
+    domain constants; Steele et al., "Fast Splittable Pseudorandom Number
+    Generators", OOPSLA'14)."""
+    h = (h ^ (h >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    h = (h ^ (h >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return h ^ (h >> np.uint64(31))
+
+
+def _band_hashes(rows: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
+    """Two independent 64-bit digests of each packed band signature (band
+    index chained in so equal keys in different bands never collide).
+    Vectorized splitmix chains with distinct seeds replace the old
+    md5-per-row loop — 16 Python digests/doc made the hash stage, not the
+    minhash signatures, dominate 1M-doc batches."""
+    n = len(rows)
+    if n == 0:
         return np.array([], np.uint64), np.array([], np.uint64)
-    # string build vectorized; the md5 itself is the per-row loop (hashlib
-    # has no batch API) at ~16 digests/doc — bounded well below the minhash
-    # signature stage's cost (64 permutations × shingles per doc)
-    strs = np.char.add(
-        np.char.add(band.astype("U3"), ":"), band_key.astype("U")
-    )
-    hexes = [hashlib.md5(s.encode()).hexdigest() for s in strs.tolist()]
-    u = np.frombuffer(bytes.fromhex("".join(hexes)), dtype=np.uint64).reshape(-1, 2)
-    return u[:, 0].copy(), u[:, 1].copy()
+    cols = [rows["band"].to_numpy().astype(np.uint64)] + [
+        rows[c].to_numpy().astype(np.uint64)
+        for c in sorted(
+            (c for c in rows.columns if c.startswith("bk")), key=lambda c: int(c[2:])
+        )
+    ]
+    h1 = np.full(n, 0x243F6A8885A308D3, np.uint64)  # pi fractional bits
+    h2 = np.full(n, 0x13198A2E03707344, np.uint64)
+    for v in cols:
+        h1 = _splitmix64(h1 ^ v)
+        h2 = _splitmix64(h2 ^ (v + np.uint64(0x9E3779B97F4A7C15)))
+    return h1, h2
 
 
 class MinHashStreamRunner:
@@ -104,6 +122,12 @@ class MinHashStreamRunner:
             "minhash_impl": f"{self.num_perm}/{self.ngram}/{self.seed}/{self.bands}"
             # the measured columns are replay identity too
             f"/{self.text_col}/{self.order_col}",
+            # sink files are named by input (file, row-group) slice since the
+            # survivor pass stopped shuffling by doc-shard, and band state is
+            # the splitmix-128 of the packed signature — a checkpoint written
+            # under the old shard-file/md5 layout must fail loudly
+            "sink_layout": "rowgroup-v2",
+            "band_hash": "splitmix128-v2",
         }
         return pins, process
 
@@ -149,7 +173,7 @@ class MinHashStreamRunner:
 
     # -------------------------------------------------------------- batches
     def _process_batch(self, batch_id: int, bfiles: list[str]) -> dict:
-        from ..functions.dedup import FastMinHasher, band_key_strings, lsh_bucket_rows
+        from ..functions.dedup import FastMinHasher, lsh_bucket_rows
 
         text_col, order_col = self.text_col, self.order_col
         num_shards, bands = self.num_shards, self.bands
@@ -178,10 +202,7 @@ class MinHashStreamRunner:
                     bands=bands,
                     rows_per_band=num_perm // bands,
                 )
-                # the manifest pins md5('band:band_key-string') as the state
-                # representation — rebuild the exact decimal string from the
-                # packed bk columns (lossless int64 decimal join)
-                h1, h2 = _band_hashes(rows["band"].to_numpy(), band_key_strings(rows))
+                h1, h2 = _band_hashes(rows)
                 return pd.DataFrame(
                     {
                         "doc_id": rows["doc_id"].to_numpy(dtype=np.int64),
@@ -240,34 +261,41 @@ class MinHashStreamRunner:
             np.fromiter((int(r["doc_id"]) for r in dropped_tbl), np.int64)
         )
 
-        # second distributed pass: filter survivors (tiny dropped-id set in
-        # the closure) and write one deterministic sink file per doc-shard
+        # survivor pass — NO exchange (fused per VERDICT r3 #8): each input
+        # (file, row-group) slice is one independent task that reads its rows,
+        # drops the collided ids (broadcast once via ray.put — never re-shipped
+        # per task closure), and writes a sink file named by the slice. The
+        # name is a pure function of the input layout, so replay is
+        # byte-stable without routing any row anywhere; the old version
+        # re-shuffled the whole surviving corpus by doc-shard per micro-batch.
         sink_dir = self.sink_dir
+        dropped_ref = ray.put(dropped)
+        plan = []
+        for f in bfiles:
+            stem = os.path.splitext(os.path.basename(f))[0]
+            for rg in range(pq.ParquetFile(f).metadata.num_row_groups):
+                plan.append({"path": f, "stem": stem, "rg": rg})
 
-        def filt(b: pd.DataFrame) -> pd.DataFrame:
-            keep = ~np.isin(b[order_col].to_numpy(dtype=np.int64), dropped)
-            b = b[keep].copy()
-            b["_oshard"] = (b[order_col].to_numpy(dtype=np.int64) % num_shards).astype(
-                np.int32
-            )
-            return b
+        def rg_task(items: pd.DataFrame) -> pd.DataFrame:
+            drop = ray.get(dropped_ref)
+            outs = []
+            for _, it in items.iterrows():
+                tbl = pq.ParquetFile(it["path"]).read_row_group(int(it["rg"]))
+                order = tbl[order_col].to_numpy(zero_copy_only=False).astype(np.int64)
+                tbl = tbl.filter(pa.array(~np.isin(order, drop)))
+                tbl = tbl.select(out_schema.names).cast(out_schema)
+                tbl = tbl.sort_by(order_col)
+                d = os.path.join(sink_dir, f"batch-{batch_id:06d}")
+                os.makedirs(d, exist_ok=True)
+                pq.write_table(
+                    tbl, os.path.join(d, f"part-{it['stem']}-g{int(it['rg']):03d}.parquet")
+                )
+                outs.append(tbl.num_rows)
+            return pd.DataFrame({"n_kept": outs})
 
-        def write_task(g: pd.DataFrame) -> pd.DataFrame:
-            shard = int(g["_oshard"].iloc[0])
-            g = g.sort_values(order_col, kind="mergesort").drop(columns=["_oshard"])
-            d = os.path.join(sink_dir, f"batch-{batch_id:06d}")
-            os.makedirs(d, exist_ok=True)
-            tbl = pa.Table.from_pandas(
-                g[out_schema.names], schema=out_schema, preserve_index=False
-            )
-            pq.write_table(tbl, os.path.join(d, f"shard-{shard:05d}.parquet"))
-            return pd.DataFrame({"shard": [shard], "n_kept": [len(g)]})
-
-        ds2 = ray.data.read_parquet(bfiles, override_num_blocks=2 * num_shards)
         stats = (
-            ds2.map_batches(filt, batch_format="pandas")
-            .groupby("_oshard")
-            .map_groups(write_task, batch_format="pandas")
+            ray.data.from_items(plan, override_num_blocks=len(plan))
+            .map_batches(rg_task, batch_format="pandas", batch_size=None)
             .take_all()
         )
         kept = sum(r["n_kept"] for r in stats)
