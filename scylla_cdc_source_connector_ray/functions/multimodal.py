@@ -80,17 +80,61 @@ def media_from_documents(ds: ray.data.Dataset) -> ray.data.Dataset:
     return ds.map_batches(to_media, batch_format="pyarrow")
 
 
+def _probe_codec():
+    """Import-probe for a real image codec (Pillow first, imageio fallback).
+    Returns ``("pil", module)`` / ``("imageio", module)`` or ``None`` — called
+    once per actor in ``Decoder.__init__``, never per batch."""
+    try:
+        from PIL import Image  # noqa: PLC0415
+
+        return ("pil", Image)
+    except ImportError:
+        pass
+    try:
+        import imageio.v3 as iio  # noqa: PLC0415
+
+        return ("imageio", iio)
+    except ImportError:
+        return None
+
+
 class Decoder:
-    """Actor-pool decode stage. Construction fails fast for the real decoder
-    (library absent) — the documented extension point."""
+    """Actor-pool decode stage.
+
+    ``decoder="fake"`` — deterministic pseudo-decode (payload-seeded pixels);
+    the gated/oracle path. ``decoder="real"`` — decode payload bytes with
+    Pillow/imageio, failing fast at actor construction when neither library
+    exists (this container has neither). ``decoder="auto"`` — probe once per
+    actor and use the real codec when present, else fall back to fake, so the
+    same pipeline runs real work the moment the environment provides a codec.
+    """
 
     def __init__(self, decoder: str = "fake"):
-        if decoder == "real":
-            raise NotImplementedError(
-                "real decode needs Pillow/ffmpeg, not present in this container; "
-                "plug your codec here — the Ray plumbing is identical"
-            )
-        self.decoder = decoder
+        if decoder not in ("fake", "real", "auto"):
+            raise ValueError(f"decoder must be fake|real|auto, got {decoder!r}")
+        self._codec = None
+        if decoder in ("real", "auto"):
+            self._codec = _probe_codec()
+            if decoder == "real" and self._codec is None:
+                raise NotImplementedError(
+                    "real decode needs Pillow or imageio, not present in this "
+                    "container; install one or use decoder='auto'/'fake' — "
+                    "the Ray plumbing is identical"
+                )
+        self.decoder = "real" if self._codec is not None else "fake"
+
+    def _real_pixels(self, payload: bytes) -> np.ndarray:
+        import io  # noqa: PLC0415
+
+        kind, mod = self._codec
+        if kind == "pil":
+            img = np.asarray(mod.open(io.BytesIO(payload)).convert("RGB"))
+        else:
+            img = np.asarray(mod.imread(payload))
+            if img.ndim == 2:  # grayscale → 3-channel
+                img = np.repeat(img[:, :, None], 3, axis=2)
+            img = img[:, :, :3]
+        return np.ascontiguousarray(img, dtype=np.uint8)
 
     def _fake_pixels(self, payload: bytes, w: int, h: int) -> np.ndarray:
         seed = int.from_bytes(hashlib.md5(payload).digest()[:4], "little")
@@ -102,12 +146,18 @@ class Decoder:
         # row) → a variable-length list column, never np.stack
         pixels = []
         offsets = [0]
+        dims: list[tuple[int, int]] = []  # decoded (w, h), authoritative on real path
         for payload, w, h in zip(
             batch["payload"].to_pylist(),
             batch["width"].to_pylist(),
             batch["height"].to_pylist(),
         ):
-            px = self._fake_pixels(payload, w or 64, h or 48)
+            if self.decoder == "real":
+                px = self._real_pixels(payload)
+                dims.append((px.shape[1], px.shape[0]))
+            else:
+                px = self._fake_pixels(payload, w or 64, h or 48)
+                dims.append((w or 64, h or 48))
             pixels.append(px.ravel())
             offsets.append(offsets[-1] + px.size)
         values = (
@@ -116,7 +166,16 @@ class Decoder:
             else pa.array([], pa.uint8())
         )
         flat = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), values)
-        return batch.drop_columns(["payload"]).append_column("pixels", flat)
+        out = batch.drop_columns(["payload"]).append_column("pixels", flat)
+        # decoded dims replace ingest metadata so Resizer/FeatureExtractor
+        # reshape correctly even when the metadata lied (real codecs only;
+        # the fake path echoes the metadata, keeping oracles byte-stable)
+        out = out.set_column(
+            out.column_names.index("width"), "width", pa.array([d[0] for d in dims], pa.int32())
+        )
+        return out.set_column(
+            out.column_names.index("height"), "height", pa.array([d[1] for d in dims], pa.int32())
+        )
 
 
 class Resizer:

@@ -339,9 +339,46 @@ def test_multimodal_pipeline_plumbing():
     assert np.allclose(a, b)
 
 
-def test_multimodal_real_decoder_raises():
-    with pytest.raises(NotImplementedError):
-        MM.Decoder(decoder="real")
+def test_multimodal_real_decoder_env_gated():
+    """decoder='real' raises when no codec lib exists; decodes when one does
+    (skipped-or-passing by environment, per the auto-probe design)."""
+    if MM._probe_codec() is None:
+        with pytest.raises(NotImplementedError):
+            MM.Decoder(decoder="real")
+    else:
+        import io
+
+        from PIL import Image  # probe found pil or imageio; build bytes via PIL
+
+        buf = io.BytesIO()
+        Image.new("RGB", (6, 4), (250, 10, 10)).save(buf, format="PNG")
+        tbl = pa.table(
+            {
+                "media_id": pa.array([1], pa.int64()),
+                "kind": pa.array(["image"], pa.string()),
+                "payload": pa.array([buf.getvalue()], pa.binary()),
+                "width": pa.array([999], pa.int32()),  # lying metadata
+                "height": pa.array([999], pa.int32()),
+                "duration_ms": pa.array([0], pa.int32()),
+            }
+        )
+        out = MM.Decoder(decoder="real")(tbl)
+        assert out["width"].to_pylist() == [6]  # decoded dims win
+        assert out["height"].to_pylist() == [4]
+        px = np.asarray(out["pixels"][0].as_py(), dtype=np.uint8).reshape(4, 6, 3)
+        assert px[0, 0, 0] == 250 and px[0, 0, 1] == 10
+
+
+def test_multimodal_auto_decoder_falls_back():
+    """decoder='auto' never raises: real codec when present, fake otherwise —
+    and the fake leg stays byte-identical to decoder='fake'."""
+    d = MM.Decoder(decoder="auto")
+    assert d.decoder == ("real" if MM._probe_codec() is not None else "fake")
+    if d.decoder == "fake":
+        media = MM.synthesize_media(n=4)
+        a = d(media)
+        b = MM.Decoder(decoder="fake")(media)
+        assert a.equals(b)
 
 
 def test_frame_sampling():
