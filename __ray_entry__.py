@@ -1506,12 +1506,10 @@ def _q_cep_session_pattern(sf_dir: str):
     )
 
 
-def _q_cep_stream_pattern(sf_dir: str):
-    """Streaming CEP through the CHECKPOINTED micro-batch runner: literal
-    'uta' counted per conversation with the exact cross-batch suffix carry
-    (pipelines/cep_stream.py); 4 ts-ordered window files consumed one per
-    batch so every carry path is exercised. The oracle is the global
-    string_split count — micro-batching must never change the totals."""
+def _cep_stream_run(sf_dir: str, scratch_tag: str, **runner_kwargs):
+    """Shared harness for the streaming CEP gates: 4 ts-ordered window files
+    consumed one per batch so every carry path is exercised, through the
+    checkpointed micro-batch runner."""
     import hashlib
     import os
     import shutil
@@ -1531,7 +1529,7 @@ def _q_cep_stream_pattern(sf_dir: str):
         [("ts", "ascending"), ("seq", "ascending")]
     )
     base = os.path.join(
-        "/tmp/scylla_cdc_cep_stream",
+        f"/tmp/scylla_cdc_{scratch_tag}",
         hashlib.md5(sf_dir.encode()).hexdigest()[:12] + f"-{os.getpid()}",
     )
     shutil.rmtree(base, ignore_errors=True)
@@ -1542,16 +1540,30 @@ def _q_cep_stream_pattern(sf_dir: str):
         lo, hi = i * n // nf, (i + 1) * n // nf
         pq.write_table(t.slice(lo, hi - lo), os.path.join(log, f"window-{i:05d}.parquet"))
     runner = CepStreamRunner(
-        log,
-        num_shards=8,
-        checkpoint_dir=os.path.join(base, "ckpt"),
-        literal=oracles.CEP_STREAM_LITERAL,
+        log, num_shards=8, checkpoint_dir=os.path.join(base, "ckpt"), **runner_kwargs
     )
     try:
         runner.run(files_per_batch=1)
         return runner.read_counts()
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def _q_cep_stream_pattern(sf_dir: str):
+    """Streaming CEP through the CHECKPOINTED micro-batch runner: literal
+    'uta' counted per conversation with the exact cross-batch suffix carry
+    (pipelines/cep_stream.py). The oracle is the global string_split count —
+    micro-batching must never change the totals."""
+    return _cep_stream_run(sf_dir, "cep_stream", literal=oracles.CEP_STREAM_LITERAL)
+
+
+def _q_cep_stream_regex(sf_dir: str):
+    """Streaming GENERAL-REGEX CEP: the gated batch pattern 'ut+a' counted
+    incrementally — RE2 sentinel consumption gives the exact unconsumed
+    suffix per conversation and the compiled DFA (stages/redfa.py) prunes
+    the dead prefix of the carry. Oracle: global RE2 regexp_extract_all
+    count, so counts must be split-invariant across the 4 micro-batches."""
+    return _cep_stream_run(sf_dir, "cep_stream_rx", pattern=oracles.CEP_PATTERN)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -1597,6 +1609,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_turns_per_conv": _q_top_turns_per_conv,
         "cep_pattern_match": _q_cep_pattern_match,
         "cep_stream_pattern": _q_cep_stream_pattern,
+        "cep_stream_regex": _q_cep_stream_regex,
         "cep_session_pattern": _q_cep_session_pattern,
         "embedding_centroids": _q_embedding_centroids,
         "dedup_stream_minhash": _q_dedup_stream_minhash,
@@ -1683,6 +1696,7 @@ def oracle_sql() -> dict[str, str]:
         "top_turns_per_conv": oracles.TOP_TURNS_PER_CONV,
         "cep_pattern_match": oracles.CEP_PATTERN_MATCH,
         "cep_stream_pattern": oracles.CEP_STREAM_PATTERN,
+        "cep_stream_regex": oracles.CEP_STREAM_REGEX,
         "cep_session_pattern": oracles.CEP_SESSION_PATTERN,
         "embedding_centroids": oracles.EMBEDDING_CENTROIDS,
         "dedup_stream_minhash": oracles.DEDUP_STREAM_MINHASH,

@@ -317,13 +317,14 @@ def cmd_cep_stream(args) -> int:
     _init_ray(args)
     from .pipelines.cep_stream import CepStreamRunner
 
+    mode = {"pattern": args.pattern} if args.regex else {"literal": args.pattern}
     runner = CepStreamRunner(
         args.log_dir,
         num_shards=args.num_shards,
         checkpoint_dir=args.checkpoint,
-        literal=args.pattern,
         key_col=args.key_col,
         role_col=args.role_col,
+        **mode,
     )
     totals = _run_or_tail(runner, args)
     print(json.dumps({"ok": True, **totals, "checkpoint": args.checkpoint}))
@@ -378,14 +379,15 @@ def main(argv=None) -> int:
     mp.add_argument("--poll-ms", type=int, default=1000)
     mp.add_argument("--idle-polls", type=int, default=3)
     mp.set_defaults(fn=cmd_minhash_stream)
-    cp = sub.add_parser("cep-stream", help="streaming per-conversation literal-pattern counting")
+    cp = sub.add_parser("cep-stream", help="streaming per-conversation pattern counting (literal or regex)")
     cp.add_argument("--log-dir", required=True)
     cp.add_argument("--checkpoint", default="/tmp/scylla_cdc_ray/cep_ckpt")
     cp.add_argument("--num-shards", type=int, default=64)
     cp.add_argument("--num-cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
     cp.add_argument("--files-per-batch", type=int, default=4)
     cp.add_argument("--max-batches", type=int, default=None)
-    cp.add_argument("--pattern", default="uta", help="literal role-symbol sequence (u/a/t/s/d)")
+    cp.add_argument("--pattern", default="uta", help="role-symbol sequence (u/a/t/s/d); regex with --regex")
+    cp.add_argument("--regex", action="store_true", help="treat --pattern as an RE2 regex (DFA-pruned carry)")
     cp.add_argument("--key-col", default="conv_id")
     cp.add_argument("--role-col", default="role")
     cp.add_argument("--tail", action="store_true", help="live tail: poll for new files")

@@ -1376,6 +1376,30 @@ FROM strs
 CEP_STREAM_PATTERN = _cep_stream_sql(CEP_STREAM_LITERAL)
 
 
+def _cep_stream_regex_sql(pattern: str) -> str:
+    """Streaming regex-CEP twin: the checkpointed DFA-carry runner must equal
+    the GLOBAL RE2 non-overlapping count (DuckDB regexp_extract_all is RE2
+    too) no matter where micro-batch boundaries fall."""
+    from .stages.cep import role_case_sql
+
+    return f"""
+WITH transcripts AS ({TRANSCRIPTS_SQL}),
+syms AS (
+    SELECT conv_id, {role_case_sql("role")} AS sym, ts, seq
+    FROM transcripts
+),
+strs AS (
+    SELECT conv_id, string_agg(sym, '' ORDER BY ts, seq) AS s
+    FROM syms GROUP BY conv_id
+)
+SELECT conv_id, CAST(len(regexp_extract_all(s, '{pattern}')) AS BIGINT) AS n_matches
+FROM strs
+"""
+
+
+CEP_STREAM_REGEX = _cep_stream_regex_sql(CEP_PATTERN)
+
+
 #: functions/similarity.py::grouped_centroid_sums — per-IVF-bucket
 #: dimension-wise integer-grid sums + counts (the k-means update step).
 #: floor (not round) before summing on BOTH sides: floor semantics are

@@ -1,13 +1,19 @@
 """Streaming CEP: checkpointed per-conversation pattern counting over a
 windowed transcript log — the micro-batch composition of ``stages/cep.py``.
 
-Detects a LITERAL symbol sequence (e.g. ``uta`` = user → tool → assistant)
-in each conversation's event stream, counting non-overlapping occurrences
-left-to-right across micro-batch boundaries. The cross-batch carry is exact
-and tiny: after splitting a conversation's symbols on the literal, no part
-can contain an occurrence, so an occurrence spanning a batch boundary must
-start within the last ``len(literal) - 1`` symbols of the final part — that
-suffix (plus the running count) is the entire per-conversation state.
+Detects a symbol pattern in each conversation's event stream, counting
+non-overlapping occurrences left-to-right across micro-batch boundaries.
+Two modes sharing one state layout (key, n_matches, tail):
+
+- ``literal=`` (e.g. ``uta`` = user → tool → assistant): after splitting a
+  conversation's symbols on the literal, no part can contain an occurrence,
+  so a straddling occurrence must start within the last ``len(literal) - 1``
+  symbols of the final part — that suffix is the entire carry.
+- ``pattern=`` (general RE2 regex, e.g. ``ut+a``): RE2 sentinel-replacement
+  yields the exact unconsumed suffix (non-overlapping scanning is memoryless
+  past the consumption point), and a compiled DFA (``stages/redfa.py``)
+  prunes every prefix position that provably cannot start a match extending
+  into future batches. Carry is O(longest in-progress match) per key.
 
 Scale shape: state is O(live conversations × pattern length) bytes per
 shard; rows are exchanged once per batch on ``hash(conv_id)`` (the same
@@ -51,6 +57,38 @@ def fold_literal(full: pa.Array, literal: str) -> tuple[np.ndarray, pa.Array]:
     return delta.to_numpy(zero_copy_only=False), tail
 
 
+#: match-consumption sentinel for the regex fold — outside every symbol
+#: alphabet (role_symbols emits [uatsd]); patterns containing it are rejected
+SENTINEL = "\x00"
+
+
+def fold_regex(full: pa.Array, pattern: str, dfa) -> tuple[np.ndarray, pa.Array]:
+    """General-regex carry fold (the literal fold's big sibling): RE2
+    replaces every non-overlapping match with a sentinel — so the text after
+    the LAST sentinel is exactly RE2's unconsumed suffix, match-free by
+    construction — then the compiled :class:`~..stages.redfa.SymbolDFA`
+    prunes the dead prefix of that suffix (positions that cannot start a
+    match extending into future batches). Returns (#matches per row, pruned
+    next tail per row).
+
+    Exactness: non-overlapping scanning is memoryless past the consumption
+    point, so counting on ``carry + next_batch`` equals counting on the
+    whole stream; pruning keeps every position whose DFA run stays live.
+    State is O(longest in-progress match) per key — bounded for bounded
+    quantifiers, and for unbounded ones (``ut*``-style) exactly the data a
+    correct answer requires.
+    """
+    from ..stages.redfa import slice_strings
+
+    replaced = pc.replace_substring_regex(full, pattern=pattern, replacement=SENTINEL)
+    parts = pc.split_pattern(replaced, SENTINEL)
+    delta = pc.add(pc.list_value_length(parts).cast(pa.int64()), -1)
+    last_idx = parts.offsets.to_numpy(zero_copy_only=False)[1:] - 1
+    last = pc.take(parts.values, pa.array(last_idx))
+    starts = dfa.earliest_viable_starts(last)
+    return delta.to_numpy(zero_copy_only=False), slice_strings(last, starts)
+
+
 class CepStreamRunner:
     """Micro-batch literal-pattern counter over ``log_dir/window-*.parquet``
     transcript files. Log windows must be event-time-ordered (the standard
@@ -68,15 +106,29 @@ class CepStreamRunner:
         log_dir: str,
         num_shards: int,
         checkpoint_dir: str,
-        literal: str,
+        literal: str | None = None,
         key_col: str = "conv_id",
         role_col: str = "role",
+        pattern: str | None = None,
     ):
-        if len(literal) < 1:
+        if (literal is None) == (pattern is None):
+            raise ValueError("give exactly one of literal= or pattern=")
+        if literal is not None and len(literal) < 1:
             raise ValueError("literal pattern must be non-empty")
+        if pattern is not None:
+            if SENTINEL in pattern:
+                raise ValueError("pattern must not contain the \\x00 sentinel")
+            from ..stages.redfa import SymbolDFA
+
+            # compile eagerly: rejects unsupported syntax / empty-matching
+            # patterns at construction, not mid-run
+            self._dfa = SymbolDFA.compile(pattern)
+        else:
+            self._dfa = None
         self.log_dir = log_dir
         self.num_shards = num_shards
         self.literal = literal
+        self.pattern = pattern
         self.key_col = key_col
         self.role_col = role_col
         self.ckpt = Checkpoint(checkpoint_dir)
@@ -94,9 +146,13 @@ class CepStreamRunner:
             "num_shards": self.num_shards,
             "hash_impl": current_hash_impl(),
             # the measured quantity is replay identity: resuming with a
-            # different key/role column would merge counts of different
-            # things into one state
-            "cep_impl": f"{self.literal}/{self.key_col}/{self.role_col}",
+            # different key/role column (or switching literal↔regex mode,
+            # whose tails are pruned differently) would merge counts of
+            # different things into one state
+            "cep_impl": (
+                f"re2:{self.pattern}" if self.pattern is not None else self.literal
+            )
+            + f"/{self.key_col}/{self.role_col}",
         }
         return pins, process
 
@@ -144,6 +200,7 @@ class CepStreamRunner:
     def _process_batch(self, batch_id: int, bfiles: list[str]) -> list[dict]:
         key_col, role_col = self.key_col, self.role_col
         num_shards, literal = self.num_shards, self.literal
+        pattern, dfa = self.pattern, self._dfa  # dfa is tiny + picklable
         ckpt_dir = self.ckpt.dir
         state_kind = self.STATE_KIND
 
@@ -194,7 +251,10 @@ class CepStreamRunner:
             full = pa.array(
                 (m["tail"].fillna("") + m["s"]).to_numpy(dtype=object), pa.string()
             )
-            delta, tail = fold_literal(full, literal)
+            if pattern is not None:
+                delta, tail = fold_regex(full, pattern, dfa)
+            else:
+                delta, tail = fold_literal(full, literal)
             n_new = m["n_matches"].fillna(0).to_numpy(dtype=np.int64) + delta
             touched = pd.DataFrame(
                 {

@@ -229,3 +229,88 @@ def test_stream_literal_change_is_rejected(tmp_path):
     _runner(tmp, log).run(files_per_batch=1, max_batches=1)
     with pytest.raises(ValueError, match="cep_impl"):
         _runner(tmp, log, literal="ua").run(files_per_batch=1)
+
+
+# --- streaming REGEX carry (DFA-pruned; pipelines/cep_stream.py) ------------
+
+
+def _regex_runner(tmp, log, pattern="ut+a", name="rx"):
+    return CepStreamRunner(
+        log,
+        num_shards=4,
+        checkpoint_dir=os.path.join(tmp, name, "ckpt"),
+        pattern=pattern,
+    )
+
+
+def test_stream_regex_counts_match_global(tmp_path):
+    tmp = str(tmp_path)
+    rng = np.random.default_rng(17)
+    df = _mk_events(rng, n_convs=8, n_rows=300)
+    log = _write_windows(tmp, df, n_files=5)
+    r = _regex_runner(tmp, log, pattern="ut+a")
+    totals = r.run(files_per_batch=1)
+    got = dict(zip(*[c.to_pylist() for c in r.read_counts().columns]))
+    want = {k: len(re.findall("ut+a", s)) for k, s in _ref_strings(df).items()}
+    assert got == want
+    assert totals["matches"] == sum(want.values())
+
+
+def test_stream_regex_boundary_crossing(tmp_path):
+    """A greedy-quantifier match split across EVERY batch boundary counts
+    once — the in-progress 'utt…' run is carried, not flushed."""
+    tmp = str(tmp_path)
+    roles = ["user", "tool", "tool", "tool", "assistant", "user", "tool", "assistant"]
+    df = pd.DataFrame(
+        {
+            "conv_id": ["c"] * 8,
+            "role": roles,
+            "ts": pd.to_datetime(np.arange(8) * 1_000_000, unit="us"),
+            "seq": np.arange(8, dtype=np.int64),
+        }
+    )
+    log = _write_windows(tmp, df, n_files=8)  # 1 row per batch
+    r = _regex_runner(tmp, log)
+    r.run(files_per_batch=1)
+    assert r.read_counts().to_pydict() == {"conv_id": ["c"], "n_matches": [2]}
+
+
+def test_stream_regex_kill_resume(tmp_path):
+    tmp = str(tmp_path)
+    rng = np.random.default_rng(23)
+    df = _mk_events(rng, n_convs=6, n_rows=200)
+    log = _write_windows(tmp, df, n_files=4)
+    r = _regex_runner(tmp, log, name="crash")
+    totals = r.run(files_per_batch=1, crash_before_commit_at=2)
+    assert totals["crashed"] and totals["batches"] == 2
+    resumed = _regex_runner(tmp, log, name="crash")
+    resumed.run(files_per_batch=1)
+    got = dict(zip(*[c.to_pylist() for c in resumed.read_counts().columns]))
+    want = {k: len(re.findall("ut+a", s)) for k, s in _ref_strings(df).items()}
+    assert got == want
+
+
+def test_stream_mode_switch_rejected(tmp_path):
+    """literal→regex resume must fail loudly: the carried tails were pruned
+    under different rules, silently merging them would corrupt counts."""
+    tmp = str(tmp_path)
+    df = _mk_events(np.random.default_rng(3), n_convs=3, n_rows=40)
+    log = _write_windows(tmp, df, n_files=2)
+    _runner(tmp, log, name="mode").run(files_per_batch=1, max_batches=1)
+    r2 = CepStreamRunner(
+        log,
+        num_shards=4,
+        checkpoint_dir=os.path.join(tmp, "mode", "ckpt"),
+        pattern="uta",
+    )
+    with pytest.raises(ValueError, match="cep_impl"):
+        r2.run(files_per_batch=1)
+
+
+def test_stream_constructor_validation(tmp_path):
+    with pytest.raises(ValueError, match="exactly one"):
+        CepStreamRunner("x", 4, str(tmp_path), literal="uta", pattern="ut+a")
+    with pytest.raises(ValueError, match="exactly one"):
+        CepStreamRunner("x", 4, str(tmp_path))
+    with pytest.raises(ValueError, match="empty string"):
+        CepStreamRunner("x", 4, str(tmp_path), pattern="t*")

@@ -251,3 +251,40 @@ def test_cep_fold_literal_split_invariant(s, literal, cuts):
         count += int(delta[0])
         tail = tails[0].as_py()
     assert count == len(s.split(literal)) - 1
+
+
+# ---------------------------------------------------------------------------
+# CEP regex-carry fold: split invariance at arbitrary cut points
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.text(alphabet="uatsd", max_size=60),
+    st.sampled_from(["ut+a", "u(t|a)*s", "ua?t", "t{2,3}", "(ua|ut)+"]),
+    st.lists(st.integers(0, 60), max_size=6),
+)
+def test_cep_fold_regex_split_invariant(s, pattern, cuts):
+    """The general-regex fold (RE2 sentinel consumption + DFA-pruned carry)
+    must count exactly the global non-overlapping RE2 matches for ANY cut
+    points — including cuts inside a match and inside a greedy quantifier
+    run."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from scylla_cdc_source_connector_ray.pipelines.cep_stream import fold_regex
+    from scylla_cdc_source_connector_ray.stages.redfa import SymbolDFA
+
+    dfa = SymbolDFA.compile(pattern)
+    bounds = sorted(min(c, len(s)) for c in cuts)
+    chunks, prev = [], 0
+    for b in [*bounds, len(s)]:
+        chunks.append(s[prev:b])
+        prev = b
+    count, tail = 0, ""
+    for ch in chunks:
+        delta, tails = fold_regex(pa.array([tail + ch], pa.string()), pattern, dfa)
+        count += int(delta[0])
+        tail = tails[0].as_py()
+    want = pc.count_substring_regex(pa.array([s]), pattern)[0].as_py()
+    assert count == want
