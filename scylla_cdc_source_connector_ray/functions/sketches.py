@@ -130,3 +130,146 @@ def distinct_per_group_hll(
     return pd.DataFrame(
         {group_col: list(merged), "n_distinct_est": [h.estimate() for h in merged.values()]}
     )
+
+
+# ---------------------------------------------------------------------------
+# KLL quantile sketch (deterministic compaction)
+# ---------------------------------------------------------------------------
+class KLLSketch:
+    """Mergeable quantile sketch (Karnin–Lang–Liberty, FOCS'16) with
+    DETERMINISTIC alternating-parity compaction instead of coin flips —
+    replay/exactly-once state must be byte-stable, and the alternating
+    variant (each level flips its keep-offset per compaction) keeps the
+    O(1/k) average rank error in exchange for a worse worst-case constant.
+
+    Level ``l`` holds items of weight ``2^l``; capacities shrink
+    geometrically from the top level (ratio 2/3, floor 2). ``update`` is an
+    array append + compress (compaction sorts, so input ORDER never affects
+    the result — only the value multiset does); ``merge`` is a level-wise
+    multiset union + compress, making per-block partial sketches safe to
+    combine in any grouping. State is O(k) values per key regardless of n —
+    the adaptive complement to the fixed-width histogram sketch
+    (``stages/topk.py::grouped_quantiles_hist``), which needs a bin width
+    chosen in advance.
+    """
+
+    RATIO = 2.0 / 3.0
+
+    def __init__(self, k: int = 200):
+        if k < 8:
+            raise ValueError("k must be >= 8")
+        self.k = int(k)
+        self.levels: list[np.ndarray] = [np.empty(0, np.float64)]
+        self.parity: list[int] = [0]
+        self.n = 0  # total weight (item count)
+
+    # ------------------------------------------------------------ internals
+    def _cap(self, lvl: int) -> int:
+        h = len(self.levels)
+        return max(2, int(np.ceil(self.k * self.RATIO ** (h - 1 - lvl))))
+
+    def _compress(self) -> None:
+        lvl = 0
+        while lvl < len(self.levels):
+            buf = self.levels[lvl]
+            if len(buf) <= self._cap(lvl):
+                lvl += 1
+                continue
+            buf = np.sort(buf)
+            m2 = (len(buf) // 2) * 2
+            off = self.parity[lvl] & 1
+            self.parity[lvl] += 1
+            promoted = buf[off:m2:2]
+            if lvl + 1 == len(self.levels):
+                self.levels.append(np.empty(0, np.float64))
+                self.parity.append(0)
+            self.levels[lvl] = buf[m2:]  # odd remainder stays (≤1 item)
+            self.levels[lvl + 1] = np.concatenate([self.levels[lvl + 1], promoted])
+            # re-check this level's cap (it changed if height grew), then move on
+
+    # --------------------------------------------------------------- update
+    def update(self, values: np.ndarray) -> "KLLSketch":
+        values = np.asarray(values, np.float64)
+        values = values[~np.isnan(values)]
+        if len(values) == 0:
+            return self
+        self.levels[0] = np.concatenate([self.levels[0], values])
+        self.n += len(values)
+        self._compress()
+        return self
+
+    def merge(self, other: "KLLSketch") -> "KLLSketch":
+        if other.k != self.k:
+            raise ValueError("cannot merge sketches with different k")
+        while len(self.levels) < len(other.levels):
+            self.levels.append(np.empty(0, np.float64))
+            self.parity.append(0)
+        for lvl, buf in enumerate(other.levels):
+            if len(buf):
+                self.levels[lvl] = np.concatenate([self.levels[lvl], buf])
+            self.parity[lvl] += other.parity[lvl]
+        self.n += other.n
+        self._compress()
+        return self
+
+    # --------------------------------------------------------------- query
+    def quantiles(self, qs: tuple[int, ...]) -> list[float]:
+        """Estimates at integer percentiles ``qs`` — same rank convention as
+        the exact operator: rank = (n-1) * q // 100, smallest value whose
+        cumulative weight exceeds the rank."""
+        vals = np.concatenate(self.levels)
+        if len(vals) == 0:
+            return [float("nan")] * len(qs)
+        wts = np.concatenate(
+            [np.full(len(b), 1 << l, np.int64) for l, b in enumerate(self.levels)]
+        )
+        order = np.argsort(vals, kind="stable")
+        vals, cum = vals[order], np.cumsum(wts[order])
+        out = []
+        for q in qs:
+            rank = (self.n - 1) * q // 100
+            out.append(float(vals[np.searchsorted(cum, rank + 1, side="left")]))
+        return out
+
+    # -------------------------------------------------------- serialization
+    def to_rows(self) -> tuple[np.ndarray, np.ndarray, list[np.ndarray]]:
+        """(level, parity, values[]) per non-trivial level — the parquet
+        state layout (one row per level, values as list<double>)."""
+        lv, par, vals = [], [], []
+        for l, b in enumerate(self.levels):
+            if len(b) or self.parity[l]:
+                lv.append(l)
+                par.append(self.parity[l])
+                vals.append(np.sort(b))  # canonical order: byte-stable state
+        return np.array(lv, np.int32), np.array(par, np.int64), vals
+
+    @classmethod
+    def combine_rows(cls, k: int, levels, parities, values) -> "KLLSketch":
+        """Multiset-combine (level, parity, values[]) rows from MANY partial
+        sketches of the same key — duplicate levels concatenate (order-free),
+        parities add — then compress once. The grouped-operator merge path."""
+        s = cls(k)
+        for l, p, v in zip(levels, parities, values):
+            l = int(l)
+            while len(s.levels) <= l:
+                s.levels.append(np.empty(0, np.float64))
+                s.parity.append(0)
+            v = np.asarray(v, np.float64)
+            s.levels[l] = np.concatenate([s.levels[l], v])
+            s.parity[l] += int(p)
+            s.n += len(v) * (1 << l)
+        s._compress()
+        return s
+
+    @classmethod
+    def from_rows(cls, k: int, levels, parities, values) -> "KLLSketch":
+        s = cls(k)
+        for l, p, v in zip(levels, parities, values):
+            l = int(l)
+            while len(s.levels) <= l:
+                s.levels.append(np.empty(0, np.float64))
+                s.parity.append(0)
+            s.levels[l] = np.asarray(v, np.float64)
+            s.parity[l] = int(p)
+            s.n += len(s.levels[l]) * (1 << l)
+        return s

@@ -229,3 +229,83 @@ def grouped_quantiles_hist(
         .groupby(comp)
         .map_groups(per_group, batch_format="pyarrow")
     )
+
+
+def grouped_quantiles_kll(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    value_col: str,
+    k: int = 200,
+    quantiles: tuple[int, ...] = (25, 50, 95),
+) -> ray.data.Dataset:
+    """APPROXIMATE per-group quantiles via a mergeable KLL sketch
+    (``functions/sketches.py::KLLSketch``) — the ADAPTIVE complement to
+    :func:`grouped_quantiles_hist`: no bin width to choose, state O(k)
+    values per group regardless of the value distribution (heavy tails
+    included), rank error ~O(1/k).
+
+    Scale shape: per-(block, key) partial sketches are built map-side and
+    serialized as (keys, level, parity, vals) rows, so the one keyed
+    exchange carries O(groups × k) floats per block, never the raw values;
+    the per-group finisher multiset-combines the partials (order-free: the
+    compaction sorts, so only the value multiset matters) and queries.
+
+    Output: ``keys`` + ``n`` (exact int64 count) + ``p{q}_est`` float64.
+    Rank convention matches the exact operator ((n-1)*q // 100). NULL
+    values are dropped like SQL aggregates; the NULL key group is kept.
+    """
+    from ..functions.sketches import KLLSketch
+
+    keys = list(keys)
+    qs = tuple(quantiles)
+
+    def partial(b: pd.DataFrame) -> pa.Table:
+        b = b[[*keys, value_col]].dropna(subset=[value_col])
+        rows: dict = {kk: [] for kk in keys}
+        lv_col, par_col, val_col, n_col = [], [], [], []
+        for kv, g in b.groupby(keys, sort=False, observed=True, dropna=False):
+            if not isinstance(kv, tuple):  # pandas<2 returned scalars for 1-key lists
+                kv = (kv,)
+            sk = KLLSketch(k).update(g[value_col].to_numpy(dtype=np.float64))
+            lv, par, vals = sk.to_rows()
+            for l, p, v in zip(lv, par, vals):
+                for kk, kval in zip(keys, kv):
+                    rows[kk].append(None if pd.isna(kval) else kval)
+                lv_col.append(int(l))
+                par_col.append(int(p))
+                val_col.append(v)
+                n_col.append(sk.n)
+        tbl = pa.table(
+            {
+                **{kk: pa.array(rows[kk]) for kk in keys},
+                "level": pa.array(lv_col, pa.int32()),
+                "parity": pa.array(par_col, pa.int64()),
+                "vals": pa.array(val_col, pa.list_(pa.float64())),
+            }
+        )
+        for kk in keys:  # an all-null batch infers null type; pin string
+            if pa.types.is_null(tbl.schema.field(kk).type):
+                i = tbl.schema.get_field_index(kk)
+                tbl = tbl.set_column(i, kk, tbl[kk].cast(pa.string()))
+        tbl, _ = null_safe_group_cols(tbl, keys)
+        return tbl
+
+    def per_group(t: pa.Table) -> pa.Table:
+        sk = KLLSketch.combine_rows(
+            k,
+            t["level"].to_numpy(zero_copy_only=False),
+            t["parity"].to_numpy(zero_copy_only=False),
+            t["vals"].to_pylist(),
+        )
+        cols = {kk: t[kk].slice(0, 1) for kk in keys}
+        cols["n"] = pa.array([sk.n], pa.int64())
+        for q, est in zip(qs, sk.quantiles(qs)):
+            cols[f"p{q}_est"] = pa.array([est], pa.float64())
+        return pa.table(cols)
+
+    comp = [c for kk in keys for c in (f"__nn_{kk}", f"__in_{kk}")]
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(comp)
+        .map_groups(per_group, batch_format="pyarrow")
+    )
