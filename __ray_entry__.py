@@ -1394,6 +1394,18 @@ def _q_token_pack_plan(sf_dir: str):
     )
 
 
+def _q_token_topk(sf_dir: str):
+    """EXACT corpus-wide token frequency top-k (vocab building): vectorized
+    per-block tokenize (polars extract_all — Rust regex, leftmost-first like
+    RE2/DuckDB) + (token, cnt) partials, one vocab-bounded keyed exchange,
+    deterministic (cnt DESC, token ASC) boundary. Scale path twin:
+    token_topk_spacesaving (bounded-memory mergeable summary, pytest-gated
+    error bounds)."""
+    from scylla_cdc_source_connector_ray.functions.textops import token_topk
+
+    return token_topk(_docs(sf_dir), k=oracles.TOKEN_TOPK_K)
+
+
 def _q_corpus_prep(sf_dir: str):
     """Composed training-data pipeline: quality filter -> exact dedup among
     survivors -> deterministic sample, one streaming Dataset chain
@@ -1615,6 +1627,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_stream_minhash": _q_dedup_stream_minhash,
         "corpus_prep": _q_corpus_prep,
         "token_pack_plan": _q_token_pack_plan,
+        "token_topk": _q_token_topk,
         "quality_above_median": _q_quality_above_median,
         "event_quantiles_stream_hist": _q_event_quantiles_stream_hist,
         "top_turns_stream": _q_top_turns_stream,
@@ -1702,6 +1715,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_stream_minhash": oracles.DEDUP_STREAM_MINHASH,
         "corpus_prep": oracles.CORPUS_PREP,
         "token_pack_plan": oracles.TOKEN_PACK_PLAN,
+        "token_topk": oracles.TOKEN_TOPK,
         "quality_above_median": oracles.QUALITY_ABOVE_MEDIAN,
         "event_quantiles_stream_hist": oracles.EVENT_VALUE_QUANTILES_HIST,
         "top_turns_stream": oracles.TOP_TURNS_PER_CONV,

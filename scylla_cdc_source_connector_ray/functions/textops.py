@@ -189,3 +189,192 @@ def rolling_fingerprint(batch: pd.DataFrame, text_col: str = "text", k: int = 8)
 
 def token_count_ds(ds: ray.data.Dataset, text_col: str = "text") -> ray.data.Dataset:
     return ds.map_batches(lambda b: text_stats(b, text_col), batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Token frequency: exact distributed top-k + SpaceSaving scale path
+# ---------------------------------------------------------------------------
+def token_topk(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    k: int = 20,
+    pattern: str = BPE_TOKEN_RE,
+) -> ray.data.Dataset:
+    """EXACT top-k most frequent tokens across the corpus (vocab building /
+    corpus inspection — SURVEY §2.6 ordering family over text).
+
+    Scale shape: each block tokenizes vectorized (polars ``extract_all`` —
+    Rust regex, leftmost-first like RE2, so the token multiset matches the
+    DuckDB ``regexp_extract_all`` twin by construction) and pre-aggregates to
+    (token, cnt) partials, so the one keyed exchange carries unique-tokens-
+    per-block rows, never token instances; the global groupby sums partials
+    and the final sort is over the vocabulary, not the corpus. Deterministic
+    tiebreak (cnt DESC, token ASC) makes the k-boundary a total order —
+    SQL-exact.
+
+    Exact-vs-sketch: a token narrowly missing every block's local top would
+    still win globally, so EXACT top-k cannot prune below the vocab exchange;
+    :func:`token_topk_spacesaving` is the bounded-memory approximation.
+    """
+    import polars as pl
+
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        s = pl.from_arrow(t[text_col]).fill_null("")
+        toks = s.str.extract_all(pattern).explode().drop_nulls()
+        vc = toks.value_counts()  # (token, count) per block
+        name = toks.name or text_col
+        return pa.table(
+            {
+                "token": vc[name].to_arrow().cast(pa.string()),
+                "cnt": vc["count"].to_arrow().cast(pa.int64()),
+            }
+        )
+
+    totals = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("cnt", alias_name="n"))
+    )
+    return totals.sort(["n", "token"], descending=[True, False]).limit(k)
+
+
+class SpaceSaving:
+    """SpaceSaving heavy-hitter summary (Metwally et al., ICDT'05) with the
+    mergeable combine of Agarwal et al., "Mergeable Summaries" (PODS'12):
+    m counters; every tracked count overestimates the true frequency by at
+    most its ``err``; any item with true frequency > n/m is guaranteed
+    tracked. Deterministic (ties broken by token order), so per-block
+    summaries are replay-safe to merge in any grouping.
+    """
+
+    def __init__(self, m: int = 256):
+        if m < 1:
+            raise ValueError("m must be >= 1")
+        self.m = int(m)
+        self.counts: dict[str, int] = {}
+        self.errs: dict[str, int] = {}
+        self.n = 0
+
+    def update_counted(self, tokens, counts) -> "SpaceSaving":
+        """Bulk update from pre-aggregated (token, count) pairs — the
+        vectorized path: value_counts per block first, then one summary pass
+        over UNIQUE tokens."""
+        for t, c in zip(tokens, counts):
+            c = int(c)
+            self.n += c
+            if t in self.counts:
+                self.counts[t] += c
+            elif len(self.counts) < self.m:
+                self.counts[t] = c
+                self.errs[t] = 0
+            else:
+                # evict the (min count, max token) victim — deterministic
+                victim = min(self.counts, key=lambda x: (self.counts[x], x))
+                vcnt = self.counts.pop(victim)
+                self.errs.pop(victim)
+                self.counts[t] = vcnt + c
+                self.errs[t] = vcnt
+        return self
+
+    def merge(self, other: "SpaceSaving") -> "SpaceSaving":
+        """PODS'12 combine: sum counts/errs of common items, offset missing
+        items by the other side's min-counter bound, keep the top m."""
+        if other.m != self.m:
+            raise ValueError("cannot merge summaries with different m")
+        # an item the summary does not track has true count <= the summary's
+        # min counter (SpaceSaving invariant; for an exact-truncated block
+        # summary, min kept >= max dropped) -> use that bound as both the
+        # estimate and the added error
+        smin = min(self.counts.values()) if len(self.counts) >= self.m else 0
+        omin = min(other.counts.values()) if len(other.counts) >= other.m else 0
+        merged_c: dict[str, int] = {}
+        merged_e: dict[str, int] = {}
+        for t in self.counts.keys() | other.counts.keys():
+            a, ae = self.counts.get(t), self.errs.get(t, 0)
+            b, be = other.counts.get(t), other.errs.get(t, 0)
+            if a is None:
+                a = ae = smin
+            if b is None:
+                b = be = omin
+            merged_c[t] = a + b
+            merged_e[t] = ae + be
+        keep = sorted(merged_c, key=lambda x: (-merged_c[x], x))[: self.m]
+        self.counts = {t: merged_c[t] for t in keep}
+        self.errs = {t: merged_e[t] for t in keep}
+        self.n += other.n
+        return self
+
+    @classmethod
+    def from_counts(cls, m: int, tokens, counts) -> "SpaceSaving":
+        """Exact-truncation summary from a COMPLETE (token, count) table —
+        the per-block build path: keep the top m by (count DESC, token ASC)
+        with err = 0. Sound under :meth:`merge` because every dropped count
+        is <= the min kept counter, the bound merge charges for missing
+        items. O(U log U) instead of the eviction loop's O((U-m) * m)."""
+        s = cls(m)
+        pairs = sorted(zip(tokens, counts), key=lambda tc: (-int(tc[1]), tc[0]))
+        s.n = int(sum(int(c) for _, c in pairs))
+        for t, c in pairs[:m]:
+            s.counts[t] = int(c)
+            s.errs[t] = 0
+        return s
+
+    def topk(self, k: int) -> list[tuple[str, int, int]]:
+        """(token, count_upper_bound, err) — count-err is a lower bound."""
+        order = sorted(self.counts, key=lambda x: (-self.counts[x], x))[:k]
+        return [(t, self.counts[t], self.errs[t]) for t in order]
+
+
+def token_topk_spacesaving(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    k: int = 20,
+    m: int = 4096,
+    pattern: str = BPE_TOKEN_RE,
+) -> pd.DataFrame:
+    """APPROXIMATE heavy hitters with BOUNDED memory — the 100 TB path when
+    the vocabulary itself is too large to exchange (web-scale n-grams): one
+    m-counter SpaceSaving summary per block (built from the block's
+    value_counts, so the Python loop runs over unique tokens only), each
+    emitted as a SINGLE list-column row, merged summary-wise on the driver
+    (summaries are tiny: m entries each — blocks × m rows never hit the
+    driver as tokens). Guarantees: every token with true frequency > n/m is
+    tracked; reported counts overestimate truth by ≤ err.
+
+    Returns (token, cnt_upper, err, cnt_lower) for the top k."""
+    import polars as pl
+
+    def summarize(t: pa.Table) -> pa.Table:
+        s = pl.from_arrow(t[text_col]).fill_null("")
+        toks = s.str.extract_all(pattern).explode().drop_nulls()
+        vc = toks.value_counts()
+        name = toks.name or text_col
+        ss = SpaceSaving.from_counts(m, vc[name].to_list(), vc["count"].to_list())
+        rows = ss.topk(m)
+        return pa.table(
+            {
+                "tokens": pa.array([[r[0] for r in rows]], pa.list_(pa.string())),
+                "cnts": pa.array([[r[1] for r in rows]], pa.list_(pa.int64())),
+                "errs": pa.array([[r[2] for r in rows]], pa.list_(pa.int64())),
+                "n": pa.array([ss.n], pa.int64()),
+            }
+        )
+
+    merged = SpaceSaving(m)
+    for row in ds.map_batches(summarize, batch_format="pyarrow").iter_rows():
+        part = SpaceSaving(m)
+        part.counts = dict(zip(row["tokens"], (int(c) for c in row["cnts"])))
+        part.errs = dict(zip(row["tokens"], (int(e) for e in row["errs"])))
+        part.n = int(row["n"])
+        merged.merge(part)
+    rows = merged.topk(k)
+    return pd.DataFrame(
+        {
+            "token": [r[0] for r in rows],
+            "cnt_upper": [r[1] for r in rows],
+            "err": [r[2] for r in rows],
+            "cnt_lower": [r[1] - r[2] for r in rows],
+        }
+    )

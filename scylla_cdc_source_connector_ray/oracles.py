@@ -1669,3 +1669,26 @@ SELECT conv_id, turn_idx, seq, text,
                                 ORDER BY ts, seq) AS valid_to_us
 FROM transcripts
 """
+
+
+def _token_topk_sql(k: int) -> str:
+    """functions/textops.py::token_topk twin — same RE2 token pattern, same
+    (count DESC, token ASC) total order at the LIMIT boundary."""
+    from .functions.textops import BPE_TOKEN_RE
+
+    pat = BPE_TOKEN_RE.replace("'", "''")
+    return f"""
+WITH toks AS (
+    SELECT unnest(regexp_extract_all(coalesce(text, ''), '{pat}')) AS token
+    FROM documents
+)
+SELECT token, CAST(count(*) AS BIGINT) AS n
+FROM toks
+GROUP BY token
+ORDER BY n DESC, token
+LIMIT {k}
+"""
+
+
+TOKEN_TOPK_K = 25
+TOKEN_TOPK = _token_topk_sql(TOKEN_TOPK_K)

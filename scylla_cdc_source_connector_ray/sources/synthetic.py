@@ -227,8 +227,20 @@ def write_bucketed(
     n = tbl.num_rows
     bounds = [round(i * n / num_files) for i in range(num_files + 1)]
     paths = []
+    # sort_by/take concatenate each column into ONE contiguous array; a
+    # window whose string bytes exceed int32 offsets (sf1: ~4.7 GB of text
+    # per window) overflows — upcast string columns to large_string for the
+    # in-memory sort, cast back per (small) output slice so the on-disk
+    # schema is unchanged
+    str_cols = [
+        f.name for f in tbl.schema if pa.types.is_string(f.type)
+    ]
+    orig_schema = tbl.schema
     for i in range(num_files):
         window = tbl.slice(bounds[i], bounds[i + 1] - bounds[i])
+        for c in str_cols:
+            j = window.column_names.index(c)
+            window = window.set_column(j, c, window[c].cast(pa.large_string()))
         by_shard = window.sort_by([("shard", "ascending")])
         sh = by_shard["shard"].to_numpy(zero_copy_only=False)
         import numpy as np
@@ -241,7 +253,13 @@ def write_bucketed(
             d = os.path.join(out_dir, f"shard={k}")
             os.makedirs(d, exist_ok=True)
             path = os.path.join(d, f"window-{i:05d}.parquet")
-            pq.write_table(by_shard.slice(s, e - s), path)
+            out = by_shard.slice(s, e - s)
+            for c in str_cols:  # restore the original string type per file
+                j = out.column_names.index(c)
+                out = out.set_column(
+                    j, c, out[c].cast(orig_schema.field(c).type)
+                )
+            pq.write_table(out, path)
             paths.append(path)
     return paths
 

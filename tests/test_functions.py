@@ -3,6 +3,7 @@
 import duckdb
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
 
@@ -682,3 +683,78 @@ def test_grouped_quantiles_matches_numpy():
         assert row["n"] == n
         for q in (25, 50, 95):
             assert row[f"p{q}"] == vals[(n - 1) * q // 100]
+
+
+# --- token frequency ---------------------------------------------------------
+
+
+def test_token_topk_matches_duckdb():
+    import duckdb
+
+    from scylla_cdc_source_connector_ray.functions.textops import token_topk
+    from scylla_cdc_source_connector_ray.oracles import _token_topk_sql
+
+    texts = [
+        "the cat sat on the mat",
+        "the dog's dinner, the dog's day",
+        None,
+        "cats don't sit; dogs do sit 42 times",
+        "the the the",
+    ]
+    tbl = pa.table({"doc_id": pa.array(range(5), pa.int64()), "text": pa.array(texts)})
+    got = (
+        token_topk(ray.data.from_arrow(tbl).repartition(3), k=10)
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", tbl)
+    want = con.sql(_token_topk_sql(10)).df()
+    assert got["token"].tolist() == want["token"].tolist()
+    assert got["n"].tolist() == want["n"].astype("int64").tolist()
+
+
+def test_spacesaving_bounds_and_merge():
+    from collections import Counter
+
+    from scylla_cdc_source_connector_ray.functions.textops import SpaceSaving
+
+    rng = np.random.default_rng(3)
+    toks = [f"t{int(x)}" for x in rng.zipf(1.3, 50_000) % 1500]
+    blocks = np.array_split(np.array(toks, dtype=object), 7)
+    m = 64
+    merged = SpaceSaving(m)
+    for b in blocks:
+        vals, cnts = np.unique(b, return_counts=True)
+        merged.merge(SpaceSaving.from_counts(m, vals.tolist(), cnts.tolist()))
+    true = Counter(toks)
+    n = len(toks)
+    assert merged.n == n
+    for t, c in true.items():  # guarantee: freq > n/m is tracked
+        if c > n / m:
+            assert t in merged.counts
+    for t, cu, err in merged.topk(20):  # bounds bracket truth
+        assert cu - err <= true[t] <= cu
+
+
+def test_token_topk_spacesaving_recovers_heavy_hitters():
+    from scylla_cdc_source_connector_ray.functions.textops import (
+        token_topk,
+        token_topk_spacesaving,
+    )
+
+    rng = np.random.default_rng(9)
+    words = [f"w{int(x)}" for x in rng.zipf(1.5, 40_000) % 800]
+    docs = [" ".join(words[i : i + 40]) for i in range(0, len(words), 40)]
+    tbl = pa.table(
+        {"doc_id": pa.array(range(len(docs)), pa.int64()), "text": pa.array(docs)}
+    )
+    ds = ray.data.from_arrow(tbl).repartition(5)
+    exact = token_topk(ds, k=10).to_pandas()
+    approx = token_topk_spacesaving(ds, k=10, m=512)
+    # the sketch's top-10 contains the exact top-10 (zipf head is heavy)
+    assert set(exact["token"]) <= set(approx["token"])
+    ref = dict(zip(exact["token"], exact["n"]))
+    for _, r in approx.iterrows():
+        if r["token"] in ref:
+            assert r["cnt_lower"] <= ref[r["token"]] <= r["cnt_upper"]
