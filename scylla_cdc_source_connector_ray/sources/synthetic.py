@@ -227,39 +227,21 @@ def write_bucketed(
     n = tbl.num_rows
     bounds = [round(i * n / num_files) for i in range(num_files + 1)]
     paths = []
-    # sort_by/take concatenate each column into ONE contiguous array; a
-    # window whose string bytes exceed int32 offsets (sf1: ~4.7 GB of text
-    # per window) overflows — upcast string columns to large_string for the
-    # in-memory sort, cast back per (small) output slice so the on-disk
-    # schema is unchanged
-    str_cols = [
-        f.name for f in tbl.schema if pa.types.is_string(f.type)
-    ]
-    orig_schema = tbl.schema
+    # NEVER sort_by/take the whole window: those concatenate each column into
+    # ONE contiguous array, and a window whose string bytes exceed int32
+    # offsets (sf1: ~4.7 GB of text per window) overflows. filter() works
+    # chunk-wise (output stays chunked, input is never concatenated), each
+    # per-shard slice is small, and rows keep arrival order within the shard
+    # — the same output a stable shard sort produced.
     for i in range(num_files):
         window = tbl.slice(bounds[i], bounds[i + 1] - bounds[i])
-        for c in str_cols:
-            j = window.column_names.index(c)
-            window = window.set_column(j, c, window[c].cast(pa.large_string()))
-        by_shard = window.sort_by([("shard", "ascending")])
-        sh = by_shard["shard"].to_numpy(zero_copy_only=False)
-        import numpy as np
-
-        edges = np.flatnonzero(np.diff(sh)) + 1
-        starts = np.concatenate([[0], edges])
-        ends = np.concatenate([edges, [len(sh)]])
-        for s, e in zip(starts, ends):
-            k = int(sh[s])
-            d = os.path.join(out_dir, f"shard={k}")
+        sh = window["shard"].to_numpy(zero_copy_only=False)
+        for k in np.unique(sh):
+            part = window.filter(pa.array(sh == k))
+            d = os.path.join(out_dir, f"shard={int(k)}")
             os.makedirs(d, exist_ok=True)
             path = os.path.join(d, f"window-{i:05d}.parquet")
-            out = by_shard.slice(s, e - s)
-            for c in str_cols:  # restore the original string type per file
-                j = out.column_names.index(c)
-                out = out.set_column(
-                    j, c, out[c].cast(orig_schema.field(c).type)
-                )
-            pq.write_table(out, path)
+            pq.write_table(part, path)
             paths.append(path)
     return paths
 
