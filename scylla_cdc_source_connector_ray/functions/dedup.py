@@ -326,7 +326,7 @@ def _bk_cols(rows_per_band: int) -> list[str]:
 
 
 def lsh_bucket_rows(
-    sig_batch: pd.DataFrame, bands: int = 16, rows_per_band: int | None = None
+    sig_batch: pd.DataFrame, bands: int, rows_per_band: int
 ) -> pd.DataFrame:
     """Explode signatures into (band, bk0..bk{R-1}, doc_id) bucket rows.
 
@@ -336,12 +336,15 @@ def lsh_bucket_rows(
     ``string_agg(v, '-' ORDER BY p)`` equality reproduces, while the
     exchange ships 8·R fixed-width bytes per row instead of a ~R·20-char
     object-dtype string (≈4× fewer shuffled bytes at R=4, no numpy string
-    concatenation pass)."""
-    if rows_per_band is None and len(sig_batch):
-        rows_per_band = len(sig_batch["sig"].iloc[0]) // bands
+    concatenation pass).
+
+    ``rows_per_band`` is required (= num_perm // bands): inferring it from
+    the first row would make an EMPTY Ray block emit a guessed bk-column
+    schema that disagrees with non-empty blocks and break schema
+    unification at the shuffle."""
     if len(sig_batch) == 0:
         cols = {"band": pd.Series(dtype="int64")}
-        for c in _bk_cols(rows_per_band or 4):
+        for c in _bk_cols(rows_per_band):
             cols[c] = pd.Series(dtype="int64")
         cols["doc_id"] = pd.Series(dtype="int64")
         return pd.DataFrame(cols)
@@ -357,20 +360,6 @@ def lsh_bucket_rows(
         out[f"bk{c}"] = bk[:, c]
     out["doc_id"] = np.tile(sig_batch["doc_id"].values.astype(np.int64), bands)
     return out
-
-
-def band_key_strings(rows: pd.DataFrame) -> np.ndarray:
-    """'-'-joined decimal band signature rebuilt from the bk columns —
-    byte-identical to the pre-round-4 string band_key (decimal int64 join),
-    kept ONLY for the streaming runner whose manifest pins the md5 of this
-    exact string representation (pipelines/minhash_stream.py)."""
-    cols = sorted(
-        (c for c in rows.columns if c.startswith("bk")), key=lambda c: int(c[2:])
-    )
-    key = rows[cols[0]].to_numpy().astype("U20")
-    for c in cols[1:]:
-        key = np.char.add(np.char.add(key, "-"), rows[c].to_numpy().astype("U20"))
-    return key
 
 
 #: sub-partitions per band for pair generation: whole buckets stay together
@@ -490,9 +479,13 @@ def minhash_lsh_dedup(
     1–5 TB of object store). Bucket rows are the only all-to-all shuffle;
     the verify stage attaches each side's shingle blob via a co-partitioned
     hash join on doc_id — no driver-side collect, no whole-corpus
-    broadcast. The spill directory is scratch owned by the caller (defaults
-    to a fresh tempdir under /tmp); it must outlive consumption of the
-    returned lazy Dataset."""
+    broadcast. The spill directory is scratch: pass ``spill_dir`` to own its
+    lifetime yourself (it must outlive consumption of the returned lazy
+    Dataset); the default is a fresh tempdir under /tmp that is deleted at
+    interpreter exit (atexit) — the earliest point it is provably no longer
+    referenced by an unconsumed lazy Dataset."""
+    import atexit
+    import shutil
     import tempfile
 
     from ..stages.join import default_join_partitions
@@ -505,6 +498,7 @@ def minhash_lsh_dedup(
 
     if spill_dir is None:
         spill_dir = tempfile.mkdtemp(prefix="minhash_fork_", dir="/tmp")
+        atexit.register(shutil.rmtree, spill_dir, ignore_errors=True)
     ds.map_batches(
         FastMinHasher,
         batch_format="pandas",

@@ -77,6 +77,15 @@ def fold_regex(full: pa.Array, pattern: str, dfa) -> tuple[np.ndarray, pa.Array]
     State is O(longest in-progress match) per key — bounded for bounded
     quantifiers, and for unbounded ones (``ut*``-style) exactly the data a
     correct answer requires.
+
+    Boundary rule: a match that ends flush against the batch end is NOT
+    consumed when a strictly longer match could exist from the same start
+    (``t+`` on ``"t"|"t"`` would otherwise stream 2 vs the global 1) — the
+    match text itself becomes the carry (exactly the global scanner's
+    resume position) and the count is deferred to the re-scan. The carry
+    may therefore contain one completed match; the invariant is
+    ``sum(deltas) + count(final tail) == global count``, and
+    :meth:`CepStreamRunner.read_counts` adds that final-tail count.
     """
     from ..stages.redfa import slice_strings
 
@@ -86,7 +95,36 @@ def fold_regex(full: pa.Array, pattern: str, dfa) -> tuple[np.ndarray, pa.Array]
     last_idx = parts.offsets.to_numpy(zero_copy_only=False)[1:] - 1
     last = pc.take(parts.values, pa.array(last_idx))
     starts = dfa.earliest_viable_starts(last)
-    return delta.to_numpy(zero_copy_only=False), slice_strings(last, starts)
+    delta_np = delta.to_numpy(zero_copy_only=False).copy()
+    tail = slice_strings(last, starts)
+
+    # batch-boundary fix: rows whose LAST match ends exactly at the end of
+    # the buffer (trailing gap empty). If the DFA says a longer match could
+    # exist from that match's start, un-consume it: decrement the count and
+    # carry the match text (RE2 re-decides on carry + next batch).
+    gap_len = pc.utf8_length(last).to_numpy(zero_copy_only=False)
+    at_end = (gap_len == 0) & (delta_np > 0)
+    if at_end.any():
+        idx = np.flatnonzero(at_end)
+        sub = pc.take(full, pa.array(idx))
+        # sentinel BEFORE each match, match text kept: the final split part
+        # is exactly the last match (its trailing gap is empty)
+        rep2 = pc.replace_substring_regex(
+            sub, pattern=pattern, replacement=SENTINEL + "\\0"
+        )
+        parts2 = pc.split_pattern(rep2, SENTINEL)
+        if isinstance(parts2, pa.ChunkedArray):
+            parts2 = parts2.combine_chunks()
+        last_idx2 = parts2.offsets.to_numpy(zero_copy_only=False)[1:] - 1
+        lastm = pc.take(parts2.values, pa.array(last_idx2))
+        ext = dfa.can_extend(lastm)
+        if ext.any():
+            sel = idx[ext]
+            delta_np[sel] -= 1
+            tail_np = tail.to_numpy(zero_copy_only=False).astype(object)
+            tail_np[sel] = lastm.to_numpy(zero_copy_only=False)[ext]
+            tail = pa.array(tail_np, pa.string())
+    return delta_np, tail
 
 
 class CepStreamRunner:
@@ -301,15 +339,23 @@ class CepStreamRunner:
     # --------------------------------------------------------------- output
     def read_counts(self) -> pa.Table:
         """Final (key, n_matches) across all shards — the latest COMMITTED
-        state snapshot per shard."""
+        state snapshot per shard, plus any completed match still sitting in
+        the carried tail (the regex fold defers a boundary-flush match whose
+        greedy extension is still open; at stream end it must be counted)."""
         from ._microbatch import read_committed_state
 
         tables = [
-            t.select([self.key_col, "n_matches"])
+            t.select([self.key_col, "n_matches", "tail"])
             for t in read_committed_state(self.ckpt, self.STATE_KIND)
         ]
         if not tables:
             return pa.table(
                 {self.key_col: pa.array([], pa.string()), "n_matches": pa.array([], pa.int64())}
             )
-        return pa.concat_tables(tables)
+        t = pa.concat_tables(tables)
+        if self.pattern is not None:
+            pending = pc.count_substring_regex(t["tail"], self.pattern)
+        else:
+            pending = pc.count_substring(t["tail"], self.literal)
+        n = pc.add(t["n_matches"], pending.cast(pa.int64()))
+        return pa.table({self.key_col: t[self.key_col], "n_matches": n})

@@ -98,10 +98,12 @@ class KllStreamRunner:
             from ..schema import shard_of
 
             b = b[[key_col, value_col]].dropna(subset=[value_col]).copy()
-            kc = b[key_col]
-            if kc.dtype != object:
-                kc = kc.astype(object)
-            keys_arr = pa.array(kc.where(kc.notna(), None), pa.string())
+            # native key dtype end-to-end (string, int64, ...): only pin
+            # large_string → string so the exchange's promotion can't drift
+            # the state schema (same canonicalization as CepStreamRunner)
+            keys_arr = pa.Array.from_pandas(b[key_col])
+            if pa.types.is_large_string(keys_arr.type):
+                keys_arr = keys_arr.cast(pa.string())
             b[key_col] = keys_arr.to_pandas().astype(object)
             b["_shard"] = shard_of(keys_arr, num_shards).to_numpy(zero_copy_only=False)
             return b
@@ -113,8 +115,15 @@ class KllStreamRunner:
             ck = Checkpoint(ckpt_dir)  # path math only; no driver state
             prev = ck.latest_state_path(shard, before_batch=batch_id, kind=state_kind)
             state: dict[object, KLLSketch] = {}
+            # canonical key type for the state file: prefer the committed
+            # state's schema (replay-stable); first batch derives it from
+            # the data, falling back to string for an all-null key column
+            kt = None
             if prev:
                 st = pq.read_table(prev)
+                f = st.schema.field(key_col).type
+                if not pa.types.is_null(f):
+                    kt = f
                 sk_key = st[key_col].to_pandas().astype(object)
                 lv = st["level"].to_numpy(zero_copy_only=False)
                 par = st["parity"].to_numpy(zero_copy_only=False)
@@ -142,12 +151,16 @@ class KllStreamRunner:
                     out_l.append(int(l))
                     out_p.append(int(p))
                     out_v.append(v)
+            if kt is None:
+                kt = pa.Array.from_pandas(g[key_col]).type
+                if pa.types.is_large_string(kt) or pa.types.is_null(kt):
+                    kt = pa.string()
             ck.write_state(
                 shard,
                 batch_id,
                 pa.table(
                     {
-                        key_col: pa.array(out_k, pa.string()),
+                        key_col: pa.array(out_k, kt),
                         "level": pa.array(out_l, pa.int32()),
                         "parity": pa.array(out_p, pa.int64()),
                         "vals": pa.array(out_v, pa.list_(pa.float64())),
@@ -175,7 +188,14 @@ class KllStreamRunner:
         from ..functions.sketches import KLLSketch
         from ._microbatch import read_committed_state
 
-        frames = [t.to_pandas() for t in read_committed_state(self.ckpt, self.STATE_KIND)]
+        tables = read_committed_state(self.ckpt, self.STATE_KIND)
+        kt = pa.string()
+        for t in tables:  # native key dtype from the committed state
+            f = t.schema.field(self.key_col).type
+            if not pa.types.is_null(f):
+                kt = pa.string() if pa.types.is_large_string(f) else f
+                break
+        frames = [t.to_pandas() for t in tables]
         qs = tuple(quantiles)
         cols: dict = {self.key_col: [], "n": []}
         for q in qs:
@@ -196,7 +216,7 @@ class KllStreamRunner:
                     cols[f"p{q}_est"].append(est)
         return pa.table(
             {
-                self.key_col: pa.array(cols[self.key_col], pa.string()),
+                self.key_col: pa.array(cols[self.key_col], kt),
                 "n": pa.array(cols["n"], pa.int64()),
                 **{f"p{q}_est": pa.array(cols[f"p{q}_est"], pa.float64()) for q in qs},
             }

@@ -127,9 +127,25 @@ class _Parser:
         if c == "\\":
             if self.peek() is None:
                 raise ValueError(f"trailing escape in {self.p!r}")
-            return ("char", frozenset(self.take()), False)
+            e = self.take()
+            # RE2 gives alphanumeric escapes class/anchor meaning (\w \d \s
+            # \b \B \A \z, octal \1, ...) that this subset does not implement
+            # — treating them as the literal letter would make the DFA's
+            # language diverge from RE2's and the carry pruning unsound, so
+            # reject at construction (the runner's contract).
+            if e.isalnum():
+                raise ValueError(
+                    f"unsupported escape \\{e} in {self.p!r} (class/anchor "
+                    "escapes are not part of the symbol-pattern subset)"
+                )
+            return ("char", frozenset(e), False)
         if c in ")|*+?{":
             raise ValueError(f"unexpected {c!r} at {self.i - 1} in {self.p!r}")
+        if c in "^$":
+            raise ValueError(
+                f"anchor {c!r} unsupported in {self.p!r} (RE2 treats it as "
+                "line boundary; the symbol-pattern subset has no anchors)"
+            )
         return ("char", frozenset(c), False)
 
     def _cls(self):
@@ -144,11 +160,19 @@ class _Parser:
             c = self.take()
             if c == "\\":
                 c = self.take()
+                if c.isalnum():  # \d \w \s etc. are classes in RE2, not chars
+                    raise ValueError(
+                        f"unsupported escape \\{c} in class in {self.p!r}"
+                    )
             if self.peek() == "-" and self.i + 1 < len(self.p) and self.p[self.i + 1] != "]":
                 self.take()
                 hi = self.take()
                 if hi == "\\":
                     hi = self.take()
+                    if hi.isalnum():
+                        raise ValueError(
+                            f"unsupported escape \\{hi} in class in {self.p!r}"
+                        )
                 if ord(hi) < ord(c):
                     raise ValueError(f"bad range {c}-{hi} in {self.p!r}")
                 chars.update(chr(x) for x in range(ord(c), ord(hi) + 1))
@@ -365,6 +389,42 @@ class SymbolDFA:
         for b in s.encode():
             st = int(self.trans[st, self.char_class[b]])
         return st
+
+    # ------------------------------------------------- vectorized forward run
+    def end_states(self, arr: pa.Array) -> np.ndarray:
+        """DFA state after running each string from the start state —
+        vectorized lockstep over all rows (one gather per character
+        position). Used by the boundary fix in ``fold_regex``: a match that
+        ends exactly at the batch boundary may only be consumed if no longer
+        match could exist from the same start, i.e. the state after the
+        match text has no live outgoing transition."""
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        n = len(arr)
+        if n == 0:
+            return np.zeros(0, np.int32)
+        off_np = np.frombuffer(
+            arr.buffers()[1],
+            dtype=np.int64 if pa.types.is_large_string(arr.type) else np.int32,
+        )[arr.offset : arr.offset + n + 1].astype(np.int64)
+        data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+        lens = off_np[1:] - off_np[:-1]
+        st = np.full(n, self.start, np.int32)
+        maxL = int(lens.max())
+        for j in range(maxL):
+            act = np.flatnonzero(lens > j)
+            if act.size == 0:
+                break
+            c = self.char_class[data[off_np[act] + j]]
+            st[act] = self.trans[st[act], c]
+        return st
+
+    def can_extend(self, arr: pa.Array) -> np.ndarray:
+        """True per row iff some strictly longer string with this prefix is
+        in the language — i.e. a live state is one transition away from the
+        state reached after the prefix."""
+        ends = self.end_states(arr)
+        return self.live[self.trans[ends]].any(axis=1)
 
     # ------------------------------------------------- vectorized pruning
     def earliest_viable_starts(self, tails: pa.Array) -> np.ndarray:

@@ -262,19 +262,21 @@ def grouped_quantiles_kll(
     def partial(b: pd.DataFrame) -> pa.Table:
         b = b[[*keys, value_col]].dropna(subset=[value_col])
         rows: dict = {kk: [] for kk in keys}
-        lv_col, par_col, val_col, n_col = [], [], [], []
+        lv_col, par_col, val_col = [], [], []
         for kv, g in b.groupby(keys, sort=False, observed=True, dropna=False):
             if not isinstance(kv, tuple):  # pandas<2 returned scalars for 1-key lists
                 kv = (kv,)
             sk = KLLSketch(k).update(g[value_col].to_numpy(dtype=np.float64))
             lv, par, vals = sk.to_rows()
+            # n is NOT shipped: the finisher reconstructs it from level
+            # weights (sum 2^level * len(vals)), so partial rows stay
+            # (keys, level, parity, vals) only
             for l, p, v in zip(lv, par, vals):
                 for kk, kval in zip(keys, kv):
                     rows[kk].append(None if pd.isna(kval) else kval)
                 lv_col.append(int(l))
                 par_col.append(int(p))
                 val_col.append(v)
-                n_col.append(sk.n)
         tbl = pa.table(
             {
                 **{kk: pa.array(rows[kk]) for kk in keys},

@@ -194,8 +194,11 @@ def test_lsh_bucket_rows_packed_int64():
     rows = D.lsh_bucket_rows(sig, bands=16, rows_per_band=4)
     assert list(rows.columns) == ["band", "bk0", "bk1", "bk2", "bk3", "doc_id"]
     assert all(rows[c].dtype == "int64" for c in rows.columns)
-    # equality semantics identical to the string key
-    strs = D.band_key_strings(rows)
+    # equality semantics identical to the legacy '-'-joined decimal string
+    strs = [
+        "-".join(str(rows[f"bk{c}"].iloc[i]) for c in range(4))
+        for i in range(len(rows))
+    ]
     packed = list(map(tuple, rows[["bk0", "bk1", "bk2", "bk3"]].values))
     seen = {}
     for s, p in zip(strs, packed):

@@ -160,3 +160,26 @@ def test_stream_pin_rejection(tmp_path):
         KllStreamRunner(log, 4, os.path.join(tmp, "c"), "k", "v", k=200).run(
             files_per_batch=1
         )
+
+
+def test_stream_runner_int64_keys(tmp_path):
+    """Non-string key columns must flow end-to-end with their native dtype
+    (pre-fix: project() force-cast to pa.string() and crashed with
+    ArrowTypeError on int64 keys)."""
+    tmp = str(tmp_path)
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame(
+        {"k": rng.choice([10, 20, 30], 6_000), "v": rng.lognormal(0, 1.0, 6_000)}
+    )
+    log = _write_log(tmp, df)
+    r = KllStreamRunner(log, num_shards=4, checkpoint_dir=os.path.join(tmp, "ckpt"),
+                        key_col="k", value_col="v", k=200)
+    totals = r.run(files_per_batch=2)
+    assert totals["rows"] == len(df)
+    out = r.read_quantiles((50,)).to_pandas()
+    assert sorted(out["k"]) == [10, 20, 30]
+    assert out["k"].dtype == np.int64
+    for _, row in out.iterrows():
+        v = df[df["k"] == row["k"]]["v"].to_numpy()
+        assert row["n"] == len(v)
+        assert _rank_err(v, 50, row["p50_est"]) < 0.02

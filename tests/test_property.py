@@ -265,10 +265,13 @@ def test_cep_fold_literal_split_invariant(s, literal, cuts):
     st.lists(st.integers(0, 60), max_size=6),
 )
 def test_cep_fold_regex_split_invariant(s, pattern, cuts):
-    """The general-regex fold (RE2 sentinel consumption + DFA-pruned carry)
-    must count exactly the global non-overlapping RE2 matches for ANY cut
-    points — including cuts inside a match and inside a greedy quantifier
-    run."""
+    """The general-regex fold (RE2 sentinel consumption + DFA-pruned carry +
+    the boundary-flush un-consume rule) must count exactly the global
+    non-overlapping RE2 matches for ANY cut points — including cuts inside a
+    match and inside a greedy quantifier run. The streamed total is
+    ``sum(deltas) + count(final tail)`` (a boundary-deferred match sits in
+    the carry until it provably cannot extend — the same finalization
+    ``read_counts`` applies)."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
@@ -286,5 +289,50 @@ def test_cep_fold_regex_split_invariant(s, pattern, cuts):
         delta, tails = fold_regex(pa.array([tail + ch], pa.string()), pattern, dfa)
         count += int(delta[0])
         tail = tails[0].as_py()
+    count += pc.count_substring_regex(pa.array([tail]), pattern)[0].as_py()
     want = pc.count_substring_regex(pa.array([s]), pattern)[0].as_py()
     assert count == want
+
+
+def test_cep_fold_regex_boundary_flush_cases():
+    """Deterministic regressions for the boundary-flush rule: a match ending
+    exactly at the batch end must be deferred when it could greedily extend
+    ('t+' on 't'|'t' streamed 2 vs global 1 pre-fix), and consumed when it
+    cannot ('a|ab' picks the RE2 priority branch on re-scan)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from scylla_cdc_source_connector_ray.pipelines.cep_stream import fold_regex
+    from scylla_cdc_source_connector_ray.stages.redfa import SymbolDFA
+
+    for pattern, stream in [
+        ("t+", ["t", "t"]),
+        ("(ua|ut)+", ["ua", "ut"]),
+        ("(ua|ut)+", ["u", "aut"]),
+        ("ut+a", ["ut", "ta"]),
+        ("ua", ["ua", "ua"]),
+    ]:
+        dfa = SymbolDFA.compile(pattern)
+        count, tail = 0, ""
+        for ch in stream:
+            delta, tails = fold_regex(pa.array([tail + ch], pa.string()), pattern, dfa)
+            count += int(delta[0])
+            tail = tails[0].as_py()
+        count += pc.count_substring_regex(pa.array([tail]), pattern)[0].as_py()
+        want = pc.count_substring_regex(pa.array(["".join(stream)]), pattern)[0].as_py()
+        assert count == want, (pattern, stream, count, want)
+
+
+def test_redfa_rejects_re2_metachars():
+    """RE2 class/anchor syntax the DFA subset does not implement must fail
+    at construction, not silently compile as literal characters."""
+    import pytest
+
+    from scylla_cdc_source_connector_ray.stages.redfa import SymbolDFA
+
+    for bad in [r"u\wa", r"\d+", r"\su", r"^uta", r"uta$", r"[\d]", r"[a\w]"]:
+        with pytest.raises(ValueError):
+            SymbolDFA.compile(bad)
+    # escaped punctuation stays supported
+    SymbolDFA.compile(r"u\.a")
+    SymbolDFA.compile(r"u\+")
