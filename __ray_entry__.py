@@ -1356,6 +1356,60 @@ def _q_unnest_tags(sf_dir: str):
     return ds.map_batches(prep, batch_format="pyarrow")
 
 
+def _q_event_analytics(sf_dir: str):
+    """SQL window (analytic) functions — row_number/rank/dense_rank/
+    cume_dist/lag/lead per user partition, one hash(user_id) exchange then
+    vectorized run-boundary kernels (stages/analytic.py)."""
+    import os
+
+    import ray.data
+
+    from scylla_cdc_source_connector_ray.stages.analytic import analytic_functions
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id", "value"],
+    )
+    out = analytic_functions(
+        ds, keys=["user_id"], order_cols=["ts", "event_id"], value_col="value",
+        num_shards=32,
+    )
+    return out.select_columns(
+        ["event_id", "user_id", "rn", "rnk", "drnk", "cd", "lag_value", "lead_value"]
+    )
+
+
+def _q_doc_term_relevance(sf_dir: str):
+    """TF-IDF-style per-document top terms: doc-local TF, one token-keyed
+    DF exchange, co-partitioned tf⋈df join, map-side-pruned per-doc top-k
+    (functions/textops.py::doc_term_relevance)."""
+    import os
+
+    import ray.data
+
+    from scylla_cdc_source_connector_ray import oracles
+    from scylla_cdc_source_connector_ray.functions.textops import doc_term_relevance
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    out = doc_term_relevance(ds, k=oracles.DOC_TERM_RELEVANCE_K)
+    return out.select_columns(["doc_id", "token", "tf", "df", "rel_micro", "rank"])
+
+
+def _q_gram_matrix(sf_dir: str):
+    """Distributed Gram matrix (Σ xᵀx upper triangle) over the embedding
+    corpus — floor-to-grid partials merged shuffle-free
+    (functions/similarity.py::gram_matrix); gated on an 8-dim leading slice
+    (36 entries) so the SQL twin stays writable."""
+    from scylla_cdc_source_connector_ray import oracles
+    from scylla_cdc_source_connector_ray.functions.similarity import gram_matrix
+
+    return gram_matrix(
+        _emb(sf_dir).select_columns(["embedding"]), dims=oracles.GRAM_MATRIX_DIMS
+    )
+
+
 def _q_sample_stratified(sf_dir: str):
     """Stratified deterministic sample: downsample the dominant language
     (en at 2/16 nibbles), keep the rest at 8/16 — shuffle-free, RNG-free,
@@ -1641,6 +1695,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_type_stats": _q_relational("event_type_stats"),
         "event_rollup": _q_relational("event_rollup"),
         "event_type_pivot": _q_relational("event_type_pivot"),
+        "event_analytics": _q_event_analytics,
+        "doc_term_relevance": _q_doc_term_relevance,
+        "gram_matrix": _q_gram_matrix,
         "event_value_quantiles": _q_relational("event_value_quantiles"),
         "event_value_quantiles_hist": _q_relational("event_value_quantiles_hist"),
         "part_type_stats": _q_relational("part_type_stats"),
@@ -1729,6 +1786,9 @@ def oracle_sql() -> dict[str, str]:
         "event_type_stats": oracles.EVENT_TYPE_STATS,
         "event_rollup": oracles.EVENT_ROLLUP,
         "event_type_pivot": oracles.EVENT_TYPE_PIVOT,
+        "event_analytics": oracles.EVENT_ANALYTICS,
+        "doc_term_relevance": oracles.DOC_TERM_RELEVANCE,
+        "gram_matrix": oracles.GRAM_MATRIX,
         "event_value_quantiles": oracles.EVENT_VALUE_QUANTILES,
         "event_value_quantiles_hist": oracles.EVENT_VALUE_QUANTILES_HIST,
         "part_type_stats": oracles.PART_TYPE_STATS,

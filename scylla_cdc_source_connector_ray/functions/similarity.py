@@ -277,3 +277,75 @@ def grouped_centroid_sums(
     return level1.repartition(1, shuffle=False).map_batches(
         sum_partials, batch_format="pyarrow", batch_size=None
     )
+
+
+def gram_matrix(
+    ds: ray.data.Dataset,
+    emb_col: str = "embedding",
+    dims: int | None = None,
+    scale: int = 1_000_000,
+) -> ray.data.Dataset:
+    """Distributed Gram matrix of the embedding column — Σ xᵀx over all
+    rows, the single-pass sufficient statistic for covariance / PCA
+    (cov = G/n − mean·meanᵀ) and the building block of linear probes over
+    embedding corpora. Output: one row per upper-triangle entry
+    (``i``, ``j``, ``s`` = Σ floor(x_i·x_j·scale), ``n`` = row count).
+
+    Exactness: each per-row product is computed in float64 (float32 →
+    float64 is exact) and floored to the integer grid BEFORE summing, so
+    distributed order cannot change the result and the DuckDB twin matches
+    hash-exactly (same convention as :func:`grouped_centroid_sums`).
+
+    Scale shape: vectors never cross an exchange — each block folds to one
+    d×d int64 partial (d(d+1)/2 rows), merged by the same shuffle-free
+    coalesce tree as ``grouped_centroid_sums`` (a Ray sort-aggregate over
+    d² tiny groups costs ~1s per output block; the tree is O(partial
+    rows)). ``dims`` restricts to a leading slice of the vector (the gate
+    uses 8 of 64 — a 36-term SQL twin; the full matrix has no practical
+    SQL form)."""
+    import pyarrow as pa
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        M = _stack(b[emb_col].values).astype(np.float64)
+        if dims is not None:
+            M = M[:, :dims]
+        n, d = M.shape
+        S = np.zeros((d, d), dtype=np.int64)
+        # sub-chunk the (rows × d × d) product tensor to cap memory at
+        # ~32 MB regardless of the incoming block size
+        step = max(1, (4 << 20) // (d * d))
+        for lo in range(0, n, step):
+            P = M[lo : lo + step, :, None] * M[lo : lo + step, None, :]
+            S += np.floor(P * float(scale)).astype(np.int64).sum(axis=0)
+        iu, ju = np.triu_indices(d)
+        return pd.DataFrame(
+            {
+                "i": iu.astype(np.int64),
+                "j": ju.astype(np.int64),
+                "s": S[iu, ju],
+                "n": np.full(len(iu), n, dtype=np.int64),
+            }
+        )
+
+    def sum_partials(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        i = t["i"].to_numpy(zero_copy_only=False).astype(np.int64)
+        j = t["j"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sv = t["s"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nv = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = int(j.max()) + 1  # per-block re-key, same caveat as centroids
+        uk, inv = np.unique(i * d + j, return_inverse=True)
+        s = np.zeros(len(uk), np.int64)
+        np.add.at(s, inv, sv)
+        cnt = np.zeros(len(uk), np.int64)
+        np.add.at(cnt, inv, nv)
+        return pa.table({"i": uk // d, "j": uk % d, "s": s, "n": cnt})
+
+    partials = ds.map_batches(partial, batch_format="pandas", batch_size=1024)
+    level1 = partials.repartition(8, shuffle=False).map_batches(
+        sum_partials, batch_format="pyarrow", batch_size=None
+    )
+    return level1.repartition(1, shuffle=False).map_batches(
+        sum_partials, batch_format="pyarrow", batch_size=None
+    )

@@ -1692,3 +1692,79 @@ LIMIT {k}
 
 TOKEN_TOPK_K = 25
 TOKEN_TOPK = _token_topk_sql(TOKEN_TOPK_K)
+
+
+#: stages/analytic.py::analytic_functions — the six SQL window (analytic)
+#: functions over the events table: row_number/lag/lead ordered by the
+#: unique (ts, event_id), rank/dense_rank/cume_dist ordered by value with
+#: SQL peer semantics (ties share rank; NULL is a peer of NULL, sorted
+#: last; NULL user_id is ONE partition). cume_dist is an int64/int64 IEEE
+#: double division — bit-identical on both sides.
+EVENT_ANALYTICS = """
+SELECT event_id, user_id,
+       row_number() OVER w AS rn,
+       rank() OVER (PARTITION BY user_id ORDER BY value) AS rnk,
+       dense_rank() OVER (PARTITION BY user_id ORDER BY value) AS drnk,
+       cume_dist() OVER (PARTITION BY user_id ORDER BY value) AS cd,
+       lag(value) OVER w AS lag_value,
+       lead(value) OVER w AS lead_value
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+def _doc_term_relevance_sql(k: int) -> str:
+    """functions/textops.py::doc_term_relevance twin — same RE2 token
+    pattern, integer relevance tf*1e6//df, same (rel DESC, token ASC)
+    total order at the per-document k-boundary."""
+    from .functions.textops import BPE_TOKEN_RE
+
+    pat = BPE_TOKEN_RE.replace("'", "''")
+    return f"""
+WITH toks AS (
+    SELECT doc_id,
+           unnest(regexp_extract_all(coalesce(text, ''), '{pat}')) AS token
+    FROM documents
+), tf AS (
+    SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+    FROM toks GROUP BY doc_id, token
+), dfx AS (
+    SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY token
+), rel AS (
+    SELECT t.doc_id, t.token, t.tf, d.df,
+           CAST(t.tf * 1000000 // d.df AS BIGINT) AS rel_micro
+    FROM tf t JOIN dfx d USING (token)
+), rk AS (
+    SELECT *, row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY rel_micro DESC, token) AS rank
+    FROM rel
+)
+SELECT doc_id, token, tf, df, rel_micro, CAST(rank AS BIGINT) AS rank
+FROM rk WHERE rank <= {k}
+"""
+
+
+DOC_TERM_RELEVANCE_K = 2
+DOC_TERM_RELEVANCE = _doc_term_relevance_sql(DOC_TERM_RELEVANCE_K)
+
+
+def _gram_matrix_sql(dims: int) -> str:
+    """functions/similarity.py::gram_matrix twin — per-entry floor-to-grid
+    sums of float64 products (float32 list elements cast exactly), one
+    UNION ALL branch per upper-triangle entry."""
+    parts = []
+    for i in range(dims):
+        for j in range(i, dims):
+            parts.append(
+                f"SELECT {i} AS i, {j} AS j, "
+                "CAST(sum(CAST(floor("
+                f"CAST(embedding[{i + 1}] AS DOUBLE) * "
+                f"CAST(embedding[{j + 1}] AS DOUBLE) * 1000000"
+                ") AS BIGINT)) AS BIGINT) AS s, "
+                "CAST(count(*) AS BIGINT) AS n FROM embeddings"
+            )
+    return "\nUNION ALL\n".join(parts)
+
+
+GRAM_MATRIX_DIMS = 8
+GRAM_MATRIX = _gram_matrix_sql(GRAM_MATRIX_DIMS)
