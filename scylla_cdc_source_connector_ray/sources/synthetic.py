@@ -92,32 +92,75 @@ def generate(
     c, t, ts, version = c[order], t[order], ts[order], version[order]
     seq = np.arange(len(c), dtype=np.int64)
 
-    # --- value columns (vectorized) ----------------------------------------
-    role = ROLES[(t % 4)]
-    tool = TOOLS[np.where(role == "tool", 1 + (t % 3), 0)]
-    base = pd.Series(VOCAB[(c * 13 + t * 5 + version * 3) % len(VOCAB)])
-    text = (
-        "c" + pd.Series(c).astype(str) + ".t" + pd.Series(t).astype(str) + ".v" + pd.Series(version).astype(str) + " " + base
+    # --- value columns (vectorized, Arrow-native, CHUNKED) ------------------
+    # Two sf1-scale constraints shape this: (a) pandas object-string
+    # concatenation held ~3 copies of ~88M Python strings and OOM'd a
+    # 128 GB host; Arrow string buffers carry the same bytes at ~1/3 the
+    # footprint. (b) a single pa.string() array overflows its int32 offsets
+    # past 2 GB of text, so the string columns are built in row slices and
+    # assembled as ChunkedArrays (every downstream writer slices/filters,
+    # which preserves chunking). Output bytes are identical to the original
+    # pandas construction (decimal int casts, same vocab/pad lookups).
+    import pyarrow.compute as pc
+
+    filler = " lorem ipsum dolor sit amet and the rest of it is padding" * (
+        text_pad // 16 + 1
     )
-    if text_pad:
-        # deterministic width by index so skew fixtures also exercise wide
-        # rows; vectorized via repeat-from-vocab (no per-row Python)
-        pad_len = (np.abs(np.sin(c * 0.7 + t * 0.3)) * text_pad).astype(np.int64)
-        filler = " lorem ipsum dolor sit amet and the rest of it is padding" * (
-            text_pad // 16 + 1
+    vocab_arr = pa.array(VOCAB.tolist(), pa.string())
+    tools_arr = pa.array(TOOLS.tolist(), pa.string())
+
+    n = len(c)
+    CH = 4_000_000
+    conv_chunks, role_chunks, text_chunks, tool_chunks = [], [], [], []
+    for lo in range(0, max(n, 1), CH):
+        sl = slice(lo, min(lo + CH, n))
+        cc, tt, vv = c[sl], t[sl], version[sl]
+        valid = vv >= 0
+        role_np = ROLES[(tt % 4)]
+        tool_idx = np.where(role_np == "tool", 1 + (tt % 3), 0).astype(np.int64)
+        tool_chunks.append(pc.take(tools_arr, pa.array(tool_idx)))
+
+        c_str = pc.cast(pa.array(cc), pa.string())
+        t_str = pc.cast(pa.array(tt.astype(np.int64)), pa.string())
+        v_str = pc.cast(pa.array(vv), pa.string())
+        base = pc.take(
+            vocab_arr, pa.array((cc * 13 + tt * 5 + vv * 3) % len(VOCAB))
         )
-        prefixes = {k: filler[:k] for k in np.unique(pad_len)}
-        text = text + pd.Series(pad_len).map(prefixes)
-    text = text.where(pd.Series(version) >= 0, other=None)  # tombstones
-    role = pd.Series(role).where(pd.Series(version) >= 0, other="__tombstone__")
+        parts = [
+            pa.scalar("c"), c_str, pa.scalar(".t"), t_str,
+            pa.scalar(".v"), v_str, pa.scalar(" "), base,
+        ]
+        if text_pad:
+            # deterministic width by index so skew fixtures also exercise
+            # wide rows; vectorized via take-from-unique-prefixes
+            pad_len = (np.abs(np.sin(cc * 0.7 + tt * 0.3)) * text_pad).astype(
+                np.int64
+            )
+            uniq, inv = np.unique(pad_len, return_inverse=True)
+            parts.append(
+                pc.take(
+                    pa.array([filler[:k] for k in uniq], pa.string()),
+                    pa.array(inv.astype(np.int64)),
+                )
+            )
+        text = pc.binary_join_element_wise(*parts, pa.scalar(""))
+        text_chunks.append(
+            pc.if_else(pa.array(valid), text, pa.scalar(None, pa.string()))
+        )
+        role_chunks.append(
+            pa.array(np.where(valid, role_np, "__tombstone__"), pa.string())
+        )
+        conv_chunks.append(
+            pc.binary_join_element_wise(pa.scalar("conv"), c_str, pa.scalar(""))
+        )
 
     tbl = pa.table(
         {
-            "conv_id": pa.array(np.char.add("conv", c.astype(str)), type=pa.string()),
+            "conv_id": pa.chunked_array(conv_chunks),
             "turn_idx": pa.array(t, type=pa.int32()),
-            "role": pa.array(role, type=pa.string()),
-            "text": pa.array(text, type=pa.string()),
-            "tool": pa.array(tool, type=pa.string()),
+            "role": pa.chunked_array(role_chunks),
+            "text": pa.chunked_array(text_chunks),
+            "tool": pa.chunked_array(tool_chunks),
             "ts": pa.array(ts, type=pa.timestamp("us")),
             SEQ_COL: pa.array(seq, type=pa.int64()),
         }
