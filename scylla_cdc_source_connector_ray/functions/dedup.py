@@ -506,8 +506,11 @@ def minhash_lsh_dedup(
         concurrency=(1, 8),
         fn_constructor_kwargs={"num_perm": num_perm, "ngram": ngram},
     ).write_parquet(spill_dir)  # fork point: both branches read from disk
-    sigs = ray.data.read_parquet(spill_dir)
-    buckets = sigs.select_columns(["doc_id", "sig"]).map_batches(
+    # each branch re-reads ONLY its columns (explicit parquet projection —
+    # the sig branch never pays for the grams blob and vice versa; the
+    # grams side is read twice, once per join side)
+    sig_ds = ray.data.read_parquet(spill_dir, columns=["doc_id", "sig"])
+    buckets = sig_ds.map_batches(
         lambda b: with_bucket_part(
             lsh_bucket_rows(b, bands=bands, rows_per_band=num_perm // bands)
         ),
@@ -523,8 +526,8 @@ def minhash_lsh_dedup(
     pairs = pairs.groupby(["a", "b"]).aggregate(Count(alias_name="n_bands"))
     # co-partitioned verify: hash-join the sorted-unique shingle blobs onto
     # each side of the pair, then exact integer Jaccard per row
-    grams = sigs.select_columns(["doc_id", "grams"])
-    grams_b = grams.map_batches(
+    grams = ray.data.read_parquet(spill_dir, columns=["doc_id", "grams"])
+    grams_b = ray.data.read_parquet(spill_dir, columns=["doc_id", "grams"]).map_batches(
         lambda t: t.rename_columns(["doc_id_b", "grams_b"]), batch_format="pyarrow"
     )
     witha = pairs.select_columns(["a", "b"]).join(
