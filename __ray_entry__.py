@@ -1375,7 +1375,8 @@ def _q_event_analytics(sf_dir: str):
         num_shards=32,
     )
     return out.select_columns(
-        ["event_id", "user_id", "rn", "rnk", "drnk", "cd", "lag_value", "lead_value"]
+        ["event_id", "user_id", "rn", "rnk", "drnk", "cd", "lag_value",
+         "lead_value", "nt", "first_value"]
     )
 
 

@@ -1707,7 +1707,9 @@ SELECT event_id, user_id,
        dense_rank() OVER (PARTITION BY user_id ORDER BY value) AS drnk,
        cume_dist() OVER (PARTITION BY user_id ORDER BY value) AS cd,
        lag(value) OVER w AS lag_value,
-       lead(value) OVER w AS lead_value
+       lead(value) OVER w AS lead_value,
+       ntile(4) OVER w AS nt,
+       first_value(value) OVER w AS first_value
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """

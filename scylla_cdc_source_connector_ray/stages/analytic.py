@@ -1,5 +1,6 @@
 """Distributed SQL window (analytic) functions: ``row_number``, ``rank``,
-``dense_rank``, ``cume_dist``, ``lag``, ``lead`` over a partition key.
+``dense_rank``, ``cume_dist``, ``lag``, ``lead``, ``ntile``,
+``first_value`` over a partition key.
 
 The missing half of the window-operator family: ``stages/windows.py`` covers
 TIME windows (tumbling/sliding/session) and ``stages/scan.py`` the global
@@ -55,9 +56,13 @@ def _run_math(first: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
 
 
 def analytic_kernel(
-    g: pa.Table, keys: list[str], order_cols: list[str], value_col: str
+    g: pa.Table,
+    keys: list[str],
+    order_cols: list[str],
+    value_col: str,
+    ntile: int = 4,
 ) -> pa.Table:
-    """All six analytic columns for one shard's table (any number of key
+    """All eight analytic columns for one shard's table (any number of key
     runs) — vectorized run-boundary math, no per-group dispatch."""
     n = g.num_rows
     if n == 0:
@@ -69,6 +74,8 @@ def analytic_kernel(
             ("cd", pa.float64()),
             ("lag_value", pa.float64()),
             ("lead_value", pa.float64()),
+            ("nt", pa.int64()),
+            ("first_value", pa.float64()),
         ]:
             out = out.append_column(c, pa.array([], t))
         return out
@@ -77,7 +84,7 @@ def analytic_kernel(
     s = g.sort_by([(c, "ascending") for c in [*keys, *order_cols]])
     pos = np.arange(n, dtype=np.int64)
     kfirst = run_starts(s, keys)
-    kstart, _ = _run_math(kfirst)
+    kstart, klen = _run_math(kfirst)
     rn = pos - kstart + 1
 
     # lag/lead via take with NULL indices at run boundaries: preserves the
@@ -92,6 +99,22 @@ def analytic_kernel(
     val = s[value_col].combine_chunks()
     lag_v = val.take(lag_idx)
     lead_v = val.take(lead_idx)
+
+    # ntile(N) over the base order: SQL puts the klen % N remainder rows
+    # into the FIRST buckets (sizes base+1), the rest get size base
+    pos0 = pos - kstart
+    base = klen // ntile
+    rem = klen % ntile
+    big = rem * (base + 1)  # rows covered by the (base+1)-sized buckets
+    in_big = pos0 < big
+    nt = np.where(
+        in_big,
+        pos0 // np.maximum(base + 1, 1),
+        rem + (pos0 - big) // np.maximum(base, 1),
+    ) + 1
+    # first_value(value) over the default frame = the partition's first row
+    # in base order
+    first_v = val.take(pa.array(kstart, pa.int64()))
 
     # value order: (keys, value) — rank / dense_rank / cume_dist.
     # sort_indices over the BASE table keeps the mapping back to base rows.
@@ -126,6 +149,8 @@ def analytic_kernel(
         .append_column("cd", pa.array(cd))
         .append_column("lag_value", lag_v)
         .append_column("lead_value", lead_v)
+        .append_column("nt", pa.array(nt.astype(np.int64)))
+        .append_column("first_value", first_v)
     )
 
 
@@ -135,8 +160,9 @@ def analytic_functions(
     order_cols: list[str],
     value_col: str,
     num_shards: int = 64,
+    ntile: int = 4,
 ) -> ray.data.Dataset:
-    """Append the six analytic columns to ``ds`` (all input columns kept).
+    """Append the eight analytic columns to ``ds`` (all input columns kept).
 
     One ``hash(keys)``-keyed exchange; everything else is shard-local
     vectorized kernels (see module docstring for the exact SQL semantics
@@ -161,7 +187,7 @@ def analytic_functions(
 
     def shard_task(g: pa.Table) -> pa.Table:
         return analytic_kernel(
-            g.drop_columns(["_shard"]), keys, order_cols, value_col
+            g.drop_columns(["_shard"]), keys, order_cols, value_col, ntile=ntile
         )
 
     return (

@@ -23,12 +23,14 @@ SELECT user_id, event_id,
   dense_rank() OVER (PARTITION BY user_id ORDER BY value) AS drnk,
   cume_dist() OVER (PARTITION BY user_id ORDER BY value) AS cd,
   lag(value) OVER w AS lag_value,
-  lead(value) OVER w AS lead_value
+  lead(value) OVER w AS lead_value,
+  ntile(4) OVER w AS nt,
+  first_value(value) OVER w AS first_value
 FROM df WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ORDER BY event_id
 """
 
-COLS = ["rn", "rnk", "drnk", "cd", "lag_value", "lead_value"]
+COLS = ["rn", "rnk", "drnk", "cd", "lag_value", "lead_value", "nt", "first_value"]
 
 
 def _mk(n=4_000, seed=3):
@@ -52,7 +54,7 @@ def _check(got: pd.DataFrame, df: pd.DataFrame):
     assert len(got) == len(want)
     for c in COLS:
         a, b = got[c], want[c]
-        if c in ("rn", "rnk", "drnk"):
+        if c in ("rn", "rnk", "drnk", "nt"):
             assert (a.astype("int64") == b.astype("int64")).all(), c
         else:
             assert ((a.isna() & b.isna()) | (a == b)).all(), c
@@ -112,7 +114,7 @@ def test_multi_key_partition():
     ).df()
     for c in COLS:
         a, b = got[c], want[c]
-        if c in ("rn", "rnk", "drnk"):
+        if c in ("rn", "rnk", "drnk", "nt"):
             assert (a.astype("int64") == b.astype("int64")).all(), c
         else:
             assert ((a.isna() & b.isna()) | (a == b)).all(), c
