@@ -1411,6 +1411,35 @@ def _q_gram_matrix(sf_dir: str):
     )
 
 
+def _q_bloom_join_lines(sf_dir: str):
+    """Bloom-prefiltered selective join: lineitem rows are pruned by a
+    broadcast Bloom filter of the (tiny) qualifying part keys BEFORE the
+    exchange, then exactly joined (stages/join.py::bloom_prefilter_join —
+    ~2% of the fact table crosses the shuffle here)."""
+    import os
+
+    import pyarrow.compute as pc
+
+    import ray.data
+
+    from scylla_cdc_source_connector_ray.stages.join import bloom_prefilter_join
+
+    lines = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_partkey", "l_linenumber", "l_quantity"],
+    )
+    parts = ray.data.read_parquet(
+        os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_size"]
+    ).map_batches(
+        lambda t: t.filter(pc.equal(t["p_size"], 1)).select(["p_partkey"]),
+        batch_format="pyarrow",
+    )
+    out = bloom_prefilter_join(lines, parts, "l_partkey", "p_partkey")
+    return out.select_columns(
+        ["l_orderkey", "l_partkey", "l_linenumber", "l_quantity"]
+    )
+
+
 def _q_sample_stratified(sf_dir: str):
     """Stratified deterministic sample: downsample the dominant language
     (en at 2/16 nibbles), keep the rest at 8/16 — shuffle-free, RNG-free,
@@ -1699,6 +1728,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_analytics": _q_event_analytics,
         "doc_term_relevance": _q_doc_term_relevance,
         "gram_matrix": _q_gram_matrix,
+        "bloom_join_lines": _q_bloom_join_lines,
         "event_value_quantiles": _q_relational("event_value_quantiles"),
         "event_value_quantiles_hist": _q_relational("event_value_quantiles_hist"),
         "part_type_stats": _q_relational("part_type_stats"),
@@ -1790,6 +1820,7 @@ def oracle_sql() -> dict[str, str]:
         "event_analytics": oracles.EVENT_ANALYTICS,
         "doc_term_relevance": oracles.DOC_TERM_RELEVANCE,
         "gram_matrix": oracles.GRAM_MATRIX,
+        "bloom_join_lines": oracles.BLOOM_JOIN_LINES,
         "event_value_quantiles": oracles.EVENT_VALUE_QUANTILES,
         "event_value_quantiles_hist": oracles.EVENT_VALUE_QUANTILES_HIST,
         "part_type_stats": oracles.PART_TYPE_STATS,

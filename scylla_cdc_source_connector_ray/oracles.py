@@ -1770,3 +1770,13 @@ def _gram_matrix_sql(dims: int) -> str:
 
 GRAM_MATRIX_DIMS = 8
 GRAM_MATRIX = _gram_matrix_sql(GRAM_MATRIX_DIMS)
+
+
+#: stages/join.py::bloom_prefilter_join — the Bloom prefilter is transparent
+#: (false positives are dropped by the exact join behind it), so the twin is
+#: a plain selective inner join.
+BLOOM_JOIN_LINES = """
+SELECT l.l_orderkey, l.l_partkey, l.l_linenumber, l.l_quantity
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_size = 1
+"""

@@ -612,3 +612,97 @@ def semi_anti_join(
         right.map_batches(tag_right, batch_format="pyarrow")
     )
     return tagged.groupby(_PART_COL).map_groups(per_part, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Bloom-prefiltered join
+# ---------------------------------------------------------------------------
+def _bloom_hashes(keys: pa.Array | pa.ChunkedArray) -> tuple[np.ndarray, np.ndarray]:
+    """Two independent stable 64-bit hashes per key (polars fixed-seed hash
+    of the string-cast key — the same engine-wide stable-hash choice as
+    ``schema.shard_of``), combined downstream by double hashing
+    (h1 + i·h2, Kirsch & Mitzenmacher 2006)."""
+    import polars as pl
+
+    if isinstance(keys, pa.ChunkedArray):
+        keys = keys.combine_chunks()
+    s = pl.from_arrow(keys.cast(pa.string()))
+    return (
+        s.hash(seed=1).to_numpy().astype(np.uint64),
+        s.hash(seed=2).to_numpy().astype(np.uint64),
+    )
+
+
+def _bloom_set(words: np.ndarray, h1: np.ndarray, h2: np.ndarray, k: int, m: int):
+    for i in range(k):
+        idx = (h1 + np.uint64(i) * h2) % np.uint64(m)
+        np.bitwise_or.at(words, (idx >> np.uint64(6)).astype(np.int64),
+                         np.uint64(1) << (idx & np.uint64(63)))
+
+
+def _bloom_test(words: np.ndarray, h1: np.ndarray, h2: np.ndarray, k: int, m: int):
+    hit = np.ones(len(h1), dtype=bool)
+    for i in range(k):
+        idx = (h1 + np.uint64(i) * h2) % np.uint64(m)
+        bit = (words[(idx >> np.uint64(6)).astype(np.int64)]
+               >> (idx & np.uint64(63))) & np.uint64(1)
+        hit &= bit.astype(bool)
+    return hit
+
+
+def bloom_prefilter_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    left_on: str,
+    right_on: str | None = None,
+    m_bits: int = 1 << 22,
+    k_hashes: int = 4,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Inner join where the LEFT side is pre-filtered by a Bloom filter of
+    the right side's keys before anything is shuffled — the classic
+    selective-join optimization: when only a few percent of left rows have
+    a partner, the exchange ships those few percent instead of the whole
+    fact table. The result is EXACT (bloom false positives survive the
+    prefilter but are dropped by the exact co-partitioned join behind it),
+    so the SQL twin is a plain inner join.
+
+    Scale shape: the filter is built distributed (one ``m_bits/8``-byte
+    bitmap per right block, OR-merged on the driver — bitmaps are key-count
+    independent) and broadcast once via ``ray.put``; every left task tests
+    its batch vectorized (two stable hashes + double hashing, no Python per
+    row). Driver state = one bitmap (512 KB at the default m_bits), NOT the
+    key set. Size ``m_bits ≈ 10–16 bits per distinct right key`` to keep
+    the false-positive rate ~1% — oversizing only costs broadcast bytes,
+    never correctness.
+    """
+    right_on = left_on if right_on is None else right_on
+    n_words = (m_bits + 63) // 64
+
+    def block_bloom(t: pa.Table) -> pa.Table:
+        words = np.zeros(n_words, dtype=np.uint64)
+        if t.num_rows:
+            h1, h2 = _bloom_hashes(t[right_on])
+            _bloom_set(words, h1, h2, k_hashes, m_bits)
+        return pa.table({"bloom": pa.array([words.tobytes()], pa.binary())})
+
+    merged = np.zeros(n_words, dtype=np.uint64)
+    for row in (
+        right.select_columns([right_on])
+        .map_batches(block_bloom, batch_format="pyarrow")
+        .take_all()
+    ):
+        merged |= np.frombuffer(row["bloom"], dtype=np.uint64)
+    bloom_ref = ray.put(merged)
+
+    def prefilter(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        words = ray.get(bloom_ref)  # zero-copy view from the object store
+        h1, h2 = _bloom_hashes(t[left_on])
+        return t.filter(pa.array(_bloom_test(words, h1, h2, k_hashes, m_bits)))
+
+    pruned = left.map_batches(prefilter, batch_format="pyarrow")
+    return shuffle_hash_join(
+        pruned, right, left_on, right_on, num_partitions=num_partitions
+    )

