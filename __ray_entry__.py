@@ -1234,6 +1234,62 @@ def _q_top_turns_stream(sf_dir: str):
         shutil.rmtree(base, ignore_errors=True)
 
 
+def _q_event_analytics_stream(sf_dir: str):
+    """Streaming running analytics (row_number / lag / first_value per
+    conversation) through the CHECKPOINTED micro-batch runner
+    (pipelines/analytic_stream.py): state is a left-fold of the seq order
+    (n, last, first per key), so the oracle is the batch window SQL."""
+    import hashlib
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from scylla_cdc_source_connector_ray.pipelines.analytic_stream import (
+        AnalyticStreamRunner,
+    )
+    from scylla_cdc_source_connector_ray.sources.events_adapter import (
+        events_to_transcripts,
+    )
+
+    ev = pq.read_table(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "event_id", "event_type", "props", "ts"],
+    )
+    t = events_to_transcripts(ev).sort_by([("seq", "ascending")])
+    n_chars = pc.fill_null(pc.utf8_length(t["text"].combine_chunks()), 0).cast(pa.int64())
+    t = pa.table({"conv_id": t["conv_id"], "seq": t["seq"], "n_chars": n_chars})
+    base = os.path.join(
+        "/tmp/scylla_cdc_anl_stream",
+        hashlib.md5(sf_dir.encode()).hexdigest()[:12] + f"-{os.getpid()}",
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    log = os.path.join(base, "log")
+    os.makedirs(log)
+    n, nf = t.num_rows, 4
+    for i in range(nf):
+        lo, hi = i * n // nf, (i + 1) * n // nf
+        pq.write_table(t.slice(lo, hi - lo), os.path.join(log, f"window-{i:05d}.parquet"))
+    runner = AnalyticStreamRunner(
+        log,
+        num_shards=8,
+        sink_dir=os.path.join(base, "out"),
+        checkpoint_dir=os.path.join(base, "ckpt"),
+        key_col="conv_id",
+        order_col="seq",
+        value_col="n_chars",
+    )
+    try:
+        runner.run(files_per_batch=1)
+        return runner.read_output().select(
+            ["conv_id", "seq", "n_chars", "rn", "lag_value", "first_value"]
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def _q_event_quantiles_stream_hist(sf_dir: str):
     """Streaming grouped histogram through the CHECKPOINTED micro-batch
     runner (pipelines/hist_stream.py): per-key bin counts are purely
@@ -1729,6 +1785,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_term_relevance": _q_doc_term_relevance,
         "gram_matrix": _q_gram_matrix,
         "bloom_join_lines": _q_bloom_join_lines,
+        "event_analytics_stream": _q_event_analytics_stream,
         "event_value_quantiles": _q_relational("event_value_quantiles"),
         "event_value_quantiles_hist": _q_relational("event_value_quantiles_hist"),
         "part_type_stats": _q_relational("part_type_stats"),
@@ -1821,6 +1878,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_term_relevance": oracles.DOC_TERM_RELEVANCE,
         "gram_matrix": oracles.GRAM_MATRIX,
         "bloom_join_lines": oracles.BLOOM_JOIN_LINES,
+        "event_analytics_stream": oracles.EVENT_ANALYTICS_STREAM,
         "event_value_quantiles": oracles.EVENT_VALUE_QUANTILES,
         "event_value_quantiles_hist": oracles.EVENT_VALUE_QUANTILES_HIST,
         "part_type_stats": oracles.PART_TYPE_STATS,

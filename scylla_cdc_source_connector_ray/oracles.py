@@ -1780,3 +1780,20 @@ SELECT l.l_orderkey, l.l_partkey, l.l_linenumber, l.l_quantity
 FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
 WHERE p.p_size = 1
 """
+
+
+#: pipelines/analytic_stream.py::AnalyticStreamRunner — running row_number /
+#: lag / first_value per conversation; the state is a pure left-fold of the
+#: seq order, so the oracle is the batch window SQL verbatim.
+EVENT_ANALYTICS_STREAM = f"""
+WITH transcripts AS ({TRANSCRIPTS_SQL}),
+t AS (
+    SELECT conv_id, seq,
+           CAST(coalesce(length(text), 0) AS BIGINT) AS n_chars
+    FROM transcripts)
+SELECT conv_id, seq, n_chars,
+       CAST(row_number() OVER w AS BIGINT) AS rn,
+       lag(n_chars) OVER w AS lag_value,
+       first_value(n_chars) OVER w AS first_value
+FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY seq)
+"""
