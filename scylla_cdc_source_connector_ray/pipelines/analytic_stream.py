@@ -169,22 +169,35 @@ class AnalyticStreamRunner:
             # state table (state is written key-sorted), -1 when absent
             run_keys = keys.take(pa.array(kstart[kfirst]))
             sk = st[key_col].combine_chunks()
+            # null-safe lookup: np.searchsorted raises on object arrays mixing
+            # str and None, so probe the non-null state keys (a sorted
+            # subsequence) and route the SQL single-NULL group explicitly
+            rk_null = pa.compute.is_null(run_keys).to_numpy(zero_copy_only=False)
+            li = np.zeros(len(run_keys), np.int64)
+            found = np.zeros(len(run_keys), dtype=bool)
             if len(sk):
-                li = np.searchsorted(
-                    sk.to_numpy(zero_copy_only=False),
-                    run_keys.to_numpy(zero_copy_only=False),
-                )
-                li = np.clip(li, 0, len(sk) - 1)
-                found = pa.compute.equal(
-                    sk.take(pa.array(li)), run_keys
-                ).to_numpy(zero_copy_only=False)
-                n0_run = np.where(
-                    found, st["n"].to_numpy(zero_copy_only=False)[li], 0
-                )
-            else:
-                li = np.zeros(len(run_keys), np.int64)
-                found = np.zeros(len(run_keys), dtype=bool)
-                n0_run = np.zeros(len(run_keys), np.int64)
+                sk_null = pa.compute.is_null(sk).to_numpy(zero_copy_only=False)
+                valid_idx = np.nonzero(~sk_null)[0]
+                nn = ~rk_null
+                if len(valid_idx) and nn.any():
+                    sk_valid = sk.drop_null()
+                    rk_valid = run_keys.filter(pa.array(nn))
+                    p = np.searchsorted(
+                        sk_valid.to_numpy(zero_copy_only=False),
+                        rk_valid.to_numpy(zero_copy_only=False),
+                    )
+                    p = np.clip(p, 0, len(sk_valid) - 1)
+                    hit = pa.compute.equal(
+                        sk_valid.take(pa.array(p)), rk_valid
+                    ).to_numpy(zero_copy_only=False)
+                    li[nn] = valid_idx[p]
+                    found[nn] = hit
+                if sk_null.any() and rk_null.any():
+                    li[rk_null] = int(np.nonzero(sk_null)[0][0])
+                    found[rk_null] = True
+            n0_run = np.where(
+                found, st["n"].to_numpy(zero_copy_only=False)[li], 0
+            ) if len(sk) else np.zeros(len(run_keys), np.int64)
             n0 = np.repeat(n0_run, klen[kfirst])
             rn = pos - kstart + 1 + n0
 
@@ -244,15 +257,15 @@ class AnalyticStreamRunner:
                     "first_value": fv_run,
                 }
             )
-            untouched = (
-                st.filter(
-                    pa.compute.invert(
-                        pa.compute.is_in(st[key_col], value_set=run_keys)
-                    )
-                )
-                if st.num_rows
-                else st
-            )
+            if st.num_rows:
+                # null-safe: is_in yields NULL for a NULL state key when the
+                # probe set has no NULL (filter would silently drop the row);
+                # the NULL-key state row is touched iff this batch has a NULL run
+                isin = pa.compute.is_in(st[key_col], value_set=run_keys)
+                touched = pa.compute.fill_null(isin, bool(rk_null.any()))
+                untouched = st.filter(pa.compute.invert(touched))
+            else:
+                untouched = st
             merged = pa.concat_tables([new, untouched]).sort_by(
                 [(key_col, "ascending")]
             )

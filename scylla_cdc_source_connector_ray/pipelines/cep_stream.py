@@ -57,74 +57,93 @@ def fold_literal(full: pa.Array, literal: str) -> tuple[np.ndarray, pa.Array]:
     return delta.to_numpy(zero_copy_only=False), tail
 
 
-#: match-consumption sentinel for the regex fold — outside every symbol
-#: alphabet (role_symbols emits [uatsd]); patterns containing it are rejected
+#: match-consumption sentinels for the regex fold — outside every symbol
+#: alphabet (role_symbols emits [uatsd]); patterns containing them are
+#: rejected. SENTINEL marks a match start, SENTINEL2 a match end.
 SENTINEL = "\x00"
+SENTINEL2 = "\x01"
 
 
 def fold_regex(full: pa.Array, pattern: str, dfa) -> tuple[np.ndarray, pa.Array]:
-    """General-regex carry fold (the literal fold's big sibling): RE2
-    replaces every non-overlapping match with a sentinel — so the text after
-    the LAST sentinel is exactly RE2's unconsumed suffix, match-free by
-    construction — then the compiled :class:`~..stages.redfa.SymbolDFA`
-    prunes the dead prefix of that suffix (positions that cannot start a
-    match extending into future batches). Returns (#matches per row, pruned
-    next tail per row).
+    """General-regex carry fold (the literal fold's big sibling), exact under
+    any batch split. Returns (#final matches per row, carry per row).
 
-    Exactness: non-overlapping scanning is memoryless past the consumption
-    point, so counting on ``carry + next_batch`` equals counting on the
-    whole stream; pruning keeps every position whose DFA run stays live.
+    Scan-frontier construction: RE2 wraps every non-overlapping match of the
+    prefix text in sentinels, yielding the prefix scanner's consumed spans.
+    A left-to-right scanner VISITS every position except match interiors
+    (it jumps from a match's start to its end). A visited position p is only
+    *final* — its match/no-match decision unaffected by future input — if no
+    NFA thread from p is alive at end-of-buffer; otherwise the attempt at p
+    was truncated by the batch boundary and more input could change it (a
+    longer greedy extension, or a higher-priority alternation branch that
+    spans positions the prefix scan consumed, e.g. ``utta|t`` over the split
+    ``utt`` | ``a``). The frontier is the earliest visited position whose
+    DFA run stays live to end-of-buffer (right-aligned suffix-function
+    lockstep in :meth:`SymbolDFA.earliest_viable_starts`, masked to visited
+    positions): matches starting before it are final and counted; everything
+    from it on becomes the carry and is re-scanned with the next batch.
+
+    Exactness: at each final visited position the backtracking exploration
+    is confined to the buffer, so its decision equals the global scanner's;
+    non-overlapping scanning is memoryless past a final match's end; and the
+    re-scan of ``carry + next_batch`` resumes exactly at the frontier.
     State is O(longest in-progress match) per key — bounded for bounded
     quantifiers, and for unbounded ones (``ut*``-style) exactly the data a
-    correct answer requires.
-
-    Boundary rule: a match that ends flush against the batch end is NOT
-    consumed when a strictly longer match could exist from the same start
-    (``t+`` on ``"t"|"t"`` would otherwise stream 2 vs the global 1) — the
-    match text itself becomes the carry (exactly the global scanner's
-    resume position) and the count is deferred to the re-scan. The carry
-    may therefore contain one completed match; the invariant is
-    ``sum(deltas) + count(final tail) == global count``, and
-    :meth:`CepStreamRunner.read_counts` adds that final-tail count.
+    correct answer requires. The carry may contain completed-but-deferred
+    matches; the invariant is ``sum(deltas) + count(final tail) == global
+    count``, and :meth:`CepStreamRunner.read_counts` adds that final-tail
+    count.
     """
     from ..stages.redfa import slice_strings
 
-    replaced = pc.replace_substring_regex(full, pattern=pattern, replacement=SENTINEL)
-    parts = pc.split_pattern(replaced, SENTINEL)
-    delta = pc.add(pc.list_value_length(parts).cast(pa.int64()), -1)
-    last_idx = parts.offsets.to_numpy(zero_copy_only=False)[1:] - 1
-    last = pc.take(parts.values, pa.array(last_idx))
-    starts = dfa.earliest_viable_starts(last)
-    delta_np = delta.to_numpy(zero_copy_only=False).copy()
-    tail = slice_strings(last, starts)
+    if isinstance(full, pa.ChunkedArray):
+        full = full.combine_chunks()
+    n = len(full)
+    if n == 0:
+        return np.zeros(0, np.int64), pa.array([], pa.string())
 
-    # batch-boundary fix: rows whose LAST match ends exactly at the end of
-    # the buffer (trailing gap empty). If the DFA says a longer match could
-    # exist from that match's start, un-consume it: decrement the count and
-    # carry the match text (RE2 re-decides on carry + next batch).
-    gap_len = pc.utf8_length(last).to_numpy(zero_copy_only=False)
-    at_end = (gap_len == 0) & (delta_np > 0)
-    if at_end.any():
-        idx = np.flatnonzero(at_end)
-        sub = pc.take(full, pa.array(idx))
-        # sentinel BEFORE each match, match text kept: the final split part
-        # is exactly the last match (its trailing gap is empty)
-        rep2 = pc.replace_substring_regex(
-            sub, pattern=pattern, replacement=SENTINEL + "\\0"
-        )
-        parts2 = pc.split_pattern(rep2, SENTINEL)
-        if isinstance(parts2, pa.ChunkedArray):
-            parts2 = parts2.combine_chunks()
-        last_idx2 = parts2.offsets.to_numpy(zero_copy_only=False)[1:] - 1
-        lastm = pc.take(parts2.values, pa.array(last_idx2))
-        ext = dfa.can_extend(lastm)
-        if ext.any():
-            sel = idx[ext]
-            delta_np[sel] -= 1
-            tail_np = tail.to_numpy(zero_copy_only=False).astype(object)
-            tail_np[sel] = lastm.to_numpy(zero_copy_only=False)[ext]
-            tail = pa.array(tail_np, pa.string())
-    return delta_np, tail
+    # 1. consumed spans of the prefix scan: SENTINEL + match + SENTINEL2
+    rep = pc.replace_substring_regex(
+        full, pattern=pattern, replacement=SENTINEL + "\\0" + SENTINEL2
+    )
+    if isinstance(rep, pa.ChunkedArray):
+        rep = rep.combine_chunks()
+    roff = np.frombuffer(
+        rep.buffers()[1],
+        dtype=np.int64 if pa.types.is_large_string(rep.type) else np.int32,
+    )[rep.offset : rep.offset + n + 1].astype(np.int64)
+    rdata = np.frombuffer(rep.buffers()[2], dtype=np.uint8)
+    span = rdata[roff[0] : roff[-1]]
+    s1 = np.flatnonzero(span == 0x00) + roff[0]  # match starts (rep coords)
+    s2 = np.flatnonzero(span == 0x01) + roff[0]  # match ends (rep coords)
+    r1 = np.searchsorted(roff, s1, side="right") - 1  # row of each match
+    cnt = np.bincount(r1, minlength=n)
+    # ordinal of each match within its row → original-coordinate spans
+    # (each earlier match in the row inserted two sentinel bytes)
+    k = np.arange(len(s1), dtype=np.int64) - np.concatenate(
+        ([0], np.cumsum(cnt[:-1]))
+    )[r1]
+    st = (s1 - roff[r1]) - 2 * k  # match start, row-relative orig coords
+    en = (s2 - roff[r1]) - 2 * k - 1  # match end (exclusive)
+
+    # 2. visited mask over the original bytes: everything except interiors
+    off = np.frombuffer(
+        full.buffers()[1],
+        dtype=np.int64 if pa.types.is_large_string(full.type) else np.int32,
+    )[full.offset : full.offset + n + 1].astype(np.int64)
+    mark = np.zeros(int(off[-1]) + 1, np.int32)
+    np.add.at(mark, off[r1] + st + 1, 1)
+    np.subtract.at(mark, off[r1] + en, 1)
+    visited = np.cumsum(mark[:-1], dtype=np.int32) == 0
+
+    # 3. frontier: earliest visited position live at end-of-buffer
+    frontier = dfa.earliest_viable_starts(full, visited=visited)
+
+    # 4. final matches start before the frontier; carry from the frontier on
+    final = st < frontier[r1]
+    delta = np.bincount(r1[final], minlength=n).astype(np.int64)
+    tail = slice_strings(full, frontier)
+    return delta, tail
 
 
 class CepStreamRunner:
@@ -154,8 +173,8 @@ class CepStreamRunner:
         if literal is not None and len(literal) < 1:
             raise ValueError("literal pattern must be non-empty")
         if pattern is not None:
-            if SENTINEL in pattern:
-                raise ValueError("pattern must not contain the \\x00 sentinel")
+            if SENTINEL in pattern or SENTINEL2 in pattern:
+                raise ValueError("pattern must not contain the \\x00/\\x01 sentinels")
             from ..stages.redfa import SymbolDFA
 
             # compile eagerly: rejects unsupported syntax / empty-matching

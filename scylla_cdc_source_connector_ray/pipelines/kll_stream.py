@@ -97,7 +97,10 @@ class KllStreamRunner:
         def project(b: pd.DataFrame) -> pd.DataFrame:
             from ..schema import shard_of
 
-            b = b[[key_col, value_col]].dropna(subset=[value_col]).copy()
+            # reset_index: dropna leaves a gapped index, and pandas column
+            # assignment aligns by index — assigning a RangeIndex Series back
+            # into a gapped frame silently scrambles key/value pairing
+            b = b[[key_col, value_col]].dropna(subset=[value_col]).reset_index(drop=True)
             # native key dtype end-to-end (string, int64, ...): only pin
             # large_string → string so the exchange's promotion can't drift
             # the state schema (same canonicalization as CepStreamRunner)

@@ -427,12 +427,20 @@ class SymbolDFA:
         return self.live[self.trans[ends]].any(axis=1)
 
     # ------------------------------------------------- vectorized pruning
-    def earliest_viable_starts(self, tails: pa.Array) -> np.ndarray:
-        """For each (match-free) tail string, the earliest position q such
+    def earliest_viable_starts(
+        self, tails: pa.Array, visited: np.ndarray | None = None
+    ) -> np.ndarray:
+        """For each tail string, the earliest position q such
         that running the DFA over ``tail[q:]`` ends in a LIVE state — i.e.
         the earliest position that could still start a match extending into
         future batches. ``len(tail)`` when no position is viable (carry
         empty).
+
+        ``visited`` (optional): flat bool mask over the array's data buffer
+        (absolute byte coordinates); positions with ``visited == False`` are
+        skipped — the scan-frontier fold uses this to ignore positions
+        strictly inside already-consumed matches, which a left-to-right
+        non-overlapping scanner never visits.
 
         Right-aligned lockstep over all keys: maintain per key the
         transition FUNCTION of the suffix read so far (composition
@@ -466,13 +474,16 @@ class SymbolDFA:
             act = np.flatnonzero(alive & (lens >= j))
             if act.size == 0:
                 break
-            c = cls_of[data[off_np[act] + lens[act] - j]]
+            pos_abs = off_np[act] + lens[act] - j
+            c = cls_of[data[pos_abs]]
             # newM[k][s] = M[k][trans[s, c_k]] — compose the char's transition
             # under the suffix function read so far
             M_act = np.take_along_axis(M[act], self.trans[:, c].T, axis=1)
             M[act] = M_act
             end_state = M_act[:, self.start]
             ok = live[end_state]
+            if visited is not None:
+                ok = ok & visited[pos_abs]
             v[act[ok]] = lens[act[ok]] - j
             dead_all = ~live[M_act].any(axis=1)
             alive[act[dead_all]] = False

@@ -110,6 +110,28 @@ def test_kill_resume_identical(tmp_path):
     pd.testing.assert_frame_equal(a, b)
 
 
+def test_null_keys_stream(tmp_path):
+    """NULL partition keys form the SQL single-NULL group across batches
+    (regression: searchsorted over object arrays with None raised TypeError,
+    and the untouched-state is_in filter silently dropped the NULL row)."""
+    tmp = str(tmp_path)
+    df = _mk(2_000, seed=5)
+    rng = np.random.default_rng(9)
+    df["k"] = df["k"].where(rng.random(len(df)) > 0.2, None)
+    log = _write_log(tmp, df)
+    r, totals = _run(tmp, log, "nulls", files_per_batch=2)
+    assert totals["rows"] == len(df)
+    got = r.read_output().to_pandas().sort_values("seq").reset_index(drop=True)
+    want = duckdb.sql(SQL).df()
+    pd.testing.assert_frame_equal(
+        got[["k", "seq", "v", "rn"]], want[["k", "seq", "v", "rn"]],
+        check_dtype=False,
+    )
+    for c in ("lag_value", "first_value"):
+        a, b = got[c], want[c]
+        assert ((a.isna() & b.isna()) | (a == b)).all(), c
+
+
 def test_pin_rejection(tmp_path):
     tmp = str(tmp_path)
     df = _mk(1_000)

@@ -127,6 +127,30 @@ def test_stream_runner_bounds_and_counts(tmp_path):
             assert _rank_err(v, q, row[f"p{q}_est"]) < 0.02
 
 
+def test_stream_null_values_keep_key_alignment(tmp_path):
+    """Regression: dropna(v) left a gapped index and the key re-assignment
+    aligned by index, silently crediting values to the wrong keys whenever a
+    batch contained NULL values (and spilling rows into a spurious NULL-key
+    group)."""
+    tmp = str(tmp_path)
+    rng = np.random.default_rng(17)
+    df = _mk_df(rng, n=12_000)
+    df.loc[rng.choice(len(df), 2_000, replace=False), "v"] = np.nan
+    log = _write_log(tmp, df)
+    r = KllStreamRunner(log, num_shards=4, checkpoint_dir=os.path.join(tmp, "ckpt"),
+                        key_col="k", value_col="v", k=200)
+    totals = r.run(files_per_batch=1)
+    ref = df.dropna(subset=["v"])
+    assert totals["rows"] == len(ref)
+    out = r.read_quantiles((50, 95)).to_pandas()
+    assert sorted(out["k"]) == ["x", "y", "z"]  # no spurious NULL-key group
+    for _, row in out.iterrows():
+        v = ref[ref["k"] == row["k"]]["v"].to_numpy()
+        assert row["n"] == len(v)
+        for q in (50, 95):
+            assert _rank_err(v, q, row[f"p{q}_est"]) < 0.02
+
+
 def test_stream_kill_resume_identical(tmp_path):
     """Replay from the pre-batch snapshot must reproduce the sketch state
     EXACTLY — estimates after kill+resume equal the clean run's."""

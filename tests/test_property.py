@@ -261,7 +261,14 @@ def test_cep_fold_literal_split_invariant(s, literal, cuts):
 @settings(max_examples=200, deadline=None)
 @given(
     st.text(alphabet="uatsd", max_size=60),
-    st.sampled_from(["ut+a", "u(t|a)*s", "ua?t", "t{2,3}", "(ua|ut)+"]),
+    st.sampled_from(
+        [
+            "ut+a", "u(t|a)*s", "ua?t", "t{2,3}", "(ua|ut)+",
+            # length-asymmetric alternations: a live low-priority attempt can
+            # span positions the prefix scan consumed (frontier regression)
+            "utta|t", "uta|ta", "u|ua", "ut{2}a|t+",
+        ]
+    ),
     st.lists(st.integers(0, 60), max_size=6),
 )
 def test_cep_fold_regex_split_invariant(s, pattern, cuts):
@@ -295,10 +302,12 @@ def test_cep_fold_regex_split_invariant(s, pattern, cuts):
 
 
 def test_cep_fold_regex_boundary_flush_cases():
-    """Deterministic regressions for the boundary-flush rule: a match ending
+    """Deterministic regressions for the scan frontier: a match ending
     exactly at the batch end must be deferred when it could greedily extend
-    ('t+' on 't'|'t' streamed 2 vs global 1 pre-fix), and consumed when it
-    cannot ('a|ab' picks the RE2 priority branch on re-scan)."""
+    ('t+' on 't'|'t' streamed 2 vs global 1 pre-fix), and a consumed match
+    must be un-consumed when an EARLIER position's attempt is still live at
+    the boundary ('utta|t' on 'utt'|'a' streamed 2 vs global 1 pre-fix: the
+    high-priority 'utta' branch spans both consumed 't's)."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
@@ -311,6 +320,11 @@ def test_cep_fold_regex_boundary_flush_cases():
         ("(ua|ut)+", ["u", "aut"]),
         ("ut+a", ["ut", "ta"]),
         ("ua", ["ua", "ua"]),
+        ("utta|t", ["utt", "a"]),
+        ("utta|t", ["u", "t", "t", "a"]),
+        ("utta|t", ["ut", "tat", "t"]),
+        ("uta|ta", ["ut", "a", "ta"]),
+        ("u|ua", ["u", "a"]),
     ]:
         dfa = SymbolDFA.compile(pattern)
         count, tail = 0, ""
