@@ -131,9 +131,11 @@ class Decoder:
             img = np.asarray(mod.open(io.BytesIO(payload)).convert("RGB"))
         else:
             img = np.asarray(mod.imread(payload))
-            if img.ndim == 2:  # grayscale → 3-channel
-                img = np.repeat(img[:, :, None], 3, axis=2)
-            img = img[:, :, :3]
+            if img.ndim == 2:
+                img = img[:, :, None]
+            if img.shape[2] < 3:  # grayscale / luminance+alpha → 3-channel
+                img = np.repeat(img[:, :, :1], 3, axis=2)
+            img = img[:, :, :3]  # RGBA → drop alpha
         return np.ascontiguousarray(img, dtype=np.uint8)
 
     def _fake_pixels(self, payload: bytes, w: int, h: int) -> np.ndarray:

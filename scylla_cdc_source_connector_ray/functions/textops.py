@@ -341,27 +341,6 @@ class SpaceSaving:
         self.errs: dict[str, int] = {}
         self.n = 0
 
-    def update_counted(self, tokens, counts) -> "SpaceSaving":
-        """Bulk update from pre-aggregated (token, count) pairs — the
-        vectorized path: value_counts per block first, then one summary pass
-        over UNIQUE tokens."""
-        for t, c in zip(tokens, counts):
-            c = int(c)
-            self.n += c
-            if t in self.counts:
-                self.counts[t] += c
-            elif len(self.counts) < self.m:
-                self.counts[t] = c
-                self.errs[t] = 0
-            else:
-                # evict the (min count, max token) victim — deterministic
-                victim = min(self.counts, key=lambda x: (self.counts[x], x))
-                vcnt = self.counts.pop(victim)
-                self.errs.pop(victim)
-                self.counts[t] = vcnt + c
-                self.errs[t] = vcnt
-        return self
-
     def merge(self, other: "SpaceSaving") -> "SpaceSaving":
         """PODS'12 combine: sum counts/errs of common items, offset missing
         items by the other side's min-counter bound, keep the top m."""

@@ -222,7 +222,7 @@ class CepStreamRunner:
         from ._microbatch import run_microbatches
 
         pins, process = self._loop()
-        return run_microbatches(
+        res = run_microbatches(
             self.ckpt,
             self.log_dir,
             pins=pins,
@@ -231,6 +231,7 @@ class CepStreamRunner:
             max_batches=max_batches,
             crash_before_commit_at=crash_before_commit_at,
         )
+        return self._final_totals(res)
 
     def follow(
         self,
@@ -243,7 +244,7 @@ class CepStreamRunner:
         from ._microbatch import follow_microbatches
 
         pins, process = self._loop()
-        return follow_microbatches(
+        res = follow_microbatches(
             self.ckpt,
             self.log_dir,
             pins=pins,
@@ -252,6 +253,20 @@ class CepStreamRunner:
             poll_interval_s=poll_interval_s,
             idle_polls=idle_polls,
         )
+        return self._final_totals(res)
+
+    def _final_totals(self, res: dict) -> dict:
+        """Per-batch deltas undercount by design: the regex fold defers a
+        completed match whose greedy extension is still open into the carry
+        (``fold_regex`` invariant). The run-level ``matches`` stat — what the
+        CLI prints — must be the GLOBAL count at the current stream position,
+        i.e. counted state plus completed matches pending in final tails
+        (= ``read_counts`` total). Literal mode's carry never holds a full
+        occurrence, so there this is a no-op."""
+        if "matches" in res:
+            s = pc.sum(self.read_counts()["n_matches"]).as_py()
+            res["matches"] = int(s or 0)
+        return res
 
     # -------------------------------------------------------------- batches
     def _process_batch(self, batch_id: int, bfiles: list[str]) -> list[dict]:

@@ -24,6 +24,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 import ray.data
@@ -94,27 +95,27 @@ class KllStreamRunner:
         ckpt_dir = self.ckpt.dir
         state_kind = self.STATE_KIND
 
-        def project(b: pd.DataFrame) -> pd.DataFrame:
+        def project(t: pa.Table) -> pa.Table:
             from ..schema import shard_of
 
-            # reset_index: dropna leaves a gapped index, and pandas column
-            # assignment aligns by index — assigning a RangeIndex Series back
-            # into a gapped frame silently scrambles key/value pairing
-            b = b[[key_col, value_col]].dropna(subset=[value_col]).reset_index(drop=True)
-            # native key dtype end-to-end (string, int64, ...): only pin
-            # large_string → string so the exchange's promotion can't drift
-            # the state schema (same canonicalization as CepStreamRunner)
-            keys_arr = pa.Array.from_pandas(b[key_col])
-            if pa.types.is_large_string(keys_arr.type):
-                keys_arr = keys_arr.cast(pa.string())
-            b[key_col] = keys_arr.to_pandas().astype(object)
-            b["_shard"] = shard_of(keys_arr, num_shards).to_numpy(zero_copy_only=False)
-            return b
+            # arrow-native end-to-end: a pandas batch format would round-trip
+            # int64 keys with NULLs through float64 (loses >2^53 ids, drifts
+            # the state schema to double) before we could intervene
+            t = t.select([key_col, value_col]).filter(pc.is_valid(t[value_col]))
+            # only pin large_string → string so the exchange's promotion
+            # can't drift the state schema (same as CepStreamRunner)
+            if pa.types.is_large_string(t.schema.field(key_col).type):
+                i = t.schema.get_field_index(key_col)
+                t = t.set_column(i, key_col, t[key_col].cast(pa.string()))
+            return t.append_column("_shard", shard_of(t[key_col], num_shards))
 
-        def shard_task(g: pd.DataFrame) -> pd.DataFrame:
+        def shard_task(gt: pa.Table) -> pd.DataFrame:
             from ..functions.sketches import KLLSketch
 
-            shard = int(g["_shard"].iloc[0])
+            shard = int(gt["_shard"][0].as_py())
+            # integer_object_nulls keeps int keys as Python ints/None in an
+            # object column instead of the lossy float64 representation
+            g = gt.to_pandas(integer_object_nulls=True)
             ck = Checkpoint(ckpt_dir)  # path math only; no driver state
             prev = ck.latest_state_path(shard, before_batch=batch_id, kind=state_kind)
             state: dict[object, KLLSketch] = {}
@@ -127,7 +128,7 @@ class KllStreamRunner:
                 f = st.schema.field(key_col).type
                 if not pa.types.is_null(f):
                     kt = f
-                sk_key = st[key_col].to_pandas().astype(object)
+                sk_key = st[key_col].to_pandas(integer_object_nulls=True).astype(object)
                 lv = st["level"].to_numpy(zero_copy_only=False)
                 par = st["parity"].to_numpy(zero_copy_only=False)
                 vals = st["vals"].to_pylist()
@@ -155,7 +156,7 @@ class KllStreamRunner:
                     out_p.append(int(p))
                     out_v.append(v)
             if kt is None:
-                kt = pa.Array.from_pandas(g[key_col]).type
+                kt = gt.schema.field(key_col).type  # exact, no re-inference
                 if pa.types.is_large_string(kt) or pa.types.is_null(kt):
                     kt = pa.string()
             ck.write_state(
@@ -171,16 +172,20 @@ class KllStreamRunner:
                 ),
                 kind=state_kind,
             )
-            return pd.DataFrame(
-                {"shard": [shard], "n_in": [n_in], "n_state": [len(out_k)]}
+            return pa.table(
+                {
+                    "shard": pa.array([shard], pa.int64()),
+                    "n_in": pa.array([n_in], pa.int64()),
+                    "n_state": pa.array([len(out_k)], pa.int64()),
+                }
             )
 
         ds = ray.data.read_parquet(bfiles, override_num_blocks=2 * num_shards)
         ds = ds.repartition(2 * num_shards, shuffle=False)
         return (
-            ds.map_batches(project, batch_format="pandas")
+            ds.map_batches(project, batch_format="pyarrow")
             .groupby("_shard")
-            .map_groups(shard_task, batch_format="pandas")
+            .map_groups(shard_task, batch_format="pyarrow")
             .take_all()
         )
 
@@ -198,7 +203,7 @@ class KllStreamRunner:
             if not pa.types.is_null(f):
                 kt = pa.string() if pa.types.is_large_string(f) else f
                 break
-        frames = [t.to_pandas() for t in tables]
+        frames = [t.to_pandas(integer_object_nulls=True) for t in tables]
         qs = tuple(quantiles)
         cols: dict = {self.key_col: [], "n": []}
         for q in qs:

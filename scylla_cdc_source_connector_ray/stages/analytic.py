@@ -67,15 +67,19 @@ def analytic_kernel(
     n = g.num_rows
     if n == 0:
         out = g
+        # lag/lead/first_value carry the value column's OWN type (the
+        # nonempty path takes from it) — hardcoding float64 here would make
+        # empty blocks schema-incompatible with nonempty ones at a union
+        vt = g.schema.field(value_col).type
         for c, t in [
             ("rn", pa.int64()),
             ("rnk", pa.int64()),
             ("drnk", pa.int64()),
             ("cd", pa.float64()),
-            ("lag_value", pa.float64()),
-            ("lead_value", pa.float64()),
+            ("lag_value", vt),
+            ("lead_value", vt),
             ("nt", pa.int64()),
-            ("first_value", pa.float64()),
+            ("first_value", vt),
         ]:
             out = out.append_column(c, pa.array([], t))
         return out

@@ -678,6 +678,10 @@ def bloom_prefilter_join(
     """
     right_on = left_on if right_on is None else right_on
     n_words = (m_bits + 63) // 64
+    # the right side is consumed twice (bloom build + the join behind it);
+    # materialize once so its upstream read/transforms don't re-execute —
+    # the function's premise is that the right side is small
+    right = right.materialize()
 
     def block_bloom(t: pa.Table) -> pa.Table:
         words = np.zeros(n_words, dtype=np.uint64)

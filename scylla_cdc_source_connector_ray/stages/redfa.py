@@ -390,42 +390,6 @@ class SymbolDFA:
             st = int(self.trans[st, self.char_class[b]])
         return st
 
-    # ------------------------------------------------- vectorized forward run
-    def end_states(self, arr: pa.Array) -> np.ndarray:
-        """DFA state after running each string from the start state —
-        vectorized lockstep over all rows (one gather per character
-        position). Used by the boundary fix in ``fold_regex``: a match that
-        ends exactly at the batch boundary may only be consumed if no longer
-        match could exist from the same start, i.e. the state after the
-        match text has no live outgoing transition."""
-        if isinstance(arr, pa.ChunkedArray):
-            arr = arr.combine_chunks()
-        n = len(arr)
-        if n == 0:
-            return np.zeros(0, np.int32)
-        off_np = np.frombuffer(
-            arr.buffers()[1],
-            dtype=np.int64 if pa.types.is_large_string(arr.type) else np.int32,
-        )[arr.offset : arr.offset + n + 1].astype(np.int64)
-        data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
-        lens = off_np[1:] - off_np[:-1]
-        st = np.full(n, self.start, np.int32)
-        maxL = int(lens.max())
-        for j in range(maxL):
-            act = np.flatnonzero(lens > j)
-            if act.size == 0:
-                break
-            c = self.char_class[data[off_np[act] + j]]
-            st[act] = self.trans[st[act], c]
-        return st
-
-    def can_extend(self, arr: pa.Array) -> np.ndarray:
-        """True per row iff some strictly longer string with this prefix is
-        in the language — i.e. a live state is one transition away from the
-        state reached after the prefix."""
-        ends = self.end_states(arr)
-        return self.live[self.trans[ends]].any(axis=1)
-
     # ------------------------------------------------- vectorized pruning
     def earliest_viable_starts(
         self, tails: pa.Array, visited: np.ndarray | None = None

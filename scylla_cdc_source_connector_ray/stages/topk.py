@@ -255,9 +255,22 @@ def grouped_quantiles_kll(
     values are dropped like SQL aggregates; the NULL key group is kept.
     """
     from ..functions.sketches import KLLSketch
+    from .join import _arrow_schema
 
     keys = list(keys)
     qs = tuple(quantiles)
+    # every partial block must emit the SAME key types or the groupby
+    # exchange rejects the schema mix — an all-null-key block can't infer
+    # the type from its own data, so capture it from the dataset up front
+    # (large_string normalized: the exchange may promote either way)
+    try:
+        sch = _arrow_schema(ds)
+        key_types = {
+            kk: (pa.string() if pa.types.is_large_string(sch.field(kk).type) else sch.field(kk).type)
+            for kk in keys
+        }
+    except Exception:
+        key_types = {}
 
     def partial(b: pd.DataFrame) -> pa.Table:
         b = b[[*keys, value_col]].dropna(subset=[value_col])
@@ -285,10 +298,16 @@ def grouped_quantiles_kll(
                 "vals": pa.array(val_col, pa.list_(pa.float64())),
             }
         )
-        for kk in keys:  # an all-null batch infers null type; pin string
-            if pa.types.is_null(tbl.schema.field(kk).type):
+        for kk in keys:  # pin every block to the dataset's own key type
+            want = key_types.get(kk)
+            if want is None:  # schema unavailable: old behavior, null→string
+                if pa.types.is_null(tbl.schema.field(kk).type):
+                    want = pa.string()
+                else:
+                    continue
+            if tbl.schema.field(kk).type != want:
                 i = tbl.schema.get_field_index(kk)
-                tbl = tbl.set_column(i, kk, tbl[kk].cast(pa.string()))
+                tbl = tbl.set_column(i, kk, tbl[kk].cast(want))
         tbl, _ = null_safe_group_cols(tbl, keys)
         return tbl
 
