@@ -1000,6 +1000,17 @@ def _q_dedup_minhash(sf_dir: str):
     )
 
 
+def _q_dedup_ngram_jaccard(sf_dir: str):
+    """Exact n-gram Jaccard set-similarity self-join (AllPairs prefix
+    filter): ALL pairs with shingle Jaccard >= 0.7 — the exact counterpart
+    of the probabilistic minhash path, same shingle definition."""
+    from scylla_cdc_source_connector_ray.functions.dedup import ngram_jaccard_dedup
+
+    return ngram_jaccard_dedup(_docs(sf_dir), threshold=0.7).select_columns(
+        ["a", "b", "jaccard_micro"]
+    )
+
+
 def _q_dedup_clusters(sf_dir: str):
     """Duplicate-cluster labels: minhash-verified pairs -> distributed
     connected components (alternating large/small-star rounds), cluster_id =
@@ -1801,6 +1812,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_bruteforce_topk": _q_ann_topk,
         "ann_ivf": _q_ann_ivf,
         "dedup_minhash_lsh": _q_dedup_minhash,
+        "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_clusters": _q_dedup_clusters,
         "dedup_keep_canonical": _q_dedup_keep_canonical,
         "dedup_stream_exact": _q_dedup_stream,
@@ -1897,6 +1909,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_frame_plan": oracles.MULTIMODAL_FRAME_PLAN,
         "multimodal_resize_dims": oracles.MULTIMODAL_RESIZE_DIMS,
         "dedup_minhash_lsh": oracles.DEDUP_MINHASH_LSH,
+        "dedup_ngram_jaccard": oracles.DEDUP_NGRAM_JACCARD,
         "dedup_clusters": oracles.DEDUP_CLUSTERS,
         "dedup_keep_canonical": oracles.DEDUP_KEEP_CANONICAL,
         "dedup_stream_exact": oracles.DEDUP_STREAM_EXACT,

@@ -290,6 +290,34 @@ class FastMinHasher(MinHasher):
         return out
 
 
+class MinHashSpillWriter(FastMinHasher):
+    """Arrow-table twin of :class:`FastMinHasher` for the parquet spill
+    fork: emits ``sig`` as a PLAIN ``list<int64>`` column. The pandas
+    object-of-ndarrays output would be converted to Ray's fixed-shape
+    tensor extension type at the block boundary, and that type's pandas
+    metadata does NOT survive a parquet round-trip — reading the spill back
+    and converting to pandas raises on the unparseable
+    ``"numpy.ndarray(shape=(P,), dtype=int64)"`` dtype string."""
+
+    def __call__(self, batch: pd.DataFrame) -> pa.Table:  # type: ignore[override]
+        out = super().__call__(batch)
+        if len(out):
+            values = np.concatenate(list(out["sig"])).astype(np.int64)
+        else:
+            values = np.zeros(0, np.int64)
+        offs = pa.array(
+            np.arange(len(out) + 1, dtype=np.int32) * np.int32(self.num_perm),
+            pa.int32(),
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(out["doc_id"].to_numpy(np.int64), pa.int64()),
+                "sig": pa.ListArray.from_arrays(offs, pa.array(values, pa.int64())),
+                "grams": pa.array(list(out["grams"]), pa.binary()),
+            }
+        )
+
+
 def _mulmod_mersenne(x: np.ndarray, a: np.uint64) -> np.ndarray:
     """(a * x) mod (2^61-1) without 128-bit ints: split a into hi/lo 32-bit
     halves, reduce each partial product with the Mersenne fold."""
@@ -484,10 +512,6 @@ def minhash_lsh_dedup(
     Dataset); the default is a fresh tempdir under /tmp that is deleted at
     interpreter exit (atexit) — the earliest point it is provably no longer
     referenced by an unconsumed lazy Dataset."""
-    import atexit
-    import shutil
-    import tempfile
-
     from ..stages.join import default_join_partitions
 
     if num_partitions is None:
@@ -497,10 +521,9 @@ def minhash_lsh_dedup(
     thr_micro = round(threshold * 1_000_000)
 
     if spill_dir is None:
-        spill_dir = tempfile.mkdtemp(prefix="minhash_fork_", dir="/tmp")
-        atexit.register(shutil.rmtree, spill_dir, ignore_errors=True)
+        spill_dir = _scratch_spill_dir("minhash_fork_")
     ds.map_batches(
-        FastMinHasher,
+        MinHashSpillWriter,
         batch_format="pandas",
         batch_size=2048,
         concurrency=(1, 8),
@@ -524,8 +547,17 @@ def minhash_lsh_dedup(
     from ray.data.aggregate import Count
 
     pairs = pairs.groupby(["a", "b"]).aggregate(Count(alias_name="n_bands"))
-    # co-partitioned verify: hash-join the sorted-unique shingle blobs onto
-    # each side of the pair, then exact integer Jaccard per row
+    return _verify_pairs_blob_join(pairs, spill_dir, num_partitions, thr_micro)
+
+
+def _verify_pairs_blob_join(
+    pairs: ray.data.Dataset, spill_dir: str, num_partitions: int, thr_micro: int
+) -> ray.data.Dataset:
+    """Co-partitioned exact-Jaccard verify shared by the minhash-LSH and
+    AllPairs paths: hash-join each side's sorted-unique shingle blob (read
+    from the parquet spill fork, grams column only) onto the candidate
+    pairs, then integer Jaccard per row and the threshold filter. No
+    driver-side collect, no whole-corpus broadcast."""
     grams = ray.data.read_parquet(spill_dir, columns=["doc_id", "grams"])
     grams_b = ray.data.read_parquet(spill_dir, columns=["doc_id", "grams"]).map_batches(
         lambda t: t.rename_columns(["doc_id_b", "grams_b"]), batch_format="pyarrow"
@@ -540,6 +572,172 @@ def minhash_lsh_dedup(
     return verified.map_batches(
         lambda b: b[b["jaccard_micro"] >= thr_micro], batch_format="pandas"
     )
+
+
+def _scratch_spill_dir(prefix: str) -> str:
+    """Fresh /tmp scratch dir deleted at interpreter exit — the earliest
+    point it is provably no longer referenced by an unconsumed lazy
+    Dataset. Callers that need a tighter lifetime pass their own dir."""
+    import atexit
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix=prefix, dir="/tmp")
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard set-similarity self-join (AllPairs prefix filter)
+# ---------------------------------------------------------------------------
+
+
+class ShingleSetBuilder:
+    """Actor-pool stage: one row per non-empty doc →
+    (doc_id, grams binary = sorted-unique uint64 shingle hashes, n int64).
+    Shares :func:`_batch_gram_hashes` (and therefore the exact shingle
+    definition) with the MinHash path and the SQL oracle's shingles CTE."""
+
+    def __init__(self, ngram: int = 3):
+        self.ngram = ngram
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "doc_id": pd.Series(dtype="int64"),
+                "grams": pd.Series(dtype=object),
+                "n": pd.Series(dtype="int64"),
+            }
+        )
+        if len(batch) == 0 or "doc_id" not in batch.columns:
+            return empty
+        flat, offsets = _batch_gram_hashes(list(batch["text"].fillna("")), self.ngram)
+        nonempty = offsets[:-1] < offsets[1:]  # shingle-less docs leave the pipeline
+        if not nonempty.any():
+            return empty
+        out = pd.DataFrame({"doc_id": batch["doc_id"].values[nonempty].astype("int64")})
+        out["grams"] = [
+            flat[offsets[i] : offsets[i + 1]].tobytes() for i in np.nonzero(nonempty)[0]
+        ]
+        out["n"] = (offsets[1:] - offsets[:-1])[nonempty]
+        return out
+
+
+def prefix_bucket_rows(
+    batch: pd.DataFrame, thr_micro: int, num_parts: int = 512
+) -> pd.DataFrame:
+    """AllPairs prefix rows: for each doc emit its first
+    ``p = n - ceil(thr·n) + 1`` shingle hashes in ascending-hash order (the
+    blob is already sorted) as (gh, doc_id, n, bucket_part) rows.
+
+    Completeness: a pair with Jaccard ≥ thr has intersection
+    ``t ≥ ceil(thr·n)`` on each side; the smallest *common* hash c is
+    preceded in each set only by non-common hashes, of which there are at
+    most ``n − t ≤ p − 1`` — so c lies in BOTH prefixes and the bucket
+    group-join cannot miss the pair. ``ceil`` uses thr_micro integer
+    arithmetic so the bound is exact, never rounded tight.
+
+    bucket_part is a Fibonacci-mix of gh into a coarse partition id: all
+    rows of one gram co-locate while one group task handles many grams —
+    the same salted-coarse-grouping rule as the LSH bucket path."""
+    if len(batch) == 0:
+        return pd.DataFrame(
+            {
+                "gh": pd.Series(dtype="int64"),
+                "doc_id": pd.Series(dtype="int64"),
+                "n": pd.Series(dtype="int64"),
+                "bucket_part": pd.Series(dtype="int64"),
+            }
+        )
+    ns = batch["n"].to_numpy().astype(np.int64)
+    # p = n - ceil(thr_micro*n/1e6) + 1, clipped into [1, n]
+    p = ns - (thr_micro * ns + 999_999) // 1_000_000 + 1
+    p = np.clip(p, 1, ns)
+    flat = np.concatenate(
+        [np.frombuffer(g, dtype=np.uint64)[:k] for g, k in zip(batch["grams"], p)]
+    )
+    out = pd.DataFrame({"gh": flat.astype(np.int64)})
+    out["doc_id"] = np.repeat(batch["doc_id"].to_numpy().astype(np.int64), p)
+    out["n"] = np.repeat(ns, p)
+    out["bucket_part"] = (
+        (flat * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(num_parts)
+    ).astype(np.int64)
+    return out
+
+
+def prefix_candidate_pairs(g: pd.DataFrame, thr_micro: int) -> pd.DataFrame:
+    """All grams of one coarse partition → candidate pairs (a < b), with the
+    AllPairs length filter (Jaccard ≥ thr ⇒ floor(1e6·min/max) ≥ thr_micro)
+    applied before the exchange; vectorized over equal-gh runs."""
+    empty = pd.DataFrame({"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64")})
+    if len(g) < 2:
+        return empty
+    g = g.sort_values(["gh", "doc_id"], kind="mergesort")
+    ids = g["doc_id"].to_numpy().astype(np.int64)
+    ns = g["n"].to_numpy().astype(np.int64)
+    gh = g["gh"].to_numpy()
+    new = np.empty(len(g), dtype=bool)
+    new[0] = True
+    new[1:] = gh[1:] != gh[:-1]
+    ia, ib = _triu_pairs_in_runs(new)
+    if not len(ia):
+        return empty
+    a, b = ids[ia], ids[ib]
+    na, nb = ns[ia], ns[ib]
+    lo, hi = np.minimum(na, nb), np.maximum(na, nb)
+    keep = (a != b) & ((lo * 1_000_000) // hi >= thr_micro)
+    a, b = a[keep], b[keep]
+    return pd.DataFrame({"a": np.minimum(a, b), "b": np.maximum(a, b)})
+
+
+def ngram_jaccard_dedup(
+    ds: ray.data.Dataset,
+    ngram: int = 3,
+    threshold: float = 0.7,
+    num_partitions: int | None = None,
+    spill_dir: str | None = None,
+) -> ray.data.Dataset:
+    """EXACT n-gram Jaccard near-dup self-join → ALL pairs (a < b) with
+    shingle-set Jaccard ≥ threshold, as (a, b, jaccard_micro). Unlike the
+    MinHash path this is not probabilistic: the AllPairs prefix filter
+    (Bayardo/Ma/Srikant, WWW'07) is complete, so the output is exactly the
+    brute-force all-pairs answer at a fraction of its cost.
+
+    100 TB shape: shingle sets are computed once and forked via parquet
+    spill (same discipline as :func:`minhash_lsh_dedup`); the prefix-row
+    exchange ships only ~(1−thr)·|shingles| fixed-width 24-byte rows, the
+    only all-to-all; candidate pairs are generated per coarse gram
+    partition with the length filter applied pre-exchange; the verify is
+    the shared co-partitioned blob join. Worst case (a hot shingle shared
+    by k docs) generates O(k²) candidates in one partition — inherent to
+    exact set joins; raise ``threshold`` or pre-drop stop-shingles if a
+    corpus exhibits it."""
+    from ..stages.join import default_join_partitions
+
+    if num_partitions is None:
+        num_partitions = default_join_partitions()
+    thr_micro = round(threshold * 1_000_000)
+    if spill_dir is None:
+        spill_dir = _scratch_spill_dir("ngramjac_fork_")
+    ds.map_batches(
+        ShingleSetBuilder,
+        batch_format="pandas",
+        batch_size=2048,
+        concurrency=(1, 8),
+        fn_constructor_kwargs={"ngram": ngram},
+    ).write_parquet(spill_dir)  # fork point: both branches read from disk
+    pref = ray.data.read_parquet(spill_dir, columns=["doc_id", "grams", "n"])
+    buckets = pref.map_batches(
+        lambda b: prefix_bucket_rows(b, thr_micro), batch_format="pandas"
+    )
+    pairs = buckets.groupby("bucket_part").map_groups(
+        lambda g: prefix_candidate_pairs(g, thr_micro), batch_format="pandas"
+    )
+    # dedup candidates (a pair can share several prefix grams)
+    from ray.data.aggregate import Count
+
+    pairs = pairs.groupby(["a", "b"]).aggregate(Count(alias_name="n_grams"))
+    return _verify_pairs_blob_join(pairs, spill_dir, num_partitions, thr_micro)
 
 
 # ---------------------------------------------------------------------------

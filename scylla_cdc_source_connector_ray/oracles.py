@@ -658,6 +658,29 @@ DEDUP_MINHASH_LSH = (
     + "\nSELECT a, b, jaccard_micro FROM jac WHERE jaccard_micro >= 700000\n"
 )
 
+#: exact n-gram Jaccard self-join twin (functions.dedup.ngram_jaccard_dedup):
+#: ALL pairs with shingle Jaccard ≥ 0.7 — the brute-force formulation
+#: (pairs sharing ≥1 shingle → exact integer Jaccard), which the engine's
+#: AllPairs prefix filter must reproduce exactly, not approximately
+DEDUP_NGRAM_JACCARD = (
+    _SHINGLES_CTE
+    + f""",
+sets AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+inter AS (
+    SELECT sa.doc_id AS a, sb.doc_id AS b, count(*) AS n_inter
+    FROM shingles sa JOIN shingles sb ON sb.gh = sa.gh AND sa.doc_id < sb.doc_id
+    GROUP BY sa.doc_id, sb.doc_id
+)
+SELECT CAST(i.a AS BIGINT) AS a, CAST(i.b AS BIGINT) AS b,
+       CAST(i.n_inter * 1000000 // (na.n + nb.n - i.n_inter) AS BIGINT)
+           AS jaccard_micro
+FROM inter i
+JOIN sets na ON na.doc_id = i.a
+JOIN sets nb ON nb.doc_id = i.b
+WHERE i.n_inter * 1000000 // (na.n + nb.n - i.n_inter) >= 700000
+"""
+)
+
 #: recursive connected-components block over the verified minhash pairs —
 #: shared by the cluster-label and keep-canonical oracles (one definition of
 #: the pair threshold and the reach formulation)

@@ -172,17 +172,75 @@ def test_minhash_fork_spills_to_parquet(tmp_path):
     lazy dataset is consumed (VERDICT r3 'What's wrong #1')."""
     import glob
 
-    docs = _docs().to_pandas()[["doc_id", "text"]].head(120)
-    ds = ray.data.from_pandas(docs)
+    # read_parquet input is load-bearing: Arrow input blocks are what made
+    # the old pandas-output spill write `sig` as the tensor extension type,
+    # whose pandas metadata breaks the parquet round-trip on read-back
+    ds = ray.data.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
     spill = str(tmp_path / "fork")
     pairs = D.minhash_lsh_dedup(ds, threshold=0.5, spill_dir=spill)
     files = glob.glob(spill + "/*.parquet")
     assert files, "fork point must be written to parquet before consumption"
+    import pyarrow as pa
     import pyarrow.parquet as pq
 
     sch = pq.read_schema(files[0])
     assert {"doc_id", "sig", "grams"} <= set(sch.names)
+    # plain list<int64>, never an extension type (unreadable after round-trip)
+    assert sch.field("sig").type == pa.list_(pa.int64())
     pairs.to_pandas()  # consuming still works off the spilled fork
+
+
+def test_ngram_jaccard_exact_vs_bruteforce():
+    """AllPairs prefix filtering is COMPLETE: the distributed self-join's
+    output equals the brute-force all-pairs exact Jaccard answer — every
+    pair, every micro value, nothing extra and nothing missed."""
+    docs = _docs().to_pandas()[["doc_id", "text"]].head(80)
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    planted = pd.DataFrame(
+        {
+            "doc_id": [200001, 200002, 200003, 200004],
+            "text": [
+                (base + " ") * 3,
+                (base + " ") * 3 + " tail tweak",  # near-dup of 200001
+                base,  # much shorter: length filter must not drop a true pair
+                "completely unrelated content entirely xyz",
+            ],
+        }
+    )
+    all_docs = pd.concat([docs, planted], ignore_index=True)
+    ds = ray.data.from_pandas(all_docs)
+    got = (
+        D.ngram_jaccard_dedup(ds, threshold=0.35)
+        .to_pandas()[["a", "b", "jaccard_micro"]]
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    # brute force over every pair with the same shingle definition
+    ids = all_docs["doc_id"].to_numpy()
+    grams = {
+        i: D._word_ngram_hashes(t or "", 3)
+        for i, t in zip(ids, all_docs["text"])
+    }
+    rows = []
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = sorted((int(ids[x]), int(ids[y])))
+            ga, gb = grams[a], grams[b]
+            if len(ga) == 0 or len(gb) == 0:
+                continue
+            inter = len(np.intersect1d(ga, gb, assume_unique=True))
+            union = len(ga) + len(gb) - inter
+            micro = (inter * 1_000_000) // union
+            if micro >= 350_000:
+                rows.append((a, b, micro))
+    want = (
+        pd.DataFrame(rows, columns=["a", "b", "jaccard_micro"])
+        .astype("int64")
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got.astype("int64"), want)
+    assert ((want["a"] == 200001) & (want["b"] == 200002)).any()
 
 
 def test_lsh_bucket_rows_packed_int64():
