@@ -885,6 +885,40 @@ def _q_text_stats(sf_dir: str):
     )
 
 
+def _q_quality_repetition(sf_dir: str):
+    """Gopher-style within-document repetition: total vs distinct word
+    2-gram windows per doc, dup_micro = duplicate-window fraction."""
+    from scylla_cdc_source_connector_ray.functions.textops import repetition_stats
+
+    return (
+        _docs(sf_dir)
+        .map_batches(repetition_stats, batch_format="pandas")
+        .select_columns(["doc_id", "total_ngrams", "uniq_ngrams", "dup_micro"])
+    )
+
+
+def _q_decontaminate(sf_dir: str):
+    """Benchmark decontamination: flag docs sharing any word 3-gram with
+    the fixed benchmark phrase set (broadcast blocklist, np.isin probe)."""
+    from scylla_cdc_source_connector_ray.functions.textops import ContaminationFlagger
+
+    return (
+        _docs(sf_dir)
+        .map_batches(ContaminationFlagger, batch_format="pandas", concurrency=(1, 4))
+        .select_columns(["doc_id", "n_hits", "contaminated"])
+    )
+
+
+def _q_source_cap(sf_dir: str):
+    """Per-source document cap (RefinedWeb-style per-domain cap): keep the
+    10 lowest doc_ids per source, with their within-source rank."""
+    from scylla_cdc_source_connector_ray.stages.topk import top_k_per_group
+
+    return top_k_per_group(
+        _docs(sf_dir), ["source"], "doc_id", k=10, descending=False
+    ).select_columns(["doc_id", "source", "rank"])
+
+
 def _q_quality(sf_dir: str):
     import numpy as np
     import pyarrow as pa
@@ -1804,6 +1838,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_priority_revenue": _q_relational("order_priority_revenue"),
         "text_stats": _q_text_stats,
         "quality_score": _q_quality,
+        "quality_repetition": _q_quality_repetition,
+        "decontaminate": _q_decontaminate,
+        "source_cap": _q_source_cap,
         "fingerprint_md5": _q_fingerprint,
         "dedup_exact": _q_dedup_exact,
         "dedup_exact_hashed": _q_dedup_exact_hashed,
@@ -1898,6 +1935,9 @@ def oracle_sql() -> dict[str, str]:
         "order_priority_revenue": oracles.ORDER_PRIORITY_REVENUE,
         "text_stats": oracles.TEXT_STATS,
         "quality_score": oracles.QUALITY_SCORE,
+        "quality_repetition": oracles.QUALITY_REPETITION,
+        "decontaminate": oracles.DECONTAMINATE,
+        "source_cap": oracles.SOURCE_CAP,
         "fingerprint_md5": oracles.FINGERPRINT,
         "dedup_exact": oracles.DEDUP_EXACT,
         "dedup_exact_hashed": oracles.DEDUP_EXACT_HASHED,

@@ -441,3 +441,111 @@ def token_topk_spacesaving(
             "cnt_lower": [r[1] - r[2] for r in rows],
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# Repetition scoring (Gopher-style within-document duplication)
+# ---------------------------------------------------------------------------
+
+
+def repetition_stats(
+    batch: pd.DataFrame, ngram: int = 2, text_col: str = "text"
+) -> pd.DataFrame:
+    """Within-document n-gram repetition: per doc, the total number of word
+    n-gram windows, the number of DISTINCT n-grams among them, and
+    ``dup_micro = floor(1e6 · (total − distinct) / total)`` — the
+    duplicate-window fraction used by Gopher/RefinedWeb-style repetition
+    filters. Docs with no windows (empty text) leave the pipeline, like the
+    shingle-less docs of the dedup family.
+
+    Shares the exact shingle definition (word hash + polynomial fold +
+    short-doc single fold) with :mod:`.dedup` and the SQL oracle's grams
+    CTE, so the DuckDB twin's ``count(*)`` / ``count(DISTINCT gh)`` per doc
+    are bit-identical. Vectorized: the only Python loop is md5 per unique
+    word inside :func:`.dedup._batch_gram_hashes`."""
+    from .dedup import _batch_gram_hashes, _ws_split
+
+    texts = list(batch[text_col].fillna(""))
+    _, uoffsets = _batch_gram_hashes(texts, ngram)
+    uniq = uoffsets[1:] - uoffsets[:-1]
+    lens = np.array([len(_ws_split(t.lower())) for t in texts], dtype=np.int64)
+    total = np.where(lens >= ngram, lens - ngram + 1, np.where(lens > 0, 1, 0))
+    keep = total > 0
+    total, uniq = total[keep], uniq[keep]
+    return pd.DataFrame(
+        {
+            "doc_id": batch["doc_id"].to_numpy()[keep].astype("int64"),
+            "total_ngrams": total,
+            "uniq_ngrams": uniq.astype("int64"),
+            "dup_micro": (total - uniq) * 1_000_000 // total,
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (broadcast blocklist membership)
+# ---------------------------------------------------------------------------
+
+#: deterministic "held-out benchmark" corpus: any training doc sharing a
+#: word 3-gram with one of these is flagged. The SQL twin embeds the same
+#: phrases' gram hashes as literals — one definition, two engines.
+BENCHMARK_TEXTS = (
+    "batch batch batch stream spark window",
+    "table scan merge part window small",
+    "the fast key order sort",
+    "join order batch stream",
+)
+
+
+def benchmark_gram_set(
+    benchmark: tuple[str, ...] = BENCHMARK_TEXTS, ngram: int = 3
+) -> np.ndarray:
+    """Sorted-unique uint64 shingle hashes of the benchmark corpus — the
+    broadcast side of decontamination (a few KB even for real benchmark
+    suites; ship it to every actor, never shuffle the corpus against it)."""
+    from .dedup import _word_ngram_hashes
+
+    parts = [_word_ngram_hashes(t, ngram) for t in benchmark]
+    if not parts:
+        return np.zeros(0, dtype=np.uint64)
+    return np.unique(np.concatenate(parts))
+
+
+class ContaminationFlagger:
+    """Actor-pool stage: flags docs sharing any word n-gram with the
+    benchmark set. The gram set is built ONCE per actor in ``__init__``
+    (broadcast-by-construction — it is deterministic from the benchmark
+    literals, so there is nothing to ship); per batch the doc shingles are
+    probed with a single vectorized ``np.isin`` against the sorted set.
+
+    Emits every input doc: (doc_id, n_hits = distinct contaminated
+    shingles, contaminated 0/1) — empty docs score 0."""
+
+    def __init__(
+        self, benchmark: tuple[str, ...] = BENCHMARK_TEXTS, ngram: int = 3
+    ):
+        self.ngram = ngram
+        self.bench = benchmark_gram_set(benchmark, ngram)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        from .dedup import _batch_gram_hashes
+
+        if len(batch) == 0:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series(dtype="int64"),
+                    "n_hits": pd.Series(dtype="int64"),
+                    "contaminated": pd.Series(dtype="int64"),
+                }
+            )
+        flat, offsets = _batch_gram_hashes(list(batch["text"].fillna("")), self.ngram)
+        hit = np.isin(flat, self.bench)
+        doc_of = np.repeat(np.arange(len(batch)), offsets[1:] - offsets[:-1])
+        n_hits = np.bincount(doc_of[hit], minlength=len(batch)).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].to_numpy().astype("int64"),
+                "n_hits": n_hits.astype("int64"),
+                "contaminated": (n_hits > 0).astype("int64"),
+            }
+        )

@@ -658,6 +658,67 @@ DEDUP_MINHASH_LSH = (
     + "\nSELECT a, b, jaccard_micro FROM jac WHERE jaccard_micro >= 700000\n"
 )
 
+#: within-document repetition twin (functions.textops.repetition_stats):
+#: same word-hash + fold gram definition as the shingles CTE, at n=2, but
+#: WITHOUT the per-doc distinct — total windows vs distinct windows per doc
+QUALITY_REPETITION = f"""
+WITH d AS (SELECT doc_id, trim(lower(coalesce(text, ''))) AS t FROM documents),
+w AS (SELECT doc_id,
+        CASE WHEN t = '' THEN [] ELSE regexp_split_to_array(t, '\\s+') END AS ws
+      FROM d),
+h AS (SELECT doc_id,
+        list_transform(ws, x -> CAST(md5_number_upper(x) AS HUGEINT) % {_M}) AS wh,
+        len(ws) AS L
+      FROM w),
+idx AS (SELECT doc_id, wh, L, unnest(generate_series(1, greatest(L - 1, 1))) AS i
+        FROM h WHERE L > 0),
+g AS (SELECT doc_id,
+        CASE WHEN L >= 2 THEN (wh[i] * {_B} + wh[i+1]) % {_M} ELSE wh[1] END AS gh
+      FROM idx),
+rep AS (SELECT doc_id, count(*) AS total, count(DISTINCT gh) AS uniq
+        FROM g GROUP BY doc_id)
+SELECT doc_id,
+       CAST(total AS BIGINT) AS total_ngrams,
+       CAST(uniq AS BIGINT) AS uniq_ngrams,
+       CAST((total - uniq) * 1000000 // total AS BIGINT) AS dup_micro
+FROM rep
+"""
+
+
+def _benchmark_gram_values() -> str:
+    from .functions.textops import benchmark_gram_set
+
+    return ", ".join(f"({int(v)})" for v in benchmark_gram_set())
+
+
+#: benchmark-decontamination twin (functions.textops.ContaminationFlagger):
+#: the benchmark phrases' 3-gram hashes embedded as literals from the same
+#: Python definition; every doc appears, empty docs score 0
+DECONTAMINATE = (
+    _SHINGLES_CTE
+    + f""",
+bench(gh) AS (VALUES {{bench_values}}),
+hits AS (SELECT s.doc_id, count(*) AS n_hits
+         FROM shingles s JOIN bench b ON b.gh = s.gh GROUP BY s.doc_id)
+SELECT dd.doc_id,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(CASE WHEN coalesce(h.n_hits, 0) > 0 THEN 1 ELSE 0 END AS BIGINT)
+           AS contaminated
+FROM documents dd LEFT JOIN hits h ON h.doc_id = dd.doc_id
+""".format(bench_values=_benchmark_gram_values())
+)
+
+#: per-source cap twin (stages.topk.top_k_per_group over documents): keep
+#: the 10 lowest doc_ids per source — the RefinedWeb-style per-domain cap
+SOURCE_CAP = """
+SELECT doc_id, source, rank FROM (
+    SELECT doc_id, source,
+           CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id)
+                AS BIGINT) AS rank
+    FROM documents
+) WHERE rank <= 10
+"""
+
 #: exact n-gram Jaccard self-join twin (functions.dedup.ngram_jaccard_dedup):
 #: ALL pairs with shingle Jaccard ≥ 0.7 — the brute-force formulation
 #: (pairs sharing ≥1 shingle → exact integer Jaccard), which the engine's

@@ -819,3 +819,45 @@ def test_token_topk_spacesaving_recovers_heavy_hitters():
     for _, r in approx.iterrows():
         if r["token"] in ref:
             assert r["cnt_lower"] <= ref[r["token"]] <= r["cnt_upper"]
+
+
+def test_repetition_stats_matches_brute_force():
+    batch = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5],
+            "text": [
+                "a a a a",  # 3 windows, 1 distinct -> dup 2/3
+                "w x y z",  # 3 windows, all distinct -> dup 0
+                "solo",  # short doc: 1 single-fold window
+                "",  # no windows: excluded
+                "p q p q p q",  # 5 windows, 2 distinct
+            ],
+        }
+    )
+    out = T.repetition_stats(batch).set_index("doc_id")
+    assert list(out.index) == [1, 2, 3, 5]
+    assert out.loc[1, "total_ngrams"] == 3 and out.loc[1, "uniq_ngrams"] == 1
+    assert out.loc[1, "dup_micro"] == 2_000_000 // 3
+    assert out.loc[2, "dup_micro"] == 0
+    assert out.loc[3, "total_ngrams"] == 1 and out.loc[3, "uniq_ngrams"] == 1
+    assert out.loc[5, "total_ngrams"] == 5 and out.loc[5, "uniq_ngrams"] == 2
+    assert out.loc[5, "dup_micro"] == 3_000_000 // 5
+
+
+def test_contamination_flagger_planted():
+    flag = T.ContaminationFlagger()
+    batch = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "prefix words then " + T.BENCHMARK_TEXTS[0] + " and a suffix",
+                "completely unrelated words qq ww ee rr tt yy",
+                "",  # empty doc still emitted, zero hits
+            ],
+        }
+    )
+    out = flag(batch).set_index("doc_id")
+    assert list(out.index) == [1, 2, 3]
+    assert out.loc[1, "contaminated"] == 1 and out.loc[1, "n_hits"] >= 4
+    assert out.loc[2, "contaminated"] == 0 and out.loc[2, "n_hits"] == 0
+    assert out.loc[3, "contaminated"] == 0 and out.loc[3, "n_hits"] == 0
