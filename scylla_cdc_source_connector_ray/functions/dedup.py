@@ -406,7 +406,7 @@ def with_bucket_part(buckets: pd.DataFrame, salt: int = _BUCKET_SALT) -> pd.Data
     for c in sorted(
         (c for c in buckets.columns if c.startswith("bk")), key=lambda c: int(c[2:])
     ):
-        h = h * np.uint64(0x9E3779B97F4A7C15) + buckets[c].to_numpy().astype(np.uint64)
+        h = h * _SAMPLE_MIX + buckets[c].to_numpy().astype(np.uint64)
     part = h % np.uint64(salt)
     buckets = buckets.copy()
     buckets["bucket_part"] = (
@@ -659,9 +659,9 @@ def prefix_bucket_rows(
     out = pd.DataFrame({"gh": flat.astype(np.int64)})
     out["doc_id"] = np.repeat(batch["doc_id"].to_numpy().astype(np.int64), p)
     out["n"] = np.repeat(ns, p)
-    out["bucket_part"] = (
-        (flat * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(num_parts)
-    ).astype(np.int64)
+    out["bucket_part"] = ((flat * _SAMPLE_MIX) % np.uint64(num_parts)).astype(
+        np.int64
+    )
     return out
 
 

@@ -306,6 +306,10 @@ def gram_matrix(
     import pyarrow as pa
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:  # np.stack raises on an empty block
+            return pd.DataFrame(
+                {c: pd.Series(dtype="int64") for c in ("i", "j", "s", "n")}
+            )
         M = _stack(b[emb_col].values).astype(np.float64)
         if dims is not None:
             M = M[:, :dims]

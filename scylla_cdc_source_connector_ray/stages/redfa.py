@@ -454,7 +454,9 @@ class SymbolDFA:
         return v
 
 
-def slice_strings(arr: pa.Array, starts: np.ndarray) -> pa.Array:
+def slice_strings(
+    arr: pa.Array, starts: np.ndarray, i32_cap: int = np.iinfo(np.int32).max
+) -> pa.Array:
     """Per-row ``s[starts[i]:]`` suffix slice, zero-copy-ish: ranges-expanded
     byte gather + rebuilt offsets (pa.utf8 output). ``starts`` are byte
     offsets (symbol strings are ASCII, so chars == bytes)."""
@@ -479,6 +481,15 @@ def slice_strings(arr: pa.Array, starts: np.ndarray) -> pa.Array:
         np.arange(total, dtype=np.int64) - np.repeat(out_off[:-1], keep)
     )
     out_bytes = data[src]
+    if total > i32_cap:
+        # >2 GB of sliced bytes: int32 utf8 offsets would silently wrap —
+        # emit large_string (int64 offsets) instead; downstream fold code
+        # handles either width via the off-dtype branch above
+        return pa.Array.from_buffers(
+            pa.large_utf8(),
+            n,
+            [None, pa.py_buffer(out_off.tobytes()), pa.py_buffer(out_bytes.tobytes())],
+        )
     return pa.Array.from_buffers(
         pa.utf8(),
         n,

@@ -71,3 +71,9 @@ def test_slice_strings_offsets_and_types():
     assert slice_strings(big, np.array([1, 2])).to_pylist() == ["ello", "c"]
     sliced = pa.array(["aaa", "bbb", "ccc"]).slice(1)
     assert slice_strings(sliced, np.array([1, 0])).to_pylist() == ["bb", "ccc"]
+    # past the int32-offset capacity the output must promote to
+    # large_string instead of silently wrapping offsets (cap lowered to
+    # make the branch testable)
+    big_out = slice_strings(arr, np.array([0, 0, 0, 0]), i32_cap=4)
+    assert pa.types.is_large_string(big_out.type)
+    assert big_out.to_pylist() == ["hello", "", "abc", "xy"]
