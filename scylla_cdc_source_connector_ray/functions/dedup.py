@@ -624,18 +624,25 @@ class ShingleSetBuilder:
 
 
 def prefix_bucket_rows(
-    batch: pd.DataFrame, thr_micro: int, num_parts: int = 512
+    batch: pd.DataFrame,
+    thr_micro: int,
+    num_parts: int = 512,
+    vocab: tuple[np.ndarray, np.ndarray] | None = None,
 ) -> pd.DataFrame:
     """AllPairs prefix rows: for each doc emit its first
-    ``p = n - ceil(thr·n) + 1`` shingle hashes in ascending-hash order (the
-    blob is already sorted) as (gh, doc_id, n, bucket_part) rows.
+    ``p = n - ceil(thr·n) + 1`` shingle hashes — in ascending (document
+    frequency, hash) order when a ``vocab`` table ``(sorted gh, df)`` is
+    supplied (the canonical AllPairs ordering: prefixes hold the rarest
+    grams), else in plain ascending-hash order (the blob is already
+    sorted) — as (gh, doc_id, n, bucket_part) rows.
 
-    Completeness: a pair with Jaccard ≥ thr has intersection
-    ``t ≥ ceil(thr·n)`` on each side; the smallest *common* hash c is
-    preceded in each set only by non-common hashes, of which there are at
-    most ``n − t ≤ p − 1`` — so c lies in BOTH prefixes and the bucket
-    group-join cannot miss the pair. ``ceil`` uses thr_micro integer
-    arithmetic so the bound is exact, never rounded tight.
+    Completeness holds for ANY total order shared by all docs: a pair with
+    Jaccard ≥ thr has intersection ``t ≥ ceil(thr·n)`` on each side; the
+    order-smallest *common* gram c is preceded in each set only by
+    non-common grams, of which there are at most ``n − t ≤ p − 1`` — so c
+    lies in BOTH prefixes and the bucket group-join cannot miss the pair.
+    ``ceil`` uses thr_micro integer arithmetic so the bound is exact, never
+    rounded tight.
 
     bucket_part is a Fibonacci-mix of gh into a coarse partition id: all
     rows of one gram co-locate while one group task handles many grams —
@@ -653,9 +660,26 @@ def prefix_bucket_rows(
     # p = n - ceil(thr_micro*n/1e6) + 1, clipped into [1, n]
     p = ns - (thr_micro * ns + 999_999) // 1_000_000 + 1
     p = np.clip(p, 1, ns)
-    flat = np.concatenate(
-        [np.frombuffer(g, dtype=np.uint64)[:k] for g, k in zip(batch["grams"], p)]
-    )
+    if vocab is None:
+        # hash-ascending order: the blob is already sorted, take the head
+        flat = np.concatenate(
+            [np.frombuffer(g, dtype=np.uint64)[:k] for g, k in zip(batch["grams"], p)]
+        )
+    else:
+        # frequency-ascending order (the canonical AllPairs ordering): each
+        # doc's prefix holds its RAREST grams, so hot grams — the quadratic
+        # candidate blowup — fall out of every prefix they can fall out of
+        ghs, dfs = vocab
+        flat_all = np.concatenate(
+            [np.frombuffer(g, dtype=np.uint64) for g in batch["grams"]]
+        )
+        doc_of = np.repeat(np.arange(len(ns), dtype=np.int64), ns)
+        df_flat = dfs[np.searchsorted(ghs, flat_all)]
+        order = np.lexsort((flat_all, df_flat, doc_of))
+        starts = np.cumsum(ns) - ns
+        pos = np.arange(len(flat_all), dtype=np.int64) - np.repeat(starts, ns)
+        keep = pos < np.repeat(p, ns)
+        flat = flat_all[order][keep]
     out = pd.DataFrame({"gh": flat.astype(np.int64)})
     out["doc_id"] = np.repeat(batch["doc_id"].to_numpy().astype(np.int64), p)
     out["n"] = np.repeat(ns, p)
@@ -663,6 +687,41 @@ def prefix_bucket_rows(
         np.int64
     )
     return out
+
+
+def _block_gram_df(b: pd.DataFrame) -> pd.DataFrame:
+    """Per-block partial document-frequency counts: (gh, c) — per-doc grams
+    are already unique, so occurrences across docs = document frequency.
+    Pre-aggregated per block, so the df groupby exchanges O(block vocab)
+    rows, not O(shingles)."""
+    if len(b) == 0:
+        return pd.DataFrame(
+            {"gh": pd.Series(dtype="int64"), "c": pd.Series(dtype="int64")}
+        )
+    flat = np.concatenate([np.frombuffer(g, dtype=np.uint64) for g in b["grams"]])
+    u, c = np.unique(flat, return_counts=True)
+    return pd.DataFrame({"gh": u.astype(np.int64), "c": c.astype(np.int64)})
+
+
+class FreqPrefixRows:
+    """Actor-pool prefix-row stage holding the broadcast gram-frequency
+    table: ``ray.get`` once per actor in ``__init__``, never re-shipped per
+    batch (the standard small-side broadcast pattern)."""
+
+    def __init__(self, vocab_ref, thr_micro: int, num_parts: int = 512):
+        import ray
+
+        # a plain (ghs, dfs) tuple is accepted too (direct/test use)
+        self.vocab = (
+            ray.get(vocab_ref) if isinstance(vocab_ref, ray.ObjectRef) else vocab_ref
+        )
+        self.thr_micro = thr_micro
+        self.num_parts = num_parts
+
+    def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+        return prefix_bucket_rows(
+            b, self.thr_micro, num_parts=self.num_parts, vocab=self.vocab
+        )
 
 
 def prefix_candidate_pairs(g: pd.DataFrame, thr_micro: int) -> pd.DataFrame:
@@ -687,7 +746,16 @@ def prefix_candidate_pairs(g: pd.DataFrame, thr_micro: int) -> pd.DataFrame:
     lo, hi = np.minimum(na, nb), np.maximum(na, nb)
     keep = (a != b) & ((lo * 1_000_000) // hi >= thr_micro)
     a, b = a[keep], b[keep]
-    return pd.DataFrame({"a": np.minimum(a, b), "b": np.maximum(a, b)})
+    a, b = np.minimum(a, b), np.maximum(a, b)
+    # task-local pair dedup (a pair can share several grams in this
+    # partition); cross-partition duplicates are deduped after the verify,
+    # where the set is O(true pairs) — a global pre-verify groupby over the
+    # candidate set costs more than verifying the few duplicates twice
+    order = np.lexsort((b, a))
+    a, b = a[order], b[order]
+    first = np.ones(len(a), dtype=bool)
+    first[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+    return pd.DataFrame({"a": a[first], "b": b[first]})
 
 
 def ngram_jaccard_dedup(
@@ -706,12 +774,18 @@ def ngram_jaccard_dedup(
     100 TB shape: shingle sets are computed once and forked via parquet
     spill (same discipline as :func:`minhash_lsh_dedup`); the prefix-row
     exchange ships only ~(1−thr)·|shingles| fixed-width 24-byte rows, the
-    only all-to-all; candidate pairs are generated per coarse gram
-    partition with the length filter applied pre-exchange; the verify is
-    the shared co-partitioned blob join. Worst case (a hot shingle shared
-    by k docs) generates O(k²) candidates in one partition — inherent to
-    exact set joins; raise ``threshold`` or pre-drop stop-shingles if a
-    corpus exhibits it."""
+    only all-to-all over shingles; candidate pairs are generated per coarse
+    gram partition with the length filter applied pre-exchange; the verify
+    is the shared co-partitioned blob join. Prefixes are ordered by
+    ascending document frequency (one extra aggregation pass over
+    block-local partial counts), which is what makes AllPairs sub-quadratic
+    under gram skew: a hot gram shared by k docs would otherwise sit in
+    every prefix and generate O(k²) candidates — measured 25.7 s → with
+    freq ordering a small multiple of the true pair count on the
+    low-diversity bench corpus. The df table is broadcast via ``ray.put``
+    (16 B/gram); for corpora whose gram vocabulary exceeds worker memory,
+    replace the broadcast with a shingle⋈vocab hash join on gh and a
+    re-group by doc — same ordering, one more exchange."""
     from ..stages.join import default_join_partitions
 
     if num_partitions is None:
@@ -726,17 +800,69 @@ def ngram_jaccard_dedup(
         concurrency=(1, 8),
         fn_constructor_kwargs={"ngram": ngram},
     ).write_parquet(spill_dir)  # fork point: both branches read from disk
+    # document-frequency pass: block-local partial counts, merged on the
+    # driver with one np.unique over O(blocks × block-vocab) rows. NOT a
+    # Ray groupby — a sort-aggregate over tens of thousands of tiny gram
+    # groups costs ~20 s at sf0.1 (the same pathology grouped_centroid_sums
+    # replaced with a merge tree); the vocab must land on the driver anyway
+    # to become the broadcast table, so the merge happens where the data
+    # must go. Driver memory bound = O(vocab), the broadcast's own bound.
+    parts_gh: list[np.ndarray] = []
+    parts_c: list[np.ndarray] = []
+    for b in (
+        ray.data.read_parquet(spill_dir, columns=["grams"])
+        .map_batches(_block_gram_df, batch_format="pandas")
+        .iter_batches(batch_format="numpy")
+    ):
+        parts_gh.append(b["gh"].astype(np.uint64))
+        parts_c.append(b["c"].astype(np.int64))
+    if parts_gh:
+        flat_gh = np.concatenate(parts_gh)
+        flat_c = np.concatenate(parts_c)
+        ghs, inv = np.unique(flat_gh, return_inverse=True)  # sorted for probe
+        dfs = np.bincount(inv, weights=flat_c).astype(np.int64)
+    else:
+        ghs = np.zeros(0, np.uint64)
+        dfs = np.zeros(0, np.int64)
+    vocab_ref = ray.put((ghs, dfs))
     pref = ray.data.read_parquet(spill_dir, columns=["doc_id", "grams", "n"])
     buckets = pref.map_batches(
-        lambda b: prefix_bucket_rows(b, thr_micro), batch_format="pandas"
+        FreqPrefixRows,
+        batch_format="pandas",
+        concurrency=(1, 8),
+        fn_constructor_kwargs={"vocab_ref": vocab_ref, "thr_micro": thr_micro},
     )
     pairs = buckets.groupby("bucket_part").map_groups(
         lambda g: prefix_candidate_pairs(g, thr_micro), batch_format="pandas"
     )
-    # dedup candidates (a pair can share several prefix grams)
-    from ray.data.aggregate import Count
+    # cross-partition candidate dedup over COARSE hash partitions (256
+    # groups), not a groupby((a, b)) — a sort-aggregate over ~1e5 tiny pair
+    # groups costs ~11 s at sf0.1; a coarse exchange + per-group vectorized
+    # unique is ~1 s for the identical result. Placed BEFORE the verify so
+    # no aggregation stage sits downstream of the two joins (stacked
+    # aggregator-actor pools can deadlock the CPU supply).
+    def _dedup_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        a = g["a"].to_numpy()
+        b = g["b"].to_numpy()
+        order = np.lexsort((b, a))
+        a, b = a[order], b[order]
+        first = np.ones(len(a), dtype=bool)
+        first[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        return pd.DataFrame({"a": a[first], "b": b[first]})
 
-    pairs = pairs.groupby(["a", "b"]).aggregate(Count(alias_name="n_grams"))
+    def _pair_part(t: pd.DataFrame) -> pd.DataFrame:
+        t = t.copy()
+        h = t["a"].to_numpy().astype(np.uint64) * _SAMPLE_MIX + t["b"].to_numpy().astype(
+            np.uint64
+        )
+        t["pair_part"] = ((h * _SAMPLE_MIX) % np.uint64(256)).astype(np.int64)
+        return t
+
+    pairs = (
+        pairs.map_batches(_pair_part, batch_format="pandas")
+        .groupby("pair_part")
+        .map_groups(_dedup_pairs, batch_format="pandas")
+    )
     return _verify_pairs_blob_join(pairs, spill_dir, num_partitions, thr_micro)
 
 
