@@ -1112,6 +1112,49 @@ def _q_dedup_stream(sf_dir: str):
         shutil.rmtree(base, ignore_errors=True)
 
 
+def _q_source_cap_stream(sf_dir: str):
+    """Streaming per-source admission cap: the documents table split into a
+    4-window doc_id-ordered log, consumed in 2 micro-batches with per-shard
+    checkpointed admitted-counts — the admitted set must equal the batch
+    per-source cap (10 lowest doc_ids per source), i.e. batching never
+    changes the quota decision."""
+    import hashlib
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from scylla_cdc_source_connector_ray.pipelines.cap_stream import SourceCapRunner
+
+    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet")).select(
+        ["doc_id", "source"]
+    )
+    t = docs.sort_by([("doc_id", "ascending")])
+    base = os.path.join(
+        "/tmp/scylla_cdc_cap_stream",
+        hashlib.md5(sf_dir.encode()).hexdigest()[:12] + f"-{os.getpid()}",
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    log = os.path.join(base, "log")
+    os.makedirs(log)
+    n, nf = t.num_rows, 4
+    for i in range(nf):
+        lo, hi = i * n // nf, (i + 1) * n // nf
+        pq.write_table(t.slice(lo, hi - lo), os.path.join(log, f"window-{i:05d}.parquet"))
+    runner = SourceCapRunner(
+        log,
+        num_shards=8,
+        sink_dir=os.path.join(base, "out"),
+        checkpoint_dir=os.path.join(base, "ckpt"),
+        k=10,
+    )
+    try:
+        runner.run(files_per_batch=2)
+        return runner.read_output().select(["doc_id", "source"])
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def _q_dedup_keep_canonical(sf_dir: str):
     """End-to-end near-dup filter: the corpus minus non-canonical duplicate-
     cluster members (minhash pairs -> connected components -> broadcast drop
@@ -1841,6 +1884,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_repetition": _q_quality_repetition,
         "decontaminate": _q_decontaminate,
         "source_cap": _q_source_cap,
+        "source_cap_stream": _q_source_cap_stream,
         "fingerprint_md5": _q_fingerprint,
         "dedup_exact": _q_dedup_exact,
         "dedup_exact_hashed": _q_dedup_exact_hashed,
@@ -1938,6 +1982,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_repetition": oracles.QUALITY_REPETITION,
         "decontaminate": oracles.DECONTAMINATE,
         "source_cap": oracles.SOURCE_CAP,
+        "source_cap_stream": oracles.SOURCE_CAP_STREAM,
         "fingerprint_md5": oracles.FINGERPRINT,
         "dedup_exact": oracles.DEDUP_EXACT,
         "dedup_exact_hashed": oracles.DEDUP_EXACT_HASHED,

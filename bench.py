@@ -302,6 +302,15 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
             lambda: minhash_lsh_dedup(ray.data.read_parquet(docs_path), threshold=0.7).count(),
         )
 
+        from scylla_cdc_source_connector_ray.functions.dedup import ngram_jaccard_dedup
+
+        timed(
+            "dedup_ngram_jaccard",
+            lambda: ngram_jaccard_dedup(
+                ray.data.read_parquet(docs_path), threshold=0.7
+            ).count(),
+        )
+
         from scylla_cdc_source_connector_ray.functions.corpus import corpus_prep
 
         timed(

@@ -253,6 +253,30 @@ def cmd_dedup_stream(args) -> int:
     return 0
 
 
+def cmd_cap_stream(args) -> int:
+    """Streaming per-key admission cap over a windowed document log
+    (checkpointed per-key admitted counts, exactly-once;
+    pipelines/cap_stream.py)."""
+    import ray
+
+    _init_ray(args)
+    from .pipelines.cap_stream import SourceCapRunner
+
+    runner = SourceCapRunner(
+        args.log_dir,
+        num_shards=args.num_shards,
+        sink_dir=args.out,
+        checkpoint_dir=args.checkpoint,
+        k=args.cap,
+        key_col=args.key_col,
+        order_col=args.order_col,
+    )
+    totals = _run_or_tail(runner, args)
+    print(json.dumps({"ok": True, **totals, "out": args.out, "checkpoint": args.checkpoint}))
+    ray.shutdown()
+    return 0
+
+
 def cmd_element_stream(args) -> int:
     """Streaming element-level collection capture (list/set/map element-op
     folds with cross-batch live-cell carry; pipelines/element_stream.py)."""
@@ -365,6 +389,21 @@ def main(argv=None) -> int:
     dp.add_argument("--poll-ms", type=int, default=1000)
     dp.add_argument("--idle-polls", type=int, default=3)
     dp.set_defaults(fn=cmd_dedup_stream)
+    kp = sub.add_parser("cap-stream", help="streaming per-key admission cap (per-domain quota)")
+    kp.add_argument("--log-dir", required=True)
+    kp.add_argument("--out", default="/tmp/scylla_cdc_ray/cap_out")
+    kp.add_argument("--checkpoint", default="/tmp/scylla_cdc_ray/cap_ckpt")
+    kp.add_argument("--cap", type=int, required=True, help="max admitted rows per key")
+    kp.add_argument("--key-col", default="source")
+    kp.add_argument("--order-col", default="doc_id")
+    kp.add_argument("--num-shards", type=int, default=64)
+    kp.add_argument("--num-cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
+    kp.add_argument("--files-per-batch", type=int, default=4)
+    kp.add_argument("--max-batches", type=int, default=None)
+    kp.add_argument("--tail", action="store_true", help="live tail: poll for new files")
+    kp.add_argument("--poll-ms", type=int, default=1000)
+    kp.add_argument("--idle-polls", type=int, default=3)
+    kp.set_defaults(fn=cmd_cap_stream)
     mp = sub.add_parser("minhash-stream", help="streaming arrival-order LSH near-dup filter")
     mp.add_argument("--log-dir", required=True)
     mp.add_argument("--out", default="/tmp/scylla_cdc_ray/mh_out")

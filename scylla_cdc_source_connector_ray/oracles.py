@@ -719,6 +719,17 @@ SELECT doc_id, source, rank FROM (
 ) WHERE rank <= 10
 """
 
+#: streaming per-source cap twin (pipelines.cap_stream.SourceCapRunner over
+#: a doc_id-ordered 4-window log): arrival order == doc_id order, so the
+#: admitted set is exactly the batch cap — micro-batching must not change it
+SOURCE_CAP_STREAM = """
+SELECT doc_id, source FROM (
+    SELECT doc_id, source,
+           row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rnk
+    FROM documents
+) WHERE rnk <= 10
+"""
+
 #: exact n-gram Jaccard self-join twin (functions.dedup.ngram_jaccard_dedup):
 #: ALL pairs with shingle Jaccard ≥ 0.7 — the brute-force formulation
 #: (pairs sharing ≥1 shingle → exact integer Jaccard), which the engine's

@@ -1,0 +1,120 @@
+"""Streaming per-source admission cap: cross-batch quota state,
+exactly-once replay, null keys."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from scylla_cdc_source_connector_ray.pipelines.cap_stream import SourceCapRunner
+
+
+def _write_log(tmp, frames):
+    log = os.path.join(tmp, "log")
+    os.makedirs(log, exist_ok=True)
+    for i, df in enumerate(frames):
+        pq.write_table(
+            pa.Table.from_pandas(df, preserve_index=False),
+            os.path.join(log, f"window-{i:05d}.parquet"),
+        )
+    return log
+
+
+def _runner(tmp, log, k=2, name="r"):
+    return SourceCapRunner(
+        log,
+        num_shards=4,
+        sink_dir=os.path.join(tmp, name, "out"),
+        checkpoint_dir=os.path.join(tmp, name, "ckpt"),
+        k=k,
+    )
+
+
+def _mk(ids, sources):
+    return pd.DataFrame({"doc_id": np.array(ids, np.int64), "source": sources})
+
+
+def test_cap_across_batches(tmp_path):
+    tmp = str(tmp_path)
+    # source "x" exhausts its quota (k=2) in batch 0; batch 1 must admit
+    # zero more "x" rows but still admit "y"'s second row
+    log = _write_log(
+        tmp,
+        [
+            _mk([0, 1, 2], ["x", "x", "y"]),
+            _mk([3, 4, 5], ["x", "y", "x"]),
+        ],
+    )
+    r = _runner(tmp, log, k=2)
+    totals = r.run(files_per_batch=1)
+    assert totals == {
+        "batches": 2,
+        "rows": 6,
+        "admitted": 4,
+        "rejected": 2,
+        "crashed": False,
+    }
+    out = r.read_output().to_pandas().sort_values("doc_id")
+    assert list(out["doc_id"]) == [0, 1, 2, 4]
+
+
+def test_cap_equals_batch_answer_and_null_keys(tmp_path):
+    """Micro-batching must not change the admitted set: streaming over any
+    split == the k lowest doc_ids per source; NULL source is one group."""
+    tmp = str(tmp_path)
+    rng = np.random.default_rng(7)
+    sources = [
+        None if rng.random() < 0.15 else f"s{int(rng.integers(0, 5))}"
+        for _ in range(120)
+    ]
+    df = _mk(range(120), sources)
+    want = (
+        df.assign(rk=df.groupby(df["source"].fillna("\0NULL"))["doc_id"].rank("first"))
+        .query("rk <= 3")["doc_id"]
+        .tolist()
+    )
+    for nf, fpb, name in [(1, 1, "one"), (4, 1, "four"), (4, 2, "two")]:
+        frames = [
+            df.iloc[i * 120 // nf : (i + 1) * 120 // nf].reset_index(drop=True)
+            for i in range(nf)
+        ]
+        log = _write_log(os.path.join(tmp, name), frames)
+        r = _runner(os.path.join(tmp, name), log, k=3, name=name)
+        r.run(files_per_batch=fpb)
+        got = sorted(r.read_output().to_pandas()["doc_id"].tolist())
+        assert got == sorted(want), f"split {name} changed the admitted set"
+
+
+def test_cap_kill_resume_replay_identical(tmp_path):
+    tmp = str(tmp_path)
+    frames = [
+        _mk(range(i * 10, (i + 1) * 10), [f"s{j % 3}" for j in range(10)])
+        for i in range(4)
+    ]
+    log = _write_log(tmp, frames)
+    ref = _runner(tmp, log, k=5, name="ref")
+    ref.run(files_per_batch=2)
+    want = ref.read_output().to_pandas().sort_values("doc_id")
+
+    r = _runner(tmp, log, k=5, name="crash")
+    crashed = r.run(files_per_batch=2, crash_before_commit_at=1)
+    assert crashed["crashed"]
+    resumed = r.run(files_per_batch=2)
+    assert not resumed["crashed"]
+    got = r.read_output().to_pandas().sort_values("doc_id")
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.reset_index(drop=True)
+    )
+
+
+def test_cap_resume_pin_mismatch_fails_loudly(tmp_path):
+    tmp = str(tmp_path)
+    log = _write_log(tmp, [_mk([0, 1], ["x", "y"]), _mk([2, 3], ["x", "y"])])
+    r = _runner(tmp, log, k=2)
+    r.run(files_per_batch=1, max_batches=1)
+    import pytest
+
+    with pytest.raises(ValueError, match="replay"):
+        _runner(tmp, log, k=3).run(files_per_batch=1)
