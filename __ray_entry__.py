@@ -909,6 +909,15 @@ def _q_decontaminate(sf_dir: str):
     )
 
 
+def _q_curation_chain(sf_dir: str):
+    """Full curation composition: repetition filter -> benchmark
+    decontamination -> exact dedup -> per-source cap, as one streaming
+    Dataset chain (each stage is an already-gated operator)."""
+    from scylla_cdc_source_connector_ray.functions.corpus import curation_chain
+
+    return curation_chain(_docs(sf_dir)).select_columns(["doc_id", "source", "rank"])
+
+
 def _q_source_cap(sf_dir: str):
     """Per-source document cap (RefinedWeb-style per-domain cap): keep the
     10 lowest doc_ids per source, with their within-source rank."""
@@ -1885,6 +1894,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": _q_decontaminate,
         "source_cap": _q_source_cap,
         "source_cap_stream": _q_source_cap_stream,
+        "curation_chain": _q_curation_chain,
         "fingerprint_md5": _q_fingerprint,
         "dedup_exact": _q_dedup_exact,
         "dedup_exact_hashed": _q_dedup_exact_hashed,
@@ -1983,6 +1993,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": oracles.DECONTAMINATE,
         "source_cap": oracles.SOURCE_CAP,
         "source_cap_stream": oracles.SOURCE_CAP_STREAM,
+        "curation_chain": oracles.CURATION_CHAIN,
         "fingerprint_md5": oracles.FINGERPRINT,
         "dedup_exact": oracles.DEDUP_EXACT,
         "dedup_exact_hashed": oracles.DEDUP_EXACT_HASHED,

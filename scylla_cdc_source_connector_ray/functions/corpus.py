@@ -102,3 +102,70 @@ def quality_above_median(
         lambda t: t.filter(pc.greater_equal(t["quality_micro"], threshold)),
         batch_format="pyarrow",
     )
+
+
+class _DecontamFilter:
+    """Contamination FILTER form of ``textops.ContaminationFlagger``: drops
+    flagged rows instead of emitting flags (blocklist built once per actor,
+    rows never leave the task)."""
+
+    def __init__(self, ngram: int = 3):
+        from .textops import ContaminationFlagger
+
+        self._flag = ContaminationFlagger(ngram=ngram)
+
+    def __call__(self, b):
+        if len(b) == 0:
+            return b
+        flags = self._flag(b)
+        return b[flags["contaminated"].to_numpy() == 0]
+
+
+def curation_chain(
+    docs: ray.data.Dataset,
+    max_dup_micro: int = 60_000,
+    cap_per_source: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> ray.data.Dataset:
+    """The full curation composition a training-data pipeline runs before
+    tokenization: within-doc repetition filter → benchmark decontamination
+    → exact dedup (min id per normalized content) → per-source cap. Output:
+    (``id_col``, ``source_col``, rank) of the admitted documents.
+
+    Scale shape: the first two stages are per-batch kernels with
+    actor-held broadcast state (no exchange, the corpus is reduced before
+    anything moves); the dedup exchanges only (hash, id, source) rows; the
+    cap reuses ``top_k_per_group`` (partial prune before its one keyed
+    exchange). Stage order is the conventional cheapest-reduction-first."""
+    from .dedup import first_row_per_key, with_content_hash
+    from .textops import repetition_stats
+    from ..stages.topk import top_k_per_group
+
+    import pandas as pd
+
+    def rep_filter(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return b[[id_col, text_col, source_col]]
+        stats = repetition_stats(b, ngram=2, text_col=text_col)
+        ok = stats[stats["dup_micro"] <= max_dup_micro]["doc_id"]
+        keep = b[id_col].isin(set(ok.tolist()))
+        return b.loc[keep, [id_col, text_col, source_col]]
+
+    filtered = docs.map_batches(rep_filter, batch_format="pandas")
+    clean = filtered.map_batches(
+        _DecontamFilter, batch_format="pandas", concurrency=(1, 4)
+    )
+    hashed = clean.map_batches(
+        lambda b: with_content_hash(b, text_col)[
+            ["content_hash", id_col, source_col]
+        ],
+        batch_format="pandas",
+    )
+    deduped = first_row_per_key(hashed, "content_hash", id_col).map_batches(
+        lambda t: t.select([id_col, source_col]), batch_format="pyarrow"
+    )
+    return top_k_per_group(
+        deduped, [source_col], id_col, k=cap_per_source, descending=False
+    )

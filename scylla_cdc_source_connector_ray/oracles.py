@@ -730,6 +730,43 @@ SELECT doc_id, source FROM (
 ) WHERE rnk <= 10
 """
 
+#: full curation-chain twin (functions.corpus.curation_chain): repetition
+#: filter (2-gram dup_micro ≤ 60000) → benchmark decontamination → exact
+#: dedup (min doc_id per normalized content) → per-source cap (10 lowest).
+#: Each stage is the SAME definition as its standalone oracle; the
+#: repetition CTEs are suffixed r to coexist with the shingles CTE.
+CURATION_CHAIN = (
+    _SHINGLES_CTE
+    + f""",
+bench(gh) AS (VALUES {{bench_values}}),
+hits AS (SELECT DISTINCT s.doc_id FROM shingles s JOIN bench b ON b.gh = s.gh),
+idxr AS (SELECT doc_id, wh, L, unnest(generate_series(1, greatest(L - 1, 1))) AS i
+         FROM h WHERE L > 0),
+gr AS (SELECT doc_id,
+         CASE WHEN L >= 2 THEN (wh[i] * {_B} + wh[i+1]) % {_M} ELSE wh[1] END AS gh
+       FROM idxr),
+rep AS (SELECT doc_id, count(*) AS total, count(DISTINCT gh) AS uniq
+        FROM gr GROUP BY doc_id),
+keepq AS (SELECT doc_id FROM rep WHERE (total - uniq) * 1000000 // total <= 60000),
+clean AS (
+    SELECT dd.doc_id, dd.text, dd.source
+    FROM documents dd JOIN keepq USING (doc_id)
+    WHERE dd.doc_id NOT IN (SELECT doc_id FROM hits)
+),
+dedup AS (
+    SELECT min(doc_id) AS doc_id FROM clean
+    GROUP BY md5(trim(lower(regexp_replace(coalesce(text, ''), '\\s+', ' ', 'g'))))
+),
+capd AS (
+    SELECT c.doc_id, c.source,
+           CAST(row_number() OVER (PARTITION BY c.source ORDER BY c.doc_id)
+                AS BIGINT) AS rank
+    FROM clean c JOIN dedup USING (doc_id)
+)
+SELECT doc_id, source, rank FROM capd WHERE rank <= 10
+""".format(bench_values=_benchmark_gram_values())
+)
+
 #: exact n-gram Jaccard self-join twin (functions.dedup.ngram_jaccard_dedup):
 #: ALL pairs with shingle Jaccard ≥ 0.7 — the brute-force formulation
 #: (pairs sharing ≥1 shingle → exact integer Jaccard), which the engine's
