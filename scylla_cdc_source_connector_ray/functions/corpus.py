@@ -109,10 +109,14 @@ class _DecontamFilter:
     flagged rows instead of emitting flags (blocklist built once per actor,
     rows never leave the task)."""
 
-    def __init__(self, ngram: int = 3):
+    def __init__(
+        self, ngram: int = 3, text_col: str = "text", id_col: str = "doc_id"
+    ):
         from .textops import ContaminationFlagger
 
-        self._flag = ContaminationFlagger(ngram=ngram)
+        self._flag = ContaminationFlagger(
+            ngram=ngram, text_col=text_col, id_col=id_col
+        )
 
     def __call__(self, b):
         if len(b) == 0:
@@ -148,14 +152,17 @@ def curation_chain(
     def rep_filter(b: pd.DataFrame) -> pd.DataFrame:
         if len(b) == 0:
             return b[[id_col, text_col, source_col]]
-        stats = repetition_stats(b, ngram=2, text_col=text_col)
+        stats = repetition_stats(b, ngram=2, text_col=text_col, id_col=id_col)
         ok = stats[stats["dup_micro"] <= max_dup_micro]["doc_id"]
         keep = b[id_col].isin(set(ok.tolist()))
         return b.loc[keep, [id_col, text_col, source_col]]
 
     filtered = docs.map_batches(rep_filter, batch_format="pandas")
     clean = filtered.map_batches(
-        _DecontamFilter, batch_format="pandas", concurrency=(1, 4)
+        _DecontamFilter,
+        batch_format="pandas",
+        concurrency=(1, 4),
+        fn_constructor_kwargs={"text_col": text_col, "id_col": id_col},
     )
     hashed = clean.map_batches(
         lambda b: with_content_hash(b, text_col)[

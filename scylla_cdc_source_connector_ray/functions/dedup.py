@@ -748,14 +748,21 @@ def prefix_candidate_pairs(g: pd.DataFrame, thr_micro: int) -> pd.DataFrame:
     a, b = a[keep], b[keep]
     a, b = np.minimum(a, b), np.maximum(a, b)
     # task-local pair dedup (a pair can share several grams in this
-    # partition); cross-partition duplicates are deduped after the verify,
-    # where the set is O(true pairs) — a global pre-verify groupby over the
-    # candidate set costs more than verifying the few duplicates twice
+    # partition); CROSS-partition duplicates are removed by the coarse
+    # pair_part exchange in ngram_jaccard_dedup, before the verify — this
+    # local pass just shrinks what that exchange ships
+    a, b = _unique_pairs(a, b)
+    return pd.DataFrame({"a": a, "b": b})
+
+
+def _unique_pairs(a: np.ndarray, b: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized distinct over (a, b) pairs: lexsort + adjacent-unique.
+    THE shared pair-dedup kernel (task-local and partition-level stages)."""
     order = np.lexsort((b, a))
     a, b = a[order], b[order]
     first = np.ones(len(a), dtype=bool)
     first[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
-    return pd.DataFrame({"a": a[first], "b": b[first]})
+    return a[first], b[first]
 
 
 def ngram_jaccard_dedup(
@@ -842,13 +849,8 @@ def ngram_jaccard_dedup(
     # no aggregation stage sits downstream of the two joins (stacked
     # aggregator-actor pools can deadlock the CPU supply).
     def _dedup_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        a = g["a"].to_numpy()
-        b = g["b"].to_numpy()
-        order = np.lexsort((b, a))
-        a, b = a[order], b[order]
-        first = np.ones(len(a), dtype=bool)
-        first[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
-        return pd.DataFrame({"a": a[first], "b": b[first]})
+        a, b = _unique_pairs(g["a"].to_numpy(), g["b"].to_numpy())
+        return pd.DataFrame({"a": a, "b": b})
 
     def _pair_part(t: pd.DataFrame) -> pd.DataFrame:
         t = t.copy()

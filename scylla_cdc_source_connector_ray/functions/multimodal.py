@@ -131,12 +131,16 @@ class Decoder:
             img = np.asarray(mod.open(io.BytesIO(payload)).convert("RGB"))
         else:
             img = np.asarray(mod.imread(payload))
-            # imageio returns the file's native dtype; rescale to uint8
-            # range instead of letting the cast below wrap values mod 256
-            if img.dtype == np.uint16:
-                img = (img >> 8).astype(np.uint8)
-            elif np.issubdtype(img.dtype, np.floating):
+            # imageio returns the file's native dtype; rescale EVERY
+            # non-uint8 dtype to uint8 range instead of letting the cast
+            # below wrap values mod 256 (uint16/int16/int32 TIFFs, floats)
+            if np.issubdtype(img.dtype, np.floating):
                 img = np.clip(img * 255.0 if img.max() <= 1.0 else img, 0, 255)
+            elif img.dtype != np.uint8 and np.issubdtype(img.dtype, np.integer):
+                info = np.iinfo(img.dtype)
+                img = np.clip(
+                    img.astype(np.float64) * (255.0 / max(info.max, 1)), 0, 255
+                )
             if img.ndim == 2:
                 img = img[:, :, None]
             if img.shape[2] < 3:  # grayscale / luminance+alpha → 3-channel

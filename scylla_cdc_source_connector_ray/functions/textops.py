@@ -449,7 +449,10 @@ def token_topk_spacesaving(
 
 
 def repetition_stats(
-    batch: pd.DataFrame, ngram: int = 2, text_col: str = "text"
+    batch: pd.DataFrame,
+    ngram: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
 ) -> pd.DataFrame:
     """Within-document n-gram repetition: per doc, the total number of word
     n-gram windows, the number of DISTINCT n-grams among them, and
@@ -474,7 +477,7 @@ def repetition_stats(
     total, uniq = total[keep], uniq[keep]
     return pd.DataFrame(
         {
-            "doc_id": batch["doc_id"].to_numpy()[keep].astype("int64"),
+            "doc_id": batch[id_col].to_numpy()[keep].astype("int64"),
             "total_ngrams": total,
             "uniq_ngrams": uniq.astype("int64"),
             "dup_micro": (total - uniq) * 1_000_000 // total,
@@ -522,10 +525,16 @@ class ContaminationFlagger:
     shingles, contaminated 0/1) — empty docs score 0."""
 
     def __init__(
-        self, benchmark: tuple[str, ...] = BENCHMARK_TEXTS, ngram: int = 3
+        self,
+        benchmark: tuple[str, ...] = BENCHMARK_TEXTS,
+        ngram: int = 3,
+        text_col: str = "text",
+        id_col: str = "doc_id",
     ):
         self.ngram = ngram
         self.bench = benchmark_gram_set(benchmark, ngram)
+        self.text_col = text_col
+        self.id_col = id_col
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         from .dedup import _batch_gram_hashes
@@ -538,13 +547,15 @@ class ContaminationFlagger:
                     "contaminated": pd.Series(dtype="int64"),
                 }
             )
-        flat, offsets = _batch_gram_hashes(list(batch["text"].fillna("")), self.ngram)
+        flat, offsets = _batch_gram_hashes(
+            list(batch[self.text_col].fillna("")), self.ngram
+        )
         hit = np.isin(flat, self.bench)
         doc_of = np.repeat(np.arange(len(batch)), offsets[1:] - offsets[:-1])
         n_hits = np.bincount(doc_of[hit], minlength=len(batch)).astype(np.int64)
         return pd.DataFrame(
             {
-                "doc_id": batch["doc_id"].to_numpy().astype("int64"),
+                "doc_id": batch[self.id_col].to_numpy().astype("int64"),
                 "n_hits": n_hits.astype("int64"),
                 "contaminated": (n_hits > 0).astype("int64"),
             }

@@ -483,8 +483,12 @@ def slice_strings(
     out_bytes = data[src]
     if total > i32_cap:
         # >2 GB of sliced bytes: int32 utf8 offsets would silently wrap —
-        # emit large_string (int64 offsets) instead; downstream fold code
-        # handles either width via the off-dtype branch above
+        # emit large_string (int64 offsets) instead. NOTE: the CEP stream
+        # runner pins its tail state to plain string, so a shard carrying
+        # >2 GB of tails still fails LOUDLY at its own state encode
+        # (ArrowCapacityError) — this fallback protects direct callers and
+        # keeps the slice itself correct; it does not lift the per-shard
+        # carry limit of utf8-pinned state schemas
         return pa.Array.from_buffers(
             pa.large_utf8(),
             n,

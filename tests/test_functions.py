@@ -861,3 +861,43 @@ def test_contamination_flagger_planted():
     assert out.loc[1, "contaminated"] == 1 and out.loc[1, "n_hits"] >= 4
     assert out.loc[2, "contaminated"] == 0 and out.loc[2, "n_hits"] == 0
     assert out.loc[3, "contaminated"] == 0 and out.loc[3, "n_hits"] == 0
+
+
+def test_curation_chain_custom_column_names():
+    """id_col/text_col/source_col plumb through every stage (the repetition
+    and decontamination kernels take the names; nothing hardcodes doc_id)."""
+    from scylla_cdc_source_connector_ray.functions.corpus import curation_chain
+
+    docs = (
+        _docs()
+        .to_pandas()[["doc_id", "text", "source"]]
+        .head(60)
+        .rename(columns={"doc_id": "item_id", "text": "body", "source": "site"})
+    )
+    got = (
+        curation_chain(
+            ray.data.from_pandas(docs),
+            cap_per_source=2,
+            id_col="item_id",
+            text_col="body",
+            source_col="site",
+        )
+        .to_pandas()
+        .sort_values("item_id")
+        .reset_index(drop=True)
+    )
+    # equivalence with the default-named run on the same data
+    want = (
+        curation_chain(
+            ray.data.from_pandas(
+                docs.rename(columns={"item_id": "doc_id", "body": "text", "site": "source"})
+            ),
+            cap_per_source=2,
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got["item_id"].tolist() == want["doc_id"].tolist()
+    assert got["site"].tolist() == want["source"].tolist()
+    assert got["rank"].tolist() == want["rank"].tolist()
