@@ -118,3 +118,29 @@ def test_cap_resume_pin_mismatch_fails_loudly(tmp_path):
 
     with pytest.raises(ValueError, match="replay"):
         _runner(tmp, log, k=3).run(files_per_batch=1)
+
+
+def test_cap_follow_live_tail(tmp_path):
+    """follow() enforces the quota across tail polls exactly as run() does
+    across batches: a late-arriving file cannot re-open an exhausted key."""
+    import threading
+    import time
+
+    tmp = str(tmp_path)
+    log = _write_log(tmp, [_mk([0, 1], ["x", "x"])])  # exhausts x at k=2
+    r = _runner(tmp, log, k=2)
+
+    def writer():
+        time.sleep(0.6)
+        df = _mk([2, 3], ["x", "y"])  # x over quota, y fresh
+        tmp_f = os.path.join(log, ".window-00001.parquet.tmp")
+        pq.write_table(pa.Table.from_pandas(df, preserve_index=False), tmp_f)
+        os.rename(tmp_f, os.path.join(log, "window-00001.parquet"))
+
+    t = threading.Thread(target=writer)
+    t.start()
+    totals = r.follow(files_per_batch=1, poll_interval_s=0.3, idle_polls=4)
+    t.join()
+    assert totals["batches"] == 2
+    got = sorted(r.read_output().to_pandas()["doc_id"].tolist())
+    assert got == [0, 1, 3]  # doc 2 rejected across the tail poll
