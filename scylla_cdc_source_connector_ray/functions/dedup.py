@@ -18,6 +18,7 @@ Scale shapes (ray_guide "Aggregation at scale"):
 from __future__ import annotations
 
 import hashlib
+import os
 
 import re
 
@@ -529,6 +530,8 @@ def minhash_lsh_dedup(
         concurrency=(1, 8),
         fn_constructor_kwargs={"num_perm": num_perm, "ngram": ngram},
     ).write_parquet(spill_dir)  # fork point: both branches read from disk
+    if _empty_spill(spill_dir):  # empty corpus: no spill files to read
+        return ray.data.from_arrow(_PAIRS_SCHEMA.empty_table())
     # each branch re-reads ONLY its columns (explicit parquet projection —
     # the sig branch never pays for the grams blob and vice versa; the
     # grams side is read twice, once per join side)
@@ -574,6 +577,20 @@ def _verify_pairs_blob_join(
     )
 
 
+_PAIRS_SCHEMA = pa.schema(
+    [("a", pa.int64()), ("b", pa.int64()), ("jaccard_micro", pa.int64())]
+)
+
+
+def _empty_spill(spill_dir: str) -> bool:
+    """True iff the fork wrote no files — ``write_parquet`` of an EMPTY
+    dataset writes nothing at all, so the branches' ``read_parquet`` would
+    fail; callers short-circuit to a typed empty pair table instead."""
+    import glob
+
+    return not glob.glob(os.path.join(spill_dir, "*.parquet"))
+
+
 def _scratch_spill_dir(prefix: str) -> str:
     """Fresh /tmp scratch dir deleted at interpreter exit — the earliest
     point it is provably no longer referenced by an unconsumed lazy
@@ -596,31 +613,45 @@ class ShingleSetBuilder:
     """Actor-pool stage: one row per non-empty doc →
     (doc_id, grams binary = sorted-unique uint64 shingle hashes, n int64).
     Shares :func:`_batch_gram_hashes` (and therefore the exact shingle
-    definition) with the MinHash path and the SQL oracle's shingles CTE."""
+    definition) with the MinHash path and the SQL oracle's shingles CTE.
+
+    Emits an EXPLICIT Arrow table: a pandas empty frame would infer the
+    grams column as null type, writing a spill file whose schema the
+    read-back column projection rejects on an empty corpus (same rule as
+    :class:`MinHashSpillWriter` — spill columns are never left to
+    pandas→arrow inference)."""
+
+    SCHEMA = pa.schema(
+        [("doc_id", pa.int64()), ("grams", pa.binary()), ("n", pa.int64())]
+    )
 
     def __init__(self, ngram: int = 3):
         self.ngram = ngram
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame(
-            {
-                "doc_id": pd.Series(dtype="int64"),
-                "grams": pd.Series(dtype=object),
-                "n": pd.Series(dtype="int64"),
-            }
-        )
+    def __call__(self, batch: pd.DataFrame) -> pa.Table:
         if len(batch) == 0 or "doc_id" not in batch.columns:
-            return empty
+            return self.SCHEMA.empty_table()
         flat, offsets = _batch_gram_hashes(list(batch["text"].fillna("")), self.ngram)
         nonempty = offsets[:-1] < offsets[1:]  # shingle-less docs leave the pipeline
         if not nonempty.any():
-            return empty
-        out = pd.DataFrame({"doc_id": batch["doc_id"].values[nonempty].astype("int64")})
-        out["grams"] = [
-            flat[offsets[i] : offsets[i + 1]].tobytes() for i in np.nonzero(nonempty)[0]
-        ]
-        out["n"] = (offsets[1:] - offsets[:-1])[nonempty]
-        return out
+            return self.SCHEMA.empty_table()
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    batch["doc_id"].values[nonempty].astype("int64"), pa.int64()
+                ),
+                "grams": pa.array(
+                    [
+                        flat[offsets[i] : offsets[i + 1]].tobytes()
+                        for i in np.nonzero(nonempty)[0]
+                    ],
+                    pa.binary(),
+                ),
+                "n": pa.array(
+                    (offsets[1:] - offsets[:-1])[nonempty].astype("int64"), pa.int64()
+                ),
+            }
+        )
 
 
 def prefix_bucket_rows(
@@ -814,6 +845,8 @@ def ngram_jaccard_dedup(
         concurrency=(1, 8),
         fn_constructor_kwargs={"ngram": ngram},
     ).write_parquet(spill_dir)  # fork point: both branches read from disk
+    if _empty_spill(spill_dir):  # empty corpus: no spill files to read
+        return ray.data.from_arrow(_PAIRS_SCHEMA.empty_table())
     # document-frequency pass: block-local partial counts, merged on the
     # driver with one np.unique over O(blocks × block-vocab) rows. NOT a
     # Ray groupby — a sort-aggregate over tens of thousands of tiny gram

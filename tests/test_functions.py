@@ -901,3 +901,20 @@ def test_curation_chain_custom_column_names():
     assert got["item_id"].tolist() == want["doc_id"].tolist()
     assert got["site"].tolist() == want["source"].tolist()
     assert got["rank"].tolist() == want["rank"].tolist()
+
+
+def test_spill_fork_dedups_handle_empty_corpus():
+    """write_parquet of an EMPTY dataset writes no files at all — both
+    spill-fork operators must short-circuit to a typed empty pair table
+    instead of crashing in the branches' read_parquet."""
+    empty = ray.data.from_pandas(
+        pd.DataFrame(
+            {"doc_id": pd.Series(dtype="int64"), "text": pd.Series(dtype="object")}
+        )
+    )
+    for fn in (D.ngram_jaccard_dedup, D.minhash_lsh_dedup):
+        out = fn(empty, threshold=0.7)
+        # assert on .schema(): Ray's to_pandas() drops columns on ANY
+        # empty dataset regardless of the dataset's own (correct) schema
+        assert out.schema().names == ["a", "b", "jaccard_micro"]
+        assert out.count() == 0
