@@ -755,6 +755,94 @@ class FreqPrefixRows:
         )
 
 
+def _explode_shingle_rows(b: pd.DataFrame, num_parts: int = 512) -> pd.DataFrame:
+    """(doc_id, grams blob, n) → one row per shingle (doc_id, gh, n,
+    gh_part) for the distributed frequency path; gh_part co-locates all
+    rows of a gram."""
+    if len(b) == 0:
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(dtype="int64"),
+                "gh": pd.Series(dtype="int64"),
+                "n": pd.Series(dtype="int64"),
+                "gh_part": pd.Series(dtype="int64"),
+            }
+        )
+    ns = b["n"].to_numpy().astype(np.int64)
+    flat = np.concatenate([np.frombuffer(g, dtype=np.uint64) for g in b["grams"]])
+    return pd.DataFrame(
+        {
+            "doc_id": np.repeat(b["doc_id"].to_numpy().astype(np.int64), ns),
+            "gh": flat.astype(np.int64),
+            "n": np.repeat(ns, ns),
+            "gh_part": ((flat * _SAMPLE_MIX) % np.uint64(num_parts)).astype(np.int64),
+        }
+    )
+
+
+def _attach_df_in_gh_partition(g: pd.DataFrame) -> pd.DataFrame:
+    """One gh partition → the same rows + exact global df per gram. All
+    rows of a gram are co-located and per-doc unique, so df(gh) is simply
+    the run length after a gh sort — the 'vocab join' needs no separate
+    vocab pipeline at all."""
+    if len(g) == 0:
+        return g.assign(df=pd.Series(dtype="int64")).drop(columns=["gh_part"])
+    gh = g["gh"].to_numpy()
+    order = np.argsort(gh, kind="stable")
+    og = gh[order]
+    rs = np.ones(len(g), dtype=bool)
+    rs[1:] = og[1:] != og[:-1]
+    rid = np.cumsum(rs) - 1
+    runlen = np.bincount(rid)
+    df = np.empty(len(g), dtype=np.int64)
+    df[order] = runlen[rid]
+    out = g.drop(columns=["gh_part"]).copy()
+    out["df"] = df
+    return out
+
+
+def _prefix_rows_in_doc_partition(
+    g: pd.DataFrame, thr_micro: int, num_parts: int = 512
+) -> pd.DataFrame:
+    """One doc partition of (doc_id, gh, n, df) rows → AllPairs prefix
+    bucket rows, frequency-ascending: lexsort by (doc, df, gh), keep the
+    first ``p(n)`` rows of each doc run (vectorized, no per-doc Python)."""
+    if len(g) == 0:
+        return pd.DataFrame(
+            {
+                "gh": pd.Series(dtype="int64"),
+                "doc_id": pd.Series(dtype="int64"),
+                "n": pd.Series(dtype="int64"),
+                "bucket_part": pd.Series(dtype="int64"),
+            }
+        )
+    doc = g["doc_id"].to_numpy()
+    gh = g["gh"].to_numpy()
+    df = g["df"].to_numpy()
+    ns = g["n"].to_numpy().astype(np.int64)
+    order = np.lexsort((gh, df, doc))
+    od, ogh, on = doc[order], gh[order], ns[order]
+    rs = np.ones(len(g), dtype=bool)
+    rs[1:] = od[1:] != od[:-1]
+    rid = np.cumsum(rs) - 1
+    pos = np.arange(len(g), dtype=np.int64) - np.repeat(
+        np.flatnonzero(rs), np.bincount(rid)
+    )
+    p = on - (thr_micro * on + 999_999) // 1_000_000 + 1
+    keep = pos < np.clip(p, 1, on)
+    fl = ogh[keep].astype(np.uint64)
+    return pd.DataFrame(
+        {
+            "gh": ogh[keep],
+            "doc_id": od[keep],
+            "n": on[keep],
+            "bucket_part": ((fl * _SAMPLE_MIX) % np.uint64(num_parts)).astype(
+                np.int64
+            ),
+        }
+    )
+
+
 def prefix_candidate_pairs(g: pd.DataFrame, thr_micro: int) -> pd.DataFrame:
     """All grams of one coarse partition → candidate pairs (a < b), with the
     AllPairs length filter (Jaccard ≥ thr ⇒ floor(1e6·min/max) ≥ thr_micro)
@@ -802,6 +890,8 @@ def ngram_jaccard_dedup(
     threshold: float = 0.7,
     num_partitions: int | None = None,
     spill_dir: str | None = None,
+    vocab_mode: str = "auto",
+    broadcast_vocab_limit: int = 50_000_000,
 ) -> ray.data.Dataset:
     """EXACT n-gram Jaccard near-dup self-join → ALL pairs (a < b) with
     shingle-set Jaccard ≥ threshold, as (a, b, jaccard_micro). Unlike the
@@ -820,10 +910,17 @@ def ngram_jaccard_dedup(
     under gram skew: a hot gram shared by k docs would otherwise sit in
     every prefix and generate O(k²) candidates — measured 25.7 s → with
     freq ordering a small multiple of the true pair count on the
-    low-diversity bench corpus. The df table is broadcast via ``ray.put``
-    (16 B/gram); for corpora whose gram vocabulary exceeds worker memory,
-    replace the broadcast with a shingle⋈vocab hash join on gh and a
-    re-group by doc — same ordering, one more exchange.
+    low-diversity bench corpus. Two frequency implementations, chosen by
+    ``vocab_mode``: ``"broadcast"`` merges block-local partial counts on
+    the driver and ships the (gh, df) table once via ``ray.put``
+    (16 B/gram — right whenever the gram vocabulary fits memory);
+    ``"join"`` is the 100 TB path with NO driver vocab at all — shingle
+    rows are exchanged once keyed by gram (df = run length, since a gram's
+    rows all co-locate and are per-doc unique) and once keyed by doc (each
+    doc's rows sorted (df, gh) and cut at its prefix length), both coarse
+    512-way exchanges with fully vectorized group kernels. ``"auto"``
+    streams the partial counts and flips to the join path the moment they
+    exceed ``broadcast_vocab_limit`` rows.
 
     Exact-duplicate cliques are the one cost frequency ordering cannot
     remove: k identical docs share every gram, so the k·(k−1)/2 pairs ARE
@@ -847,38 +944,74 @@ def ngram_jaccard_dedup(
     ).write_parquet(spill_dir)  # fork point: both branches read from disk
     if _empty_spill(spill_dir):  # empty corpus: no spill files to read
         return ray.data.from_arrow(_PAIRS_SCHEMA.empty_table())
-    # document-frequency pass: block-local partial counts, merged on the
-    # driver with one np.unique over O(blocks × block-vocab) rows. NOT a
-    # Ray groupby — a sort-aggregate over tens of thousands of tiny gram
-    # groups costs ~20 s at sf0.1 (the same pathology grouped_centroid_sums
-    # replaced with a merge tree); the vocab must land on the driver anyway
-    # to become the broadcast table, so the merge happens where the data
-    # must go. Driver memory bound = O(vocab), the broadcast's own bound.
-    parts_gh: list[np.ndarray] = []
-    parts_c: list[np.ndarray] = []
-    for b in (
-        ray.data.read_parquet(spill_dir, columns=["grams"])
-        .map_batches(_block_gram_df, batch_format="pandas")
-        .iter_batches(batch_format="numpy")
-    ):
-        parts_gh.append(b["gh"].astype(np.uint64))
-        parts_c.append(b["c"].astype(np.int64))
-    if parts_gh:
-        flat_gh = np.concatenate(parts_gh)
-        flat_c = np.concatenate(parts_c)
-        ghs, inv = np.unique(flat_gh, return_inverse=True)  # sorted for probe
-        dfs = np.bincount(inv, weights=flat_c).astype(np.int64)
+    use_join = vocab_mode == "join"
+    if not use_join:
+        # document-frequency pass: block-local partial counts, merged on
+        # the driver with one np.unique over O(blocks × block-vocab) rows.
+        # NOT a Ray groupby — a sort-aggregate over tens of thousands of
+        # tiny gram groups costs ~20 s at sf0.1 (the same pathology
+        # grouped_centroid_sums replaced with a merge tree); the vocab must
+        # land on the driver anyway to become the broadcast table. In
+        # "auto" mode the stream aborts to the join path the moment the
+        # partials exceed the broadcast budget — bounded driver memory.
+        parts_gh: list[np.ndarray] = []
+        parts_c: list[np.ndarray] = []
+        total = 0
+        for b in (
+            ray.data.read_parquet(spill_dir, columns=["grams"])
+            .map_batches(_block_gram_df, batch_format="pandas")
+            .iter_batches(batch_format="numpy")
+        ):
+            parts_gh.append(b["gh"].astype(np.uint64))
+            parts_c.append(b["c"].astype(np.int64))
+            total += len(b["gh"])
+            if vocab_mode == "auto" and total > broadcast_vocab_limit:
+                use_join = True
+                parts_gh = parts_c = []  # free before the distributed path
+                break
+    if use_join:
+        rows = ray.data.read_parquet(
+            spill_dir, columns=["doc_id", "grams", "n"]
+        ).map_batches(_explode_shingle_rows, batch_format="pandas")
+        withdf = rows.groupby("gh_part").map_groups(
+            _attach_df_in_gh_partition, batch_format="pandas"
+        )
+
+        def _doc_part(t: pd.DataFrame) -> pd.DataFrame:
+            t = t.copy()
+            t["doc_part"] = (
+                (t["doc_id"].to_numpy().astype(np.uint64) * _SAMPLE_MIX)
+                % np.uint64(512)
+            ).astype(np.int64)
+            return t
+
+        buckets = (
+            withdf.map_batches(_doc_part, batch_format="pandas")
+            .groupby("doc_part")
+            .map_groups(
+                lambda g: _prefix_rows_in_doc_partition(
+                    g.drop(columns=["doc_part"]), thr_micro
+                ),
+                batch_format="pandas",
+            )
+        )
     else:
-        ghs = np.zeros(0, np.uint64)
-        dfs = np.zeros(0, np.int64)
-    vocab_ref = ray.put((ghs, dfs))
-    pref = ray.data.read_parquet(spill_dir, columns=["doc_id", "grams", "n"])
-    buckets = pref.map_batches(
-        FreqPrefixRows,
-        batch_format="pandas",
-        concurrency=(1, 8),
-        fn_constructor_kwargs={"vocab_ref": vocab_ref, "thr_micro": thr_micro},
-    )
+        if parts_gh:
+            flat_gh = np.concatenate(parts_gh)
+            flat_c = np.concatenate(parts_c)
+            ghs, inv = np.unique(flat_gh, return_inverse=True)  # sorted probe
+            dfs = np.bincount(inv, weights=flat_c).astype(np.int64)
+        else:
+            ghs = np.zeros(0, np.uint64)
+            dfs = np.zeros(0, np.int64)
+        vocab_ref = ray.put((ghs, dfs))
+        pref = ray.data.read_parquet(spill_dir, columns=["doc_id", "grams", "n"])
+        buckets = pref.map_batches(
+            FreqPrefixRows,
+            batch_format="pandas",
+            concurrency=(1, 8),
+            fn_constructor_kwargs={"vocab_ref": vocab_ref, "thr_micro": thr_micro},
+        )
     pairs = buckets.groupby("bucket_part").map_groups(
         lambda g: prefix_candidate_pairs(g, thr_micro), batch_format="pandas"
     )

@@ -918,3 +918,25 @@ def test_spill_fork_dedups_handle_empty_corpus():
         # empty dataset regardless of the dataset's own (correct) schema
         assert out.schema().names == ["a", "b", "jaccard_micro"]
         assert out.count() == 0
+
+
+def test_ngram_jaccard_join_path_equals_broadcast():
+    """The distributed frequency path (vocab_mode='join' — no driver vocab,
+    df from run lengths in a gram-keyed exchange) and the auto-flip path
+    produce byte-identical output to the broadcast path."""
+    ds_pd = _docs().to_pandas()[["doc_id", "text"]].head(150)
+    ref = (
+        D.ngram_jaccard_dedup(ray.data.from_pandas(ds_pd), threshold=0.5)
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    for kw in ({"vocab_mode": "join"}, {"broadcast_vocab_limit": 10}):
+        got = (
+            D.ngram_jaccard_dedup(ray.data.from_pandas(ds_pd), threshold=0.5, **kw)
+            .to_pandas()
+            .sort_values(["a", "b"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, ref)
+    assert len(ref) > 0  # the corpus must actually exercise the pair path
