@@ -17,6 +17,33 @@ from scylla_cdc_source_connector_ray import oracles
 _CFG = EngineConfig(num_shards=32)
 
 
+
+def _scratch_window_log(t, tmp_name: str, sf_dir: str, nf: int = 4):
+    """Shared streaming-gate scaffold: write table ``t`` as ``nf``
+    order-preserving window files under a pid-suffixed /tmp scratch dir
+    (concurrent invocations never rmtree each other's checkpoint mid-run).
+    Returns (base, log); the CALLER owns cleanup via try/finally rmtree."""
+    import hashlib
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    base = os.path.join(
+        f"/tmp/{tmp_name}",
+        hashlib.md5(sf_dir.encode()).hexdigest()[:12] + f"-{os.getpid()}",
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    log = os.path.join(base, "log")
+    os.makedirs(log)
+    n = t.num_rows
+    for i in range(nf):
+        lo, hi = i * n // nf, (i + 1) * n // nf
+        pq.write_table(
+            t.slice(lo, hi - lo), os.path.join(log, f"window-{i:05d}.parquet")
+        )
+    return base, log
+
 def entry() -> Any:
     """Flagship pipeline: CDC capture over the sf0.001 transcript log
     (derived from events), returning the change-event Dataset flattened."""
@@ -105,17 +132,7 @@ def _run_salted_runner(sf_dir: str, tmp_name: str, cfg_kwargs: dict, read):
 
     ev = pq.read_table(os.path.join(sf_dir, "events.parquet"))
     t = events_to_transcripts(ev).sort_by([("ts", "ascending"), ("seq", "ascending")])
-    base = os.path.join(
-        f"/tmp/{tmp_name}",
-        hashlib.md5(sf_dir.encode()).hexdigest()[:12] + f"-{os.getpid()}",
-    )
-    shutil.rmtree(base, ignore_errors=True)
-    log = os.path.join(base, "log")
-    os.makedirs(log)
-    n, nf = t.num_rows, 4
-    for i in range(nf):  # ts-ordered windows: in-order log, nothing late
-        lo, hi = i * n // nf, (i + 1) * n // nf
-        pq.write_table(t.slice(lo, hi - lo), os.path.join(log, f"window-{i:05d}.parquet"))
+    base, log = _scratch_window_log(t, tmp_name, sf_dir)
     cfg = EngineConfig(
         num_shards=8,
         hot_key_threshold=8,
@@ -704,17 +721,7 @@ def _q_cdc_element_stream(sf_dir: str):
         columns=["event_id", "ts", "user_id", "event_type", "value"],
     )
     t = events_to_element_log(ev).sort_by([("ts", "ascending"), ("seq", "ascending")])
-    base = os.path.join(
-        "/tmp/scylla_cdc_element_stream",
-        hashlib.md5(sf_dir.encode()).hexdigest()[:12] + f"-{os.getpid()}",
-    )
-    shutil.rmtree(base, ignore_errors=True)
-    log = os.path.join(base, "log")
-    os.makedirs(log)
-    n, nf = t.num_rows, 4
-    for i in range(nf):
-        lo, hi = i * n // nf, (i + 1) * n // nf
-        pq.write_table(t.slice(lo, hi - lo), os.path.join(log, f"window-{i:05d}.parquet"))
+    base, log = _scratch_window_log(t, "scylla_cdc_element_stream", sf_dir)
     runner = ElementStreamRunner(
         log,
         num_shards=8,
@@ -1097,17 +1104,7 @@ def _q_dedup_stream(sf_dir: str):
         0, "doc_id", pc.add(docs["doc_id"], 1_000_000)
     )
     t = pa.concat_tables([docs, replay]).sort_by([("doc_id", "ascending")])
-    base = os.path.join(
-        "/tmp/scylla_cdc_dedup_stream",
-        hashlib.md5(sf_dir.encode()).hexdigest()[:12] + f"-{os.getpid()}",
-    )
-    shutil.rmtree(base, ignore_errors=True)
-    log = os.path.join(base, "log")
-    os.makedirs(log)
-    n, nf = t.num_rows, 4
-    for i in range(nf):
-        lo, hi = i * n // nf, (i + 1) * n // nf
-        pq.write_table(t.slice(lo, hi - lo), os.path.join(log, f"window-{i:05d}.parquet"))
+    base, log = _scratch_window_log(t, "scylla_cdc_dedup_stream", sf_dir)
     runner = DedupStreamRunner(
         log,
         num_shards=8,
@@ -1139,17 +1136,7 @@ def _q_source_cap_stream(sf_dir: str):
         ["doc_id", "source"]
     )
     t = docs.sort_by([("doc_id", "ascending")])
-    base = os.path.join(
-        "/tmp/scylla_cdc_cap_stream",
-        hashlib.md5(sf_dir.encode()).hexdigest()[:12] + f"-{os.getpid()}",
-    )
-    shutil.rmtree(base, ignore_errors=True)
-    log = os.path.join(base, "log")
-    os.makedirs(log)
-    n, nf = t.num_rows, 4
-    for i in range(nf):
-        lo, hi = i * n // nf, (i + 1) * n // nf
-        pq.write_table(t.slice(lo, hi - lo), os.path.join(log, f"window-{i:05d}.parquet"))
+    base, log = _scratch_window_log(t, "scylla_cdc_cap_stream", sf_dir)
     runner = SourceCapRunner(
         log,
         num_shards=8,
@@ -1304,17 +1291,7 @@ def _q_top_turns_stream(sf_dir: str):
             "n_chars": n_chars,
         }
     )
-    base = os.path.join(
-        "/tmp/scylla_cdc_topk_stream",
-        hashlib.md5(sf_dir.encode()).hexdigest()[:12] + f"-{os.getpid()}",
-    )
-    shutil.rmtree(base, ignore_errors=True)
-    log = os.path.join(base, "log")
-    os.makedirs(log)
-    n, nf = t.num_rows, 4
-    for i in range(nf):
-        lo, hi = i * n // nf, (i + 1) * n // nf
-        pq.write_table(t.slice(lo, hi - lo), os.path.join(log, f"window-{i:05d}.parquet"))
+    base, log = _scratch_window_log(t, "scylla_cdc_topk_stream", sf_dir)
     runner = TopKStreamRunner(
         log,
         num_shards=8,
@@ -1358,17 +1335,7 @@ def _q_event_analytics_stream(sf_dir: str):
     t = events_to_transcripts(ev).sort_by([("seq", "ascending")])
     n_chars = pc.fill_null(pc.utf8_length(t["text"].combine_chunks()), 0).cast(pa.int64())
     t = pa.table({"conv_id": t["conv_id"], "seq": t["seq"], "n_chars": n_chars})
-    base = os.path.join(
-        "/tmp/scylla_cdc_anl_stream",
-        hashlib.md5(sf_dir.encode()).hexdigest()[:12] + f"-{os.getpid()}",
-    )
-    shutil.rmtree(base, ignore_errors=True)
-    log = os.path.join(base, "log")
-    os.makedirs(log)
-    n, nf = t.num_rows, 4
-    for i in range(nf):
-        lo, hi = i * n // nf, (i + 1) * n // nf
-        pq.write_table(t.slice(lo, hi - lo), os.path.join(log, f"window-{i:05d}.parquet"))
+    base, log = _scratch_window_log(t, "scylla_cdc_anl_stream", sf_dir)
     runner = AnalyticStreamRunner(
         log,
         num_shards=8,
@@ -1403,17 +1370,7 @@ def _q_event_quantiles_stream_hist(sf_dir: str):
     t = pq.read_table(
         os.path.join(sf_dir, "events.parquet"), columns=["event_type", "value", "ts"]
     ).sort_by([("ts", "ascending")])
-    base = os.path.join(
-        "/tmp/scylla_cdc_hist_stream",
-        hashlib.md5(sf_dir.encode()).hexdigest()[:12] + f"-{os.getpid()}",
-    )
-    shutil.rmtree(base, ignore_errors=True)
-    log = os.path.join(base, "log")
-    os.makedirs(log)
-    n, nf = t.num_rows, 4
-    for i in range(nf):
-        lo, hi = i * n // nf, (i + 1) * n // nf
-        pq.write_table(t.slice(lo, hi - lo), os.path.join(log, f"window-{i:05d}.parquet"))
+    base, log = _scratch_window_log(t, "scylla_cdc_hist_stream", sf_dir)
     runner = HistStreamRunner(
         log,
         num_shards=8,
@@ -1671,17 +1628,7 @@ def _q_dedup_stream_minhash(sf_dir: str):
     t = pq.read_table(os.path.join(sf_dir, "documents.parquet")).sort_by(
         [("doc_id", "ascending")]
     )
-    base = os.path.join(
-        "/tmp/scylla_cdc_mh_stream",
-        hashlib.md5(sf_dir.encode()).hexdigest()[:12] + f"-{os.getpid()}",
-    )
-    shutil.rmtree(base, ignore_errors=True)
-    log = os.path.join(base, "log")
-    os.makedirs(log)
-    n, nf = t.num_rows, 4
-    for i in range(nf):  # doc_id-ordered windows: arrival order = doc_id
-        lo, hi = i * n // nf, (i + 1) * n // nf
-        pq.write_table(t.slice(lo, hi - lo), os.path.join(log, f"window-{i:05d}.parquet"))
+    base, log = _scratch_window_log(t, "scylla_cdc_mh_stream", sf_dir)
     runner = MinHashStreamRunner(
         log,
         num_shards=8,
@@ -1777,17 +1724,7 @@ def _cep_stream_run(sf_dir: str, scratch_tag: str, **runner_kwargs):
     t = events_to_transcripts(ev, columns=["conv_id", "role", "ts", "seq"]).sort_by(
         [("ts", "ascending"), ("seq", "ascending")]
     )
-    base = os.path.join(
-        f"/tmp/scylla_cdc_{scratch_tag}",
-        hashlib.md5(sf_dir.encode()).hexdigest()[:12] + f"-{os.getpid()}",
-    )
-    shutil.rmtree(base, ignore_errors=True)
-    log = os.path.join(base, "log")
-    os.makedirs(log)
-    n, nf = t.num_rows, 4
-    for i in range(nf):  # ts-ordered windows: in-order log
-        lo, hi = i * n // nf, (i + 1) * n // nf
-        pq.write_table(t.slice(lo, hi - lo), os.path.join(log, f"window-{i:05d}.parquet"))
+    base, log = _scratch_window_log(t, "scylla_cdc_" + scratch_tag, sf_dir)
     runner = CepStreamRunner(
         log, num_shards=8, checkpoint_dir=os.path.join(base, "ckpt"), **runner_kwargs
     )

@@ -153,7 +153,7 @@ def curation_chain(
         if len(b) == 0:
             return b[[id_col, text_col, source_col]]
         stats = repetition_stats(b, ngram=2, text_col=text_col, id_col=id_col)
-        ok = stats[stats["dup_micro"] <= max_dup_micro]["doc_id"]
+        ok = stats[stats["dup_micro"] <= max_dup_micro][id_col]
         keep = b[id_col].isin(set(ok.tolist()))
         return b.loc[keep, [id_col, text_col, source_col]]
 

@@ -169,7 +169,11 @@ class Decoder:
                 dims.append((px.shape[1], px.shape[0]))
             else:
                 px = self._fake_pixels(payload, w or 64, h or 48)
-                dims.append((w or 64, h or 48))
+                # echo the ORIGINAL metadata (incl. NULL/0 = "dims
+                # unknown") — only the real path may overwrite it with
+                # decoded truth; downstream consumers apply the same
+                # `or 64 / or 48` fallback the synthesis used
+                dims.append((w, h))
             pixels.append(px.ravel())
             offsets.append(offsets[-1] + px.size)
         values = (

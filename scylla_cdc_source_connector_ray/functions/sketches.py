@@ -180,12 +180,17 @@ class KLLSketch:
             off = self.parity[lvl] & 1
             self.parity[lvl] += 1
             promoted = buf[off:m2:2]
-            if lvl + 1 == len(self.levels):
+            grew = lvl + 1 == len(self.levels)
+            if grew:
                 self.levels.append(np.empty(0, np.float64))
                 self.parity.append(0)
             self.levels[lvl] = buf[m2:]  # odd remainder stays (≤1 item)
             self.levels[lvl + 1] = np.concatenate([self.levels[lvl + 1], promoted])
-            # re-check this level's cap (it changed if height grew), then move on
+            if grew:
+                # height growth shrinks EVERY level's cap — levels already
+                # passed may now be over-cap; restart the scan so the O(k)
+                # memory bound holds immediately, not at the next update
+                lvl = 0
 
     # --------------------------------------------------------------- update
     def update(self, values: np.ndarray) -> "KLLSketch":

@@ -465,19 +465,21 @@ def repetition_stats(
     short-doc single fold) with :mod:`.dedup` and the SQL oracle's grams
     CTE, so the DuckDB twin's ``count(*)`` / ``count(DISTINCT gh)`` per doc
     are bit-identical. Vectorized: the only Python loop is md5 per unique
-    word inside :func:`.dedup._batch_gram_hashes`."""
-    from .dedup import _batch_gram_hashes, _ws_split
+    word inside :func:`.dedup._batch_gram_hashes_lens` — which also hands
+    back the per-doc word counts, so tokenization runs ONCE per doc.
+
+    The id column is echoed under its own name (``id_col``)."""
+    from .dedup import _batch_gram_hashes_lens
 
     texts = list(batch[text_col].fillna(""))
-    _, uoffsets = _batch_gram_hashes(texts, ngram)
+    _, uoffsets, lens = _batch_gram_hashes_lens(texts, ngram)
     uniq = uoffsets[1:] - uoffsets[:-1]
-    lens = np.array([len(_ws_split(t.lower())) for t in texts], dtype=np.int64)
     total = np.where(lens >= ngram, lens - ngram + 1, np.where(lens > 0, 1, 0))
     keep = total > 0
     total, uniq = total[keep], uniq[keep]
     return pd.DataFrame(
         {
-            "doc_id": batch[id_col].to_numpy()[keep].astype("int64"),
+            id_col: batch[id_col].to_numpy()[keep].astype("int64"),
             "total_ngrams": total,
             "uniq_ngrams": uniq.astype("int64"),
             "dup_micro": (total - uniq) * 1_000_000 // total,
@@ -542,7 +544,7 @@ class ContaminationFlagger:
         if len(batch) == 0:
             return pd.DataFrame(
                 {
-                    "doc_id": pd.Series(dtype="int64"),
+                    self.id_col: pd.Series(dtype="int64"),
                     "n_hits": pd.Series(dtype="int64"),
                     "contaminated": pd.Series(dtype="int64"),
                 }
@@ -555,7 +557,7 @@ class ContaminationFlagger:
         n_hits = np.bincount(doc_of[hit], minlength=len(batch)).astype(np.int64)
         return pd.DataFrame(
             {
-                "doc_id": batch[self.id_col].to_numpy().astype("int64"),
+                self.id_col: batch[self.id_col].to_numpy().astype("int64"),
                 "n_hits": n_hits.astype("int64"),
                 "contaminated": (n_hits > 0).astype("int64"),
             }

@@ -80,7 +80,10 @@ class KllStreamRunner:
                 "hash_impl": current_hash_impl(),
                 # k changes the compaction schedule; resuming with another k
                 # (or other columns) would merge incompatible sketches
-                "kll_impl": f"{self.k}/{self.key_col}/{self.value_col}",
+                # v2: _compress restarts its scan when the sketch height
+                # grows (different — tighter — state bytes than v1, so an
+                # old checkpoint must fail loudly rather than resume)
+                "kll_impl": f"v2/{self.k}/{self.key_col}/{self.value_col}",
             },
             process_batch=process,
             files_per_batch=files_per_batch,
