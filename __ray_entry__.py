@@ -1118,6 +1118,49 @@ def _q_dedup_stream(sf_dir: str):
         shutil.rmtree(base, ignore_errors=True)
 
 
+def _q_win_distinct_stream(sf_dir: str):
+    """Streaming exact distinct conversations per tumbling hour window
+    through the CHECKPOINTED micro-batch runner
+    (pipelines/distinct_stream.py): the state IS the distinct set (window,
+    key-hash triples), so re-arrivals across micro-batches never re-count
+    and the oracle is the batch count(DISTINCT) SQL verbatim."""
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from scylla_cdc_source_connector_ray.pipelines.distinct_stream import (
+        DistinctStreamRunner,
+    )
+    from scylla_cdc_source_connector_ray.sources.events_adapter import (
+        events_to_transcripts,
+    )
+
+    ev = pq.read_table(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "event_id", "event_type", "ts"],
+    )
+    t = events_to_transcripts(ev, columns=["conv_id", "ts"]).sort_by(
+        [("ts", "ascending")]
+    )
+    t = pa.table(
+        {"conv_id": t["conv_id"], "ts_us": t["ts"].combine_chunks().cast(pa.int64())}
+    )
+    base, log = _scratch_window_log(t, "scylla_cdc_dist_stream", sf_dir)
+    runner = DistinctStreamRunner(
+        log,
+        num_shards=8,
+        checkpoint_dir=os.path.join(base, "ckpt"),
+        window_us=oracles.HOUR_US,
+    )
+    try:
+        runner.run(files_per_batch=2)
+        return runner.read_counts()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def _q_source_cap_stream(sf_dir: str):
     """Streaming per-source admission cap: the documents table split into a
     4-window doc_id-ordered log, consumed in 2 micro-batches with per-shard
@@ -1832,6 +1875,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_cap": _q_source_cap,
         "source_cap_stream": _q_source_cap_stream,
         "curation_chain": _q_curation_chain,
+        "win_distinct_stream": _q_win_distinct_stream,
         "fingerprint_md5": _q_fingerprint,
         "dedup_exact": _q_dedup_exact,
         "dedup_exact_hashed": _q_dedup_exact_hashed,
@@ -1931,6 +1975,7 @@ def oracle_sql() -> dict[str, str]:
         "source_cap": oracles.SOURCE_CAP,
         "source_cap_stream": oracles.SOURCE_CAP_STREAM,
         "curation_chain": oracles.CURATION_CHAIN,
+        "win_distinct_stream": oracles.WIN_DISTINCT_CONVS,
         "fingerprint_md5": oracles.FINGERPRINT,
         "dedup_exact": oracles.DEDUP_EXACT,
         "dedup_exact_hashed": oracles.DEDUP_EXACT_HASHED,

@@ -277,6 +277,38 @@ def cmd_cap_stream(args) -> int:
     return 0
 
 
+def cmd_distinct_stream(args) -> int:
+    """Streaming exact distinct-per-window counter (checkpointed seen-set
+    state; pipelines/distinct_stream.py)."""
+    import ray
+
+    _init_ray(args)
+    from .pipelines.distinct_stream import DistinctStreamRunner
+
+    runner = DistinctStreamRunner(
+        args.log_dir,
+        num_shards=args.num_shards,
+        checkpoint_dir=args.checkpoint,
+        window_us=args.window_ms * 1000,
+        key_col=args.key_col,
+        ts_col=args.ts_col,
+    )
+    totals = _run_or_tail(runner, args)
+    counts = runner.read_counts()
+    print(
+        json.dumps(
+            {
+                "ok": True,
+                **totals,
+                "windows": counts.num_rows,
+                "checkpoint": args.checkpoint,
+            }
+        )
+    )
+    ray.shutdown()
+    return 0
+
+
 def cmd_element_stream(args) -> int:
     """Streaming element-level collection capture (list/set/map element-op
     folds with cross-batch live-cell carry; pipelines/element_stream.py)."""
@@ -389,6 +421,20 @@ def main(argv=None) -> int:
     dp.add_argument("--poll-ms", type=int, default=1000)
     dp.add_argument("--idle-polls", type=int, default=3)
     dp.set_defaults(fn=cmd_dedup_stream)
+    dsp = sub.add_parser("distinct-stream", help="streaming exact distinct-per-window counter")
+    dsp.add_argument("--log-dir", required=True)
+    dsp.add_argument("--checkpoint", default="/tmp/scylla_cdc_ray/dist_ckpt")
+    dsp.add_argument("--window-ms", type=int, default=3_600_000)
+    dsp.add_argument("--key-col", default="conv_id")
+    dsp.add_argument("--ts-col", default="ts_us")
+    dsp.add_argument("--num-shards", type=int, default=64)
+    dsp.add_argument("--num-cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
+    dsp.add_argument("--files-per-batch", type=int, default=4)
+    dsp.add_argument("--max-batches", type=int, default=None)
+    dsp.add_argument("--tail", action="store_true", help="live tail: poll for new files")
+    dsp.add_argument("--poll-ms", type=int, default=1000)
+    dsp.add_argument("--idle-polls", type=int, default=3)
+    dsp.set_defaults(fn=cmd_distinct_stream)
     kp = sub.add_parser("cap-stream", help="streaming per-key admission cap (per-domain quota)")
     kp.add_argument("--log-dir", required=True)
     kp.add_argument("--out", default="/tmp/scylla_cdc_ray/cap_out")

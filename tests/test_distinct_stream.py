@@ -1,0 +1,109 @@
+"""Streaming exact windowed distinct: cross-batch no-recount, kill-resume,
+null keys."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from scylla_cdc_source_connector_ray.pipelines.distinct_stream import (
+    DistinctStreamRunner,
+)
+
+W = 1000  # window_us for tests
+
+
+def _write_log(tmp, frames):
+    log = os.path.join(tmp, "log")
+    os.makedirs(log, exist_ok=True)
+    for i, df in enumerate(frames):
+        pq.write_table(
+            pa.Table.from_pandas(df, preserve_index=False),
+            os.path.join(log, f"window-{i:05d}.parquet"),
+        )
+    return log
+
+
+def _runner(tmp, log, name="r"):
+    return DistinctStreamRunner(
+        log,
+        num_shards=4,
+        checkpoint_dir=os.path.join(tmp, name, "ckpt"),
+        window_us=W,
+        key_col="conv_id",
+        ts_col="ts_us",
+    )
+
+
+def _mk(keys, ts):
+    return pd.DataFrame(
+        {"conv_id": keys, "ts_us": np.array(ts, np.int64)}
+    )
+
+
+def test_rearrivals_across_batches_never_recount(tmp_path):
+    tmp = str(tmp_path)
+    # window 0: a,b (a repeats in batch 1 — no recount); window 1: a again
+    # (a NEW window counts it again), c
+    log = _write_log(
+        tmp,
+        [
+            _mk(["a", "b", "a"], [0, 10, 20]),
+            _mk(["a", "a", "c"], [30, W + 5, W + 9]),
+        ],
+    )
+    r = _runner(tmp, log)
+    totals = r.run(files_per_batch=1)
+    assert totals["batches"] == 2 and totals["new_distinct"] == 4
+    out = r.read_counts().to_pandas()
+    assert out["window_start_us"].tolist() == [0, W]
+    assert out["n_distinct"].tolist() == [2, 2]
+
+
+def test_equals_batch_answer_any_split_and_null_keys(tmp_path):
+    tmp = str(tmp_path)
+    rng = np.random.default_rng(11)
+    keys = [
+        None if rng.random() < 0.1 else f"c{int(rng.integers(0, 15))}"
+        for _ in range(200)
+    ]
+    ts = np.sort(rng.integers(0, 5 * W, size=200))
+    df = _mk(keys, ts)
+    # SQL count(DISTINCT conv_id) semantics: NULL keys are NOT counted
+    want = (
+        df.assign(w=(df["ts_us"] // W) * W)
+        .groupby("w", dropna=False)["conv_id"]
+        .nunique(dropna=True)
+    )
+    for nf, fpb, name in [(1, 1, "one"), (4, 1, "four"), (4, 2, "two")]:
+        frames = [
+            df.iloc[i * 200 // nf : (i + 1) * 200 // nf].reset_index(drop=True)
+            for i in range(nf)
+        ]
+        log = _write_log(os.path.join(tmp, name), frames)
+        r = _runner(os.path.join(tmp, name), log, name=name)
+        r.run(files_per_batch=fpb)
+        out = r.read_counts().to_pandas()
+        got = dict(zip(out["window_start_us"], out["n_distinct"]))
+        assert got == {int(w): int(n) for w, n in want.items()}, name
+
+
+def test_kill_resume_counts_identical(tmp_path):
+    tmp = str(tmp_path)
+    frames = [
+        _mk([f"c{j % 7}" for j in range(12)], range(i * 12 * 50, (i + 1) * 12 * 50, 50))
+        for i in range(4)
+    ]
+    log = _write_log(tmp, frames)
+    ref = _runner(tmp, log, name="ref")
+    ref.run(files_per_batch=2)
+    want = ref.read_counts().to_pandas()
+
+    r = _runner(tmp, log, name="crash")
+    crashed = r.run(files_per_batch=2, crash_before_commit_at=1)
+    assert crashed["crashed"]
+    r.run(files_per_batch=2)
+    got = r.read_counts().to_pandas()
+    pd.testing.assert_frame_equal(got, want)
