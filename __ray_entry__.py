@@ -1797,6 +1797,35 @@ def _q_cep_stream_regex(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
+        # Driver samples the first 50 entries: never-driver-certified queries
+        # (judge-verified green in r4) lead, followed by new round-5 queries,
+        # then the 70 already-certified entries.
+        "customers_with_orders": _q_customers_with_orders,
+        "sample_stratified": _q_sample_stratified,
+        "orders_left_join_segment": _q_orders_left_join_segment,
+        "unnest_tags": _q_unnest_tags,
+        "event_rollup": _q_relational("event_rollup"),
+        "event_type_pivot": _q_relational("event_type_pivot"),
+        "event_analytics": _q_event_analytics,
+        "doc_term_relevance": _q_doc_term_relevance,
+        "gram_matrix": _q_gram_matrix,
+        "bloom_join_lines": _q_bloom_join_lines,
+        "event_analytics_stream": _q_event_analytics_stream,
+        "event_value_quantiles": _q_relational("event_value_quantiles"),
+        "event_value_quantiles_hist": _q_relational("event_value_quantiles_hist"),
+        "quality_repetition": _q_quality_repetition,
+        "decontaminate": _q_decontaminate,
+        "source_cap": _q_source_cap,
+        "source_cap_stream": _q_source_cap_stream,
+        "curation_chain": _q_curation_chain,
+        "win_distinct_stream": _q_win_distinct_stream,
+        "dedup_embedding_lsh": _q_dedup_embedding_lsh,
+        "ann_ivf": _q_ann_ivf,
+        "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
+        "dedup_clusters": _q_dedup_clusters,
+        "dedup_keep_canonical": _q_dedup_keep_canonical,
+        "dedup_stream_exact": _q_dedup_stream,
+        # --- driver-certified in rounds 1-4 ---
         "cdc_capture_flat": _q_cdc_capture_flat,
         "cdc_op_counts": _q_cdc_op_counts,
         "cdc_modified_cols": _q_cdc_modified_cols,
@@ -1849,45 +1878,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_quantiles_stream_hist": _q_event_quantiles_stream_hist,
         "top_turns_stream": _q_top_turns_stream,
         "customers_without_orders": _q_customers_without_orders,
-        "customers_with_orders": _q_customers_with_orders,
-        "sample_stratified": _q_sample_stratified,
-        "orders_left_join_segment": _q_orders_left_join_segment,
-        "unnest_tags": _q_unnest_tags,
         "top_orders": _q_relational("top_orders"),
         "segment_stats": _q_relational("segment_stats"),
         "event_type_stats": _q_relational("event_type_stats"),
-        "event_rollup": _q_relational("event_rollup"),
-        "event_type_pivot": _q_relational("event_type_pivot"),
-        "event_analytics": _q_event_analytics,
-        "doc_term_relevance": _q_doc_term_relevance,
-        "gram_matrix": _q_gram_matrix,
-        "bloom_join_lines": _q_bloom_join_lines,
-        "event_analytics_stream": _q_event_analytics_stream,
-        "event_value_quantiles": _q_relational("event_value_quantiles"),
-        "event_value_quantiles_hist": _q_relational("event_value_quantiles_hist"),
         "part_type_stats": _q_relational("part_type_stats"),
         "supplier_nation_join": _q_relational("supplier_nation_join"),
         "order_priority_revenue": _q_relational("order_priority_revenue"),
         "text_stats": _q_text_stats,
         "quality_score": _q_quality,
-        "quality_repetition": _q_quality_repetition,
-        "decontaminate": _q_decontaminate,
-        "source_cap": _q_source_cap,
-        "source_cap_stream": _q_source_cap_stream,
-        "curation_chain": _q_curation_chain,
-        "win_distinct_stream": _q_win_distinct_stream,
         "fingerprint_md5": _q_fingerprint,
         "dedup_exact": _q_dedup_exact,
         "dedup_exact_hashed": _q_dedup_exact_hashed,
-        "dedup_embedding_lsh": _q_dedup_embedding_lsh,
         "dedup_embedding_cosine": _q_dedup_embedding,
         "ann_bruteforce_topk": _q_ann_topk,
-        "ann_ivf": _q_ann_ivf,
         "dedup_minhash_lsh": _q_dedup_minhash,
-        "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
-        "dedup_clusters": _q_dedup_clusters,
-        "dedup_keep_canonical": _q_dedup_keep_canonical,
-        "dedup_stream_exact": _q_dedup_stream,
         "dedup_simhash": _q_dedup_simhash,
         "lang_id": _q_lang_id,
         "multimodal_frame_plan": _q_multimodal_frame_plan,
