@@ -143,6 +143,29 @@ def test_exact_dedup_hashed_equivalent():
     assert abs(len(plain) - len(hashed)) <= len(plain) * 0.05
 
 
+def test_word_hashes_vec_matches_scalar_above_gate():
+    # the DuckDB-vectorized word hash must be bit-identical to the scalar
+    # md5 rule on BOTH sides of the _VEC_HASH_MIN size gate
+    import numpy as np
+
+    small = np.asarray([f"w{i}" for i in range(64)], dtype=object)
+    big = np.asarray(
+        [f"tok{i}x{i % 97}" for i in range(D._VEC_HASH_MIN + 500)], dtype=object
+    )
+    assert len(big) >= D._VEC_HASH_MIN
+    for arr in (small, big):
+        vec = D._word_hashes_vec(arr)
+        ref = np.array([D._word_hash(w) for w in arr], dtype=np.uint64)
+        assert np.array_equal(vec, ref)
+    # tricky contents: unicode, long, control chars
+    tricky = np.asarray(["wörld", "日本語", "a" * 300, "x\x01y", "'tis"], dtype=object)
+    assert np.array_equal(
+        D._word_hashes_vec(tricky),
+        np.array([D._word_hash(w) for w in tricky], dtype=np.uint64),
+    )
+    assert D._word_hashes_vec([]).shape == (0,)
+
+
 def test_minhash_lsh_finds_planted_near_dups():
     # 150 docs keep the LSH bucket-groupby overhead small; coverage is the
     # pipeline shape, not corpus size
