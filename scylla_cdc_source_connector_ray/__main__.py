@@ -292,6 +292,8 @@ def cmd_distinct_stream(args) -> int:
         window_us=args.window_ms * 1000,
         key_col=args.key_col,
         ts_col=args.ts_col,
+        mode="approx" if args.approx else "exact",
+        hll_p=args.hll_p,
     )
     totals = _run_or_tail(runner, args)
     counts = runner.read_counts()
@@ -428,6 +430,12 @@ def main(argv=None) -> int:
     dsp.add_argument("--key-col", default="conv_id")
     dsp.add_argument("--ts-col", default="ts_us")
     dsp.add_argument("--num-shards", type=int, default=64)
+    dsp.add_argument(
+        "--approx",
+        action="store_true",
+        help="bounded state: one HLL per (shard, window) instead of the exact seen-set",
+    )
+    dsp.add_argument("--hll-p", type=int, default=12, help="HLL precision (2^p registers)")
     dsp.add_argument("--num-cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
     dsp.add_argument("--files-per-batch", type=int, default=4)
     dsp.add_argument("--max-batches", type=int, default=None)

@@ -39,6 +39,13 @@ from ..state.checkpoint import Checkpoint
 #: hash change can never silently double-count previously-seen keys
 ID_HASH_IMPL = "md5-raw-utf8-v1"
 
+#: window-presence marker hash pair: one (w, _WMARK, _WMARK) triple per
+#: window is routed to shard 0 so a window whose only rows carry NULL keys
+#: still surfaces with n_distinct 0 (SQL GROUP BY semantics). Markers are
+#: excluded from every count; a real md5 colliding with the sentinel has
+#: probability 2^-128.
+_WMARK = np.uint64(0xFFFFFFFFFFFFFFFF)
+
 
 def _id_hash128(keys: pd.Series) -> tuple[np.ndarray, np.ndarray]:
     """128-bit md5 of the RAW utf8 key (no normalization — ids are opaque,
@@ -59,13 +66,21 @@ class DistinctStreamRunner:
     event-time microseconds). Counts come from :meth:`read_counts` on the
     COMMITTED state.
 
-    NULL keys are ignored (SQL ``count(DISTINCT x)`` semantics). One
-    documented edge divergence: a window whose ONLY rows carry NULL keys
-    is omitted entirely, where SQL's GROUP BY would report it with count
-    0 — tracking such windows would need a presence marker routed outside
-    the key-hash partitioning."""
+    NULL keys are ignored (SQL ``count(DISTINCT x)`` semantics), but window
+    PRESENCE follows SQL's GROUP BY: a window whose only rows carry NULL
+    keys is reported with count 0, via one sentinel marker triple per
+    window routed to shard 0 (``_WMARK``) and excluded from every count.
+
+    ``mode="approx"`` swaps the exact seen-set for one mergeable HLL
+    register array per (shard, window) — state becomes O(windows × 2^p)
+    bytes regardless of key cardinality (the 100 TB bound the exact mode
+    lacks). The HLL input hash is the same pinned 128-bit id hash's first
+    word, so replay is byte-stable; counts from :meth:`read_counts` are
+    estimates (~1.04/sqrt(2^p) relative error). Exact mode and its state
+    layout are untouched."""
 
     STATE_KIND = "dist"
+    STATE_KIND_APPROX = "dsth"
 
     def __init__(
         self,
@@ -75,12 +90,19 @@ class DistinctStreamRunner:
         window_us: int,
         key_col: str = "conv_id",
         ts_col: str = "ts_us",
+        mode: str = "exact",
+        hll_p: int = 12,
     ):
+        if mode not in ("exact", "approx"):
+            raise ValueError(f"mode must be 'exact' or 'approx', got {mode!r}")
         self.log_dir = log_dir
         self.num_shards = num_shards
         self.window_us = int(window_us)
         self.key_col = key_col
         self.ts_col = ts_col
+        self.mode = mode
+        self.hll_p = int(hll_p)
+        self.state_kind = self.STATE_KIND if mode == "exact" else self.STATE_KIND_APPROX
         self.ckpt = Checkpoint(checkpoint_dir)
 
     # ------------------------------------------------------------------ run
@@ -97,7 +119,10 @@ class DistinctStreamRunner:
             "window_us": self.window_us,
             "id_hash_impl": ID_HASH_IMPL,
             "dist_cols": f"{self.key_col}/{self.ts_col}",
+            "dist_mode": self.mode,
         }
+        if self.mode == "approx":
+            pins["hll_p"] = self.hll_p
         return pins, process
 
     def run(
@@ -145,9 +170,14 @@ class DistinctStreamRunner:
         key_col, ts_col = self.key_col, self.ts_col
         num_shards, window_us = self.num_shards, self.window_us
         ckpt_dir = self.ckpt.dir
-        state_kind = self.STATE_KIND
+        state_kind = self.state_kind
+        approx, hll_p = self.mode == "approx", self.hll_p
 
         def partial(b: pd.DataFrame) -> pd.DataFrame:
+            # window presence BEFORE the null drop: all-NULL-key windows must
+            # still surface (with count 0) like SQL's GROUP BY
+            w_all = b[ts_col].to_numpy(dtype=np.int64)
+            w_present = np.unique(w_all - w_all % window_us)
             # SQL count(DISTINCT key) ignores NULL keys — so does the runner
             b = b.dropna(subset=[key_col]).reset_index(drop=True)
             h1, h2 = _id_hash128(b[key_col])
@@ -159,7 +189,62 @@ class DistinctStreamRunner:
             # exchange; _n carries the folded arrival count for n_in
             g = out.groupby(["w", "_h1", "_h2"], sort=False)["_n"].sum().reset_index()
             g["_shard"] = (g["_h1"].to_numpy().astype(np.uint64) % np.uint64(num_shards)).astype(np.int32)
-            return g
+            marks = pd.DataFrame(
+                {
+                    "w": w_present,
+                    "_h1": np.full(len(w_present), _WMARK),
+                    "_h2": np.full(len(w_present), _WMARK),
+                    "_n": np.zeros(len(w_present), np.int64),
+                    "_shard": np.zeros(len(w_present), np.int32),
+                }
+            )
+            return pd.concat([g, marks], ignore_index=True)
+
+        def shard_task_approx(g: pd.DataFrame) -> pd.DataFrame:
+            from ..functions.sketches import HyperLogLog
+
+            shard = int(g["_shard"].iloc[0])
+            n_in = int(g["_n"].sum())
+            ck = Checkpoint(ckpt_dir)  # path math only; no driver state
+            prev = ck.latest_state_path(shard, before_batch=batch_id, kind=state_kind)
+            regs: dict[int, HyperLogLog] = {}
+            if prev:
+                st = pq.read_table(prev)
+                for wv, blob in zip(
+                    st["w"].to_numpy(zero_copy_only=False),
+                    st["reg"].to_pylist(),
+                ):
+                    regs[int(wv)] = HyperLogLog.from_bytes(blob, hll_p)
+            est_before = sum(h.estimate() for h in regs.values())
+            qw = g["w"].to_numpy(dtype=np.int64)
+            q1 = g["_h1"].to_numpy().astype(np.uint64)
+            q2 = g["_h2"].to_numpy().astype(np.uint64)
+            is_mark = (q1 == _WMARK) & (q2 == _WMARK)
+            for w in np.unique(qw):
+                h = regs.setdefault(int(w), HyperLogLog(hll_p))
+                m = (qw == w) & ~is_mark  # markers record presence only
+                if m.any():
+                    h.add_hashed(q1[m])
+            est_after = sum(h.estimate() for h in regs.values())
+            ws = sorted(regs)
+            ck.write_state(
+                shard,
+                batch_id,
+                pa.table(
+                    {
+                        "w": pa.array(ws, pa.int64()),
+                        "reg": pa.array([regs[w].to_bytes() for w in ws], pa.binary()),
+                    }
+                ),
+                kind=state_kind,
+            )
+            return pd.DataFrame(
+                {
+                    "shard": [shard],
+                    "n_in": [n_in],
+                    "n_new": [int(round(est_after - est_before))],
+                }
+            )
 
         def shard_task(g: pd.DataFrame) -> pd.DataFrame:
             shard = int(g["_shard"].iloc[0])
@@ -196,6 +281,7 @@ class DistinctStreamRunner:
                 m = qw == w
                 seen[m] = _member128(s1[slo:shi], s2[slo:shi], q1[m], q2[m])
             new = ~seen
+            is_mark = (q1 == _WMARK) & (q2 == _WMARK)
             nw_, n1, n2 = (
                 np.concatenate([sw, qw[new]]),
                 np.concatenate([s1, q1[new]]),
@@ -215,30 +301,66 @@ class DistinctStreamRunner:
                 kind=state_kind,
             )
             return pd.DataFrame(
-                {"shard": [shard], "n_in": [n_in], "n_new": [int(new.sum())]}
+                {
+                    "shard": [shard],
+                    "n_in": [n_in],
+                    "n_new": [int((new & ~is_mark).sum())],
+                }
             )
 
         ds = ray.data.read_parquet(bfiles, override_num_blocks=2 * num_shards)
         ds = ds.repartition(2 * num_shards, shuffle=False)
+        task = shard_task_approx if approx else shard_task
         return (
             ds.map_batches(partial, batch_format="pandas")
             .groupby("_shard")
-            .map_groups(shard_task, batch_format="pandas")
+            .map_groups(task, batch_format="pandas")
             .take_all()
         )
 
     # --------------------------------------------------------------- output
     def read_counts(self) -> pa.Table:
-        """(window_start_us, n_distinct) from the latest COMMITTED state —
-        the state rows ARE the distinct set, so the count is a row count
-        per window summed across shards (each key hash lives in exactly
-        one shard)."""
+        """(window_start_us, n_distinct) from the latest COMMITTED state.
+
+        Exact mode: the state rows ARE the distinct set, so the count is a
+        row count per window summed across shards (each key hash lives in
+        exactly one shard). Approx mode: per-window HLL registers are
+        max-merged across shards (shards sketch disjoint key subsets; HLL
+        union-merge is elementwise max) and the estimate rounded."""
         from ._microbatch import read_committed_state
 
+        if self.mode == "approx":
+            from ..functions.sketches import HyperLogLog
+
+            regs: dict[int, HyperLogLog] = {}
+            for t in read_committed_state(self.ckpt, self.state_kind):
+                for wv, blob in zip(
+                    t["w"].to_numpy(zero_copy_only=False), t["reg"].to_pylist()
+                ):
+                    h = HyperLogLog.from_bytes(blob, self.hll_p)
+                    if int(wv) in regs:
+                        regs[int(wv)].merge(h)
+                    else:
+                        regs[int(wv)] = h
+            ws = sorted(regs)
+            return pa.table(
+                {
+                    "window_start_us": pa.array(ws, pa.int64()),
+                    "n_distinct": pa.array(
+                        [int(round(regs[w].estimate())) for w in ws], pa.int64()
+                    ),
+                }
+            )
+
         counts: dict[int, int] = {}
-        for t in read_committed_state(self.ckpt, self.STATE_KIND):
+        for t in read_committed_state(self.ckpt, self.state_kind):
             w = t["w"].to_numpy(zero_copy_only=False)
-            for wv, c in zip(*np.unique(w, return_counts=True)):
+            h1 = t["h1"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            h2 = t["h2"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            is_mark = (h1 == _WMARK) & (h2 == _WMARK)
+            for wv in w[is_mark]:  # presence markers: window exists, count 0
+                counts.setdefault(int(wv), 0)
+            for wv, c in zip(*np.unique(w[~is_mark], return_counts=True)):
                 counts[int(wv)] = counts.get(int(wv), 0) + int(c)
         ws = sorted(counts)
         return pa.table(

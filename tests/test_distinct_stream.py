@@ -107,3 +107,119 @@ def test_kill_resume_counts_identical(tmp_path):
     r.run(files_per_batch=2)
     got = r.read_counts().to_pandas()
     pd.testing.assert_frame_equal(got, want)
+
+
+def _runner_approx(tmp, log, name="a", p=12):
+    return DistinctStreamRunner(
+        log,
+        num_shards=4,
+        checkpoint_dir=os.path.join(tmp, name, "ckpt"),
+        window_us=W,
+        key_col="conv_id",
+        ts_col="ts_us",
+        mode="approx",
+        hll_p=p,
+    )
+
+
+def test_approx_mode_error_bound_vs_exact(tmp_path):
+    # ~3000 distinct keys over 3 windows; p=12 → ~1.6% stderr, assert 6%
+    tmp = str(tmp_path)
+    rng = np.random.default_rng(5)
+    n = 6000
+    keys = [f"k{int(rng.integers(0, 3000))}" for _ in range(n)]
+    ts = np.sort(rng.integers(0, 3 * W, size=n))
+    frames = [
+        _mk(keys[i * n // 3 : (i + 1) * n // 3], ts[i * n // 3 : (i + 1) * n // 3])
+        for i in range(3)
+    ]
+    log = _write_log(tmp, frames)
+    ex = _runner(tmp, log, name="ex")
+    ex.run(files_per_batch=1)
+    want = ex.read_counts().to_pandas()
+    ap = _runner_approx(tmp, log, name="ap")
+    ap.run(files_per_batch=1)
+    got = ap.read_counts().to_pandas()
+    assert got["window_start_us"].tolist() == want["window_start_us"].tolist()
+    for g, w in zip(got["n_distinct"], want["n_distinct"]):
+        assert abs(int(g) - int(w)) <= max(3, int(0.06 * int(w))), (g, w)
+
+
+def test_approx_kill_resume_counts_identical(tmp_path):
+    # replay must be byte-stable: a crash + resume yields the IDENTICAL
+    # estimates as an uninterrupted run (registers are deterministic)
+    tmp = str(tmp_path)
+    frames = [
+        _mk([f"c{j % 29}" for j in range(40)], range(i * 2000, i * 2000 + 2000, 50))
+        for i in range(4)
+    ]
+    log = _write_log(tmp, frames)
+    ref = _runner_approx(tmp, log, name="ref")
+    ref.run(files_per_batch=2)
+    want = ref.read_counts().to_pandas()
+
+    r = _runner_approx(tmp, log, name="crash")
+    crashed = r.run(files_per_batch=2, crash_before_commit_at=1)
+    assert crashed["crashed"]
+    r.run(files_per_batch=2)
+    got = r.read_counts().to_pandas()
+    pd.testing.assert_frame_equal(got, want)
+    # state is bounded: one 2^p register blob per (shard, window)
+    from scylla_cdc_source_connector_ray.pipelines._microbatch import (
+        read_committed_state,
+    )
+
+    for t in read_committed_state(r.ckpt, r.state_kind):
+        assert t.schema.names == ["w", "reg"]
+        for blob in t["reg"].to_pylist():
+            assert len(blob) == 1 << 12
+
+
+def test_approx_exact_mode_state_kinds_disjoint(tmp_path):
+    # mode is pinned: resuming an exact checkpoint with mode=approx fails loudly
+    import pytest
+
+    tmp = str(tmp_path)
+    log = _write_log(tmp, [_mk(["a", "b"], [0, 10])])
+    r = _runner(tmp, log, name="same")
+    r.run(files_per_batch=1)
+    bad = DistinctStreamRunner(
+        log,
+        num_shards=4,
+        checkpoint_dir=os.path.join(tmp, "same", "ckpt"),
+        window_us=W,
+        key_col="conv_id",
+        ts_col="ts_us",
+        mode="approx",
+    )
+    with pytest.raises(ValueError):
+        bad.run(files_per_batch=1)
+
+
+def test_all_null_key_window_reports_zero(tmp_path):
+    # SQL GROUP BY emits a window whose only rows carry NULL keys with
+    # count(DISTINCT key)=0 — the presence marker mirrors that
+    tmp = str(tmp_path)
+    log = _write_log(
+        tmp,
+        [
+            _mk(["a", None], [0, 10]),
+            _mk([None, None], [W + 1, W + 2]),  # window 1: only NULL keys
+            _mk(["b"], [2 * W + 1]),
+        ],
+    )
+    for name, mode in [("ex", "exact"), ("ap", "approx")]:
+        r = DistinctStreamRunner(
+            log,
+            num_shards=4,
+            checkpoint_dir=os.path.join(tmp, name, "ckpt"),
+            window_us=W,
+            key_col="conv_id",
+            ts_col="ts_us",
+            mode=mode,
+        )
+        totals = r.run(files_per_batch=1)
+        assert totals["new_distinct"] == 2, mode
+        out = r.read_counts().to_pandas()
+        assert out["window_start_us"].tolist() == [0, W, 2 * W], mode
+        assert out["n_distinct"].tolist() == [1, 0, 1], mode
