@@ -562,9 +562,13 @@ def minhash_lsh_dedup(
     hash join on doc_id — no driver-side collect, no whole-corpus
     broadcast. The spill directory is scratch: pass ``spill_dir`` to own its
     lifetime yourself (it must outlive consumption of the returned lazy
-    Dataset); the default is a fresh tempdir under /tmp that is deleted at
-    interpreter exit (atexit) — the earliest point it is provably no longer
-    referenced by an unconsumed lazy Dataset."""
+    Dataset). ROTATION HAZARD with the default: only the newest 2 default
+    spill dirs per operator are kept, so consume (or ``materialize()``) the
+    returned Dataset before a 3rd default-spill call to this operator or
+    ``ngram_jaccard_dedup`` — a still-unconsumed Dataset whose spill was
+    rotated away fails at consumption time with a read_parquet error. Small
+    estimated forks are auto-placed on /dev/shm (see
+    ``_scratch_spill_dir``)."""
     from ..stages.join import default_join_partitions
 
     if num_partitions is None:
@@ -574,7 +578,12 @@ def minhash_lsh_dedup(
     thr_micro = round(threshold * 1_000_000)
 
     if spill_dir is None:
-        spill_dir = _scratch_spill_dir("minhash_fork_")
+        # fork ≈ sig (8B·num_perm/doc) + grams (8B/token) ≈ 2× the
+        # compressed text bytes; estimable only for raw local reads
+        est = _estimate_source_bytes(ds)
+        spill_dir = _scratch_spill_dir(
+            "minhash_fork_", est_bytes=2 * est if est is not None else None
+        )
     ds.map_batches(
         MinHashSpillWriter,
         batch_format="pandas",
@@ -652,17 +661,57 @@ _SCRATCH_KEEP = 2
 _SCRATCH_DIRS: dict[str, list[str]] = {}
 
 
-def _scratch_spill_dir(prefix: str) -> str:
-    """Fresh /tmp scratch dir; the newest ``_SCRATCH_KEEP`` per prefix are
+#: env override for the /dev/shm spill budget (bytes); unset → 1/4 of the
+#: ramdisk's current free space
+_SHM_SPILL_BUDGET_ENV = "SCYLLA_CDC_RAY_SHM_SPILL_BUDGET"
+
+
+def _estimate_source_bytes(ds) -> int | None:
+    """Compressed on-disk bytes of the dataset's local input files, when the
+    plan still knows them (raw ``read_parquet``; any transformation drops the
+    file metadata in current Ray) — None otherwise. Metadata-only: never
+    triggers execution."""
+    try:
+        files = ds.input_files()
+    except Exception:
+        return None
+    if not files:
+        return None
+    tot = 0
+    for f in files:
+        if not os.path.exists(f):  # non-local URI: no cheap size
+            return None
+        tot += os.path.getsize(f)
+    return tot
+
+
+def _scratch_spill_dir(prefix: str, est_bytes: int | None = None) -> str:
+    """Fresh scratch dir; the newest ``_SCRATCH_KEEP`` per prefix are
     kept (older ones deleted on rotation, the rest at interpreter exit).
     Callers that need a precise lifetime pass their own ``spill_dir`` —
     a Dataset from more than ``_SCRATCH_KEEP`` calls ago that is still
-    unconsumed will fail loudly on its deleted spill."""
+    unconsumed will fail loudly on its deleted spill.
+
+    When the caller can estimate the spill size (``est_bytes``) and it fits
+    the ramdisk budget (``_SHM_SPILL_BUDGET_ENV`` env, default 1/4 of
+    /dev/shm's free space, never more than half of free), the dir is placed
+    on /dev/shm — small-corpus forks then pay memory bandwidth instead of
+    disk I/O. No estimate → /tmp, the safe default."""
     import atexit
     import shutil
     import tempfile
 
-    d = tempfile.mkdtemp(prefix=prefix, dir="/tmp")
+    base = "/tmp"
+    if est_bytes is not None and os.path.isdir("/dev/shm"):
+        try:
+            free = shutil.disk_usage("/dev/shm").free
+        except OSError:
+            free = 0
+        env = os.environ.get(_SHM_SPILL_BUDGET_ENV)
+        budget = int(env) if env else free // 4
+        if est_bytes <= min(budget, free // 2):
+            base = "/dev/shm"
+    d = tempfile.mkdtemp(prefix=prefix, dir=base)
     atexit.register(shutil.rmtree, d, ignore_errors=True)
     q = _SCRATCH_DIRS.setdefault(prefix, [])
     q.append(d)
@@ -770,7 +819,17 @@ def prefix_bucket_rows(
             [np.frombuffer(g, dtype=np.uint64) for g in batch["grams"]]
         )
         doc_of = np.repeat(np.arange(len(ns), dtype=np.int64), ns)
-        df_flat = dfs[np.searchsorted(ghs, flat_all)]
+        idx = np.searchsorted(ghs, flat_all)
+        # a partial vocab must fail loudly, not index out of bounds or
+        # silently read a neighboring gram's df
+        if len(ghs) == 0 or (idx == len(ghs)).any() or not (
+            ghs[np.minimum(idx, len(ghs) - 1)] == flat_all
+        ).all():
+            raise ValueError(
+                "prefix_bucket_rows: vocab is missing grams present in the "
+                "batch — pass the complete (gh, df) table"
+            )
+        df_flat = dfs[idx]
         order = np.lexsort((flat_all, df_flat, doc_of))
         starts = np.cumsum(ns) - ns
         pos = np.arange(len(flat_all), dtype=np.int64) - np.repeat(starts, ns)
@@ -1000,14 +1059,23 @@ def ngram_jaccard_dedup(
     the answer and the candidate/verify volume is output-bound (measured:
     4× docs with planted 4-cliques → 5.3× wall time). Run
     :func:`exact_dedup` first — as ``corpus.curation_chain`` does — so
-    AllPairs only sees one representative per exact-duplicate class."""
+    AllPairs only sees one representative per exact-duplicate class.
+
+    ROTATION HAZARD with the default ``spill_dir``: only the newest 2
+    default spill dirs per operator are kept — consume (or
+    ``materialize()``) the returned Dataset before a 3rd default-spill call
+    to this operator or :func:`minhash_lsh_dedup`, or pass ``spill_dir`` to
+    own the lifetime."""
     from ..stages.join import default_join_partitions
 
     if num_partitions is None:
         num_partitions = default_join_partitions()
     thr_micro = round(threshold * 1_000_000)
     if spill_dir is None:
-        spill_dir = _scratch_spill_dir("ngramjac_fork_")
+        est = _estimate_source_bytes(ds)
+        spill_dir = _scratch_spill_dir(
+            "ngramjac_fork_", est_bytes=2 * est if est is not None else None
+        )
     ds.map_batches(
         ShingleSetBuilder,
         batch_format="pandas",

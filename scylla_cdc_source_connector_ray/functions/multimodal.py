@@ -98,6 +98,32 @@ def _probe_codec():
         return None
 
 
+def _normalize_to_uint8_rgb(img: np.ndarray) -> np.ndarray:
+    """Bring an imageio-native array to HxWx3 uint8 range.
+
+    imageio returns the file's native dtype; rescale every non-uint8 dtype
+    instead of letting a plain cast wrap values mod 256. Integer dtypes
+    normalize by the OBSERVED max (like the float max<=1 heuristic), not the
+    dtype's full range — 8/12-bit sensor content stored in wide dtypes
+    (uint16/int32 TIFFs) would otherwise collapse to near-zero; observed
+    max <= 255 means the content already lives in uint8 range and is kept
+    verbatim."""
+    if np.issubdtype(img.dtype, np.floating):
+        img = np.clip(img * 255.0 if img.max() <= 1.0 else img, 0, 255)
+    elif img.dtype != np.uint8 and np.issubdtype(img.dtype, np.integer):
+        mx = int(img.max()) if img.size else 0
+        if mx > 255:
+            img = np.clip(img.astype(np.float64) * (255.0 / mx), 0, 255)
+        else:
+            img = np.clip(img, 0, 255)
+    if img.ndim == 2:
+        img = img[:, :, None]
+    if img.shape[2] < 3:  # grayscale / luminance+alpha → 3-channel
+        img = np.repeat(img[:, :, :1], 3, axis=2)
+    img = img[:, :, :3]  # RGBA → drop alpha
+    return img
+
+
 class Decoder:
     """Actor-pool decode stage.
 
@@ -130,22 +156,7 @@ class Decoder:
         if kind == "pil":
             img = np.asarray(mod.open(io.BytesIO(payload)).convert("RGB"))
         else:
-            img = np.asarray(mod.imread(payload))
-            # imageio returns the file's native dtype; rescale EVERY
-            # non-uint8 dtype to uint8 range instead of letting the cast
-            # below wrap values mod 256 (uint16/int16/int32 TIFFs, floats)
-            if np.issubdtype(img.dtype, np.floating):
-                img = np.clip(img * 255.0 if img.max() <= 1.0 else img, 0, 255)
-            elif img.dtype != np.uint8 and np.issubdtype(img.dtype, np.integer):
-                info = np.iinfo(img.dtype)
-                img = np.clip(
-                    img.astype(np.float64) * (255.0 / max(info.max, 1)), 0, 255
-                )
-            if img.ndim == 2:
-                img = img[:, :, None]
-            if img.shape[2] < 3:  # grayscale / luminance+alpha → 3-channel
-                img = np.repeat(img[:, :, :1], 3, axis=2)
-            img = img[:, :, :3]  # RGBA → drop alpha
+            img = _normalize_to_uint8_rgb(np.asarray(mod.imread(payload)))
         return np.ascontiguousarray(img, dtype=np.uint8)
 
     def _fake_pixels(self, payload: bytes, w: int, h: int) -> np.ndarray:

@@ -11,10 +11,13 @@ regenerates byte-identical output (same exactly-once contract and
 Scale shape (100 TB): rows are exchanged ONCE per batch, hash-partitioned on
 the key; each shard task touches only its own count slice — O(keys seen /
 num_shards) integers, the smallest state of any runner here (a count per
-domain, not per doc). Keys already at quota still flow through the exchange
-once per batch; a long-lived deployment would broadcast the saturated-key
-set back to the routing stage as a bloom prefilter (same pattern as
-``stages.join.bloom_prefilter_join``) to drop them pre-exchange.
+domain, not per doc). Keys already at quota are dropped BEFORE the exchange:
+each batch broadcasts the saturated-key set from the pre-batch committed
+state (``ray.put`` once, probed with a vectorized ``is_in`` in the routing
+stage — the ``stages.join.bloom_prefilter_join`` pattern, but with the exact
+key set since a false positive here would wrongly drop an admissible row).
+Replay stays byte-identical: the saturated set derives from the same
+pre-batch state snapshot a replayed batch reads.
 
 Reference anchor: the connector's micro-batch loop + idempotent sink
 (README.md:9,18); the cap semantics are training-data curation surface with
@@ -68,9 +71,17 @@ class SourceCapRunner:
     def _loop(self):
         def process(batch_id: int, bfiles: list[str]) -> dict:
             stats = self._process_batch(batch_id, bfiles)
-            rows = sum(r["n_in"] for r in stats)
+            # input rows from footers: the saturated-key prefilter drops rows
+            # BEFORE the exchange, so per-shard n_in no longer sees them
+            rows = sum(pq.read_metadata(f).num_rows for f in bfiles)
             kept = sum(r["n_kept"] for r in stats)
-            return {"rows": rows, "admitted": kept, "rejected": rows - kept}
+            exchanged = sum(r["n_in"] for r in stats)
+            return {
+                "rows": rows,
+                "admitted": kept,
+                "rejected": rows - kept,
+                "exchanged": exchanged,
+            }
 
         # cap + key/order columns are replay identity: resuming under a
         # different quota or key would silently change the admitted set
@@ -121,6 +132,29 @@ class SourceCapRunner:
             idle_polls=idle_polls,
         )
 
+    # ----------------------------------------------------------- prefilter
+    def _saturated_keys(self, batch_id: int) -> pa.Array | None:
+        """Keys already at quota in the pre-batch COMMITTED state — the
+        routing stage drops their rows before the exchange. The EXACT key
+        set (not a bloom bitmap): a false positive would wrongly drop an
+        admissible row. Size is bounded by total-admitted / k."""
+        import pyarrow.compute as pc
+
+        arrs: list[pa.Array] = []
+        for shard in range(self.num_shards):
+            p = self.ckpt.latest_state_path(
+                shard, before_batch=batch_id, kind=self.STATE_KIND
+            )
+            if not p:
+                continue
+            st = pq.read_table(p)
+            sat = st.filter(pc.greater_equal(st["n_admitted"], self.k))[self.key_col]
+            if len(sat):
+                arrs.append(sat.combine_chunks())
+        if not arrs:
+            return None
+        return pa.concat_arrays(arrs)
+
     # -------------------------------------------------------------- batches
     def _process_batch(self, batch_id: int, bfiles: list[str]) -> list[dict]:
         key_col, order_col, k = self.key_col, self.order_col, self.k
@@ -129,7 +163,12 @@ class SourceCapRunner:
         sink_dir = self.sink_dir
         state_kind = self.STATE_KIND
 
+        sat = self._saturated_keys(batch_id)
+        sat_ref = ray.put(sat) if sat is not None else None
+
         def route(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
             from ..schema import shard_of
 
             # arrow-native: pandas would round-trip nullable int keys
@@ -137,6 +176,12 @@ class SourceCapRunner:
             if pa.types.is_large_string(t.schema.field(key_col).type):
                 i = t.schema.get_field_index(key_col)
                 t = t.set_column(i, key_col, t[key_col].cast(pa.string()))
+            if sat_ref is not None:
+                sat_keys = ray.get(sat_ref)  # broadcast once, local after
+                drop = pc.is_in(
+                    t[key_col], value_set=sat_keys.cast(t.schema.field(key_col).type)
+                )
+                t = t.filter(pc.invert(pc.fill_null(drop, False)))
             return t.append_column("_shard", shard_of(t[key_col], num_shards))
 
         # sink schema pinned from the log footer: an empty admitted frame

@@ -41,19 +41,25 @@ def running_total(
     value_col: str,
     num_ranges: int = 64,
     boundaries: np.ndarray | None = None,
+    keep_cols: tuple[str, ...] = (),
 ) -> ray.data.Dataset:
     """Append int64 ``cum`` = inclusive running sum of ``value_col`` in
     ``order_col`` order (the order column must be globally unique — ties
-    would make the scan order undefined). Output rows keep all input
-    columns; the dataset comes back range-ordered by ``order_col``.
+    would make the scan order undefined). Output columns are ``order_col``,
+    ``value_col``, any ``keep_cols`` passthroughs, and ``cum``; the dataset
+    comes back range-ordered by ``order_col``.
 
     The input is MATERIALIZED once up front: a scan is inherently multi-pass
     (domain probe, subtotals, final cumsum), and Ray re-executes
-    un-materialized lineage on every consumption — project ``ds`` down to
-    (order, value) before calling so the cached blocks stay narrow."""
+    un-materialized lineage on every consumption. The materialize is
+    preceded by an internal projection to exactly the columns above, so the
+    cached blocks are narrow BY CONSTRUCTION — callers wanting extra columns
+    in the output name them in ``keep_cols`` instead of relying on a
+    convention."""
     from ray.data.aggregate import Max, Min
 
-    ds = ds.materialize()
+    cols = list(dict.fromkeys([order_col, value_col, *keep_cols]))
+    ds = ds.select_columns(cols).materialize()
 
     if boundaries is None:
         mm = ds.aggregate(Min(order_col), Max(order_col))

@@ -54,6 +54,9 @@ def test_cap_across_batches(tmp_path):
         "rows": 6,
         "admitted": 4,
         "rejected": 2,
+        # batch 1: "x" saturated after batch 0, its rows (3, 5) dropped
+        # pre-exchange by the saturated-key prefilter — only "y" crosses
+        "exchanged": 4,
         "crashed": False,
     }
     out = r.read_output().to_pandas().sort_values("doc_id")
@@ -183,3 +186,33 @@ def test_cap_int64_keys_with_nulls(tmp_path):
     # float64 and mask whether the engine preserved the exact value
     assert out.schema.field("source").type == pa.int64()
     assert out["source"].to_pylist() == [big, None, big, None]
+
+
+def test_saturated_key_prefilter_drops_pre_exchange(tmp_path):
+    """Capped-head distribution: once the hot key saturates, its rows stop
+    crossing the exchange (exchanged << rows in later batches) while the
+    admitted set stays exactly the first-k per key."""
+    tmp = str(tmp_path)
+    # batch 0: hot saturates (k=3). batches 1..3: 90% hot traffic.
+    frames = [_mk([0, 1, 2, 3], ["hot", "hot", "hot", "cold"])]
+    nid = 4
+    for _ in range(3):
+        ids = list(range(nid, nid + 10))
+        frames.append(_mk(ids, ["hot"] * 9 + [f"c{nid}"]))
+        nid += 10
+    log = _write_log(tmp, frames)
+    r = _runner(tmp, log, k=3)
+    totals = r.run(files_per_batch=1)
+    assert totals["rows"] == 34
+    # batch 0 exchanges all 4 rows; batches 1-3 exchange only the 1
+    # non-hot row each (hot is saturated from batch 0's committed state)
+    assert totals["exchanged"] == 4 + 3 * 1
+    out = sorted(r.read_output().to_pandas()["doc_id"].tolist())
+    assert out == [0, 1, 2, 3, 13, 23, 33]
+    # replay identity: a crash-resume admits the identical set
+    r2 = _runner(tmp, log, k=3, name="crash")
+    crashed = r2.run(files_per_batch=1, crash_before_commit_at=2)
+    assert crashed["crashed"]
+    r2.run(files_per_batch=1)
+    out2 = sorted(r2.read_output().to_pandas()["doc_id"].tolist())
+    assert out2 == out

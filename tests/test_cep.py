@@ -314,3 +314,38 @@ def test_stream_constructor_validation(tmp_path):
         CepStreamRunner("x", 4, str(tmp_path))
     with pytest.raises(ValueError, match="empty string"):
         CepStreamRunner("x", 4, str(tmp_path), pattern="t*")
+
+
+def test_cep_stream_crash_before_first_commit_keeps_totals(tmp_path):
+    # crash_before_commit_at=0 on a FRESH checkpoint: no batch committed,
+    # _final_totals must not raise "no committed batches"
+    import os
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from scylla_cdc_source_connector_ray.pipelines.cep_stream import CepStreamRunner
+
+    log = os.path.join(str(tmp_path), "log")
+    os.makedirs(log)
+    df = pd.DataFrame(
+        {
+            "conv_id": ["c1"] * 4,
+            "role": ["user", "assistant", "user", "assistant"],
+            "ts": np.arange(4, dtype=np.int64),
+            "seq": np.arange(4, dtype=np.int64),
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   os.path.join(log, "window-00000.parquet"))
+    r = CepStreamRunner(
+        log,
+        num_shards=2,
+        checkpoint_dir=os.path.join(str(tmp_path), "ckpt"),
+        pattern="ua",
+    )
+    res = r.run(files_per_batch=1, crash_before_commit_at=0)
+    assert res["crashed"]
+    # resume completes and reports the global count
+    res2 = r.run(files_per_batch=1)
+    assert res2["matches"] == 2

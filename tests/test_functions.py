@@ -963,3 +963,91 @@ def test_ngram_jaccard_join_path_equals_broadcast():
         )
         pd.testing.assert_frame_equal(got, ref)
     assert len(ref) > 0  # the corpus must actually exercise the pair path
+
+
+def test_prefix_bucket_rows_partial_vocab_fails_loudly():
+    # a vocab missing batch grams must raise, not read a neighbor's df
+    import numpy as np
+    import pandas as pd
+    import pytest
+
+    grams = np.array([10, 20, 30], dtype=np.uint64)
+    batch = pd.DataFrame(
+        {
+            "doc_id": [1],
+            "n": [3],
+            "grams": [grams.tobytes()],
+        }
+    )
+    full = (grams.copy(), np.array([1, 2, 3], dtype=np.int64))
+    out = D.prefix_bucket_rows(batch, thr_micro=700_000, vocab=full)
+    assert len(out) > 0
+    partial = (np.array([10, 20], dtype=np.uint64), np.array([1, 2], dtype=np.int64))
+    with pytest.raises(ValueError, match="vocab is missing"):
+        D.prefix_bucket_rows(batch, thr_micro=700_000, vocab=partial)
+    # missing gram that searchsorts INSIDE the array (neighbor-read case)
+    inner = (np.array([10, 31], dtype=np.uint64), np.array([1, 2], dtype=np.int64))
+    with pytest.raises(ValueError, match="vocab is missing"):
+        D.prefix_bucket_rows(batch, thr_micro=700_000, vocab=inner)
+
+
+def test_running_total_cache_is_narrow_by_construction():
+    from scylla_cdc_source_connector_ray.stages.scan import running_total
+
+    df = pd.DataFrame(
+        {
+            "oid": np.arange(20, dtype=np.int64),
+            "v": np.ones(20, np.int64),
+            "wide": ["x" * 100] * 20,  # must NOT enter the materialized cache
+            "tag": [f"t{i % 3}" for i in range(20)],
+        }
+    )
+    out = running_total(ray.data.from_pandas(df).repartition(3), "oid", "v")
+    assert sorted(out.schema().names) == ["cum", "oid", "v"]
+    # passthroughs are opt-in by name
+    out2 = running_total(
+        ray.data.from_pandas(df).repartition(3), "oid", "v", keep_cols=("tag",)
+    )
+    assert sorted(out2.schema().names) == ["cum", "oid", "tag", "v"]
+    got = out2.to_pandas().sort_values("oid")
+    assert got["cum"].tolist() == list(range(1, 21))
+    assert got["tag"].tolist() == df["tag"].tolist()
+
+
+def test_multimodal_integer_rescale_by_observed_max():
+    """12-bit content in a uint16 TIFF must keep its dynamic range (not
+    collapse to near-zero via a dtype-full-range divide), and 0-255 content
+    stored wide must come through verbatim."""
+    n = MM._normalize_to_uint8_rgb
+    # 12-bit content (max 4095) in uint16: top value maps to 255
+    img12 = np.array([[0, 1024, 4095]], dtype=np.uint16)
+    out = n(img12).astype(np.uint8)  # the consumer casts to uint8
+    assert out.shape == (1, 3, 3)
+    assert out[0, 2, 0] == 255 and out[0, 1, 0] == 63  # trunc(1024*255/4095)
+    # uint8-range content stored in int32 passes through unchanged
+    img8 = np.array([[0, 128, 255]], dtype=np.int32)
+    assert n(img8)[0, :, 0].tolist() == [0, 128, 255]
+    # float in [0,1] scales; float already in [0,255] clips only
+    assert n(np.array([[0.0, 0.5, 1.0]]))[0, :, 0].astype(int).tolist() == [0, 127, 255]
+    # RGBA drops alpha; grayscale replicates
+    rgba = np.zeros((2, 2, 4), dtype=np.uint8)
+    assert n(rgba).shape == (2, 2, 3)
+    assert n(np.zeros((2, 2), dtype=np.uint8)).shape == (2, 2, 3)
+    # empty-size guard
+    assert n(np.zeros((0, 0), dtype=np.uint16)).shape == (0, 0, 3)
+
+
+def test_scratch_spill_dir_ramdisk_heuristic(monkeypatch):
+    import shutil
+
+    # small estimate within budget → /dev/shm; huge estimate → /tmp
+    monkeypatch.setenv(D._SHM_SPILL_BUDGET_ENV, str(1 << 30))
+    d_small = D._scratch_spill_dir("spilltest_", est_bytes=1 << 20)
+    assert d_small.startswith("/dev/shm/"), d_small
+    d_big = D._scratch_spill_dir("spilltest_", est_bytes=1 << 62)
+    assert d_big.startswith("/tmp/"), d_big
+    # no estimate → the safe /tmp default
+    d_none = D._scratch_spill_dir("spilltest_")
+    assert d_none.startswith("/tmp/")
+    for d in (d_small, d_big, d_none):
+        shutil.rmtree(d, ignore_errors=True)
