@@ -277,6 +277,31 @@ def cmd_cap_stream(args) -> int:
     return 0
 
 
+def cmd_hh_stream(args) -> int:
+    """Streaming SpaceSaving heavy hitters over a windowed document log
+    (one checkpointed m-counter summary; pipelines/hh_stream.py)."""
+    import ray
+
+    _init_ray(args)
+    from .pipelines.hh_stream import HeavyHittersStreamRunner
+
+    runner = HeavyHittersStreamRunner(
+        args.log_dir,
+        checkpoint_dir=args.checkpoint,
+        m=args.m,
+        text_col=args.text_col,
+    )
+    totals = _run_or_tail(runner, args)
+    top = runner.read_topk(args.k).to_pylist()
+    print(
+        json.dumps(
+            {"ok": True, **totals, "topk": top, "checkpoint": args.checkpoint}
+        )
+    )
+    ray.shutdown()
+    return 0
+
+
 def cmd_distinct_stream(args) -> int:
     """Streaming exact distinct-per-window counter (checkpointed seen-set
     state; pipelines/distinct_stream.py)."""
@@ -458,6 +483,19 @@ def main(argv=None) -> int:
     kp.add_argument("--poll-ms", type=int, default=1000)
     kp.add_argument("--idle-polls", type=int, default=3)
     kp.set_defaults(fn=cmd_cap_stream)
+    hp = sub.add_parser("hh-stream", help="streaming SpaceSaving heavy-hitter tokens")
+    hp.add_argument("--log-dir", required=True)
+    hp.add_argument("--checkpoint", default="/tmp/scylla_cdc_ray/hh_ckpt")
+    hp.add_argument("--m", type=int, default=4096, help="SpaceSaving counters")
+    hp.add_argument("--k", type=int, default=20, help="top-k to print")
+    hp.add_argument("--text-col", default="text")
+    hp.add_argument("--num-cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
+    hp.add_argument("--files-per-batch", type=int, default=4)
+    hp.add_argument("--max-batches", type=int, default=None)
+    hp.add_argument("--tail", action="store_true", help="live tail: poll for new files")
+    hp.add_argument("--poll-ms", type=int, default=1000)
+    hp.add_argument("--idle-polls", type=int, default=3)
+    hp.set_defaults(fn=cmd_hh_stream)
     mp = sub.add_parser("minhash-stream", help="streaming arrival-order LSH near-dup filter")
     mp.add_argument("--log-dir", required=True)
     mp.add_argument("--out", default="/tmp/scylla_cdc_ray/mh_out")
