@@ -1825,6 +1825,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_clusters": _q_dedup_clusters,
         "dedup_keep_canonical": _q_dedup_keep_canonical,
         "dedup_stream_exact": _q_dedup_stream,
+        # --- new round-5 gates (certify this round) ---
+        "q3_shipping_priority": _q_relational("q3_shipping_priority"),
+        "lang_mode_source": _q_relational("lang_mode_source"),
+        "event_moving_sum": _q_relational("event_moving_sum"),
+        "event_type_corr": _q_relational("event_type_corr"),
         # --- driver-certified in rounds 1-4 ---
         "cdc_capture_flat": _q_cdc_capture_flat,
         "cdc_op_counts": _q_cdc_op_counts,
@@ -1996,4 +2001,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_keep_canonical": oracles.DEDUP_KEEP_CANONICAL,
         "dedup_stream_exact": oracles.DEDUP_STREAM_EXACT,
         "dedup_simhash": oracles.DEDUP_SIMHASH,
+        "q3_shipping_priority": oracles.Q3_SHIPPING_PRIORITY,
+        "lang_mode_source": oracles.LANG_MODE_SOURCE,
+        "event_moving_sum": oracles.EVENT_MOVING_SUM,
+        "event_type_corr": oracles.EVENT_TYPE_CORR,
     }

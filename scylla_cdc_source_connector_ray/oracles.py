@@ -1929,3 +1929,68 @@ SELECT conv_id, seq, n_chars,
        first_value(n_chars) OVER w AS first_value
 FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY seq)
 """
+
+
+#: TPC-H Q3-shaped 3-way join; revenue in tenth-cents (same integer-scaled
+#: money convention as Q1_PRICING), deterministic LIMIT via the full
+#: (revenue DESC, date, orderkey) order the engine's top-k pins
+Q3_SHIPPING_PRIORITY = """
+SELECT l_orderkey,
+       o_orderdate,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000.0) AS BIGINT)) AS BIGINT) AS revenue_dm
+FROM customer
+JOIN orders   ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15'
+  AND l_shipdate  > TIMESTAMP '1998-03-15'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue_dm DESC, o_orderdate, l_orderkey
+LIMIT 10
+"""
+
+#: grouped MODE with a deterministic tie-break (count DESC, source ASC) —
+#: bare SQL mode() leaves ties unspecified, so both sides pin the rank
+LANG_MODE_SOURCE = """
+WITH c AS (SELECT lang, source, count(*) AS n FROM documents GROUP BY lang, source),
+r AS (SELECT lang, source, n,
+             row_number() OVER (PARTITION BY lang ORDER BY n DESC, source) AS rk
+      FROM c)
+SELECT lang, source AS mode_source, CAST(n AS BIGINT) AS mode_n
+FROM r WHERE rk = 1
+"""
+
+#: event-time RANGE frame (peers included, inclusive window low bound);
+#: cents-scaled so the frame sums are exact integers on both sides
+EVENT_MOVING_SUM = """
+SELECT event_id, user_id, ts,
+       CAST(sum(CAST(round(value * 100.0) AS BIGINT)) OVER (
+            PARTITION BY user_id ORDER BY ts
+            RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS BIGINT) AS moving_sum_c
+FROM events
+"""
+
+#: grouped Pearson corr from EXACT integer co-moments (HUGEINT sums), float
+#: entering ONLY in the final formula — the identical expression the engine
+#: evaluates from the same integers, so the comparison is bit-exact;
+#: zero-variance groups excluded (SQL corr would be NULL)
+EVENT_TYPE_CORR = """
+WITH p AS (
+  SELECT event_type,
+         CAST(round(value * 100.0) AS BIGINT) AS x,
+         user_id AS y
+  FROM events),
+m AS (
+  SELECT event_type, count(*) AS n,
+         sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+         sum(CAST(x AS HUGEINT) * x) AS sxx, sum(CAST(y AS HUGEINT) * y) AS syy,
+         sum(CAST(x AS HUGEINT) * y) AS sxy
+  FROM p GROUP BY event_type)
+SELECT event_type,
+       CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE)
+                  / sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE))
+                  * 1000000) AS BIGINT) AS corr_micro,
+       CAST(n AS BIGINT) AS n
+FROM m
+WHERE n * sxx > sx * sx AND n * syy > sy * sy
+"""

@@ -364,3 +364,243 @@ def event_type_pivot(sf_dir: str) -> ray.data.Dataset:
         .groupby(comp)
         .map_groups(widen, batch_format="pandas")
     )
+
+
+def q3_shipping_priority(sf_dir: str, k: int = 10) -> ray.data.Dataset:
+    """TPC-H Q3-shaped: segment-filtered customer ⋈ orders ⋈ lineitem →
+    per-order revenue, top-k by (revenue DESC, o_orderdate, l_orderkey).
+
+    Scale shape: both joins are the co-partitioned ``shuffle_hash_join``
+    (customer is NOT broadcast — at SF1k it is 150M rows); every side is
+    column-pruned and date-filtered BEFORE its exchange, and the revenue
+    measure is integer-scaled (tenth-cents) so distributed partial sums are
+    exact. The final top-k collapses through ``top_k_per_group`` with a
+    single global group."""
+    import pyarrow as pa
+
+    from ..stages.join import shuffle_hash_join
+    from ..stages.topk import top_k_per_group
+
+    cutoff = pc.strptime("1998-03-15", "%Y-%m-%d", "us")
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    cust = cust.map_batches(
+        lambda t: t.filter(pc.equal(t["c_mktsegment"], "BUILDING")).select(
+            ["c_custkey"]
+        ),
+        batch_format="pyarrow",
+    )
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    orders = orders.map_batches(
+        lambda t: t.filter(pc.less(t["o_orderdate"], cutoff)),
+        batch_format="pyarrow",
+    )
+    li = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def li_prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["l_shipdate"], cutoff))
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(1.0, t["l_discount"]))
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "rev_dm": pc.round(pc.multiply(rev, 10000.0)).cast("int64"),
+            }
+        )
+
+    li = li.map_batches(li_prep, batch_format="pyarrow")
+    co = shuffle_hash_join(orders, cust, left_on="o_custkey", right_on="c_custkey")
+    col = shuffle_hash_join(
+        li, co.select_columns(["o_orderkey", "o_orderdate"]),
+        left_on="l_orderkey", right_on="o_orderkey",
+    )
+    agg = col.groupby(["l_orderkey", "o_orderdate"]).aggregate(
+        Sum("rev_dm", alias_name="revenue_dm")
+    )
+    # single global top-k: constant group key, rank by revenue with a
+    # deterministic (date, orderkey) tiebreak
+    agg = agg.map_batches(
+        lambda t: t.append_column("_g", pa.array([0] * len(t), pa.int64())),
+        batch_format="pyarrow",
+    )
+    top = top_k_per_group(
+        agg, ["_g"], "revenue_dm", k=k, tiebreak=["o_orderdate", "l_orderkey"]
+    )
+    return top.select_columns(["l_orderkey", "o_orderdate", "revenue_dm"])
+
+
+def lang_mode_source(sf_dir: str) -> ray.data.Dataset:
+    """Grouped MODE: the most frequent ``source`` per ``lang`` (ties broken
+    by smallest source — deterministic, unlike bare SQL ``mode()``).
+
+    Scale shape: block-local (lang, source) pre-counts, one small exchange
+    over distinct pairs, then a k=1 per-group rank — the corpus never
+    shuffles."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from ..stages.topk import null_safe_group_cols, top_k_per_group
+
+    ds = _read(sf_dir, "documents", columns=["lang", "source"])
+
+    def partial(b: pd.DataFrame) -> pa.Table:
+        res = (
+            b.groupby(["lang", "source"], sort=False, dropna=False)
+            .size()
+            .reset_index(name="n")
+        )
+        t = pa.table(
+            {
+                "lang": pa.array(res["lang"].astype(object), pa.string()),
+                "source": pa.array(res["source"].astype(object), pa.string()),
+                "n": pa.array(res["n"].to_numpy(), pa.int64()),
+            }
+        )
+        # group on null-safe companions: nullable keys through Ray's sort
+        # shuffle would split (or crash on) the SQL single-NULL group
+        t, _ = null_safe_group_cols(t, ["lang", "source"])
+        return t.drop_columns(["lang", "source"])
+
+    comp = ["__nn_lang", "__in_lang", "__nn_source", "__in_source"]
+    counts = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(comp)
+        .aggregate(Sum("n", alias_name="mode_n"))
+    )
+
+    def rebuild(t: pa.Table) -> pa.Table:
+        null_s = pa.scalar(None, pa.string())
+        return pa.table(
+            {
+                "lang": pc.if_else(t["__in_lang"], null_s, t["__nn_lang"]),
+                "source": pc.if_else(t["__in_source"], null_s, t["__nn_source"]),
+                "mode_n": t["mode_n"],
+            }
+        )
+
+    counts = counts.map_batches(rebuild, batch_format="pyarrow")
+    top = top_k_per_group(
+        counts, ["lang"], "mode_n", k=1, tiebreak=["source"]
+    )
+    return top.select_columns(["lang", "source", "mode_n"]).rename_columns(
+        ["lang", "mode_source", "mode_n"]
+    )
+
+
+def event_moving_sum(sf_dir: str, window_us: int = 3_600_000_000) -> ray.data.Dataset:
+    """Time-RANGE moving aggregate: per user, the sum of value (cents) over
+    the event-time window ``[ts − window, ts]`` — SQL's ``RANGE BETWEEN
+    INTERVAL ... PRECEDING AND CURRENT ROW`` frame, peers included.
+
+    Scale shape: one keyed exchange on user_id; inside each group a sorted
+    prefix-sum + two searchsorted probes — O(n log n) vectorized, no
+    per-row loop, state never leaves the task."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "user_id": t["user_id"],
+                "ts": t["ts"],
+                "value_c": pc.round(pc.multiply(t["value"], 100.0)).cast("int64"),
+            }
+        )
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort").reset_index(drop=True)
+        ts = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        v = g["value_c"].to_numpy(dtype=np.int64)
+        cum = np.zeros(len(g) + 1, dtype=np.int64)
+        np.cumsum(v, out=cum[1:])
+        # RANGE frame: all rows with ts in [t - window, t] (peers included)
+        hi = np.searchsorted(ts, ts, side="right")
+        lo = np.searchsorted(ts, ts - window_us, side="left")
+        g["moving_sum_c"] = cum[hi] - cum[lo]
+        return g[["event_id", "user_id", "ts", "moving_sum_c"]]
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow")
+    return prepped.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+def event_type_corr(sf_dir: str) -> ray.data.Dataset:
+    """Grouped Pearson correlation from EXACT integer co-moments: per
+    event_type, corr(value_cents, user_id) as floor(1e6·corr).
+
+    The mergeable-moments pattern at scale: each block emits six int64
+    partial sums (n, Σx, Σy, Σxx, Σyy, Σxy) per group, one tiny exchange
+    merges them, and the final division happens ONCE per group from exact
+    integers — so distributed float-sum ordering can never perturb the
+    result, and the SQL twin (HUGEINT sums, identical final float formula)
+    matches bit-for-bit. Zero-variance groups are excluded on both sides
+    (SQL corr would be NULL/NaN)."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id", "value"])
+
+    def partial(b: pd.DataFrame) -> pa.Table:
+        x = np.round(b["value"].to_numpy(dtype=np.float64) * 100.0).astype(np.int64)
+        y = b["user_id"].to_numpy(dtype=np.int64)
+        d = pd.DataFrame(
+            {
+                "event_type": b["event_type"].astype(object),
+                "n": np.int64(1),
+                "sx": x,
+                "sy": y,
+                "sxx": x * x,
+                "syy": y * y,
+                "sxy": x * y,
+            }
+        )
+        res = d.groupby("event_type", sort=False, dropna=False).sum().reset_index()
+        return pa.Table.from_pandas(res, preserve_index=False)
+
+    moments = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("event_type")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sx", alias_name="sx"),
+            Sum("sy", alias_name="sy"),
+            Sum("sxx", alias_name="sxx"),
+            Sum("syy", alias_name="syy"),
+            Sum("sxy", alias_name="sxy"),
+        )
+    )
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for _, r in b.iterrows():
+            # exact Python-int co-moments (HUGEINT analogue), float only in
+            # the FINAL formula — identical expression to the SQL twin
+            n, sx, sy = int(r["n"]), int(r["sx"]), int(r["sy"])
+            sxx, syy, sxy = int(r["sxx"]), int(r["syy"]), int(r["sxy"])
+            num = n * sxy - sx * sy
+            d1 = n * sxx - sx * sx
+            d2 = n * syy - sy * sy
+            if d1 <= 0 or d2 <= 0:
+                continue  # zero variance: SQL corr is NULL
+            corr_micro = math.floor(
+                float(num) / math.sqrt(float(d1) * float(d2)) * 1_000_000
+            )
+            rows.append((r["event_type"], corr_micro, n))
+        return pd.DataFrame(
+            {
+                "event_type": pd.Series([t for t, _, _ in rows], dtype=object),
+                "corr_micro": pd.Series([c for _, c, _ in rows], dtype="int64"),
+                "n": pd.Series([n for _, _, n in rows], dtype="int64"),
+            }
+        )
+
+    return moments.map_batches(finish, batch_format="pandas")

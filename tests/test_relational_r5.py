@@ -1,0 +1,122 @@
+"""Round-5 relational additions: RANGE-frame peers, mode ties, exact-moment
+corr — edge cases the sf fixture may not contain, vs inline DuckDB twins."""
+
+import os
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+import ray.data
+
+from scylla_cdc_source_connector_ray.pipelines import relational as R
+
+
+@pytest.fixture()
+def sf_dir(tmp_path):
+    """Tiny synthetic sf dir with crafted ties."""
+    d = str(tmp_path)
+    ts = pd.to_datetime(
+        [
+            "2026-01-01 00:00:00",
+            "2026-01-01 00:30:00",
+            "2026-01-01 00:30:00",  # ts TIE: RANGE frame must include peers
+            "2026-01-01 01:15:00",
+            "2026-01-01 02:59:00",
+            "2026-01-01 03:00:00",
+        ]
+    )
+    events = pd.DataFrame(
+        {
+            "event_id": np.arange(6, dtype=np.int64),
+            "ts": ts,
+            "user_id": np.array([1, 1, 1, 1, 2, 2], np.int64),
+            "event_type": ["a", "a", "b", "b", "a", "a"],
+            "value": [1.0, 2.0, 4.0, 8.0, 16.0, 32.0],
+            "props": [""] * 6,
+        }
+    )
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(6, dtype=np.int64),
+            "text": ["x"] * 6,
+            # lang "en": tie web/wiki at 1 each -> smallest source wins
+            "lang": ["en", "en", "de", "de", "de", None],
+            "source": ["web", "wiki", "wiki", "wiki", "web", "web"],
+            "n_chars": np.ones(6, np.int64),
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(events, preserve_index=False), os.path.join(d, "events.parquet"))
+    pq.write_table(pa.Table.from_pandas(docs, preserve_index=False), os.path.join(d, "documents.parquet"))
+    return d
+
+
+def _oracle(sf_dir, sql):
+    con = duckdb.connect()
+    for t in ("events", "documents"):
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    return con.sql(sql).df()
+
+
+def _norm(df):
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[ns]")
+        elif df[c].dtype == object:
+            df[c] = df[c].where(pd.notna(df[c]), None)
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+    return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def test_moving_sum_range_frame_includes_ts_peers(sf_dir):
+    from scylla_cdc_source_connector_ray.oracles import EVENT_MOVING_SUM
+
+    got = _norm(R.event_moving_sum(sf_dir).to_pandas())
+    want = _norm(_oracle(sf_dir, EVENT_MOVING_SUM))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # the tie rows (event 1 and 2, same ts) must BOTH see both peers
+    g = got.set_index("event_id")["moving_sum_c"]
+    assert g[1] == g[2] == 100 + 200 + 400
+
+
+def test_lang_mode_deterministic_tie_and_null_lang(sf_dir):
+    from scylla_cdc_source_connector_ray.oracles import LANG_MODE_SOURCE
+
+    got = _norm(R.lang_mode_source(sf_dir).to_pandas())
+    want = _norm(_oracle(sf_dir, LANG_MODE_SOURCE))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    m = got.set_index("lang")
+    assert m.loc["en", "mode_source"] == "web"  # tie -> smallest source
+    assert m.loc["de", "mode_source"] == "wiki"
+
+
+def test_event_type_corr_matches_exact_moments(sf_dir):
+    from scylla_cdc_source_connector_ray.oracles import EVENT_TYPE_CORR
+
+    got = _norm(R.event_type_corr(sf_dir).to_pandas())
+    want = _norm(_oracle(sf_dir, EVENT_TYPE_CORR))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_event_type_corr_drops_zero_variance(tmp_path):
+    d = str(tmp_path)
+    events = pd.DataFrame(
+        {
+            "event_id": np.arange(4, dtype=np.int64),
+            "ts": pd.to_datetime(["2026-01-01"] * 4),
+            "user_id": np.array([5, 5, 5, 5], np.int64),  # zero y-variance
+            "event_type": ["z"] * 4,
+            "value": [1.0, 2.0, 3.0, 4.0],
+            "props": [""] * 4,
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(events, preserve_index=False), os.path.join(d, "events.parquet"))
+    out = R.event_type_corr(d).to_pandas()
+    assert len(out) == 0  # SQL corr would be NULL -> excluded on both sides
