@@ -1830,6 +1830,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_mode_source": _q_relational("lang_mode_source"),
         "event_moving_sum": _q_relational("event_moving_sum"),
         "event_type_corr": _q_relational("event_type_corr"),
+        "event_props_extract": _q_relational("event_props_extract"),
+        "text_redact": _q_relational("text_redact"),
         # --- driver-certified in rounds 1-4 ---
         "cdc_capture_flat": _q_cdc_capture_flat,
         "cdc_op_counts": _q_cdc_op_counts,
@@ -2005,4 +2007,6 @@ def oracle_sql() -> dict[str, str]:
         "lang_mode_source": oracles.LANG_MODE_SOURCE,
         "event_moving_sum": oracles.EVENT_MOVING_SUM,
         "event_type_corr": oracles.EVENT_TYPE_CORR,
+        "event_props_extract": oracles.EVENT_PROPS_EXTRACT,
+        "text_redact": oracles.TEXT_REDACT,
     }

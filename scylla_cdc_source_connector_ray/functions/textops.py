@@ -562,3 +562,27 @@ class ContaminationFlagger:
                 "contaminated": (n_hits > 0).astype("int64"),
             }
         )
+
+
+# ---------------------------------------------------------------------------
+# Regex redaction (PII-shaped masking transform)
+# ---------------------------------------------------------------------------
+
+
+def redact(
+    batch: pa.Table,
+    pattern: str,
+    replacement: str = "[MASK]",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> pa.Table:
+    """Mask every non-overlapping match of ``pattern`` (RE2) in ``text_col``
+    and count the hits — the PII-scrub transform shape (emails, phone
+    numbers, keys) as one zero-copy Arrow stage: ``replace_substring_regex``
+    + ``count_substring_regex`` are both RE2, identical to the DuckDB
+    ``regexp_replace(..., 'g')`` / ``regexp_extract_all`` twin by
+    construction. NULL text stays NULL with 0 hits."""
+    txt = batch[text_col].combine_chunks()
+    red = pc.replace_substring_regex(txt, pattern=pattern, replacement=replacement)
+    hits = pc.fill_null(pc.count_substring_regex(txt, pattern), 0).cast(pa.int64())
+    return pa.table({id_col: batch[id_col], "text": red, "n_hits": hits})

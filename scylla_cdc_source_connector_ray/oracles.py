@@ -1994,3 +1994,26 @@ SELECT event_type,
 FROM m
 WHERE n * sxx > sx * sx AND n * syy > sy * sy
 """
+
+
+#: vectorized JSON-field extraction via regexp_extract — RE2 on both sides
+#: (engine: pc.extract_regex), missing field -> NULL drops from sum/count
+EVENT_PROPS_EXTRACT = """
+WITH p AS (
+  SELECT event_type,
+         TRY_CAST(regexp_extract(props, '"k":\\s*(-?\\d+)', 1) AS BIGINT) AS k
+  FROM events)
+SELECT event_type,
+       CAST(sum(k) AS BIGINT) AS sum_k,
+       CAST(count(k) AS BIGINT) AS n_with_k
+FROM p GROUP BY event_type
+"""
+
+#: PII-shaped masking: global regexp_replace + hit count, RE2 both sides
+#: (engine: replace_substring_regex / count_substring_regex)
+TEXT_REDACT = """
+SELECT doc_id,
+       regexp_replace(text, '\\bspark\\b', '[MASK]', 'g') AS text,
+       CAST(coalesce(length(regexp_extract_all(text, '\\bspark\\b')), 0) AS BIGINT) AS n_hits
+FROM documents
+"""

@@ -604,3 +604,44 @@ def event_type_corr(sf_dir: str) -> ray.data.Dataset:
         )
 
     return moments.map_batches(finish, batch_format="pandas")
+
+
+def event_props_extract(sf_dir: str) -> ray.data.Dataset:
+    """Vectorized JSON-field extraction from the ``props`` string column
+    (regex-based — RE2 on both sides, so the DuckDB ``regexp_extract`` twin
+    matches by construction; a missing/unparseable field is NULL and drops
+    out of the sum like SQL): per event_type, the sum and count of the
+    extracted ``k``."""
+    import pyarrow as pa
+
+    ds = _read(sf_dir, "events", columns=["event_type", "props"])
+    pat = r'"k":\s*(?P<k>-?\d+)'  # extract_regex requires named groups
+
+    def extract(t: pa.Table) -> pa.Table:
+        m = pc.extract_regex(t["props"].combine_chunks(), pat)
+        k = pc.struct_field(m, "k").cast(pa.int64())
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "k": k,
+                "has_k": pc.is_valid(k).cast(pa.int64()),
+            }
+        )
+
+    ds = ds.map_batches(extract, batch_format="pyarrow")
+    return ds.groupby("event_type").aggregate(
+        Sum("k", alias_name="sum_k"), Sum("has_k", alias_name="n_with_k")
+    )
+
+
+def text_redact(sf_dir: str) -> ray.data.Dataset:
+    """PII-shaped masking over documents: every RE2 match of a token pattern
+    replaced with [MASK]; output (doc_id, text, n_hits). The pattern here
+    targets a word that actually occurs in the corpus so the gate exercises
+    real replacements."""
+    from ..functions.textops import redact
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(
+        lambda t: redact(t, pattern=r"\bspark\b"), batch_format="pyarrow"
+    )

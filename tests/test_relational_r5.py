@@ -120,3 +120,50 @@ def test_event_type_corr_drops_zero_variance(tmp_path):
     pq.write_table(pa.Table.from_pandas(events, preserve_index=False), os.path.join(d, "events.parquet"))
     out = R.event_type_corr(d).to_pandas()
     assert len(out) == 0  # SQL corr would be NULL -> excluded on both sides
+
+
+def test_event_props_extract_null_and_missing_fields(tmp_path):
+    # missing field, malformed JSON, NULL props: NULL k drops from sum/count
+    d = str(tmp_path)
+    events = pd.DataFrame(
+        {
+            "event_id": np.arange(5, dtype=np.int64),
+            "ts": pd.to_datetime(["2026-01-01"] * 5),
+            "user_id": np.zeros(5, np.int64),
+            "event_type": ["a", "a", "a", "b", "b"],
+            "value": [1.0] * 5,
+            "props": ['{"k": 7}', '{"j": 1}', None, '{"k": -2}', "{bad"],
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(events, preserve_index=False), os.path.join(d, "events.parquet"))
+    from scylla_cdc_source_connector_ray.oracles import EVENT_PROPS_EXTRACT
+
+    got = _norm(R.event_props_extract(d).to_pandas())
+    want = _norm(_oracle(d, EVENT_PROPS_EXTRACT))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    m = got.set_index("event_type")
+    assert m.loc["a", "sum_k"] == 7 and m.loc["a", "n_with_k"] == 1
+    assert m.loc["b", "sum_k"] == -2 and m.loc["b", "n_with_k"] == 1
+
+
+def test_text_redact_masks_and_counts(tmp_path):
+    d = str(tmp_path)
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(3, dtype=np.int64),
+            "text": ["spark and spark again", "sparkling not a hit", None],
+            "lang": ["en"] * 3,
+            "source": ["w"] * 3,
+            "n_chars": np.ones(3, np.int64),
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(docs, preserve_index=False), os.path.join(d, "documents.parquet"))
+    from scylla_cdc_source_connector_ray.oracles import TEXT_REDACT
+
+    got = _norm(R.text_redact(d).to_pandas())
+    want = _norm(_oracle(d, TEXT_REDACT))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    by = got.set_index("doc_id")
+    assert by.loc[0, "text"] == "[MASK] and [MASK] again" and by.loc[0, "n_hits"] == 2
+    assert by.loc[1, "n_hits"] == 0  # \b guard: 'sparkling' untouched
+    assert by.loc[2, "text"] is None and by.loc[2, "n_hits"] == 0
