@@ -821,10 +821,14 @@ def prefix_bucket_rows(
         doc_of = np.repeat(np.arange(len(ns), dtype=np.int64), ns)
         idx = np.searchsorted(ghs, flat_all)
         # a partial vocab must fail loudly, not index out of bounds or
-        # silently read a neighboring gram's df
-        if len(ghs) == 0 or (idx == len(ghs)).any() or not (
-            ghs[np.minimum(idx, len(ghs) - 1)] == flat_all
-        ).all():
+        # silently read a neighboring gram's df — but a batch with NO grams
+        # at all (every doc shorter than n words) has nothing to look up, so
+        # an empty vocab is then legitimate, not missing
+        if len(flat_all) and (
+            len(ghs) == 0
+            or (idx == len(ghs)).any()
+            or not (ghs[np.minimum(idx, len(ghs) - 1)] == flat_all).all()
+        ):
             raise ValueError(
                 "prefix_bucket_rows: vocab is missing grams present in the "
                 "batch — pass the complete (gh, df) table"

@@ -390,6 +390,23 @@ class SpaceSaving:
         return [(t, self.counts[t], self.errs[t]) for t in order]
 
 
+def spacesaving_summary(
+    text: "pa.ChunkedArray | pa.Array", m: int, pattern: str, fallback_name: str = "text"
+) -> "SpaceSaving":
+    """Exact-truncated m-counter SpaceSaving summary of one text column:
+    vectorized tokenize (polars ``extract_all`` — RE2) + exact in-unit
+    ``value_counts``, so the Python loop runs over UNIQUE tokens only. ONE
+    definition shared by the batch path (per block) and the streaming runner
+    (per pinned file) — a tokenizer/truncation change must move both."""
+    import polars as pl
+
+    s = pl.from_arrow(text).fill_null("")
+    toks = s.str.extract_all(pattern).explode().drop_nulls()
+    vc = toks.value_counts()
+    name = toks.name or fallback_name
+    return SpaceSaving.from_counts(m, vc[name].to_list(), vc["count"].to_list())
+
+
 def token_topk_spacesaving(
     ds: ray.data.Dataset,
     text_col: str = "text",
@@ -407,14 +424,9 @@ def token_topk_spacesaving(
     tracked; reported counts overestimate truth by ≤ err.
 
     Returns (token, cnt_upper, err, cnt_lower) for the top k."""
-    import polars as pl
 
     def summarize(t: pa.Table) -> pa.Table:
-        s = pl.from_arrow(t[text_col]).fill_null("")
-        toks = s.str.extract_all(pattern).explode().drop_nulls()
-        vc = toks.value_counts()
-        name = toks.name or text_col
-        ss = SpaceSaving.from_counts(m, vc[name].to_list(), vc["count"].to_list())
+        ss = spacesaving_summary(t[text_col], m, pattern, fallback_name=text_col)
         rows = ss.topk(m)
         return pa.table(
             {

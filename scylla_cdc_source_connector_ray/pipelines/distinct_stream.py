@@ -175,8 +175,11 @@ class DistinctStreamRunner:
 
         def partial(b: pd.DataFrame) -> pd.DataFrame:
             # window presence BEFORE the null drop: all-NULL-key windows must
-            # still surface (with count 0) like SQL's GROUP BY
-            w_all = b[ts_col].to_numpy(dtype=np.int64)
+            # still surface (with count 0) like SQL's GROUP BY. A NULL ts
+            # belongs to no window (pandas delivers nullable int as
+            # float64+NaN), so markers come from finite ts only.
+            w_all = b[ts_col].to_numpy()
+            w_all = w_all[~pd.isna(w_all)].astype(np.int64)
             w_present = np.unique(w_all - w_all % window_us)
             # SQL count(DISTINCT key) ignores NULL keys — so does the runner
             b = b.dropna(subset=[key_col]).reset_index(drop=True)

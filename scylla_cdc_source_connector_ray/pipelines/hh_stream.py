@@ -73,14 +73,10 @@ def _file_summary(
     """Exact-truncated SpaceSaving summary of ONE log file — the
     deterministic partial unit (file contents are immutable and pinned by
     the manifest, unlike Ray block splits)."""
-    import polars as pl
+    from ..functions.textops import spacesaving_summary
 
     t = pq.read_table(path, columns=[text_col])
-    s = pl.from_arrow(t[text_col]).fill_null("")
-    toks = s.str.extract_all(pattern).explode().drop_nulls()
-    vc = toks.value_counts()
-    name = toks.name or text_col
-    ss = SpaceSaving.from_counts(m, vc[name].to_list(), vc["count"].to_list())
+    ss = spacesaving_summary(t[text_col], m, pattern, fallback_name=text_col)
     return path, ss.counts, ss.errs, ss.n
 
 
@@ -197,7 +193,10 @@ class HeavyHittersStreamRunner:
         tokens of the latest COMMITTED summary."""
         from ._microbatch import read_committed_state
 
-        tables = read_committed_state(self.ckpt, self.STATE_KIND)
+        try:
+            tables = read_committed_state(self.ckpt, self.STATE_KIND)
+        except ValueError:  # nothing committed yet (e.g. empty log dir)
+            tables = []
         ss = _summary_from_table(tables[0], self.m) if tables else SpaceSaving(self.m)
         rows = ss.topk(k)
         return pa.table(

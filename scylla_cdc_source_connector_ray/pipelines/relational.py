@@ -534,13 +534,18 @@ def event_type_corr(sf_dir: str) -> ray.data.Dataset:
     """Grouped Pearson correlation from EXACT integer co-moments: per
     event_type, corr(value_cents, user_id) as floor(1e6·corr).
 
-    The mergeable-moments pattern at scale: each block emits six int64
-    partial sums (n, Σx, Σy, Σxx, Σyy, Σxy) per group, one tiny exchange
-    merges them, and the final division happens ONCE per group from exact
-    integers — so distributed float-sum ordering can never perturb the
-    result, and the SQL twin (HUGEINT sums, identical final float formula)
-    matches bit-for-bit. Zero-variance groups are excluded on both sides
-    (SQL corr would be NULL/NaN)."""
+    The mergeable-moments pattern, exact at ANY scale: each block emits per-
+    group partial sums with every product SPLIT INTO 2^32 LIMBS before the
+    in-block summation (hi = p >> 32, lo = p − (hi << 32) ∈ [0, 2^32) — so a
+    block of up to 2^28 rows cannot wrap int64), and the tiny per-block
+    partial rows (blocks × |event_type| — the sanctioned driver-side
+    "partial sketches" shape) are folded on the driver in unbounded Python
+    ints. No co-moment sum can silently wrap at any corpus size — the int64
+    co-moment Sum this replaces wrapped at ~4e9 rows/group — so the SQL twin
+    (HUGEINT sums, identical final float formula) matches bit-for-bit.
+    Zero-variance groups are excluded on both sides (SQL corr is NULL).
+    Inputs are guarded: |x|,|y| ≤ 3e9 keeps every single product in int64
+    (fail-loud above — widen the limb split if a corpus ever needs it)."""
     import math
 
     import numpy as np
@@ -548,62 +553,72 @@ def event_type_corr(sf_dir: str) -> ray.data.Dataset:
     import pyarrow as pa
 
     ds = _read(sf_dir, "events", columns=["event_type", "user_id", "value"])
+    X_MAX = 3_000_000_000  # floor(sqrt(int64 max)) rounded down
 
     def partial(b: pd.DataFrame) -> pa.Table:
         x = np.round(b["value"].to_numpy(dtype=np.float64) * 100.0).astype(np.int64)
         y = b["user_id"].to_numpy(dtype=np.int64)
-        d = pd.DataFrame(
-            {
-                "event_type": b["event_type"].astype(object),
-                "n": np.int64(1),
-                "sx": x,
-                "sy": y,
-                "sxx": x * x,
-                "syy": y * y,
-                "sxy": x * y,
-            }
-        )
-        res = d.groupby("event_type", sort=False, dropna=False).sum().reset_index()
-        return pa.Table.from_pandas(res, preserve_index=False)
-
-    moments = (
-        ds.map_batches(partial, batch_format="pandas")
-        .groupby("event_type")
-        .aggregate(
-            Sum("n", alias_name="n"),
-            Sum("sx", alias_name="sx"),
-            Sum("sy", alias_name="sy"),
-            Sum("sxx", alias_name="sxx"),
-            Sum("syy", alias_name="syy"),
-            Sum("sxy", alias_name="sxy"),
-        )
-    )
-
-    def finish(b: pd.DataFrame) -> pd.DataFrame:
-        rows = []
-        for _, r in b.iterrows():
-            # exact Python-int co-moments (HUGEINT analogue), float only in
-            # the FINAL formula — identical expression to the SQL twin
-            n, sx, sy = int(r["n"]), int(r["sx"]), int(r["sy"])
-            sxx, syy, sxy = int(r["sxx"]), int(r["syy"]), int(r["sxy"])
-            num = n * sxy - sx * sy
-            d1 = n * sxx - sx * sx
-            d2 = n * syy - sy * sy
-            if d1 <= 0 or d2 <= 0:
-                continue  # zero variance: SQL corr is NULL
-            corr_micro = math.floor(
-                float(num) / math.sqrt(float(d1) * float(d2)) * 1_000_000
+        if len(x) and (
+            np.abs(x).max() > X_MAX or np.abs(y).max() > X_MAX
+        ):
+            raise ValueError(
+                "event_type_corr: |value_cents| or |user_id| exceeds 3e9 — "
+                "a single product would overflow int64; widen the limb split"
             )
-            rows.append((r["event_type"], corr_micro, n))
-        return pd.DataFrame(
-            {
-                "event_type": pd.Series([t for t, _, _ in rows], dtype=object),
-                "corr_micro": pd.Series([c for _, c, _ in rows], dtype="int64"),
-                "n": pd.Series([n for _, _, n in rows], dtype="int64"),
-            }
-        )
+        d = pd.DataFrame({"event_type": b["event_type"].astype(object)})
+        d["n"] = np.int64(1)
+        d["sx"] = x
+        d["sy"] = y
+        for name, p in (("sxx", x * x), ("syy", y * y), ("sxy", x * y)):
+            hi = p >> 32  # arithmetic shift: floor semantics, sign-correct
+            d[f"{name}_hi"] = hi
+            d[f"{name}_lo"] = p - (hi << 32)
+        res = d.groupby("event_type", sort=False, dropna=False).sum().reset_index()
+        cols = {"event_type": pa.array(res["event_type"].astype(object), pa.string())}
+        for c in res.columns[1:]:
+            cols[c] = pa.array(res[c].to_numpy(dtype=np.int64), pa.int64())
+        return pa.table(cols)
 
-    return moments.map_batches(finish, batch_format="pandas")
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    out_schema = {
+        "event_type": pd.Series(dtype=object),
+        "corr_micro": pd.Series(dtype="int64"),
+        "n": pd.Series(dtype="int64"),
+    }
+    if not len(parts):
+        return pd.DataFrame(out_schema)
+
+    rows = []
+    for et, g in parts.groupby("event_type", sort=False, dropna=False):
+        # object-dtype sums fold the per-block partials as exact Python ints
+        # (HUGEINT analogue); float appears only in the FINAL formula —
+        # identical expression to the SQL twin
+        n = int(g["n"].astype(object).sum())
+        sx = int(g["sx"].astype(object).sum())
+        sy = int(g["sy"].astype(object).sum())
+        mom = {}
+        for name in ("sxx", "syy", "sxy"):
+            mom[name] = int(
+                (g[f"{name}_hi"].astype(object) * 2**32 + g[f"{name}_lo"].astype(object)).sum()
+            )
+        num = n * mom["sxy"] - sx * sy
+        d1 = n * mom["sxx"] - sx * sx
+        d2 = n * mom["syy"] - sy * sy
+        if d1 <= 0 or d2 <= 0:
+            continue  # zero variance: SQL corr is NULL
+        corr_micro = math.floor(
+            float(num) / math.sqrt(float(d1) * float(d2)) * 1_000_000
+        )
+        rows.append((None if pd.isna(et) else et, corr_micro, n))
+    return pd.DataFrame(
+        {
+            "event_type": pd.Series([t for t, _, _ in rows], dtype=object),
+            "corr_micro": pd.Series([c for _, c, _ in rows], dtype="int64"),
+            "n": pd.Series([n for _, _, n in rows], dtype="int64"),
+        }
+        if rows
+        else out_schema
+    )
 
 
 def event_props_extract(sf_dir: str) -> ray.data.Dataset:
@@ -619,7 +634,30 @@ def event_props_extract(sf_dir: str) -> ray.data.Dataset:
 
     def extract(t: pa.Table) -> pa.Table:
         m = pc.extract_regex(t["props"].combine_chunks(), pat)
-        k = pc.struct_field(m, "k").cast(pa.int64())
+        ks = pc.struct_field(m, "k")
+        # TRY_CAST parity: Arrow's cast raises on int64 overflow where the
+        # SQL twin yields NULL. Digit runs of <= 18 always fit and cast
+        # vectorized; longer literals (rare) go through an exact Python-int
+        # range check instead of crashing the query.
+        digits = pc.subtract(
+            pc.utf8_length(ks), pc.cast(pc.starts_with(ks, "-"), pa.int32())
+        )
+        risky = pc.and_kleene(pc.is_valid(ks), pc.greater(digits, 18))
+        k = pc.if_else(pc.equal(risky, True), pa.scalar(None, pa.string()), ks).cast(
+            pa.int64()
+        )
+        if pc.any(pc.equal(risky, True)).as_py():
+            import numpy as np
+
+            vals = k.to_pylist()
+            src = ks.to_pylist()
+            lo, hi = -(2**63), 2**63 - 1
+            for i in np.flatnonzero(
+                pc.equal(risky, True).to_numpy(zero_copy_only=False)
+            ):
+                v = int(src[i])
+                vals[i] = v if lo <= v <= hi else None
+            k = pa.array(vals, pa.int64())
         return pa.table(
             {
                 "event_type": t["event_type"],

@@ -223,3 +223,23 @@ def test_all_null_key_window_reports_zero(tmp_path):
         out = r.read_counts().to_pandas()
         assert out["window_start_us"].tolist() == [0, W, 2 * W], mode
         assert out["n_distinct"].tolist() == [1, 0, 1], mode
+
+
+def test_null_key_and_null_ts_row_does_not_crash(tmp_path):
+    # pandas delivers nullable int ts as float64+NaN; the presence marker
+    # must skip NULL ts (a row with no ts belongs to no window) instead of
+    # crashing the int64 conversion
+    tmp = str(tmp_path)
+    f = pd.DataFrame(
+        {
+            "conv_id": pd.array(["a", None], dtype=object),
+            "ts_us": pd.array([100, None], dtype="Int64"),
+        }
+    )
+    log = _write_log(tmp, [f])
+    r = _runner(tmp, log)
+    totals = r.run(files_per_batch=1)
+    assert totals["new_distinct"] == 1
+    out = r.read_counts().to_pandas()
+    assert out["window_start_us"].tolist() == [0]
+    assert out["n_distinct"].tolist() == [1]

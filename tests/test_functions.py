@@ -1051,3 +1051,22 @@ def test_scratch_spill_dir_ramdisk_heuristic(monkeypatch):
     assert d_none.startswith("/tmp/")
     for d in (d_small, d_big, d_none):
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_prefix_bucket_rows_empty_vocab_gramless_batch():
+    # every doc shorter than n words -> zero grams anywhere: an empty vocab
+    # is then legitimate (nothing to look up), not "missing" — must return
+    # an empty frame, not raise
+    import numpy as np
+    import pandas as pd
+    import pytest
+
+    batch = pd.DataFrame({"doc_id": [1, 2], "n": [0, 0], "grams": [b"", b""]})
+    empty = (np.array([], dtype=np.uint64), np.array([], dtype=np.int64))
+    out = D.prefix_bucket_rows(batch, thr_micro=700_000, vocab=empty)
+    assert len(out) == 0
+    # but a batch WITH grams against an empty vocab still fails loudly
+    grams = np.array([10], dtype=np.uint64)
+    batch2 = pd.DataFrame({"doc_id": [1], "n": [1], "grams": [grams.tobytes()]})
+    with pytest.raises(ValueError, match="vocab is missing"):
+        D.prefix_bucket_rows(batch2, thr_micro=700_000, vocab=empty)

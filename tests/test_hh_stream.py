@@ -127,3 +127,17 @@ def test_hh_stream_split_invariant_and_pins(tmp_path):
         HeavyHittersStreamRunner(
             log, checkpoint_dir=os.path.join(tmp, "pin", "pin", "ckpt"), m=128
         ).run(files_per_batch=1)
+
+
+def test_read_topk_before_any_commit(tmp_path):
+    # empty log dir: run() commits nothing; read_topk must return the empty
+    # summary, not raise 'no committed batches' (the CLI calls it blindly)
+    tmp = str(tmp_path)
+    log = os.path.join(tmp, "log")
+    os.makedirs(log, exist_ok=True)
+    r = _runner(tmp, log, m=8)
+    res = r.run()
+    assert res.get("batches", 0) == 0
+    t = r.read_topk(5)
+    assert t.num_rows == 0
+    assert t.column_names == ["token", "cnt_upper", "err", "cnt_lower"]

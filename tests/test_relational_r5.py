@@ -100,7 +100,7 @@ def test_lang_mode_deterministic_tie_and_null_lang(sf_dir):
 def test_event_type_corr_matches_exact_moments(sf_dir):
     from scylla_cdc_source_connector_ray.oracles import EVENT_TYPE_CORR
 
-    got = _norm(R.event_type_corr(sf_dir).to_pandas())
+    got = _norm(R.event_type_corr(sf_dir))
     want = _norm(_oracle(sf_dir, EVENT_TYPE_CORR))
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
@@ -118,7 +118,7 @@ def test_event_type_corr_drops_zero_variance(tmp_path):
         }
     )
     pq.write_table(pa.Table.from_pandas(events, preserve_index=False), os.path.join(d, "events.parquet"))
-    out = R.event_type_corr(d).to_pandas()
+    out = R.event_type_corr(d)
     assert len(out) == 0  # SQL corr would be NULL -> excluded on both sides
 
 
@@ -167,3 +167,90 @@ def test_text_redact_masks_and_counts(tmp_path):
     assert by.loc[0, "text"] == "[MASK] and [MASK] again" and by.loc[0, "n_hits"] == 2
     assert by.loc[1, "n_hits"] == 0  # \b guard: 'sparkling' untouched
     assert by.loc[2, "text"] is None and by.loc[2, "n_hits"] == 0
+
+
+def test_event_type_corr_limbed_sums_survive_int64_overflow(tmp_path):
+    # two squared-cents products sum past int64 max: a naive int64 co-moment
+    # Sum wraps silently; the limbed partials + Python-int driver fold must
+    # still match the HUGEINT SQL twin bit-for-bit
+    d = str(tmp_path)
+    events = pd.DataFrame(
+        {
+            "event_id": np.arange(4, dtype=np.int64),
+            "ts": pd.to_datetime(["2026-01-01"] * 4),
+            "user_id": np.array([1, 2, 3, 4], np.int64),
+            "event_type": ["a"] * 4,
+            # x up to 2.9e9 cents: each x*x fits int64, two of them do not
+            "value": [29_000_000.0, 28_999_999.5, 29_000_000.0, 1.25],
+            "props": [""] * 4,
+        }
+    )
+    pq.write_table(
+        pa.Table.from_pandas(events, preserve_index=False),
+        os.path.join(d, "events.parquet"),
+    )
+    from scylla_cdc_source_connector_ray.oracles import EVENT_TYPE_CORR
+
+    got = _norm(R.event_type_corr(d))
+    want = _norm(_oracle(d, EVENT_TYPE_CORR))
+    assert len(got) == 1
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_event_type_corr_guards_single_product_overflow(tmp_path):
+    # |x| beyond 3e9 cents would overflow a SINGLE int64 product: fail loud
+    d = str(tmp_path)
+    events = pd.DataFrame(
+        {
+            "event_id": np.arange(2, dtype=np.int64),
+            "ts": pd.to_datetime(["2026-01-01"] * 2),
+            "user_id": np.array([1, 2], np.int64),
+            "event_type": ["a"] * 2,
+            "value": [40_000_000.0, 1.0],  # 4e9 cents > 3e9 guard
+            "props": [""] * 2,
+        }
+    )
+    pq.write_table(
+        pa.Table.from_pandas(events, preserve_index=False),
+        os.path.join(d, "events.parquet"),
+    )
+    with pytest.raises(Exception, match="limb split"):
+        R.event_type_corr(d)
+
+
+def test_event_props_extract_try_cast_overflow_parity(tmp_path):
+    # literals past int64 range: Arrow's strict cast would crash the query;
+    # the SQL twin's TRY_CAST yields NULL. 19-digit in-range values must
+    # still be kept exactly.
+    d = str(tmp_path)
+    events = pd.DataFrame(
+        {
+            "event_id": np.arange(5, dtype=np.int64),
+            "ts": pd.to_datetime(["2026-01-01"] * 5),
+            "user_id": np.zeros(5, np.int64),
+            "event_type": ["a", "a", "b", "b", "b"],
+            "value": [1.0] * 5,
+            "props": [
+                '{"k": 99999999999999999999}',  # 20 digits -> NULL
+                '{"k": 5}',
+                '{"k": 1234567890123456789}',  # 19 digits, fits -> kept
+                '{"k": -9223372036854775808}',  # int64 min -> kept
+                '{"k": 9223372036854775808}',  # int64 max + 1 -> NULL
+            ],
+        }
+    )
+    pq.write_table(
+        pa.Table.from_pandas(events, preserve_index=False),
+        os.path.join(d, "events.parquet"),
+    )
+    from scylla_cdc_source_connector_ray.oracles import EVENT_PROPS_EXTRACT
+
+    got = _norm(R.event_props_extract(d).to_pandas())
+    want = _norm(_oracle(d, EVENT_PROPS_EXTRACT))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    m = got.set_index("event_type")
+    assert m.loc["a", "sum_k"] == 5 and m.loc["a", "n_with_k"] == 1
+    assert (
+        m.loc["b", "sum_k"] == 1234567890123456789 - 9223372036854775808
+        and m.loc["b", "n_with_k"] == 2
+    )
