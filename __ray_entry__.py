@@ -1832,6 +1832,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_type_corr": _q_relational("event_type_corr"),
         "event_props_extract": _q_relational("event_props_extract"),
         "text_redact": _q_relational("text_redact"),
+        "event_type_regression": _q_relational("event_type_regression"),
+        "cohort_retention": _q_relational("cohort_retention"),
+        "user_gap_stats": _q_relational("user_gap_stats"),
+        "doc_column_profile": _q_relational("doc_column_profile"),
         # --- driver-certified in rounds 1-4 ---
         "cdc_capture_flat": _q_cdc_capture_flat,
         "cdc_op_counts": _q_cdc_op_counts,
@@ -2009,4 +2013,8 @@ def oracle_sql() -> dict[str, str]:
         "event_type_corr": oracles.EVENT_TYPE_CORR,
         "event_props_extract": oracles.EVENT_PROPS_EXTRACT,
         "text_redact": oracles.TEXT_REDACT,
+        "event_type_regression": oracles.EVENT_TYPE_REGRESSION,
+        "cohort_retention": oracles.COHORT_RETENTION,
+        "user_gap_stats": oracles.USER_GAP_STATS,
+        "doc_column_profile": oracles.DOC_COLUMN_PROFILE,
     }

@@ -2017,3 +2017,85 @@ SELECT doc_id,
        CAST(coalesce(length(regexp_extract_all(text, '\\bspark\\b')), 0) AS BIGINT) AS n_hits
 FROM documents
 """
+
+#: grouped least-squares regression (x=value_cents on y=user_id) from the
+#: same EXACT HUGEINT co-moments as EVENT_TYPE_CORR; every DOUBLE expression
+#: is written in the engine's exact operand order so the compare is bit-exact
+EVENT_TYPE_REGRESSION = """
+WITH p AS (
+  SELECT event_type,
+         CAST(round(value * 100.0) AS BIGINT) AS x,
+         user_id AS y
+  FROM events),
+m AS (
+  SELECT event_type, count(*) AS n,
+         sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+         sum(CAST(y AS HUGEINT) * y) AS syy,
+         sum(CAST(x AS HUGEINT) * y) AS sxy
+  FROM p GROUP BY event_type)
+SELECT event_type,
+       CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE)
+                  / CAST(n * syy - sy * sy AS DOUBLE) * 1000000) AS BIGINT) AS slope_micro,
+       CAST(floor((CAST(sx AS DOUBLE)
+                   - CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * syy - sy * sy AS DOUBLE)
+                     * CAST(sy AS DOUBLE))
+                  / CAST(n AS DOUBLE) * 1000000) AS BIGINT) AS intercept_micro,
+       CAST(n AS BIGINT) AS n
+FROM m
+WHERE n * syy > sy * sy
+"""
+
+#: cohort retention matrix: first-active-day cohorts × later active days,
+#: distinct users per cell; (user, day) pairs are made distinct first so
+#: count(*) == count(DISTINCT user) per cell on both sides
+COHORT_RETENTION = """
+WITH p AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+f AS (SELECT user_id, min(day) AS cohort_day FROM p GROUP BY user_id)
+SELECT f.cohort_day, p.day - f.cohort_day AS offset_days,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM p JOIN f USING (user_id)
+GROUP BY 1, 2
+"""
+
+#: exact inter-arrival gap quantiles per (later event's) type; the multiset
+#: of consecutive diffs of a sorted multiset is tie-order independent, and
+#: both sides share the (n-1)*q//100 exact-quantile index convention
+USER_GAP_STATS = """
+WITH g AS (
+  SELECT event_type,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+v AS (SELECT event_type, gap_us FROM g WHERE gap_us IS NOT NULL),
+r AS (
+  SELECT event_type, gap_us,
+         row_number() OVER (PARTITION BY event_type ORDER BY gap_us) - 1 AS i,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM v)
+SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+       max(CASE WHEN i = (n - 1) * 50 // 100 THEN gap_us END) AS p50,
+       max(CASE WHEN i = (n - 1) * 95 // 100 THEN gap_us END) AS p95
+FROM r GROUP BY event_type
+"""
+
+#: per-column data-quality profile of documents; distincts are EXACT
+#: (engine: md5-128 of the value, the dedup_exact_hashed convention)
+DOC_COLUMN_PROFILE = """
+SELECT 'lang' AS col, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) - count(lang) AS BIGINT) AS n_null,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_distinct,
+       CAST(coalesce(sum(length(lang)), 0) AS BIGINT) AS len_sum
+FROM documents
+UNION ALL
+SELECT 'source', CAST(count(*) AS BIGINT), CAST(count(*) - count(source) AS BIGINT),
+       CAST(count(DISTINCT source) AS BIGINT),
+       CAST(coalesce(sum(length(source)), 0) AS BIGINT)
+FROM documents
+UNION ALL
+SELECT 'text', CAST(count(*) AS BIGINT), CAST(count(*) - count(text) AS BIGINT),
+       CAST(count(DISTINCT text) AS BIGINT),
+       CAST(coalesce(sum(length(text)), 0) AS BIGINT)
+FROM documents
+"""

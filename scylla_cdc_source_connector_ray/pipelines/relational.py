@@ -530,9 +530,10 @@ def event_moving_sum(sf_dir: str, window_us: int = 3_600_000_000) -> ray.data.Da
     return prepped.groupby("user_id").map_groups(per_user, batch_format="pandas")
 
 
-def event_type_corr(sf_dir: str) -> ray.data.Dataset:
-    """Grouped Pearson correlation from EXACT integer co-moments: per
-    event_type, corr(value_cents, user_id) as floor(1e6·corr).
+def _exact_event_moments(sf_dir: str) -> list[tuple]:
+    """EXACT per-event_type co-moments of (x=value_cents, y=user_id):
+    ``[(event_type, n, sx, sy, sxx, syy, sxy), ...]`` as unbounded Python
+    ints — shared by the corr and regression operators.
 
     The mergeable-moments pattern, exact at ANY scale: each block emits per-
     group partial sums with every product SPLIT INTO 2^32 LIMBS before the
@@ -540,14 +541,11 @@ def event_type_corr(sf_dir: str) -> ray.data.Dataset:
     block of up to 2^28 rows cannot wrap int64), and the tiny per-block
     partial rows (blocks × |event_type| — the sanctioned driver-side
     "partial sketches" shape) are folded on the driver in unbounded Python
-    ints. No co-moment sum can silently wrap at any corpus size — the int64
-    co-moment Sum this replaces wrapped at ~4e9 rows/group — so the SQL twin
-    (HUGEINT sums, identical final float formula) matches bit-for-bit.
-    Zero-variance groups are excluded on both sides (SQL corr is NULL).
+    ints. No co-moment sum can silently wrap at any corpus size — a naive
+    int64 co-moment Sum wraps at ~4e9 rows/group — so SQL twins (HUGEINT
+    sums, identical final float formulas) match bit-for-bit.
     Inputs are guarded: |x|,|y| ≤ 3e9 keeps every single product in int64
     (fail-loud above — widen the limb split if a corpus ever needs it)."""
-    import math
-
     import numpy as np
     import pandas as pd
     import pyarrow as pa
@@ -562,7 +560,7 @@ def event_type_corr(sf_dir: str) -> ray.data.Dataset:
             np.abs(x).max() > X_MAX or np.abs(y).max() > X_MAX
         ):
             raise ValueError(
-                "event_type_corr: |value_cents| or |user_id| exceeds 3e9 — "
+                "event moments: |value_cents| or |user_id| exceeds 3e9 — "
                 "a single product would overflow int64; widen the limb split"
             )
         d = pd.DataFrame({"event_type": b["event_type"].astype(object)})
@@ -580,19 +578,12 @@ def event_type_corr(sf_dir: str) -> ray.data.Dataset:
         return pa.table(cols)
 
     parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
-    out_schema = {
-        "event_type": pd.Series(dtype=object),
-        "corr_micro": pd.Series(dtype="int64"),
-        "n": pd.Series(dtype="int64"),
-    }
     if not len(parts):
-        return pd.DataFrame(out_schema)
-
-    rows = []
+        return []
+    out = []
     for et, g in parts.groupby("event_type", sort=False, dropna=False):
         # object-dtype sums fold the per-block partials as exact Python ints
-        # (HUGEINT analogue); float appears only in the FINAL formula —
-        # identical expression to the SQL twin
+        # (HUGEINT analogue)
         n = int(g["n"].astype(object).sum())
         sx = int(g["sx"].astype(object).sum())
         sy = int(g["sy"].astype(object).sum())
@@ -601,23 +592,75 @@ def event_type_corr(sf_dir: str) -> ray.data.Dataset:
             mom[name] = int(
                 (g[f"{name}_hi"].astype(object) * 2**32 + g[f"{name}_lo"].astype(object)).sum()
             )
-        num = n * mom["sxy"] - sx * sy
-        d1 = n * mom["sxx"] - sx * sx
-        d2 = n * mom["syy"] - sy * sy
+        out.append(
+            (None if pd.isna(et) else et, n, sx, sy, mom["sxx"], mom["syy"], mom["sxy"])
+        )
+    return out
+
+
+def event_type_corr(sf_dir: str) -> "pd.DataFrame":
+    """Grouped Pearson correlation from EXACT integer co-moments: per
+    event_type, corr(value_cents, user_id) as floor(1e6·corr). Float appears
+    ONLY in the final formula — the identical expression the SQL twin
+    evaluates from the same exact integers, so the comparison is bit-exact.
+    Zero-variance groups are excluded on both sides (SQL corr is NULL).
+    See :func:`_exact_event_moments` for the overflow-proof limb design."""
+    import math
+
+    import pandas as pd
+
+    rows = []
+    for et, n, sx, sy, sxx, syy, sxy in _exact_event_moments(sf_dir):
+        num = n * sxy - sx * sy
+        d1 = n * sxx - sx * sx
+        d2 = n * syy - sy * sy
         if d1 <= 0 or d2 <= 0:
             continue  # zero variance: SQL corr is NULL
         corr_micro = math.floor(
             float(num) / math.sqrt(float(d1) * float(d2)) * 1_000_000
         )
-        rows.append((None if pd.isna(et) else et, corr_micro, n))
+        rows.append((et, corr_micro, n))
     return pd.DataFrame(
         {
             "event_type": pd.Series([t for t, _, _ in rows], dtype=object),
             "corr_micro": pd.Series([c for _, c, _ in rows], dtype="int64"),
             "n": pd.Series([n for _, _, n in rows], dtype="int64"),
         }
-        if rows
-        else out_schema
+    )
+
+
+def event_type_regression(sf_dir: str) -> "pd.DataFrame":
+    """Grouped least-squares fit of value_cents ~ user_id from the same
+    EXACT integer co-moments as :func:`event_type_corr` (one shared pass
+    shape; regr_slope/regr_intercept analogue): per event_type,
+    slope_micro = floor(1e6·(n·Σxy − Σx·Σy)/(n·Σyy − Σy²)) and
+    intercept_micro = floor(1e6·(Σx − slope·Σy)/n), regressing x on y.
+    Every float expression is written identically in the SQL twin (operands
+    are exact ints on both sides), so the gate compare is bit-exact.
+    Zero-variance-in-y groups are excluded (SQL regr_slope is NULL)."""
+    import math
+
+    import pandas as pd
+
+    rows = []
+    for et, n, sx, sy, sxx, syy, sxy in _exact_event_moments(sf_dir):
+        num = n * sxy - sx * sy
+        dy = n * syy - sy * sy
+        if dy <= 0:
+            continue  # zero variance in the regressor: SQL slope is NULL
+        slope = float(num) / float(dy)
+        slope_micro = math.floor(slope * 1_000_000)
+        intercept_micro = math.floor(
+            (float(sx) - slope * float(sy)) / float(n) * 1_000_000
+        )
+        rows.append((et, slope_micro, intercept_micro, n))
+    return pd.DataFrame(
+        {
+            "event_type": pd.Series([t for t, _, _, _ in rows], dtype=object),
+            "slope_micro": pd.Series([s for _, s, _, _ in rows], dtype="int64"),
+            "intercept_micro": pd.Series([i for _, _, i, _ in rows], dtype="int64"),
+            "n": pd.Series([n for _, _, _, n in rows], dtype="int64"),
+        }
     )
 
 
@@ -683,3 +726,212 @@ def text_redact(sf_dir: str) -> ray.data.Dataset:
     return ds.map_batches(
         lambda t: redact(t, pattern=r"\bspark\b"), batch_format="pyarrow"
     )
+
+
+def cohort_retention(sf_dir: str, day_us: int = 86_400_000_000) -> ray.data.Dataset:
+    """Cohort retention over events: users are cohorted by the day of their
+    FIRST event; output (cohort_day, offset_days, n_users) counts the
+    distinct users of each cohort active on each later day — the standard
+    activity-retention matrix.
+
+    Scale shape: raw events collapse to block-deduped (user, day) pairs,
+    then ONE exchange keyed by a coarse user partition (64 groups — never
+    per-user dispatch) makes each partition user-complete, so the global
+    pair dedup, the per-user min-day cohort, and the per-cell distinct-user
+    partial counts are all one vectorized pandas pass inside the partition;
+    users are partition-exclusive, so the final tiny groupby just sums
+    partials. No join, and only pair rows ever cross the exchange — the
+    self-join formulation needs two more exchanges and trips Dataset.join's
+    empty-partition finalize on small inputs."""
+    import numpy as np
+    import pyarrow as pa
+
+    num_parts = 64
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def to_pairs(t: pa.Table) -> pa.Table:
+        # NULL user/ts rows carry no retention signal (a NULL user never
+        # joins its own cohort in SQL either) — both twins filter them
+        t = t.filter(
+            pc.and_(pc.is_valid(t["user_id"]), pc.is_valid(t["ts"]))
+        )
+        # normalize the storage unit (ns-precision parquet would otherwise
+        # yield day numbers 1000x off) before the epoch-µs floor-div
+        us = t["ts"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        day = us // day_us  # numpy floor-div == SQL // (pc.divide truncates)
+        d = pd.DataFrame(
+            {"user_id": t["user_id"].to_numpy(zero_copy_only=False), "day": day}
+        ).drop_duplicates()
+        uid = d["user_id"].to_numpy(np.int64)
+        return pa.table(
+            {
+                "user_id": pa.array(uid, pa.int64()),
+                "day": pa.array(d["day"].to_numpy(np.int64), pa.int64()),
+                "_pid": pa.array(
+                    (uid.astype(np.uint64) % np.uint64(num_parts)).astype(np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    def per_part(b: pd.DataFrame) -> pd.DataFrame:
+        # the partition holds EVERY pair of its users: block-level dups
+        # collapse here, min(day) is the user's true cohort
+        b = b.drop_duplicates(["user_id", "day"])
+        cohort = b.groupby("user_id")["day"].transform("min")
+        out = pd.DataFrame(
+            {
+                "cohort_day": cohort.to_numpy(np.int64),
+                "offset_days": (b["day"] - cohort).to_numpy(np.int64),
+            }
+        )
+        g = out.groupby(["cohort_day", "offset_days"]).size().reset_index(name="n_users")
+        g["n_users"] = g["n_users"].astype("int64")
+        return g
+
+    return (
+        ds.map_batches(to_pairs, batch_format="pyarrow")
+        .groupby("_pid")
+        .map_groups(per_part, batch_format="pandas")
+        .groupby(["cohort_day", "offset_days"])
+        .aggregate(Sum("n_users", alias_name="n_users"))
+    )
+
+
+def user_gap_stats(sf_dir: str, num_parts: int = 64) -> ray.data.Dataset:
+    """Exact p50/p95 of the inter-arrival gap (µs) between a user's
+    consecutive events, grouped by the LATER event's type — the
+    sessionization-adjacent latency profile.
+
+    Scale shape: ONE exchange keyed by a coarse user partition (64 groups,
+    never per-user dispatch — the tiny-groups map_groups pathology); inside
+    each partition a single (user, ts, event_id) lexsort + vectorized diff
+    with run-boundary masking computes every gap, then only (event_type,
+    gap) pairs feed the shared exact-quantile kernel. The multiset of
+    consecutive diffs of a sorted multiset is tie-order independent, so the
+    SQL twin's lag() OVER (PARTITION BY user ORDER BY ts, event_id) matches
+    row-for-row."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..stages.topk import grouped_quantiles
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"])
+
+    def part_key(t: pa.Table) -> pa.Table:
+        # NULL user/ts rows are excluded on both sides (SQL's NULL partition
+        # would otherwise pool all NULL users into one lag chain)
+        t = t.filter(
+            pc.and_(pc.is_valid(t["user_id"]), pc.is_valid(t["ts"]))
+        )
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        pid = (uid % np.uint64(num_parts)).astype(np.int64)
+        return t.append_column("_pid", pa.array(pid, pa.int64()))
+
+    def gaps(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        ts = b["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        uid = b["user_id"].to_numpy()
+        gap = np.empty(len(b), np.int64)
+        gap[1:] = ts[1:] - ts[:-1]
+        first = np.ones(len(b), bool)
+        if len(b) > 1:
+            first[1:] = uid[1:] != uid[:-1]  # run boundary: new user
+        out = pd.DataFrame(
+            {"event_type": b["event_type"].to_numpy(object), "gap_us": gap}
+        )
+        return out[~first].reset_index(drop=True)
+
+    pairs = ds.map_batches(part_key, batch_format="pyarrow").groupby("_pid").map_groups(
+        gaps, batch_format="pandas"
+    )
+    return grouped_quantiles(
+        pairs, keys=["event_type"], value_col="gap_us", quantiles=(50, 95)
+    )
+
+
+def doc_column_profile(sf_dir: str) -> "pd.DataFrame":
+    """Per-column data-quality profile of the documents corpus (text, lang,
+    source): row count, null count, EXACT distinct count, and total
+    character length — the first pass any 100 TB curation run makes.
+
+    Scale shape: counters are per-block int64 partials merged in a 3-row
+    groupby; distincts exchange only block-deduped (col, md5-128) triples
+    (values never move — text hashes to 16 bytes), two-level groupby dedup
+    then count, the same collision-free convention as dedup_exact_hashed.
+    The two result sides are per-COLUMN aggregates (3 rows each) merged on
+    the driver."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+
+    cols = ["text", "lang", "source"]
+    ds = _read(sf_dir, "documents", columns=cols)
+
+    def counters(t: pa.Table) -> pa.Table:
+        names, n_rows, n_null, len_sum = [], [], [], []
+        for c in cols:
+            a = t[c]
+            names.append(c)
+            n_rows.append(len(t))
+            n_null.append(a.null_count)
+            s = pc.sum(pc.utf8_length(a))
+            len_sum.append(s.as_py() if s.is_valid else 0)
+        return pa.table(
+            {
+                "col": pa.array(names, pa.string()),
+                "n_rows": pa.array(n_rows, pa.int64()),
+                "n_null": pa.array(n_null, pa.int64()),
+                "len_sum": pa.array(len_sum, pa.int64()),
+            }
+        )
+
+    def hashed(t: pa.Table) -> pa.Table:
+        outs = {"col": [], "h1": [], "h2": []}
+        for c in cols:
+            a = t[c].drop_null()
+            # md5 once per UNIQUE value in the block (Zipf-bounded), then
+            # block-local dedup so only unique triples cross the exchange
+            vals = set(a.to_pylist())
+            if not vals:
+                continue
+            hexes = [hashlib.md5(v.encode()).hexdigest() for v in vals]
+            u = np.frombuffer(bytes.fromhex("".join(hexes)), dtype=np.uint64).reshape(
+                -1, 2
+            )
+            outs["col"].extend([c] * len(u))
+            outs["h1"].extend(u[:, 0].astype(np.int64).tolist())
+            outs["h2"].extend(u[:, 1].astype(np.int64).tolist())
+        return pa.table(
+            {
+                "col": pa.array(outs["col"], pa.string()),
+                "h1": pa.array(outs["h1"], pa.int64()),
+                "h2": pa.array(outs["h2"], pa.int64()),
+            }
+        )
+
+    counts = (
+        ds.map_batches(counters, batch_format="pyarrow")
+        .groupby("col")
+        .aggregate(
+            Sum("n_rows", alias_name="n_rows"),
+            Sum("n_null", alias_name="n_null"),
+            Sum("len_sum", alias_name="len_sum"),
+        )
+        .to_pandas()
+    )
+    distinct = (
+        ds.map_batches(hashed, batch_format="pyarrow")
+        .groupby(["col", "h1", "h2"])
+        .aggregate(Count(alias_name="_c"))
+        .select_columns(["col"])
+        .groupby("col")
+        .aggregate(Count(alias_name="n_distinct"))
+        .to_pandas()
+    )
+    out = counts.merge(distinct, on="col", how="left")
+    out["n_distinct"] = out["n_distinct"].fillna(0).astype("int64")
+    return out[["col", "n_rows", "n_null", "n_distinct", "len_sum"]]

@@ -254,3 +254,103 @@ def test_event_props_extract_try_cast_overflow_parity(tmp_path):
         m.loc["b", "sum_k"] == 1234567890123456789 - 9223372036854775808
         and m.loc["b", "n_with_k"] == 2
     )
+
+
+def test_event_type_regression_matches_exact_moments(sf_dir):
+    from scylla_cdc_source_connector_ray.oracles import EVENT_TYPE_REGRESSION
+
+    got = _norm(R.event_type_regression(sf_dir))
+    want = _norm(_oracle(sf_dir, EVENT_TYPE_REGRESSION))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_event_type_regression_drops_zero_y_variance(tmp_path):
+    d = str(tmp_path)
+    events = pd.DataFrame(
+        {
+            "event_id": np.arange(3, dtype=np.int64),
+            "ts": pd.to_datetime(["2026-01-01"] * 3),
+            "user_id": np.array([7, 7, 7], np.int64),  # constant regressor
+            "event_type": ["z"] * 3,
+            "value": [1.0, 2.0, 3.0],
+            "props": [""] * 3,
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(events, preserve_index=False), os.path.join(d, "events.parquet"))
+    assert len(R.event_type_regression(d)) == 0
+
+
+def test_cohort_retention_dedups_within_day(tmp_path):
+    # user 1: 3 events on day 0 (one pair), 1 on day 2; user 2 first on day 2
+    d = str(tmp_path)
+    DAY = 86_400_000_000
+    us = np.array([10, 20, 30, 2 * DAY + 5, 2 * DAY + 6, 2 * DAY + 7], np.int64)
+    events = pd.DataFrame(
+        {
+            "event_id": np.arange(6, dtype=np.int64),
+            "ts": pd.to_datetime(us, unit="us"),
+            "user_id": np.array([1, 1, 1, 1, 2, 2], np.int64),
+            "event_type": ["a"] * 6,
+            "value": [1.0] * 6,
+            "props": [""] * 6,
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(events, preserve_index=False), os.path.join(d, "events.parquet"))
+    from scylla_cdc_source_connector_ray.oracles import COHORT_RETENTION
+
+    got = _norm(R.cohort_retention(d).to_pandas())
+    want = _norm(_oracle(d, COHORT_RETENTION))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    m = {(r.cohort_day, r.offset_days): r.n_users for r in got.itertuples()}
+    # repeated same-day events never inflate a cell
+    assert m[(0, 0)] == 1 and m[(0, 2)] == 1 and m[(2, 0)] == 1
+
+
+def test_user_gap_stats_tie_and_cross_user_boundaries(tmp_path):
+    d = str(tmp_path)
+    us = np.array([100, 100, 300, 50, 60], np.int64)  # u1 has a ts TIE
+    events = pd.DataFrame(
+        {
+            "event_id": np.arange(5, dtype=np.int64),
+            "ts": pd.to_datetime(us, unit="us"),
+            "user_id": np.array([1, 1, 1, 2, 2], np.int64),
+            "event_type": ["a", "a", "b", "a", "b"],
+            "value": [1.0] * 5,
+            "props": [""] * 5,
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(events, preserve_index=False), os.path.join(d, "events.parquet"))
+    from scylla_cdc_source_connector_ray.oracles import USER_GAP_STATS
+
+    got = _norm(R.user_gap_stats(d).to_pandas())
+    want = _norm(_oracle(d, USER_GAP_STATS))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    m = got.set_index("event_type")
+    # gaps: type a -> [0 (tie)], type b -> [200, 10]; no cross-user gap.
+    # With n=2 the shared floor convention (n-1)*q//100 indexes element 0
+    # for BOTH p50 and p95 — the sorted multiset is [10, 200].
+    assert m.loc["a", "n"] == 1 and m.loc["a", "p50"] == 0
+    assert m.loc["b", "n"] == 2 and m.loc["b", "p50"] == 10 and m.loc["b", "p95"] == 10
+
+
+def test_doc_column_profile_nulls_and_dups(tmp_path):
+    d = str(tmp_path)
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(4, dtype=np.int64),
+            "text": ["same", "same", None, "other"],
+            "lang": ["en", None, None, "de"],
+            "source": ["w"] * 4,
+            "n_chars": np.ones(4, np.int64),
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(docs, preserve_index=False), os.path.join(d, "documents.parquet"))
+    from scylla_cdc_source_connector_ray.oracles import DOC_COLUMN_PROFILE
+
+    got = _norm(R.doc_column_profile(d))
+    want = _norm(_oracle(d, DOC_COLUMN_PROFILE))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    m = got.set_index("col")
+    assert m.loc["text", "n_distinct"] == 2 and m.loc["text", "n_null"] == 1
+    assert m.loc["lang", "n_distinct"] == 2 and m.loc["lang", "n_null"] == 2
+    assert m.loc["source", "n_distinct"] == 1 and m.loc["source", "len_sum"] == 4
