@@ -1836,6 +1836,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cohort_retention": _q_relational("cohort_retention"),
         "user_gap_stats": _q_relational("user_gap_stats"),
         "doc_column_profile": _q_relational("doc_column_profile"),
+        "funnel_conversion": _q_relational("funnel_conversion"),
+        "q5_local_supplier_volume": _q_relational("q5_local_supplier_volume"),
         # --- driver-certified in rounds 1-4 ---
         "cdc_capture_flat": _q_cdc_capture_flat,
         "cdc_op_counts": _q_cdc_op_counts,
@@ -2017,4 +2019,6 @@ def oracle_sql() -> dict[str, str]:
         "cohort_retention": oracles.COHORT_RETENTION,
         "user_gap_stats": oracles.USER_GAP_STATS,
         "doc_column_profile": oracles.DOC_COLUMN_PROFILE,
+        "funnel_conversion": oracles.FUNNEL_CONVERSION,
+        "q5_local_supplier_volume": oracles.Q5_LOCAL_SUPPLIER_VOLUME,
     }

@@ -2099,3 +2099,43 @@ SELECT 'text', CAST(count(*) AS BIGINT), CAST(count(*) - count(text) AS BIGINT),
        CAST(coalesce(sum(length(text)), 0) AS BIGINT)
 FROM documents
 """
+
+#: ordered-step funnel with STRICT min-time chaining: a user reaches step i
+#: iff they have a step-i event strictly after their earliest qualifying
+#: step-(i-1) time (same-timestamp events across steps do NOT chain — both
+#: twins use the strict >)
+FUNNEL_CONVERSION = """
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+s1 AS (SELECT user_id, min(us) AS t FROM e WHERE event_type = 'view' GROUP BY user_id),
+s2 AS (SELECT e.user_id, min(e.us) AS t FROM e JOIN s1 USING (user_id)
+       WHERE e.event_type = 'click' AND e.us > s1.t GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, min(e.us) AS t FROM e JOIN s2 USING (user_id)
+       WHERE e.event_type = 'purchase' AND e.us > s2.t GROUP BY e.user_id)
+SELECT CAST(1 AS BIGINT) AS step, 'view' AS event_type,
+       CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_users
+UNION ALL
+SELECT CAST(2 AS BIGINT), 'click', CAST((SELECT count(*) FROM s2) AS BIGINT)
+UNION ALL
+SELECT CAST(3 AS BIGINT), 'purchase', CAST((SELECT count(*) FROM s3) AS BIGINT)
+"""
+
+#: TPC-H Q5 shape: per-nation revenue where customer and supplier share the
+#: nation, one region, one order-year; revenue in tenth-cents (the repo's
+#: integer-exact money convention)
+Q5_LOCAL_SUPPLIER_VOLUME = """
+SELECT n_name,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000.0) AS BIGINT)) AS BIGINT) AS revenue_dm
+FROM customer
+JOIN orders   ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY n_name
+"""

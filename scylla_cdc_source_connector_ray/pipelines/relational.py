@@ -935,3 +935,185 @@ def doc_column_profile(sf_dir: str) -> "pd.DataFrame":
     out = counts.merge(distinct, on="col", how="left")
     out["n_distinct"] = out["n_distinct"].fillna(0).astype("int64")
     return out[["col", "n_rows", "n_null", "n_distinct", "len_sum"]]
+
+
+def funnel_conversion(
+    sf_dir: str,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+    num_parts: int = 64,
+) -> ray.data.Dataset:
+    """Ordered-step funnel over events: how many users reach step i, where a
+    user reaches step i by having a step-i event STRICTLY after their
+    earliest qualifying step-(i-1) time (the standard min-time chaining
+    funnel; ties across steps do not chain — documented, and the SQL twin
+    uses the same strict ``>``).
+
+    Scale shape: rows irrelevant to the funnel are dropped and projected to
+    (user, step-index, epoch-µs) BEFORE the single coarse user-keyed
+    exchange (64 groups — never per-user dispatch); each partition is
+    user-complete, so the per-step chained group-mins are len(steps)
+    vectorized pandas passes, and the tiny per-partition step counts sum in
+    a 3-row groupby. The corpus text/props columns never load (column-pruned
+    read) and nothing re-shuffles between steps."""
+    import numpy as np
+    import pyarrow as pa
+
+    steps = tuple(steps)
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+
+    def project(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.and_(
+                pc.and_(pc.is_valid(t["user_id"]), pc.is_valid(t["ts"])),
+                pc.is_in(t["event_type"], value_set=pa.array(list(steps))),
+            )
+        )
+        us = t["ts"].cast(pa.timestamp("us")).cast(pa.int64())
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        step_idx = np.full(len(t), -1, np.int64)
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        for i, s in enumerate(steps):
+            step_idx[et == s] = i
+        return pa.table(
+            {
+                "user_id": pa.array(uid, pa.int64()),
+                "step": pa.array(step_idx, pa.int64()),
+                "us": us,
+                "_pid": pa.array(
+                    (uid.astype(np.uint64) % np.uint64(num_parts)).astype(np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    def per_part(b: pd.DataFrame) -> pd.DataFrame:
+        # chained group-mins: t_i = min us of step-i rows with us > t_{i-1}
+        prev = None  # Series: user_id -> t_{i-1}
+        counts = []
+        for i in range(len(steps)):
+            rows = b[b["step"] == i]
+            if prev is not None:
+                pt = rows["user_id"].map(prev)
+                rows = rows[pt.notna() & (rows["us"] > pt)]
+            cur = rows.groupby("user_id")["us"].min()
+            counts.append(len(cur))
+            prev = cur
+        return pd.DataFrame(
+            {
+                "step": pd.Series(range(1, len(steps) + 1), dtype="int64"),
+                "event_type": pd.Series(list(steps), dtype=object),
+                "n_users": pd.Series(counts, dtype="int64"),
+            }
+        )
+
+    return (
+        ds.map_batches(project, batch_format="pyarrow")
+        .groupby("_pid")
+        .map_groups(per_part, batch_format="pandas")
+        .groupby(["step", "event_type"])
+        .aggregate(Sum("n_users", alias_name="n_users"))
+    )
+
+
+def q5_local_supplier_volume(
+    sf_dir: str,
+    region: str = "ASIA",
+    date_lo: str = "1996-01-01",
+    date_hi: str = "1997-01-01",
+) -> ray.data.Dataset:
+    """TPC-H Q5-shaped: revenue per nation from lineitems where the customer
+    and the supplier sit in the SAME nation of one region, over a one-year
+    order window.
+
+    Scale shape: region⋈nation (fixed-size) is a driver-side read broadcast
+    as an in-filter + name map; customer and orders — the SF-growing sides —
+    are column-pruned and filtered BEFORE their co-partitioned
+    ``shuffle_hash_join``; lineitem (the 100 TB side) is projected to
+    (l_orderkey, l_suppkey, rev_dm) and joined once against the
+    (o_orderkey → c_nationkey) stream. Supplier — TPC-H's smallest SF-scaled
+    table (10k rows/SF, two int64 columns ≈ 160 MB at SF1000) — broadcasts
+    via ``broadcast_join``; above that, swap in a third shuffle join on
+    l_suppkey. Revenue is integer tenth-cents so distributed partial sums
+    are exact; the final groupby is |nations-in-region| rows."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..stages.join import broadcast_join, shuffle_hash_join
+
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet")).to_pandas()
+    reg = pq.read_table(os.path.join(sf_dir, "region.parquet")).to_pandas()
+    dim = nation.merge(reg, left_on="n_regionkey", right_on="r_regionkey")
+    dim = dim[dim["r_name"] == region][["n_nationkey", "n_name"]]
+    nat_keys = pa.array(dim["n_nationkey"].to_numpy(np.int64))
+    name_ref = ray.put(dim.set_index("n_nationkey")["n_name"])
+
+    lo_ts = pc.strptime(date_lo, "%Y-%m-%d", "us")
+    hi_ts = pc.strptime(date_hi, "%Y-%m-%d", "us")
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    cust = cust.map_batches(
+        lambda t: t.filter(pc.is_in(t["c_nationkey"], value_set=nat_keys)),
+        batch_format="pyarrow",
+    )
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    orders = orders.map_batches(
+        lambda t: t.filter(
+            pc.and_(
+                pc.greater_equal(t["o_orderdate"], lo_ts),
+                pc.less(t["o_orderdate"], hi_ts),
+            )
+        ).select(["o_orderkey", "o_custkey"]),
+        batch_format="pyarrow",
+    )
+    oc = shuffle_hash_join(orders, cust, left_on="o_custkey", right_on="c_custkey")
+
+    li = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    def li_prep(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(1.0, t["l_discount"]))
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "l_suppkey": t["l_suppkey"],
+                "rev_dm": pc.round(pc.multiply(rev, 10000.0)).cast("int64"),
+            }
+        )
+
+    lo = shuffle_hash_join(
+        li.map_batches(li_prep, batch_format="pyarrow"),
+        oc.select_columns(["o_orderkey", "c_nationkey"]),
+        left_on="l_orderkey",
+        right_on="o_orderkey",
+    )
+
+    supp = pq.read_table(
+        os.path.join(sf_dir, "supplier.parquet"), columns=["s_suppkey", "s_nationkey"]
+    ).to_pandas()
+    supp = supp[supp["s_nationkey"].isin(dim["n_nationkey"])]
+    ls = broadcast_join(
+        lo, supp, left_on="l_suppkey", right_on="s_suppkey", columns=["s_nationkey"]
+    )
+
+    class LocalOnly:
+        def __init__(self):
+            self.names = ray.get(name_ref)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            # the Q5 "local supplier" condition + nation-name enrichment
+            b = b[b["c_nationkey"] == b["s_nationkey"]]
+            return pd.DataFrame(
+                {
+                    "n_name": b["c_nationkey"].map(self.names).astype(object),
+                    "rev_dm": b["rev_dm"].astype("int64"),
+                }
+            )
+
+    return (
+        ls.map_batches(LocalOnly, batch_format="pandas", concurrency=(1, 8))
+        .groupby("n_name")
+        .aggregate(Sum("rev_dm", alias_name="revenue_dm"))
+    )

@@ -354,3 +354,67 @@ def test_doc_column_profile_nulls_and_dups(tmp_path):
     assert m.loc["text", "n_distinct"] == 2 and m.loc["text", "n_null"] == 1
     assert m.loc["lang", "n_distinct"] == 2 and m.loc["lang", "n_null"] == 2
     assert m.loc["source", "n_distinct"] == 1 and m.loc["source", "len_sum"] == 4
+
+
+def test_funnel_conversion_strict_tie_chaining(tmp_path):
+    d = str(tmp_path)
+    # u1: view@100, click@100 (TIE -> not chained), purchase@200 -> step 1 only
+    # u2: view@100, click@150, purchase@150 (tie at step3 -> blocked) -> steps 1,2
+    # u3: click@50 (before view: ignored), view@100, click@200, purchase@300 -> 1,2,3
+    # u4: purchase only -> nothing
+    us = np.array([100, 100, 200, 100, 150, 150, 50, 100, 200, 300, 10], np.int64)
+    uid = np.array([1, 1, 1, 2, 2, 2, 3, 3, 3, 3, 4], np.int64)
+    et = ["view", "click", "purchase", "view", "click", "purchase",
+          "click", "view", "click", "purchase", "purchase"]
+    events = pd.DataFrame(
+        {
+            "event_id": np.arange(len(us), dtype=np.int64),
+            "ts": pd.to_datetime(us, unit="us"),
+            "user_id": uid,
+            "event_type": et,
+            "value": [1.0] * len(us),
+            "props": [""] * len(us),
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(events, preserve_index=False), os.path.join(d, "events.parquet"))
+    from scylla_cdc_source_connector_ray.oracles import FUNNEL_CONVERSION
+
+    got = _norm(R.funnel_conversion(d).to_pandas())
+    want = _norm(_oracle(d, FUNNEL_CONVERSION))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    m = got.set_index("step")["n_users"]
+    assert m[1] == 3 and m[2] == 2 and m[3] == 1
+
+
+def test_q5_local_supplier_and_window_filters(tmp_path):
+    d = str(tmp_path)
+    pq.write_table(pa.table({"r_regionkey": pa.array([0, 1], pa.int64()),
+                             "r_name": ["ASIA", "EUROPE"]}), os.path.join(d, "region.parquet"))
+    pq.write_table(pa.table({"n_nationkey": pa.array([0, 1, 2], pa.int64()),
+                             "n_name": ["JAPAN", "CHINA", "FRANCE"],
+                             "n_regionkey": pa.array([0, 0, 1], pa.int64())}),
+                   os.path.join(d, "nation.parquet"))
+    pq.write_table(pa.table({"c_custkey": pa.array([1, 2, 3], pa.int64()),
+                             "c_nationkey": pa.array([0, 2, 1], pa.int64())}),
+                   os.path.join(d, "customer.parquet"))
+    pq.write_table(pa.table({"s_suppkey": pa.array([1, 2], pa.int64()),
+                             "s_nationkey": pa.array([0, 1], pa.int64())}),
+                   os.path.join(d, "supplier.parquet"))
+    pq.write_table(pa.table({"o_orderkey": pa.array([1, 2, 3], pa.int64()),
+                             "o_custkey": pa.array([1, 1, 3], pa.int64()),
+                             "o_orderdate": pa.array(
+                                 pd.to_datetime(["1996-06-01", "1995-06-01", "1996-07-01"]),
+                                 pa.timestamp("us"))}),
+                   os.path.join(d, "orders.parquet"))
+    pq.write_table(pa.table({"l_orderkey": pa.array([1, 1, 2, 3], pa.int64()),
+                             "l_suppkey": pa.array([1, 2, 1, 2], pa.int64()),
+                             "l_extendedprice": [100.0, 50.0, 70.0, 30.0],
+                             "l_discount": [0.1, 0.0, 0.0, 0.5]}),
+                   os.path.join(d, "lineitem.parquet"))
+    got = _norm(R.q5_local_supplier_volume(d).to_pandas())
+    # JAPAN: order 1 line via s1 (local): 100*0.9*10000 = 900000; the s2 line
+    # is non-local (cust n0 vs supp n1). Order 2 is out of window.
+    # CHINA: order 3 via s2 (local): 30*0.5*10000 = 150000.
+    want = _norm(pd.DataFrame({"n_name": ["JAPAN", "CHINA"],
+                               "revenue_dm": np.array([900000, 150000], np.int64)}))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
