@@ -2047,10 +2047,15 @@ WHERE n * syy > sy * sy
 
 #: cohort retention matrix: first-active-day cohorts × later active days,
 #: distinct users per cell; (user, day) pairs are made distinct first so
-#: count(*) == count(DISTINCT user) per cell on both sides
+#: count(*) == count(DISTINCT user) per cell on both sides. Day numbering
+#: goes through date_trunc so pre-1970 timestamps floor to the calendar day
+#: (bare epoch_us(ts)//day would TRUNCATE toward zero for negatives, unlike
+#: the engine's numpy floor-div; on the exact day multiple date_trunc
+#: yields, // is exact for either sign)
 COHORT_RETENTION = """
 WITH p AS (
-  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+  SELECT DISTINCT user_id,
+         epoch_us(date_trunc('day', ts)) // 86400000000 AS day
   FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
 f AS (SELECT user_id, min(day) AS cohort_day FROM p GROUP BY user_id)
 SELECT f.cohort_day, p.day - f.cohort_day AS offset_days,

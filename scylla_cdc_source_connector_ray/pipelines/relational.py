@@ -554,7 +554,11 @@ def _exact_event_moments(sf_dir: str) -> list[tuple]:
     X_MAX = 3_000_000_000  # floor(sqrt(int64 max)) rounded down
 
     def partial(b: pd.DataFrame) -> pa.Table:
-        x = np.round(b["value"].to_numpy(dtype=np.float64) * 100.0).astype(np.int64)
+        # DuckDB round() is half-AWAY-FROM-ZERO; np.round is half-to-even.
+        # A value like 0.125 (exact in binary) would split the twins, so
+        # mirror the SQL rule explicitly.
+        v = b["value"].to_numpy(dtype=np.float64) * 100.0
+        x = (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype(np.int64)
         y = b["user_id"].to_numpy(dtype=np.int64)
         if len(x) and (
             np.abs(x).max() > X_MAX or np.abs(y).max() > X_MAX
@@ -760,7 +764,10 @@ def cohort_retention(sf_dir: str, day_us: int = 86_400_000_000) -> ray.data.Data
         us = t["ts"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(
             zero_copy_only=False
         )
-        day = us // day_us  # numpy floor-div == SQL // (pc.divide truncates)
+        # numpy floor-div: pre-1970 µs floor to the earlier day. SQL's //
+        # TRUNCATES toward zero, so the twin floors via date_trunc('day')
+        # first (exact multiple → // is then sign-safe).
+        day = us // day_us
         d = pd.DataFrame(
             {"user_id": t["user_id"].to_numpy(zero_copy_only=False), "day": day}
         ).drop_duplicates()
@@ -863,8 +870,6 @@ def doc_column_profile(sf_dir: str) -> "pd.DataFrame":
     then count, the same collision-free convention as dedup_exact_hashed.
     The two result sides are per-COLUMN aggregates (3 rows each) merged on
     the driver."""
-    import hashlib
-
     import numpy as np
     import pyarrow as pa
 
@@ -890,18 +895,19 @@ def doc_column_profile(sf_dir: str) -> "pd.DataFrame":
         )
 
     def hashed(t: pa.Table) -> pa.Table:
+        # the ONE raw-value 128-bit hash convention (distinct_stream's
+        # kernel: md5 once per UNIQUE value; raw, NOT text-normalized —
+        # count(DISTINCT x) must not conflate values), then block-local
+        # dedup so only unique triples cross the exchange
+        from .distinct_stream import _id_hash128
+
         outs = {"col": [], "h1": [], "h2": []}
         for c in cols:
             a = t[c].drop_null()
-            # md5 once per UNIQUE value in the block (Zipf-bounded), then
-            # block-local dedup so only unique triples cross the exchange
-            vals = set(a.to_pylist())
-            if not vals:
+            if not len(a):
                 continue
-            hexes = [hashlib.md5(v.encode()).hexdigest() for v in vals]
-            u = np.frombuffer(bytes.fromhex("".join(hexes)), dtype=np.uint64).reshape(
-                -1, 2
-            )
+            h1, h2 = _id_hash128(pd.Series(a.to_pylist(), dtype=object))
+            u = np.unique(np.stack([h1, h2], axis=1), axis=0)
             outs["col"].extend([c] * len(u))
             outs["h1"].extend(u[:, 0].astype(np.int64).tolist())
             outs["h2"].extend(u[:, 1].astype(np.int64).tolist())
@@ -932,6 +938,25 @@ def doc_column_profile(sf_dir: str) -> "pd.DataFrame":
         .aggregate(Count(alias_name="n_distinct"))
         .to_pandas()
     )
+    # an EMPTY documents table yields schema-less empty frames from both
+    # branches, while the SQL twin's UNION ALL still reports one zero row
+    # per column — rebuild from the fixed column list
+    if not len(counts) or "col" not in counts.columns:
+        counts = pd.DataFrame(
+            {
+                "col": pd.Series(cols, dtype=object),
+                "n_rows": pd.Series([0] * len(cols), dtype="int64"),
+                "n_null": pd.Series([0] * len(cols), dtype="int64"),
+                "len_sum": pd.Series([0] * len(cols), dtype="int64"),
+            }
+        )
+    if not len(distinct) or "col" not in distinct.columns:
+        distinct = pd.DataFrame(
+            {
+                "col": pd.Series(dtype=object),
+                "n_distinct": pd.Series(dtype="int64"),
+            }
+        )
     out = counts.merge(distinct, on="col", how="left")
     out["n_distinct"] = out["n_distinct"].fillna(0).astype("int64")
     return out[["col", "n_rows", "n_null", "n_distinct", "len_sum"]]
@@ -941,7 +966,7 @@ def funnel_conversion(
     sf_dir: str,
     steps: tuple[str, ...] = ("view", "click", "purchase"),
     num_parts: int = 64,
-) -> ray.data.Dataset:
+) -> "pd.DataFrame":
     """Ordered-step funnel over events: how many users reach step i, where a
     user reaches step i by having a step-i event STRICTLY after their
     earliest qualifying step-(i-1) time (the standard min-time chaining
@@ -1006,13 +1031,28 @@ def funnel_conversion(
             }
         )
 
-    return (
+    agg = (
         ds.map_batches(project, batch_format="pyarrow")
         .groupby("_pid")
         .map_groups(per_part, batch_format="pandas")
         .groupby(["step", "event_type"])
         .aggregate(Sum("n_users", alias_name="n_users"))
+        .to_pandas()  # ≤ len(steps) rows — driver-side by design
     )
+    # a corpus with NO funnel-step events yields an empty pipeline, but the
+    # SQL twin still reports every step with n_users 0 — emit the full ladder
+    full = pd.DataFrame(
+        {
+            "step": pd.Series(range(1, len(steps) + 1), dtype="int64"),
+            "event_type": pd.Series(list(steps), dtype=object),
+        }
+    )
+    if len(agg) and "step" in agg.columns:
+        full = full.merge(agg[["step", "n_users"]], on="step", how="left")
+        full["n_users"] = full["n_users"].fillna(0).astype("int64")
+    else:
+        full["n_users"] = pd.Series([0] * len(steps), dtype="int64")
+    return full
 
 
 def q5_local_supplier_volume(

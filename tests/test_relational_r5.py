@@ -379,7 +379,7 @@ def test_funnel_conversion_strict_tie_chaining(tmp_path):
     pq.write_table(pa.Table.from_pandas(events, preserve_index=False), os.path.join(d, "events.parquet"))
     from scylla_cdc_source_connector_ray.oracles import FUNNEL_CONVERSION
 
-    got = _norm(R.funnel_conversion(d).to_pandas())
+    got = _norm(R.funnel_conversion(d))
     want = _norm(_oracle(d, FUNNEL_CONVERSION))
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
     m = got.set_index("step")["n_users"]
@@ -418,3 +418,105 @@ def test_q5_local_supplier_and_window_filters(tmp_path):
     want = _norm(pd.DataFrame({"n_name": ["JAPAN", "CHINA"],
                                "revenue_dm": np.array([900000, 150000], np.int64)}))
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def _write_empty_tables(d):
+    pq.write_table(pa.table({
+        "event_id": pa.array([], pa.int64()),
+        "ts": pa.array([], pa.timestamp("us")),
+        "user_id": pa.array([], pa.int64()),
+        "event_type": pa.array([], pa.string()),
+        "value": pa.array([], pa.float64()),
+        "props": pa.array([], pa.string()),
+    }), os.path.join(d, "events.parquet"))
+    pq.write_table(pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "text": pa.array([], pa.string()),
+        "lang": pa.array([], pa.string()),
+        "source": pa.array([], pa.string()),
+        "n_chars": pa.array([], pa.int64()),
+    }), os.path.join(d, "documents.parquet"))
+
+
+def test_doc_column_profile_empty_table_matches_oracle(tmp_path):
+    d = str(tmp_path)
+    _write_empty_tables(d)
+    from scylla_cdc_source_connector_ray.oracles import DOC_COLUMN_PROFILE
+
+    got = _norm(R.doc_column_profile(d))
+    want = _norm(_oracle(d, DOC_COLUMN_PROFILE))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert len(got) == 3 and (got["n_rows"] == 0).all()
+
+
+def test_funnel_conversion_no_step_events_emits_zero_ladder(tmp_path):
+    d = str(tmp_path)
+    events = pd.DataFrame(
+        {
+            "event_id": np.arange(2, dtype=np.int64),
+            "ts": pd.to_datetime([1, 2], unit="us"),
+            "user_id": np.array([1, 2], np.int64),
+            "event_type": ["error", "signup"],  # no funnel step at all
+            "value": [1.0] * 2,
+            "props": [""] * 2,
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(events, preserve_index=False), os.path.join(d, "events.parquet"))
+    from scylla_cdc_source_connector_ray.oracles import FUNNEL_CONVERSION
+
+    got = _norm(R.funnel_conversion(d))
+    want = _norm(_oracle(d, FUNNEL_CONVERSION))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert len(got) == 3 and (got["n_users"] == 0).all()
+
+
+def test_cohort_retention_pre_epoch_days_floor(tmp_path):
+    # a pre-1970 timestamp must land on the FLOORED calendar day on both
+    # sides (bare SQL // would truncate toward zero and disagree)
+    d = str(tmp_path)
+    DAY = 86_400_000_000
+    us = np.array([-5, 2 * DAY + 5], np.int64)
+    events = pd.DataFrame(
+        {
+            "event_id": np.arange(2, dtype=np.int64),
+            "ts": pd.to_datetime(us, unit="us"),
+            "user_id": np.array([1, 1], np.int64),
+            "event_type": ["a"] * 2,
+            "value": [1.0] * 2,
+            "props": [""] * 2,
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(events, preserve_index=False), os.path.join(d, "events.parquet"))
+    from scylla_cdc_source_connector_ray.oracles import COHORT_RETENTION
+
+    got = _norm(R.cohort_retention(d).to_pandas())
+    want = _norm(_oracle(d, COHORT_RETENTION))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert set(map(tuple, got[["cohort_day", "offset_days"]].to_numpy())) == {(-1, 0), (-1, 3)}
+
+
+def test_event_moments_half_away_rounding_parity(tmp_path):
+    # 0.125 * 100 == 12.5 exactly in binary: DuckDB round() -> 13 (half away
+    # from zero), np.round would give 12 (half to even) and split the twins
+    d = str(tmp_path)
+    events = pd.DataFrame(
+        {
+            "event_id": np.arange(3, dtype=np.int64),
+            "ts": pd.to_datetime(["2026-01-01"] * 3),
+            "user_id": np.array([1, 2, 3], np.int64),
+            "event_type": ["a"] * 3,
+            "value": [0.125, -0.125, 2.0],
+            "props": [""] * 3,
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(events, preserve_index=False), os.path.join(d, "events.parquet"))
+    from scylla_cdc_source_connector_ray.oracles import EVENT_TYPE_CORR, EVENT_TYPE_REGRESSION
+
+    pd.testing.assert_frame_equal(
+        _norm(R.event_type_corr(d)), _norm(_oracle(d, EVENT_TYPE_CORR)), check_dtype=False
+    )
+    pd.testing.assert_frame_equal(
+        _norm(R.event_type_regression(d)),
+        _norm(_oracle(d, EVENT_TYPE_REGRESSION)),
+        check_dtype=False,
+    )
