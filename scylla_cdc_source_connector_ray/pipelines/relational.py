@@ -26,6 +26,14 @@ def _read(sf_dir: str, table: str, columns=None) -> ray.data.Dataset:
     return ray.data.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
 
 
+def _round_sql(x):
+    """DuckDB ``round()`` parity: ties round AWAY FROM ZERO. ``pc.round``
+    defaults to banker's half-to-even, which silently diverges from every
+    SQL twin on an exact .5 double (e.g. 0.125*100) — all integer-scaled
+    money/measure columns must go through this helper."""
+    return pc.round(x, round_mode="half_towards_infinity")
+
+
 def q1_pricing_summary(sf_dir: str) -> ray.data.Dataset:
     """TPC-H Q1-shaped: filtered grouped aggregation with derived measures
     (column-pruned read + vectorized compute before the small shuffle)."""
@@ -51,15 +59,15 @@ def q1_pricing_summary(sf_dir: str) -> ray.data.Dataset:
         disc = pc.multiply(t["l_extendedprice"], pc.subtract(1.0, t["l_discount"]))
         charge = pc.multiply(disc, pc.add(1.0, t["l_tax"]))
         out = t.select(["l_returnflag", "l_linestatus"])
-        out = out.append_column("qty", pc.round(t["l_quantity"]).cast("int64"))
+        out = out.append_column("qty", _round_sql(t["l_quantity"]).cast("int64"))
         out = out.append_column(
-            "base_price_c", pc.round(pc.multiply(t["l_extendedprice"], 100.0)).cast("int64")
+            "base_price_c", _round_sql(pc.multiply(t["l_extendedprice"], 100.0)).cast("int64")
         )
         out = out.append_column(
-            "disc_price_dm", pc.round(pc.multiply(disc, 10000.0)).cast("int64")
+            "disc_price_dm", _round_sql(pc.multiply(disc, 10000.0)).cast("int64")
         )
         out = out.append_column(
-            "charge_um", pc.round(pc.multiply(charge, 1000000.0)).cast("int64")
+            "charge_um", _round_sql(pc.multiply(charge, 1000000.0)).cast("int64")
         )
         return out
 
@@ -104,7 +112,7 @@ def nation_revenue(sf_dir: str) -> ray.data.Dataset:
 
     def cents(t):
         return t.select(["o_custkey", "n_name"]).append_column(
-            "totalprice_c", pc.round(pc.multiply(t["o_totalprice"], 100.0)).cast("int64")
+            "totalprice_c", _round_sql(pc.multiply(t["o_totalprice"], 100.0)).cast("int64")
         )
 
     orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
@@ -129,7 +137,7 @@ def order_priority_revenue(sf_dir: str) -> ray.data.Dataset:
     def prep(t):
         rev = pc.multiply(t["l_extendedprice"], pc.subtract(1.0, t["l_discount"]))
         return t.select(["l_orderkey"]).append_column(
-            "revenue_dm", pc.round(pc.multiply(rev, 10000.0)).cast("int64")
+            "revenue_dm", _round_sql(pc.multiply(rev, 10000.0)).cast("int64")
         )
 
     per_order = (
@@ -154,7 +162,7 @@ def top_orders(sf_dir: str, k: int = 10) -> ray.data.Dataset:
     def prep(t):
         rev = pc.multiply(t["l_extendedprice"], pc.subtract(1.0, t["l_discount"]))
         return t.select(["l_orderkey"]).append_column(
-            "revenue_dm", pc.round(pc.multiply(rev, 10000.0)).cast("int64")
+            "revenue_dm", _round_sql(pc.multiply(rev, 10000.0)).cast("int64")
         )
 
     ds = ds.map_batches(prep, batch_format="pyarrow")
@@ -168,7 +176,7 @@ def segment_stats(sf_dir: str) -> ray.data.Dataset:
 
     def cents(t):
         return t.select(["c_mktsegment"]).append_column(
-            "bal_c", pc.round(pc.multiply(t["c_acctbal"], 100.0)).cast("int64")
+            "bal_c", _round_sql(pc.multiply(t["c_acctbal"], 100.0)).cast("int64")
         )
 
     ds = ds.map_batches(cents, batch_format="pyarrow")
@@ -185,7 +193,7 @@ def event_type_stats(sf_dir: str) -> ray.data.Dataset:
 
     def cents(t):
         return t.select(["event_type"]).append_column(
-            "value_c", pc.round(pc.multiply(t["value"], 100.0)).cast("int64")
+            "value_c", _round_sql(pc.multiply(t["value"], 100.0)).cast("int64")
         )
 
     ds = ds.map_batches(cents, batch_format="pyarrow")
@@ -272,7 +280,7 @@ def part_type_stats(sf_dir: str) -> ray.data.Dataset:
         keep = pc.match_substring(t["p_type"], "M")  # MEDIUM/ECONOMY/SMALL/PROMO
         t = t.filter(keep)
         return t.select(["p_type", "p_size"]).append_column(
-            "price_c", pc.round(pc.multiply(t["p_retailprice"], 100.0)).cast("int64")
+            "price_c", _round_sql(pc.multiply(t["p_retailprice"], 100.0)).cast("int64")
         )
 
     ds = ds.map_batches(prep, batch_format="pyarrow")
@@ -407,7 +415,7 @@ def q3_shipping_priority(sf_dir: str, k: int = 10) -> ray.data.Dataset:
         return pa.table(
             {
                 "l_orderkey": t["l_orderkey"],
-                "rev_dm": pc.round(pc.multiply(rev, 10000.0)).cast("int64"),
+                "rev_dm": _round_sql(pc.multiply(rev, 10000.0)).cast("int64"),
             }
         )
 
@@ -510,7 +518,7 @@ def event_moving_sum(sf_dir: str, window_us: int = 3_600_000_000) -> ray.data.Da
                 "event_id": t["event_id"],
                 "user_id": t["user_id"],
                 "ts": t["ts"],
-                "value_c": pc.round(pc.multiply(t["value"], 100.0)).cast("int64"),
+                "value_c": _round_sql(pc.multiply(t["value"], 100.0)).cast("int64"),
             }
         )
 
@@ -1119,7 +1127,7 @@ def q5_local_supplier_volume(
             {
                 "l_orderkey": t["l_orderkey"],
                 "l_suppkey": t["l_suppkey"],
-                "rev_dm": pc.round(pc.multiply(rev, 10000.0)).cast("int64"),
+                "rev_dm": _round_sql(pc.multiply(rev, 10000.0)).cast("int64"),
             }
         )
 
