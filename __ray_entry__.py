@@ -1838,6 +1838,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_column_profile": _q_relational("doc_column_profile"),
         "funnel_conversion": _q_relational("funnel_conversion"),
         "q5_local_supplier_volume": _q_relational("q5_local_supplier_volume"),
+        "event_value_percentiles_cont": _q_relational("event_value_percentiles_cont"),
         # --- driver-certified in rounds 1-4 ---
         "cdc_capture_flat": _q_cdc_capture_flat,
         "cdc_op_counts": _q_cdc_op_counts,
@@ -2021,4 +2022,5 @@ def oracle_sql() -> dict[str, str]:
         "doc_column_profile": oracles.DOC_COLUMN_PROFILE,
         "funnel_conversion": oracles.FUNNEL_CONVERSION,
         "q5_local_supplier_volume": oracles.Q5_LOCAL_SUPPLIER_VOLUME,
+        "event_value_percentiles_cont": oracles.EVENT_VALUE_PERCENTILES_CONT,
     }

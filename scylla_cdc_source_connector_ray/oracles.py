@@ -2144,3 +2144,18 @@ WHERE c_nationkey = s_nationkey
   AND o_orderdate <  TIMESTAMP '1997-01-01'
 GROUP BY n_name
 """
+
+#: interpolated (continuous) percentiles over integer cents; the engine
+#: replicates quantile_cont's exact interpolation expression in float64,
+#: so the DOUBLE outputs compare bit-for-bit
+EVENT_VALUE_PERCENTILES_CONT = """
+WITH v AS (
+    SELECT event_type, CAST(round(value * 100.0) AS BIGINT) AS value_c
+    FROM events WHERE value IS NOT NULL
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       quantile_cont(value_c, 0.25) AS p25,
+       quantile_cont(value_c, 0.50) AS p50,
+       quantile_cont(value_c, 0.95) AS p95
+FROM v GROUP BY event_type
+"""

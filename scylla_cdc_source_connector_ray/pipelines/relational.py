@@ -1165,3 +1165,28 @@ def q5_local_supplier_volume(
         .groupby("n_name")
         .aggregate(Sum("rev_dm", alias_name="revenue_dm"))
     )
+
+
+def event_value_percentiles_cont(sf_dir: str) -> ray.data.Dataset:
+    """INTERPOLATED per-event-type value percentiles — the SQL
+    ``quantile_cont`` convention, replicated operand-for-operand over the
+    same integer-cent inputs so the DOUBLE outputs are bit-identical to the
+    twin (see :func:`stages.topk.grouped_quantiles_cont`). Complements the
+    exact order-statistic (`event_value_quantiles`), histogram-sketch and
+    KLL variants with SQL's continuous-percentile semantics."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..stages.topk import grouped_quantiles_cont
+
+    ev = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        vc = _round_sql(pc.multiply(t["value"], 100.0)).cast("int64")
+        return pa.table({"event_type": t["event_type"], "value_c": vc})
+
+    return grouped_quantiles_cont(
+        ev.map_batches(cents, batch_format="pyarrow"),
+        keys=["event_type"],
+        value_col="value_c",
+    )

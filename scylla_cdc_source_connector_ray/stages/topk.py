@@ -151,6 +151,58 @@ def grouped_quantiles(
     )
 
 
+def grouped_quantiles_cont(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    value_col: str,
+    quantiles: tuple[float, ...] = (0.25, 0.50, 0.95),
+) -> ray.data.Dataset:
+    """EXACT per-group INTERPOLATED quantiles — the SQL ``quantile_cont``
+    convention, replicated operand-for-operand so the DOUBLE result is
+    bit-identical to DuckDB's on the same int64 inputs: ``pos = (n-1)*q``,
+    ``lo = floor(pos)``, ``frac = pos - lo``, and the interpolation is
+    ``v[lo]*(1-frac) + v[lo+1]*frac`` — NOT the algebraically-equal
+    ``v[lo] + (v[hi]-v[lo])*frac``, whose different fp rounding diverges
+    (e.g. 5.0 vs DuckDB's 4.999999999999998 on [-33, 7] @ 0.95). Verified
+    against DuckDB across sign/tie/single-row cases including its fp error
+    patterns. NULL values are dropped like the SQL aggregate.
+
+    Scale shape: identical to :func:`grouped_quantiles` — only
+    ``(keys, value)`` pairs cross the exchange, one numpy sort per group."""
+    import math
+
+    keys = list(keys)
+
+    def project(t: pa.Table) -> pa.Table:
+        t = t.select([*keys, value_col])
+        t = t.filter(pc.is_valid(t[value_col]))
+        t, _ = null_safe_group_cols(t, keys)
+        return t
+
+    def per_group(t: pa.Table) -> pa.Table:
+        v = np.sort(
+            t[value_col].combine_chunks().to_numpy(zero_copy_only=False)
+        ).astype(np.float64)
+        n = len(v)
+        cols = {k: t[k].slice(0, 1) for k in keys}
+        cols["n"] = pa.array([n], pa.int64())
+        for q in quantiles:
+            pos = (n - 1) * q
+            lo = math.floor(pos)
+            hi = min(lo + 1, n - 1)
+            frac = pos - lo
+            res = v[lo] * (1 - frac) + v[hi] * frac
+            cols[f"p{int(round(q * 100))}"] = pa.array([float(res)], pa.float64())
+        return pa.table(cols)
+
+    comp = [c for k in keys for c in (f"__nn_{k}", f"__in_{k}")]
+    return (
+        ds.map_batches(project, batch_format="pyarrow")
+        .groupby(comp)
+        .map_groups(per_group, batch_format="pyarrow")
+    )
+
+
 def grouped_quantiles_hist(
     ds: ray.data.Dataset,
     keys: list[str],

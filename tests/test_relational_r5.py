@@ -520,3 +520,29 @@ def test_event_moments_half_away_rounding_parity(tmp_path):
         _norm(_oracle(d, EVENT_TYPE_REGRESSION)),
         check_dtype=False,
     )
+
+
+def test_percentiles_cont_bit_exact_interpolation(tmp_path):
+    # values chosen so interpolation produces non-representable doubles
+    # (e.g. DuckDB's 85.59999999999997 pattern); compare EXACT, no rounding
+    d = str(tmp_path)
+    events = pd.DataFrame(
+        {
+            "event_id": np.arange(7, dtype=np.int64),
+            "ts": pd.to_datetime(["2026-01-01"] * 7),
+            "user_id": np.zeros(7, np.int64),
+            "event_type": ["a", "a", "a", "a", "b", "b", "c"],
+            "value": [0.01, 0.02, 0.04, 1.00, -0.33, 0.07, 0.125],
+            "props": [""] * 7,
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(events, preserve_index=False), os.path.join(d, "events.parquet"))
+    from scylla_cdc_source_connector_ray.oracles import EVENT_VALUE_PERCENTILES_CONT
+
+    got = R.event_value_percentiles_cont(d).to_pandas()
+    want = _oracle(d, EVENT_VALUE_PERCENTILES_CONT)
+    got = got.sort_values("event_type").reset_index(drop=True)[sorted(got.columns)]
+    want = want.sort_values("event_type").reset_index(drop=True)[sorted(want.columns)]
+    pd.testing.assert_frame_equal(got, want, check_exact=True, check_dtype=False)
+    # group 'a' p95: pos=2.85 over [1,2,4,100] -> the fp-error pattern
+    assert got.set_index("event_type").loc["a", "p95"] == 85.59999999999997
