@@ -582,7 +582,7 @@ def minhash_lsh_dedup(
         # compressed text bytes; estimable only for raw local reads
         est = _estimate_source_bytes(ds)
         spill_dir = _scratch_spill_dir(
-            "minhash_fork_", est_bytes=2 * est if est is not None else None
+            "minhash_fork_", est_bytes=6 * est if est is not None else None
         )
     ds.map_batches(
         MinHashSpillWriter,
@@ -696,7 +696,12 @@ def _scratch_spill_dir(prefix: str, est_bytes: int | None = None) -> str:
     the ramdisk budget (``_SHM_SPILL_BUDGET_ENV`` env, default 1/4 of
     /dev/shm's free space, never more than half of free), the dir is placed
     on /dev/shm — small-corpus forks then pay memory bandwidth instead of
-    disk I/O. No estimate → /tmp, the safe default."""
+    disk I/O. No estimate → /tmp, the safe default. Callers size
+    ``est_bytes`` CONSERVATIVELY (the dedup forks pass 6× the compressed
+    source bytes: spilled grams are ~8 B/token while parquet web text
+    compresses to ~1–2 B/token, and Ray's plasma store shares /dev/shm —
+    an optimistic estimate admitted here can ENOSPC mid-write or starve
+    the object store, where /tmp would simply have been slower)."""
     import atexit
     import shutil
     import tempfile
@@ -1078,7 +1083,7 @@ def ngram_jaccard_dedup(
     if spill_dir is None:
         est = _estimate_source_bytes(ds)
         spill_dir = _scratch_spill_dir(
-            "ngramjac_fork_", est_bytes=2 * est if est is not None else None
+            "ngramjac_fork_", est_bytes=6 * est if est is not None else None
         )
     ds.map_batches(
         ShingleSetBuilder,

@@ -597,4 +597,4 @@ def redact(
     txt = batch[text_col].combine_chunks()
     red = pc.replace_substring_regex(txt, pattern=pattern, replacement=replacement)
     hits = pc.fill_null(pc.count_substring_regex(txt, pattern), 0).cast(pa.int64())
-    return pa.table({id_col: batch[id_col], "text": red, "n_hits": hits})
+    return pa.table({id_col: batch[id_col], text_col: red, "n_hits": hits})

@@ -1968,6 +1968,7 @@ SELECT event_id, user_id, ts,
             PARTITION BY user_id ORDER BY ts
             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS BIGINT) AS moving_sum_c
 FROM events
+WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
 """
 
 #: grouped Pearson corr from EXACT integer co-moments (HUGEINT sums), float
@@ -1979,7 +1980,7 @@ WITH p AS (
   SELECT event_type,
          CAST(round(value * 100.0) AS BIGINT) AS x,
          user_id AS y
-  FROM events),
+  FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL),
 m AS (
   SELECT event_type, count(*) AS n,
          sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
@@ -2026,7 +2027,7 @@ WITH p AS (
   SELECT event_type,
          CAST(round(value * 100.0) AS BIGINT) AS x,
          user_id AS y
-  FROM events),
+  FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL),
 m AS (
   SELECT event_type, count(*) AS n,
          sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,

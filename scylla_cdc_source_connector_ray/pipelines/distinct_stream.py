@@ -181,8 +181,11 @@ class DistinctStreamRunner:
             w_all = b[ts_col].to_numpy()
             w_all = w_all[~pd.isna(w_all)].astype(np.int64)
             w_present = np.unique(w_all - w_all % window_us)
-            # SQL count(DISTINCT key) ignores NULL keys — so does the runner
-            b = b.dropna(subset=[key_col]).reset_index(drop=True)
+            # SQL count(DISTINCT key) ignores NULL keys — so does the runner.
+            # A NULL ts (with or without a key) belongs to no window either:
+            # drop it BEFORE the int64 conversion, which would otherwise
+            # raise on pandas nullable-int missing values.
+            b = b.dropna(subset=[key_col, ts_col]).reset_index(drop=True)
             h1, h2 = _id_hash128(b[key_col])
             w = b[ts_col].to_numpy(dtype=np.int64)
             w = w - w % window_us

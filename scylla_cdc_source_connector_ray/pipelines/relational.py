@@ -34,6 +34,17 @@ def _round_sql(x):
     return pc.round(x, round_mode="half_towards_infinity")
 
 
+def _user_pid(uid, num_parts: int):
+    """Coarse user partition id (uid mod num_parts) — the ONE exchange-key
+    convention every per-user operator here shares (cohort retention, gap
+    stats, funnel, moving sum): ~64 groups, never per-user dispatch (the
+    tiny-groups map_groups pathology), users partition-exclusive so
+    per-partition kernels are complete."""
+    import numpy as np
+
+    return (uid.astype(np.uint64) % np.uint64(num_parts)).astype(np.int64)
+
+
 def q1_pricing_summary(sf_dir: str) -> ray.data.Dataset:
     """TPC-H Q1-shaped: filtered grouped aggregation with derived measures
     (column-pruned read + vectorized compute before the small shuffle)."""
@@ -498,14 +509,22 @@ def lang_mode_source(sf_dir: str) -> ray.data.Dataset:
     )
 
 
-def event_moving_sum(sf_dir: str, window_us: int = 3_600_000_000) -> ray.data.Dataset:
+def event_moving_sum(
+    sf_dir: str, window_us: int = 3_600_000_000, num_parts: int = 64
+) -> ray.data.Dataset:
     """Time-RANGE moving aggregate: per user, the sum of value (cents) over
     the event-time window ``[ts − window, ts]`` — SQL's ``RANGE BETWEEN
-    INTERVAL ... PRECEDING AND CURRENT ROW`` frame, peers included.
+    INTERVAL ... PRECEDING AND CURRENT ROW`` frame, peers included. Rows
+    with NULL user/ts/value are excluded on both sides (the twin's WHERE;
+    a NULL value would otherwise poison the integer prefix sums).
 
-    Scale shape: one keyed exchange on user_id; inside each group a sorted
-    prefix-sum + two searchsorted probes — O(n log n) vectorized, no
-    per-row loop, state never leaves the task."""
+    Scale shape: ONE coarse user-keyed exchange (``_user_pid``, never
+    per-user dispatch); inside each partition every user's frame bounds
+    come from a single global prefix-sum + two searchsorted probes over
+    run-SHIFTED timestamps (each user run offset by K > span + window, so
+    a probe can never cross a run boundary) — fully vectorized across
+    users. If runs × K would overflow int64 the kernel falls back to the
+    identical per-run slicing, still inside the partition."""
     import numpy as np
     import pandas as pd
     import pyarrow as pa
@@ -513,29 +532,61 @@ def event_moving_sum(sf_dir: str, window_us: int = 3_600_000_000) -> ray.data.Da
     ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
 
     def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.and_(
+                pc.and_(pc.is_valid(t["user_id"]), pc.is_valid(t["ts"])),
+                pc.is_valid(t["value"]),
+            )
+        )
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table(
             {
                 "event_id": t["event_id"],
                 "user_id": t["user_id"],
                 "ts": t["ts"],
                 "value_c": _round_sql(pc.multiply(t["value"], 100.0)).cast("int64"),
+                "_pid": pa.array(_user_pid(uid, num_parts), pa.int64()),
             }
         )
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="mergesort").reset_index(drop=True)
-        ts = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
-        v = g["value_c"].to_numpy(dtype=np.int64)
-        cum = np.zeros(len(g) + 1, dtype=np.int64)
+    def _window_sums(ts: np.ndarray, v: np.ndarray) -> np.ndarray:
+        cum = np.zeros(len(v) + 1, dtype=np.int64)
         np.cumsum(v, out=cum[1:])
-        # RANGE frame: all rows with ts in [t - window, t] (peers included)
         hi = np.searchsorted(ts, ts, side="right")
         lo = np.searchsorted(ts, ts - window_us, side="left")
-        g["moving_sum_c"] = cum[hi] - cum[lo]
-        return g[["event_id", "user_id", "ts", "moving_sum_c"]]
+        return cum[hi] - cum[lo]
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort").reset_index(
+            drop=True
+        )
+        ts = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        uid = g["user_id"].to_numpy(np.int64)
+        v = g["value_c"].to_numpy(dtype=np.int64)
+        n = len(g)
+        boundary = np.ones(n, bool)
+        if n > 1:
+            boundary[1:] = uid[1:] != uid[:-1]
+        run_id = np.cumsum(boundary) - 1  # 0-based user-run index
+        base = ts.min() if n else 0
+        span_k = (ts.max() - base if n else 0) + window_us + 1
+        n_runs = int(run_id[-1]) + 1 if n else 0
+        if n and n_runs * span_k < 2**62:
+            # shift each run into its own disjoint band: probes stay in-run
+            shifted = (ts - base) + run_id * span_k
+            ms = _window_sums(shifted, v)
+        else:
+            # overflow-proof fallback: same kernel per run slice
+            ms = np.empty(n, np.int64)
+            starts = np.flatnonzero(boundary).tolist() + [n]
+            for a, b_ in zip(starts[:-1], starts[1:]):
+                ms[a:b_] = _window_sums(ts[a:b_], v[a:b_])
+        out = g[["event_id", "user_id", "ts"]].copy()
+        out["moving_sum_c"] = ms
+        return out
 
     prepped = ds.map_batches(prep, batch_format="pyarrow")
-    return prepped.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    return prepped.groupby("_pid").map_groups(per_part, batch_format="pandas")
 
 
 def _exact_event_moments(sf_dir: str) -> list[tuple]:
@@ -562,6 +613,11 @@ def _exact_event_moments(sf_dir: str) -> list[tuple]:
     X_MAX = 3_000_000_000  # floor(sqrt(int64 max)) rounded down
 
     def partial(b: pd.DataFrame) -> pa.Table:
+        # NULL value/user rows are excluded on BOTH sides (the twins'
+        # WHERE): a NaN would otherwise poison the int casts, and SQL's
+        # count(*) over unfiltered rows could never match sums that skip
+        # NULLs anyway.
+        b = b[b["value"].notna() & b["user_id"].notna()]
         # DuckDB round() is half-AWAY-FROM-ZERO; np.round is half-to-even.
         # A value like 0.125 (exact in binary) would split the twins, so
         # mirror the SQL rule explicitly.
@@ -784,10 +840,7 @@ def cohort_retention(sf_dir: str, day_us: int = 86_400_000_000) -> ray.data.Data
             {
                 "user_id": pa.array(uid, pa.int64()),
                 "day": pa.array(d["day"].to_numpy(np.int64), pa.int64()),
-                "_pid": pa.array(
-                    (uid.astype(np.uint64) % np.uint64(num_parts)).astype(np.int64),
-                    pa.int64(),
-                ),
+                "_pid": pa.array(_user_pid(uid, num_parts), pa.int64()),
             }
         )
 
@@ -841,9 +894,8 @@ def user_gap_stats(sf_dir: str, num_parts: int = 64) -> ray.data.Dataset:
         t = t.filter(
             pc.and_(pc.is_valid(t["user_id"]), pc.is_valid(t["ts"]))
         )
-        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        pid = (uid % np.uint64(num_parts)).astype(np.int64)
-        return t.append_column("_pid", pa.array(pid, pa.int64()))
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column("_pid", pa.array(_user_pid(uid, num_parts), pa.int64()))
 
     def gaps(b: pd.DataFrame) -> pd.DataFrame:
         b = b.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
@@ -1012,10 +1064,7 @@ def funnel_conversion(
                 "user_id": pa.array(uid, pa.int64()),
                 "step": pa.array(step_idx, pa.int64()),
                 "us": us,
-                "_pid": pa.array(
-                    (uid.astype(np.uint64) % np.uint64(num_parts)).astype(np.int64),
-                    pa.int64(),
-                ),
+                "_pid": pa.array(_user_pid(uid, num_parts), pa.int64()),
             }
         )
 

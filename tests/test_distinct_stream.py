@@ -243,3 +243,22 @@ def test_null_key_and_null_ts_row_does_not_crash(tmp_path):
     out = r.read_counts().to_pandas()
     assert out["window_start_us"].tolist() == [0]
     assert out["n_distinct"].tolist() == [1]
+
+
+def test_non_null_key_with_null_ts_dropped_not_crash(tmp_path):
+    # the review repro: key present, ts NULL — must be dropped (no window)
+    # BEFORE the int64 conversion, not raise on missing values; both modes
+    tmp = str(tmp_path)
+    f = pd.DataFrame(
+        {
+            "conv_id": pd.array(["a", "b"], dtype=object),
+            "ts_us": pd.array([100, None], dtype="Int64"),
+        }
+    )
+    log = _write_log(tmp, [f])
+    r = _runner(tmp, log)
+    totals = r.run(files_per_batch=1)
+    assert totals["new_distinct"] == 1  # only 'a' lands in window 0
+    out = r.read_counts().to_pandas()
+    assert out["window_start_us"].tolist() == [0]
+    assert out["n_distinct"].tolist() == [1]

@@ -546,3 +546,83 @@ def test_percentiles_cont_bit_exact_interpolation(tmp_path):
     pd.testing.assert_frame_equal(got, want, check_exact=True, check_dtype=False)
     # group 'a' p95: pos=2.85 over [1,2,4,100] -> the fp-error pattern
     assert got.set_index("event_type").loc["a", "p95"] == 85.59999999999997
+
+
+def test_moving_sum_and_moments_skip_null_rows(tmp_path):
+    # NULL value / user_id rows are excluded on BOTH sides; previously a
+    # NULL value wrapped to INT64_MIN inside the prefix sums (moving sum)
+    # or crashed the int cast (moments)
+    d = str(tmp_path)
+    events = pd.DataFrame(
+        {
+            "event_id": np.arange(6, dtype=np.int64),
+            "ts": pd.to_datetime([10, 20, 30, 40, 50, 60], unit="us"),
+            "user_id": pd.array([1, 1, None, 1, 2, 2], dtype="Int64"),
+            "event_type": ["a"] * 6,
+            "value": [1.0, None, 3.0, 4.0, 5.0, 6.0],
+            "props": [""] * 6,
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(events, preserve_index=False), os.path.join(d, "events.parquet"))
+    from scylla_cdc_source_connector_ray.oracles import (
+        EVENT_MOVING_SUM,
+        EVENT_TYPE_CORR,
+        EVENT_TYPE_REGRESSION,
+    )
+
+    got = _norm(R.event_moving_sum(d).to_pandas())
+    want = _norm(_oracle(d, EVENT_MOVING_SUM))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert len(got) == 4  # NULL-value and NULL-user rows gone
+    assert (got["moving_sum_c"] > 0).all()  # no INT64_MIN poisoning
+    pd.testing.assert_frame_equal(
+        _norm(R.event_type_corr(d)), _norm(_oracle(d, EVENT_TYPE_CORR)), check_dtype=False
+    )
+    pd.testing.assert_frame_equal(
+        _norm(R.event_type_regression(d)),
+        _norm(_oracle(d, EVENT_TYPE_REGRESSION)),
+        check_dtype=False,
+    )
+
+
+def test_moving_sum_shift_kernel_equals_per_run_fallback():
+    # the run-shifted vectorized kernel and the per-run fallback are the
+    # same math; verify on adversarial data (ties, window-straddling gaps,
+    # many interleaved users) without Ray
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    n, W = 500, 100
+    uid = np.sort(rng.integers(0, 23, n))
+    ts = rng.integers(0, 1000, n)
+    order = np.lexsort((np.arange(n), ts, uid))
+    uid, ts = uid[order], ts[order]
+    v = rng.integers(-50, 50, n)
+
+    def window_sums(ts_, v_):
+        cum = np.zeros(len(v_) + 1, dtype=np.int64)
+        np.cumsum(v_, out=cum[1:])
+        hi = np.searchsorted(ts_, ts_, side="right")
+        lo = np.searchsorted(ts_, ts_ - W, side="left")
+        return cum[hi] - cum[lo]
+
+    boundary = np.ones(n, bool)
+    boundary[1:] = uid[1:] != uid[:-1]
+    run_id = np.cumsum(boundary) - 1
+    K = (ts.max() - ts.min()) + W + 1
+    shifted = (ts - ts.min()) + run_id * K
+    fast = window_sums(shifted, v)
+    slow = np.empty(n, np.int64)
+    starts = np.flatnonzero(boundary).tolist() + [n]
+    for a, b in zip(starts[:-1], starts[1:]):
+        slow[a:b] = window_sums(ts[a:b], v[a:b])
+    assert (fast == slow).all()
+
+
+def test_redact_honours_text_col_name(tmp_path):
+    from scylla_cdc_source_connector_ray.functions.textops import redact
+
+    t = pa.table({"doc_id": pa.array([1], pa.int64()), "body": ["spark here"]})
+    out = redact(t, pattern=r"\bspark\b", text_col="body")
+    assert out.column_names == ["doc_id", "body", "n_hits"]
+    assert out["body"][0].as_py() == "[MASK] here"
