@@ -412,7 +412,13 @@ def run_scaling(sf_dir: str, lo: int = 4, hi: int = 16) -> dict:
     r_lo, r_hi = one(lo), one(hi)
     thr_lo, thr_hi = r_lo["events_per_sec"], r_hi["events_per_sec"]
     eff = (thr_hi / thr_lo) / (hi / lo)
+    # a hi leg slower wall-for-wall than the lo leg is physically
+    # implausible for this workload — flag the pair as contaminated
+    # (probe-invisible host regimes were observed swinging 2-4x intra-day;
+    # re-run rather than conclude from a flagged pair)
+    anomaly = "hi_leg_slower_than_lo" if r_hi["value"] > r_lo["value"] else None
     return {
+        **({"anomaly": anomaly} if anomaly else {}),
         "sf_dir": sf_dir,
         f"sec_{lo}": r_lo["value"],
         f"sec_{hi}": r_hi["value"],
