@@ -106,3 +106,31 @@ def test_quantile_cont_value_bit_exact_vs_duckdb(vals, q):
         f"SELECT quantile_cont(x, {q!r}) FROM (VALUES {rows}) t(x)"
     ).fetchone()[0]
     assert got == want, (vals, q, got, want)
+
+
+@pytest.mark.parametrize("seed", [44, 55])
+def test_random_event_soup_parity_older_ops(tmp_path, seed):
+    # extend the net to the pre-round-5 events-table gates: random inputs
+    # exercise tie/NULL paths the fixed sf corpora never hit
+    from scylla_cdc_source_connector_ray import oracles as O
+
+    rng = np.random.default_rng(seed * 7 + 1)
+    df = _rand_events(seed, n=300)
+    # random JSON-ish props for the extraction gate: valid, missing-key,
+    # malformed, NULL
+    props = rng.choice(
+        ['{"k": 5}', '{"k": -17}', '{"j": 1}', "{bad", ""], size=len(df)
+    ).astype(object)
+    props[rng.random(len(df)) < 0.05] = None
+    df["props"] = props
+    d = _write(tmp_path, df)
+    cases = [
+        (lambda: R.event_type_stats(d).to_pandas(), O.EVENT_TYPE_STATS),
+        (lambda: R.event_rollup(d).to_pandas(), O.EVENT_ROLLUP),
+        (lambda: R.event_value_quantiles(d).to_pandas(), O.EVENT_VALUE_QUANTILES),
+        (lambda: R.event_type_pivot(d).to_pandas(), O.EVENT_TYPE_PIVOT),
+        (lambda: R.event_props_extract(d).to_pandas(), O.EVENT_PROPS_EXTRACT),
+    ]
+    for fn, sql in cases:
+        got, want = _norm(fn()), _norm(_oracle(d, sql))
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
