@@ -24,8 +24,16 @@ def distinct_per_group_exact(
 ) -> ray.data.Dataset:
     """Exact COUNT(DISTINCT value) per group: dedup (group, value) pairs with
     one groupby, count pairs per group with a second (both shuffle only the
-    pair columns)."""
-    pairs = ds.select_columns([group_col, value_col])
+    pair columns). NULL values are dropped first — SQL ``count(DISTINCT x)``
+    ignores them, and Ray's polars sort shuffle CRASHES on actual nulls in a
+    string group key ('<' NoneType/str). ``group_col`` is assumed non-null
+    (here: derived windows of non-null ts); use null-safe companion columns
+    (stages.topk.null_safe_group_cols) if a nullable group key is ever needed."""
+    import pyarrow.compute as _pc
+
+    pairs = ds.select_columns([group_col, value_col]).map_batches(
+        lambda t: t.filter(_pc.is_valid(t[value_col])), batch_format="pyarrow"
+    )
     dedup = pairs.groupby([group_col, value_col]).aggregate(Count(alias_name="_n"))
     return (
         dedup.select_columns([group_col])

@@ -86,7 +86,10 @@ def events_to_transcripts(batch: pa.Table, columns: list[str] | None = None) -> 
     if "pair" in want:
         cols["pair"] = _pair_col(batch)
     if "ts" in want:
-        cols["ts"] = batch["ts"]
+        # normalize the storage unit: every downstream µs-epoch computation
+        # (windows, watermarks, gaps) assumes timestamp[us] — an ns-stored
+        # parquet would silently yield 1000× window numbers otherwise
+        cols["ts"] = batch["ts"].cast(pa.timestamp("us"))
     if SEQ_COL in want:
         cols[SEQ_COL] = batch["event_id"].cast(pa.int64())
     return pa.table(cols)

@@ -153,10 +153,17 @@ def derive_ops(
     turn = tbl["turn_idx"].combine_chunks()
     n = tbl.num_rows
 
-    # first-row-of-key mask: row 0, or key differs from previous row
+    # first-row-of-key mask: row 0, or key differs from previous row.
+    # NULL-SAFE equality (NULL == NULL is true here): a NULL conv/turn —
+    # SQL's single NULL group — must form one run, and a bare pc.equal
+    # would yield NULL, poisoning the boolean mask (object-dtype numpy).
+    def _nseq(a: pa.Array, b: pa.Array) -> pa.Array:
+        both_null = pc.and_(pc.is_null(a), pc.is_null(b))
+        return pc.or_(both_null, pc.fill_null(pc.equal(a, b), False))
+
     prev_conv = pa.concat_arrays([conv.slice(0, 1), conv.slice(0, n - 1)])
     prev_turn = pa.concat_arrays([turn.slice(0, 1), turn.slice(0, n - 1)])
-    same = pc.and_(pc.equal(conv, prev_conv), pc.equal(turn, prev_turn))
+    same = pc.and_(_nseq(conv, prev_conv), _nseq(turn, prev_turn))
     first = same.to_numpy(zero_copy_only=False).copy()
     np.logical_not(first, out=first)
     first[0] = True

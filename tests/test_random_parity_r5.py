@@ -42,10 +42,11 @@ def _rand_events(seed: int, n: int = 400) -> pd.DataFrame:
 
 def _write(tmp_path, df) -> str:
     d = str(tmp_path)
-    pq.write_table(
-        pa.Table.from_pandas(df, preserve_index=False),
-        os.path.join(d, "events.parquet"),
-    )
+    t = pa.Table.from_pandas(df, preserve_index=False)
+    # the driver contract shape stores ts as timestamp[us]
+    i = t.column_names.index("ts")
+    t = t.set_column(i, "ts", t["ts"].cast(pa.timestamp("us")))
+    pq.write_table(t, os.path.join(d, "events.parquet"))
     return d
 
 
@@ -134,3 +135,29 @@ def test_random_event_soup_parity_older_ops(tmp_path, seed):
     for fn, sql in cases:
         got, want = _norm(fn()), _norm(_oracle(d, sql))
         pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+@pytest.mark.parametrize("seed", [66, 77])
+def test_random_soup_parity_window_analytic_family(tmp_path, seed):
+    # run the DRIVER pair (queries() entry + its oracle_sql() twin) for the
+    # window/analytics/CEP family over random events — ties and random ts
+    # collisions exercise the pane/rank edge paths the fixed corpus may not
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as e
+
+    d = _write(tmp_path, _rand_events(seed, n=350))
+    qs, sqls = e.queries(), e.oracle_sql()
+    for name in [
+        "win_tumbling_role",
+        "win_sliding",
+        "win_ops_by_window",
+        "win_distinct_convs",
+        "event_analytics",
+        "cep_pattern_match",
+    ]:
+        res = qs[name](d)
+        got = _norm(res.to_pandas() if hasattr(res, "to_pandas") else pd.DataFrame(res))
+        want = _norm(_oracle(d, sqls[name]))
+        pd.testing.assert_frame_equal(got, want, check_dtype=False), name
