@@ -30,6 +30,7 @@ def run_microbatches(
     files_per_batch: int,
     max_batches: int | None = None,
     crash_before_commit_at: int | None = None,
+    tail: bool = False,
 ) -> dict:
     """Consume ``log_dir/*.parquet`` in order, ``files_per_batch`` at a time.
 
@@ -38,10 +39,21 @@ def run_microbatches(
     batch boundaries, remap shards, or change semantics mid-stream).
     ``process_batch(batch_id, files)`` does the work and returns a flat
     numeric metrics dict; per-RUN sums are returned, per-STREAM cumulative
-    sums persist in the manifest under ``cum`` (so they survive resume)."""
+    sums persist in the manifest under ``cum`` (so they survive resume).
+
+    ``tail=True`` (live polling): a concurrent writer's in-flight file —
+    parquet footers are written LAST, so it is unreadable — is dropped from
+    the listing's tail ("not yet arrived"; the next poll retries) instead of
+    crashing the poll. Files arrive in monotone name order, so in-flight
+    files are contiguous at the end of the sorted listing."""
     files = sorted(
         os.path.join(log_dir, f) for f in os.listdir(log_dir) if f.endswith(".parquet")
     )
+    if tail:
+        from ..sources.windowed import ts_stats_or_none
+
+        while files and ts_stats_or_none(files[-1]) is None:
+            files.pop()
     last = ckpt.last_committed()
     all_pins = {**pins, "files_per_batch": files_per_batch}
     for k, mine in all_pins.items():
@@ -134,6 +146,7 @@ def follow_microbatches(
             pins=pins,
             process_batch=process_batch,
             files_per_batch=files_per_batch,
+            tail=True,
         )
         for k, v in r.items():
             if k != "crashed":

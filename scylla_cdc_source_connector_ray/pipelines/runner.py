@@ -802,37 +802,33 @@ class CaptureRunner:
         frontier_us = None
         if bucketed:
             windows = discover_bucketed(self.log_dir)
-            if fresh_lookback and windows:
-                from ..sources.windowed import _ts_stats
 
+            # tail mode must survive a concurrent writer's in-flight shard
+            # file (footer written last): treat it as "window not yet
+            # arrived" (max_ts None stalls eligibility from that window on)
+            # rather than crashing the poll. Complete logs keep raising.
+            def _wmax(by_shard: dict) -> int | None:
+                from ..sources.windowed import _ts_stats, ts_stats_or_none
+
+                stats = _ts_stats if log_complete else ts_stats_or_none
+                mx = None
+                for p in by_shard.values():
+                    lf = stats(p)
+                    if lf is None:
+                        return None
+                    if lf.max_ts_us is not None:
+                        mx = lf.max_ts_us if mx is None else max(mx, lf.max_ts_us)
+                return mx
+
+            if fresh_lookback and windows:
                 consumed = max(
                     consumed,
-                    _lookback_skip(
-                        [
-                            max(
-                                (x for x in (
-                                    _ts_stats(p).max_ts_us for p in by_shard.values()
-                                ) if x is not None),
-                                default=None,
-                            )
-                            for _name, by_shard in windows
-                        ]
-                    ),
+                    _lookback_skip([_wmax(by_shard) for _name, by_shard in windows]),
                 )
             if not log_complete and windows:
                 # confidence-window holdback at window granularity: a window's
                 # max ts = max over its per-shard files' footer stats (cached)
-                from ..sources.windowed import _ts_stats
-
-                wmax = [
-                    max(
-                        (x for x in (
-                            _ts_stats(p).max_ts_us for p in by_shard.values()
-                        ) if x is not None),
-                        default=None,
-                    )
-                    for _name, by_shard in windows
-                ]
+                wmax = [_wmax(by_shard) for _name, by_shard in windows]
                 known = [x for x in wmax if x is not None]
                 frontier = max(known) if known else None
                 eligible = consumed
@@ -853,7 +849,7 @@ class CaptureRunner:
                 tail[i : i + files_per_batch] for i in range(0, len(tail), files_per_batch)
             ]
         else:
-            files = discover(self.log_dir)
+            files = discover(self.log_dir, tail=not log_complete)
             stats = [f.max_ts_us for f in files if f.max_ts_us is not None]
             frontier_us = max(stats) if stats else None
             if fresh_lookback and files:

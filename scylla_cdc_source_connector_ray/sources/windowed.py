@@ -78,9 +78,28 @@ def _ts_stats_by_read(path: str, ts_col: str, num_rows: int) -> LogFile:
     return LogFile(path, pc.min(col).as_py(), pc.max(col).as_py(), num_rows)
 
 
-def discover(log_dir: str) -> list[LogFile]:
+def ts_stats_or_none(path: str, ts_col: str = "ts") -> LogFile | None:
+    """Tail-safe footer read: ``None`` when the file is not (yet) a complete
+    parquet file. ``pq.write_table`` writes the footer LAST, so a concurrent
+    writer's in-flight file raises ArrowInvalid here — in live-tail mode that
+    means "not yet arrived", never corruption."""
+    import pyarrow as pa
+
+    try:
+        return _ts_stats(path, ts_col)
+    except (pa.ArrowInvalid, OSError):
+        return None
+
+
+def discover(log_dir: str, tail: bool = False) -> list[LogFile]:
     """All log files in deterministic arrival order (lexicographic name).
-    Footer stats are cached by (path, mtime, size)."""
+    Footer stats are cached by (path, mtime, size).
+
+    ``tail=True`` (live tailing): a file whose footer cannot be read is a
+    concurrent writer's in-flight file — discovery TRUNCATES there (offset
+    accounting is positional, so the contiguous complete prefix is the only
+    safe view) and the next poll retries. ``tail=False`` (complete log):
+    an unreadable file is corruption and raises."""
     names = sorted(
         f for f in os.listdir(log_dir) if f.endswith(".parquet") and not f.startswith("_")
     )
@@ -93,7 +112,12 @@ def discover(log_dir: str) -> list[LogFile]:
         live_keys.add(key)
         lf = _STATS_CACHE.get(key)
         if lf is None:
-            lf = _ts_stats(path)
+            if tail:
+                lf = ts_stats_or_none(path)
+                if lf is None:
+                    break  # in-flight file: stop at the complete prefix
+            else:
+                lf = _ts_stats(path)
             _STATS_CACHE[key] = lf
         out.append(lf)
     # evict superseded versions of this dir's files (rewrites/compaction)

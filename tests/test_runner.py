@@ -677,3 +677,100 @@ def test_image_mode_only_updated(tmp_path):
     assert len(a) == len(g)
     for c in ("op", "after_role", "after_text", "after_tool", "before_text"):
         assert a[c].fillna("~").tolist() == g[c].fillna("~").tolist(), c
+
+
+def _truncate_file(path: str, keep_frac: float = 0.5):
+    """Simulate a concurrent writer mid-write: parquet footers are written
+    LAST, so an in-flight file is a prefix of the final bytes."""
+    with open(path, "rb") as f:
+        data = f.read()
+    with open(path, "wb") as f:
+        f.write(data[: max(4, int(len(data) * keep_frac))])
+    return data
+
+
+def test_tail_survives_mid_write_file(tmp_path):
+    """A live tail polling while a writer is mid-file must treat the
+    unreadable (footer-less) newest file as not-yet-arrived — not crash —
+    and pick it up once complete (race found in a loaded-host follow run)."""
+    import pyarrow as _pa
+    import pytest as _pytest
+
+    from scylla_cdc_source_connector_ray.sources.windowed import discover
+
+    t = generate(num_convs=12, turns_per_conv=6, update_pct=20, delete_pct=10)
+    log = tmp_path / "log"
+    write_windowed(t, str(log), num_files=3)
+    names = sorted(os.listdir(log))
+    full = _truncate_file(str(log / names[-1]))
+
+    # discovery: tail mode truncates at the in-flight file; batch mode raises
+    got = discover(str(log), tail=True)
+    assert [os.path.basename(f.path) for f in got] == names[:-1]
+    with _pytest.raises((_pa.ArrowInvalid, OSError)):
+        discover(str(log))
+
+    # a tailing runner poll consumes the complete prefix without crashing
+    cfg = _cfg(tmp_path, confidence_window_us=0)
+    runner = CaptureRunner(str(log), cfg)
+    tot = runner.run(log_complete=False)
+    assert tot["batches"] == 2
+    # writer finishes the file -> next poll drains it
+    with open(str(log / names[-1]), "wb") as f:
+        f.write(full)
+    tot = runner.run(log_complete=False)
+    assert tot["batches"] == 1
+    _assert_matches_golden(_flat_output(runner), _golden(t))
+
+
+def test_microbatch_tail_drops_in_flight_file(tmp_path):
+    """The shared lean-runner protocol (run_microbatches tail=True) must drop
+    unreadable trailing files from the listing and retry next poll."""
+    from scylla_cdc_source_connector_ray.pipelines._microbatch import run_microbatches
+    from scylla_cdc_source_connector_ray.state.checkpoint import Checkpoint
+
+    log = tmp_path / "log"
+    log.mkdir()
+    for i in range(3):
+        pq.write_table(pa.table({"x": [i]}), str(log / f"f{i}.parquet"))
+    full = _truncate_file(str(log / "f2.parquet"))
+
+    seen: list[str] = []
+
+    def process(batch_id, files):
+        seen.extend(os.path.basename(p) for p in files)
+        return {"rows": sum(pq.read_metadata(p).num_rows for p in files)}
+
+    ckpt = Checkpoint(str(tmp_path / "ckpt"))
+    r = run_microbatches(ckpt, str(log), pins={}, process_batch=process,
+                         files_per_batch=1, tail=True)
+    assert r["batches"] == 2 and seen == ["f0.parquet", "f1.parquet"]
+    with open(str(log / "f2.parquet"), "wb") as f:
+        f.write(full)
+    r = run_microbatches(ckpt, str(log), pins={}, process_batch=process,
+                         files_per_batch=1, tail=True)
+    assert r["batches"] == 1 and seen[-1] == "f2.parquet"
+
+
+def test_bucketed_tail_holds_back_mid_write_window(tmp_path):
+    """Bucketed layout: an in-flight shard file stalls its window (and later
+    ones) in tail mode instead of crashing the poll."""
+    from scylla_cdc_source_connector_ray.sources.synthetic import write_bucketed
+
+    t = generate(num_convs=12, turns_per_conv=6, update_pct=20, delete_pct=10)
+    log = tmp_path / "log"
+    cfg = _cfg(tmp_path, confidence_window_us=0)
+    write_bucketed(t, str(log), cfg.num_shards, num_files=3)
+    # truncate one shard file of the NEWEST window
+    wname = sorted(os.listdir(log / "shard=0"))[-1]
+    victim = str(log / "shard=0" / wname)
+    full = _truncate_file(victim)
+
+    runner = CaptureRunner(str(log), cfg)
+    tot = runner.run(log_complete=False)
+    assert tot["batches"] == 2
+    with open(victim, "wb") as f:
+        f.write(full)
+    tot = runner.run(log_complete=False)
+    assert tot["batches"] == 1
+    _assert_matches_golden(_flat_output(runner), _golden(t))
