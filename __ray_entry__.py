@@ -967,6 +967,50 @@ def _q_dedup_exact(sf_dir: str):
     return exact_dedup(_docs(sf_dir))
 
 
+def _q_dedup_segments(sf_dir: str):
+    """Sub-document (segment-level) exact dedup — RefinedWeb/CCNet line-dedup
+    over fixed 20-word spans. The sf documents are segment-dup-free, so the
+    gate streams documents UNION a suffixed replica (all but the final
+    segment duplicate → partially stripped) UNION an exact replica (every
+    segment duplicates → NULL text_dedup), mirroring DEDUP_STREAM_EXACT's
+    synthesized-stream pattern."""
+    from scylla_cdc_source_connector_ray.functions.dedup import segment_dedup
+
+    def _orig(b):
+        b = b[["doc_id", "text"]].copy()
+        b["text"] = b["text"].fillna("")
+        return b
+
+    def _suffixed(b):
+        b = _orig(b)
+        b["text"] = b["text"] + " zz" + b["doc_id"].astype(str)
+        b["doc_id"] = b["doc_id"] + 1_000_000
+        return b
+
+    def _exact_copy(b):
+        b = _orig(b)
+        b["doc_id"] = b["doc_id"] + 2_000_000
+        return b
+
+    import ray.data
+
+    # Ray auto-splits even a 1.6 MB read into 64 blocks; 3 union branches
+    # then make every downstream stage a 192-tiny-block dispatch storm (the
+    # sort alone read 19.7 s of pure scheduling). Pin a sane block count at
+    # the source — at real scale the file count sets this instead.
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text"],
+        override_num_blocks=8,
+    )
+    stream = (
+        docs.map_batches(_orig, batch_format="pandas")
+        .union(docs.map_batches(_suffixed, batch_format="pandas"))
+        .union(docs.map_batches(_exact_copy, batch_format="pandas"))
+    )
+    return segment_dedup(stream, seg_words=20)
+
+
 def _q_dedup_exact_hashed(sf_dir: str):
     from scylla_cdc_source_connector_ray.functions.dedup import exact_dedup_hashed
 
@@ -1839,6 +1883,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_conversion": _q_relational("funnel_conversion"),
         "q5_local_supplier_volume": _q_relational("q5_local_supplier_volume"),
         "event_value_percentiles_cont": _q_relational("event_value_percentiles_cont"),
+        "dedup_segments": _q_dedup_segments,
         # --- driver-certified in rounds 1-4 ---
         "cdc_capture_flat": _q_cdc_capture_flat,
         "cdc_op_counts": _q_cdc_op_counts,
@@ -2023,4 +2068,5 @@ def oracle_sql() -> dict[str, str]:
         "funnel_conversion": oracles.FUNNEL_CONVERSION,
         "q5_local_supplier_volume": oracles.Q5_LOCAL_SUPPLIER_VOLUME,
         "event_value_percentiles_cont": oracles.EVENT_VALUE_PERCENTILES_CONT,
+        "dedup_segments": oracles.DEDUP_SEGMENTS,
     }

@@ -115,6 +115,219 @@ def exact_dedup_hashed(ds: ray.data.Dataset, id_col: str = "doc_id") -> ray.data
 
 
 # ---------------------------------------------------------------------------
+# segment-level (sub-document) exact dedup — the RefinedWeb/CCNet line-dedup
+# analogue over fixed word spans (the corpus has no line structure)
+# ---------------------------------------------------------------------------
+
+#: packed (doc_id, seg_idx) ordering key: doc_id << 20 | seg_idx. 2^20
+#: segments/doc = ~21M words/doc at the default span; doc_id must fit 43
+#: bits (guarded) so the packed min is the lexicographic (doc_id, seg_idx)
+#: min — "first occurrence wins" exactly like SQL row_number() ordering.
+_SEG_IDX_BITS = 20
+
+
+def _md5_2x64_vec(texts: list[str]) -> tuple[np.ndarray, np.ndarray]:
+    """Full-width md5 per string as two uint64 halves (little-endian first /
+    last 8 digest bytes — the DuckDB ``md5_number_upper`` / ``_lower``
+    convention, verified equal in tests). Engine-internal exchange key for
+    exact segment dedup: 128 bits ⇒ collision-free by the same assumption
+    ``exact_dedup_hashed`` already makes, so segment TEXT never has to cross
+    the decision exchange. Vectorized through the shared per-worker DuckDB
+    connection past ``_VEC_HASH_MIN`` (same size gate as the word hash)."""
+    if len(texts) < _VEC_HASH_MIN:
+        h1 = np.empty(len(texts), dtype=np.uint64)
+        h2 = np.empty(len(texts), dtype=np.uint64)
+        for i, s in enumerate(texts):
+            d = hashlib.md5(s.encode()).digest()
+            h1[i] = int.from_bytes(d[:8], "little")
+            h2[i] = int.from_bytes(d[8:], "little")
+        return h1, h2
+    global _MD5_CON
+    if _MD5_CON is None:
+        import duckdb
+
+        _MD5_CON = duckdb.connect()
+        _MD5_CON.execute("SET threads=1")
+    wt = pa.table({"w": pa.array(texts, type=pa.string())})
+    _MD5_CON.register("_seg_texts", wt)
+    try:
+        t = _MD5_CON.execute(
+            "SELECT md5_number_upper(w) AS u, md5_number_lower(w) AS l FROM _seg_texts"
+        ).fetch_arrow_table()
+    finally:
+        _MD5_CON.unregister("_seg_texts")
+    return (
+        t["u"].to_numpy().astype(np.uint64),
+        t["l"].to_numpy().astype(np.uint64),
+    )
+
+
+def _segment_texts(texts, seg_words: int) -> tuple[list[str], np.ndarray]:
+    """Per-doc fixed-span word segments: ``' '.join(words[j*S:(j+1)*S])`` for
+    each doc, plus the per-doc segment counts. One definition for both the
+    decision pass and the reassembly pass — the two MUST cut identical
+    boundaries or reassembly picks the wrong spans."""
+    segs: list[str] = []
+    counts = np.zeros(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        ws = _ws_split(t or "")
+        n = (len(ws) + seg_words - 1) // seg_words
+        counts[i] = n
+        for j in range(n):
+            segs.append(" ".join(ws[j * seg_words : (j + 1) * seg_words]))
+    return segs, counts
+
+
+def segment_dedup(
+    ds: ray.data.Dataset,
+    seg_words: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_parts: int = 64,
+) -> ray.data.Dataset:
+    """Sub-document exact dedup (RefinedWeb/CCNet line-level dedup, with a
+    fixed ``seg_words``-word span standing in for the line): every segment
+    that already occurred anywhere earlier in the corpus — ordered by
+    (doc_id, seg_idx) — is removed; survivors are re-joined in order.
+    Output per doc: ``(doc_id, text_dedup, n_segs_kept, n_segs_total)``,
+    ``text_dedup`` NULL when every segment was seen before.
+
+    Scale shape (100 TB): the DECISION plane ships 24 B/segment — (md5-128
+    as two uint64, packed ordering key) through one groupby whose min picks
+    the first occurrence; segment text NEVER crosses it. Reassembly is ONE
+    coarse exchange keyed by hash(doc_id) (``num_parts`` groups, never
+    per-doc dispatch) carrying each doc's text once plus the kept
+    (doc, seg_idx) pairs; the re-split + span selection is local to the
+    partition. No ``Dataset.join`` (empty-partition finalize hazard on
+    small inputs) and no driver-side collection. Assumes one doc's text
+    fits a task — the same bound every per-doc operator here carries."""
+    def _first_per_hash(h1, h2, pk):
+        """min ``pk`` per distinct (h1, h2), vectorized: lexsort puts the
+        smallest packed key first within each hash run."""
+        order = np.lexsort((pk, h2, h1))
+        h1, h2, pk = h1[order], h2[order], pk[order]
+        first = np.r_[True, (h1[1:] != h1[:-1]) | (h2[1:] != h2[:-1])]
+        return h1[first], h2[first], pk[first]
+
+    def decisions(b: pd.DataFrame) -> pa.Table:
+        texts = b[text_col].fillna("")
+        segs, counts = _segment_texts(texts.tolist(), seg_words)
+        h1, h2 = _md5_2x64_vec(segs)
+        ids = b[id_col].to_numpy(np.int64)
+        if len(ids) and (ids.min() < 0 or ids.max() >= (1 << (63 - _SEG_IDX_BITS))):
+            raise ValueError(f"{id_col} must fit [0, 2^43) for the packed ordering key")
+        packed = (np.repeat(ids, counts) << _SEG_IDX_BITS) | _ranges(counts)
+        # block-local combiner: within-block duplicate segments collapse to
+        # their min before anything crosses the exchange
+        h1, h2, packed = _first_per_hash(h1.view(np.int64), h2.view(np.int64), packed)
+        return pa.table(
+            {
+                "_h1": pa.array(h1, pa.int64()),
+                "_h2": pa.array(h2, pa.int64()),
+                "_pk": pa.array(packed, pa.int64()),
+                # coarse hash partition: Ray's sort-aggregate over O(unique
+                # segments) tiny groups costs ~1 s/block (the
+                # embedding_centroids pathology) — 256 partitions + a
+                # vectorized per-partition min replaces it
+                "_hpid": pa.array(
+                    (h1.view(np.uint64) * _SAMPLE_MIX) % np.uint64(256), pa.int64()
+                ),
+            }
+        )
+
+    def winner_part(g: pd.DataFrame) -> pd.DataFrame:
+        h1, h2, pk = _first_per_hash(
+            g["_h1"].to_numpy(), g["_h2"].to_numpy(), g["_pk"].to_numpy()
+        )
+        return pd.DataFrame({"_keep": pd.Series(pk, dtype="int64")})
+
+    winners = (
+        ds.map_batches(decisions, batch_format="pandas")
+        .groupby("_hpid")
+        .map_groups(winner_part, batch_format="pandas")
+    )
+
+    mask = np.int64((1 << _SEG_IDX_BITS) - 1)
+
+    def unpack(t: pa.Table) -> pa.Table:
+        keep = t["_keep"].to_numpy(zero_copy_only=False)
+        doc = keep >> _SEG_IDX_BITS
+        return pa.table(
+            {
+                "doc_id": pa.array(doc, pa.int64()),
+                "seg_idx": pa.array(keep & mask, pa.int64()),
+                "text": pa.nulls(len(keep), pa.string()),
+                "_pid": pa.array(
+                    (doc.astype(np.uint64) * _SAMPLE_MIX) % np.uint64(num_parts),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    def doc_rows(b: pd.DataFrame) -> pa.Table:
+        # zero-word docs have no segments: the SQL twin's words CTE emits no
+        # rows for them, so they are absent from the output on both sides
+        texts = b[text_col].fillna("")
+        nonempty = np.array([bool(_ws_split(t)) for t in texts], dtype=bool)
+        ids = b[id_col].to_numpy(np.int64)[nonempty]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "seg_idx": pa.array(np.full(len(ids), -1, np.int64), pa.int64()),
+                "text": pa.array(texts[nonempty], pa.string()),
+                "_pid": pa.array(
+                    (ids.astype(np.uint64) * _SAMPLE_MIX) % np.uint64(num_parts),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    def per_part(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "text_dedup": pd.Series([], dtype="object"),
+                    "n_segs_kept": pd.Series([], dtype="int64"),
+                    "n_segs_total": pd.Series([], dtype="int64"),
+                }
+            )
+        b = b.sort_values(["doc_id", "seg_idx"])
+        ids = b["doc_id"].to_numpy()
+        seg = b["seg_idx"].to_numpy()
+        texts = b["text"].to_numpy()
+        starts = np.flatnonzero(np.r_[True, ids[1:] != ids[:-1]])
+        ends = np.r_[starts[1:], len(ids)]
+        out_id, out_text, out_kept, out_tot = [], [], [], []
+        for s, e in zip(starts, ends):
+            # seg_idx=-1 sorts the doc row first within its run; a kept pair
+            # without its doc row is impossible (same _pid function)
+            assert seg[s] == -1, "kept segment without its document row"
+            segs, counts = _segment_texts([texts[s] or ""], seg_words)
+            kept = seg[s + 1 : e]
+            out_id.append(ids[s])
+            out_text.append(" ".join(segs[j] for j in kept) if len(kept) else None)
+            out_kept.append(len(kept))
+            out_tot.append(int(counts[0]))
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(out_id, dtype="int64"),
+                "text_dedup": pd.Series(out_text, dtype="object"),
+                "n_segs_kept": pd.Series(out_kept, dtype="int64"),
+                "n_segs_total": pd.Series(out_tot, dtype="int64"),
+            }
+        )
+
+    kept = winners.map_batches(unpack, batch_format="pyarrow")
+    docs = ds.map_batches(doc_rows, batch_format="pandas")
+    return (
+        kept.union(docs)
+        .groupby("_pid")
+        .map_groups(per_part, batch_format="pandas")
+    )
+
+
+# ---------------------------------------------------------------------------
 # shingles + MinHash
 # ---------------------------------------------------------------------------
 

@@ -431,6 +431,39 @@ SELECT md5(trim(lower(regexp_replace(coalesce(text, ''), '\s+', ' ', 'g')))) AS 
 FROM documents GROUP BY 1
 """
 
+#: segment-level (sub-document) exact dedup over fixed 20-word spans: every
+#: span seen earlier (ordered by doc_id, seg_idx) is removed, survivors are
+#: re-joined in order. The stream synthesizes duplication the way
+#: DEDUP_STREAM_EXACT does: a suffixed replica (all but the last segment
+#: duplicate) and an exact replica (fully dropped → NULL text_dedup). The
+#: words CTE is the shared trim+RE2-\s+ split convention; docs with zero
+#: words are absent from the output on both sides.
+DEDUP_SEGMENTS = r"""
+WITH stream AS (
+    SELECT doc_id, coalesce(text, '') AS text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000, coalesce(text, '') || ' zz' || CAST(doc_id AS VARCHAR)
+    FROM documents
+    UNION ALL
+    SELECT doc_id + 2000000, coalesce(text, '') FROM documents
+),
+base AS (SELECT doc_id, regexp_replace(text, '^\s+|\s+$', '', 'g') AS t FROM stream),
+w AS (SELECT doc_id, CASE WHEN t = '' THEN [] ELSE regexp_split_to_array(t, '\s+') END AS ws
+      FROM base),
+pos AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS i FROM w WHERE len(ws) > 0),
+segs AS (SELECT doc_id, CAST((i - 1) // 20 AS BIGINT) AS seg_idx,
+                string_agg(ws[i], ' ' ORDER BY i) AS seg_text
+         FROM pos GROUP BY doc_id, CAST((i - 1) // 20 AS BIGINT)),
+ranked AS (SELECT doc_id, seg_idx, seg_text,
+                  row_number() OVER (PARTITION BY seg_text ORDER BY doc_id, seg_idx) AS rn
+           FROM segs)
+SELECT doc_id,
+       string_agg(seg_text, ' ' ORDER BY seg_idx) FILTER (WHERE rn = 1) AS text_dedup,
+       CAST(count(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_segs_kept,
+       CAST(count(*) AS BIGINT) AS n_segs_total
+FROM ranked GROUP BY doc_id
+"""
+
 #: streaming first-occurrence dedup ≡ min doc_id per normalized-text hash —
 #: batching must never change the result. The stream is documents UNION a
 #: shifted-id replay of every text (sf0.01 documents are exact-dup-free, so

@@ -1070,3 +1070,77 @@ def test_prefix_bucket_rows_empty_vocab_gramless_batch():
     batch2 = pd.DataFrame({"doc_id": [1], "n": [1], "grams": [grams.tobytes()]})
     with pytest.raises(ValueError, match="vocab is missing"):
         D.prefix_bucket_rows(batch2, thr_micro=700_000, vocab=empty)
+
+
+# ---------------------------------------------------------------------------
+# segment-level (sub-document) exact dedup
+# ---------------------------------------------------------------------------
+def _brute_segment_dedup(df: pd.DataFrame, S: int) -> pd.DataFrame:
+    """O(corpus) reference: global first-occurrence over fixed word spans in
+    (doc_id, seg_idx) order."""
+    seen, rows = set(), []
+    for _, r in df.sort_values("doc_id").iterrows():
+        ws = D._ws_split(r["text"] or "")
+        if not ws:
+            continue
+        segs = [" ".join(ws[j * S : (j + 1) * S]) for j in range((len(ws) + S - 1) // S)]
+        kept = []
+        for s in segs:
+            if s not in seen:
+                seen.add(s)
+                kept.append(s)
+        rows.append(
+            {
+                "doc_id": r["doc_id"],
+                "text_dedup": " ".join(kept) if kept else None,
+                "n_segs_kept": len(kept),
+                "n_segs_total": len(segs),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+def test_segment_dedup_matches_bruteforce():
+    rng = np.random.default_rng(11)
+    vocab = [f"t{i}" for i in range(25)]
+    docs = [" ".join(rng.choice(vocab, rng.integers(1, 60))) for _ in range(50)]
+    texts = (
+        docs
+        + [d + " zz" + str(i) for i, d in enumerate(docs)]  # partial dups
+        + docs[:10]  # exact dups -> full drop, NULL text_dedup
+        + ["", "   ", "only one segment"]
+    )
+    df = pd.DataFrame({"doc_id": list(range(len(texts))), "text": texts})
+    want = _brute_segment_dedup(df, S=5).sort_values("doc_id").reset_index(drop=True)
+    got = (
+        D.segment_dedup(ray.data.from_pandas(df), seg_words=5)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert (got["n_segs_kept"] == 0).any(), "full-drop path unexercised"
+    # full-drop docs emit NULL text, zero kept
+    nulls = got[got["n_segs_kept"] == 0]
+    assert nulls["text_dedup"].isna().all()
+
+
+def test_segment_dedup_within_doc_dup_and_id_guard():
+    # identical spans WITHIN one doc: only the first survives (SQL
+    # row_number over (doc_id, seg_idx) keeps seg 0)
+    df = pd.DataFrame({"doc_id": [7], "text": ["a b a b a b"]})
+    got = D.segment_dedup(ray.data.from_pandas(df), seg_words=2).to_pandas()
+    assert got.iloc[0]["text_dedup"] == "a b" and got.iloc[0]["n_segs_total"] == 3
+    # packed-key guard: ids must fit 43 bits
+    bad = pd.DataFrame({"doc_id": [1 << 50], "text": ["x y"]})
+    with pytest.raises(Exception, match="2\\^43|packed"):
+        D.segment_dedup(ray.data.from_pandas(bad), seg_words=2).to_pandas()
+
+
+def test_md5_2x64_scalar_matches_duckdb_vectorized():
+    # the scalar hashlib path and the DuckDB md5_number_upper/lower path
+    # must agree byte-for-byte (engine-internal replay identity)
+    words = [f"w{i} yy" for i in range(D._VEC_HASH_MIN + 10)]
+    h1v, h2v = D._md5_2x64_vec(words)          # vectorized (over the gate)
+    h1s, h2s = D._md5_2x64_vec(words[:50])     # scalar (under the gate)
+    assert (h1v[:50] == h1s).all() and (h2v[:50] == h2s).all()
