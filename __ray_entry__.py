@@ -1687,6 +1687,16 @@ def _q_token_topk(sf_dir: str):
     return token_topk(_docs(sf_dir), k=oracles.TOKEN_TOPK_K)
 
 
+def _q_inverted_index(sf_dir: str):
+    """Full-corpus inverted index (token → df + ascending posting list):
+    block-local (doc, token) dedup (a doc lives in one row, so block-unique
+    pairs are globally unique), ONE token-keyed coarse exchange of
+    unique-terms-per-doc rows, partition-local posting-list assembly."""
+    from scylla_cdc_source_connector_ray.functions.textops import inverted_index
+
+    return inverted_index(_docs(sf_dir))
+
+
 def _q_corpus_prep(sf_dir: str):
     """Composed training-data pipeline: quality filter -> exact dedup among
     survivors -> deterministic sample, one streaming Dataset chain
@@ -1884,6 +1894,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q5_local_supplier_volume": _q_relational("q5_local_supplier_volume"),
         "event_value_percentiles_cont": _q_relational("event_value_percentiles_cont"),
         "dedup_segments": _q_dedup_segments,
+        "q4_order_priority": _q_relational("q4_order_priority"),
+        "event_transitions": _q_relational("event_transitions"),
+        "inverted_index": _q_inverted_index,
         # --- driver-certified in rounds 1-4 ---
         "cdc_capture_flat": _q_cdc_capture_flat,
         "cdc_op_counts": _q_cdc_op_counts,
@@ -2069,4 +2082,7 @@ def oracle_sql() -> dict[str, str]:
         "q5_local_supplier_volume": oracles.Q5_LOCAL_SUPPLIER_VOLUME,
         "event_value_percentiles_cont": oracles.EVENT_VALUE_PERCENTILES_CONT,
         "dedup_segments": oracles.DEDUP_SEGMENTS,
+        "q4_order_priority": oracles.Q4_ORDER_PRIORITY,
+        "event_transitions": oracles.EVENT_TRANSITIONS,
+        "inverted_index": oracles.INVERTED_INDEX,
     }

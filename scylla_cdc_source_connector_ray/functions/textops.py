@@ -598,3 +598,73 @@ def redact(
     red = pc.replace_substring_regex(txt, pattern=pattern, replacement=replacement)
     hits = pc.fill_null(pc.count_substring_regex(txt, pattern), 0).cast(pa.int64())
     return pa.table({id_col: batch[id_col], text_col: red, "n_hits": hits})
+
+
+def inverted_index(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    pattern: str = BPE_TOKEN_RE,
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """Full-corpus inverted index: one row per token with its document
+    frequency and the ascending-id posting list (``doc_ids``, comma-joined
+    — the search/retrieval index build every curation stack ends with).
+
+    Scale shape: each block tokenizes vectorized (polars ``extract_all``,
+    Rust regex = RE2 leftmost semantics, multiset-identical to the DuckDB
+    ``regexp_extract_all`` twin) and dedups to (doc, token) pairs locally —
+    a document lives in ONE row, so block-unique pairs are globally unique
+    and the single token-keyed coarse exchange (``num_partitions`` groups,
+    never per-token dispatch) carries unique-terms-per-doc rows, never
+    token instances. Posting-list assembly is partition-local: one
+    (token, doc) lexsort, then a per-token string join over the vocabulary
+    slice (vocab-bounded work, the token_topk cost family). Postings
+    concatenate as strings because the gate hashes column values; a
+    production sink would keep ``list<int64>``."""
+    import polars as pl
+
+    def pairs(t: pa.Table) -> pa.Table:
+        ids = t[id_col].combine_chunks() if isinstance(t[id_col], pa.ChunkedArray) else t[id_col]
+        txt = t[text_col].combine_chunks() if isinstance(t[text_col], pa.ChunkedArray) else t[text_col]
+        d = pl.DataFrame({"_doc": pl.from_arrow(ids), "_tok": pl.from_arrow(txt).fill_null("")})
+        e = (
+            d.with_columns(pl.col("_tok").str.extract_all(pattern))
+            .explode("_tok")
+            .drop_nulls("_tok")
+            .unique(["_doc", "_tok"])
+        )
+        pid = (e["_tok"].hash(seed=0) % num_partitions).cast(pl.Int64)
+        return pa.table(
+            {
+                "doc_id": e["_doc"].to_arrow().cast(pa.int64()),
+                "token": e["_tok"].to_arrow().cast(pa.string()),
+                "_pid": pid.to_arrow(),
+            }
+        )
+
+    def postings(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return pd.DataFrame(
+                {
+                    "token": pd.Series([], dtype=object),
+                    "df": pd.Series([], dtype="int64"),
+                    "doc_ids": pd.Series([], dtype=object),
+                }
+            )
+        b = b.sort_values(["token", "doc_id"], kind="mergesort")
+        b["_doc_str"] = b["doc_id"].astype(str)
+        g = b.groupby("token", sort=False)
+        out = pd.DataFrame(
+            {
+                "df": g.size().astype("int64"),
+                "doc_ids": g["_doc_str"].agg(",".join).astype(object),
+            }
+        ).reset_index()
+        return out[["token", "df", "doc_ids"]]
+
+    return (
+        ds.map_batches(pairs, batch_format="pyarrow")
+        .groupby("_pid")
+        .map_groups(postings, batch_format="pandas")
+    )

@@ -2193,3 +2193,53 @@ SELECT event_type, CAST(count(*) AS BIGINT) AS n,
        quantile_cont(value_c, 0.95) AS p95
 FROM v GROUP BY event_type
 """
+
+#: pipelines/relational.py::q4_order_priority — TPC-H Q4-shaped EXISTS
+#: semi-join (the testdata lineitem has no commit/receipt dates, so a
+#: returned line stands in for Q4's late-line predicate).
+Q4_ORDER_PRIORITY = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1996-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+"""
+
+#: pipelines/relational.py::event_transitions — per-user consecutive
+#: event-type bigram counts in the shared (ts, event_id) total order; NULL
+#: user/ts rows excluded on both sides (the SQL NULL partition would pool
+#: every NULL user into one lag chain), NULL event_type kept as one group.
+EVENT_TRANSITIONS = """
+WITH s AS (
+  SELECT event_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type,
+         lead(user_id)    OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_user
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+)
+SELECT event_type, next_type, CAST(count(*) AS BIGINT) AS n
+FROM s WHERE next_user IS NOT NULL
+GROUP BY event_type, next_type
+"""
+
+
+def _inverted_index_sql() -> str:
+    """functions/textops.py::inverted_index twin — same RE2 token pattern
+    as token_topk, postings as the ascending-doc_id comma join."""
+    from .functions.textops import BPE_TOKEN_RE
+
+    pat = BPE_TOKEN_RE.replace("'", "''")
+    return f"""
+WITH toks AS (
+    SELECT doc_id, unnest(regexp_extract_all(coalesce(text, ''), '{pat}')) AS token
+    FROM documents
+),
+pairs AS (SELECT DISTINCT doc_id, token FROM toks)
+SELECT token, CAST(count(*) AS BIGINT) AS df,
+       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS doc_ids
+FROM pairs GROUP BY token
+"""
+
+
+INVERTED_INDEX = _inverted_index_sql()

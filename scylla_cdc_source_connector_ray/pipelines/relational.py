@@ -1260,3 +1260,116 @@ def event_value_percentiles_cont(sf_dir: str) -> ray.data.Dataset:
         keys=["event_type"],
         value_col="value_c",
     )
+
+
+def q4_order_priority(
+    sf_dir: str,
+    date_lo: str = "1996-01-01",
+    date_hi: str = "1996-04-01",
+) -> ray.data.Dataset:
+    """TPC-H Q4-shaped: orders placed in one quarter that have at least one
+    returned line (the testdata lineitem carries no commit/receipt dates, so
+    ``l_returnflag = 'R'`` stands in for Q4's late-line EXISTS predicate),
+    counted by order priority.
+
+    Scale shape: both sides are column-pruned and filtered BEFORE the one
+    co-partitioned exchange of :func:`stages.join.semi_anti_join` — the
+    probe side ships only block-deduped order keys of returned lines (~1/3
+    of lineitem rows collapse to unique keys per block), never flags or
+    payload; the build side ships only in-window orders. The final groupby
+    is |priorities| rows. Reference anchor: SURVEY §2.4 semi-join family."""
+    from ..stages.join import semi_anti_join
+
+    lo_ts = pc.strptime(date_lo, "%Y-%m-%d", "us")
+    hi_ts = pc.strptime(date_hi, "%Y-%m-%d", "us")
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderdate", "o_orderpriority"])
+    orders = orders.map_batches(
+        lambda t: t.filter(
+            pc.and_(
+                pc.greater_equal(t["o_orderdate"], lo_ts),
+                pc.less(t["o_orderdate"], hi_ts),
+            )
+        ).select(["o_orderkey", "o_orderpriority"]),
+        batch_format="pyarrow",
+    )
+    returned = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_returnflag"])
+    returned = returned.map_batches(
+        lambda t: t.filter(pc.equal(t["l_returnflag"], "R")).select(["l_orderkey"]),
+        batch_format="pyarrow",
+    )
+    sj = semi_anti_join(orders, returned, left_on="o_orderkey", right_on="l_orderkey")
+    return sj.groupby("o_orderpriority").aggregate(Count(alias_name="order_count"))
+
+
+def event_transitions(sf_dir: str, num_parts: int = 64) -> "pd.DataFrame":
+    """Per-user event-type transition (bigram) counts — the Markov-chain /
+    user-journey matrix: for each consecutive pair of one user's events in
+    (ts, event_id) order, count (event_type, next_type).
+
+    Scale shape: the SAME single coarse user-keyed exchange as
+    :func:`user_gap_stats` (users are partition-exclusive, so each user's
+    lag chain is complete within its partition); inside each partition one
+    (user, ts, event_id) lexsort + a shift with run-boundary masking forms
+    every pair, then a LOCAL pandas groupby (dropna=False — SQL GROUP BY
+    keeps one NULL group) collapses the partition to its |types|² count
+    partials. Only those partials reach the driver (num_parts × |types|²
+    rows), merged in one tiny pandas groupby — the Ray groupby over
+    nullable string keys is avoided by design (its sort shuffle splits the
+    NULL group per block; see stages/topk.py::null_safe_group_cols)."""
+    import numpy as np
+    import pyarrow as pa
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"])
+
+    def part_key(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.is_valid(t["user_id"]), pc.is_valid(t["ts"])))
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column("_pid", pa.array(_user_pid(uid, num_parts), pa.int64()))
+
+    def pair_counts(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        uid = b["user_id"].to_numpy()
+        et = b["event_type"].to_numpy(object)
+        if len(b) < 2:
+            return pd.DataFrame(
+                {
+                    "event_type": pd.Series([], dtype=object),
+                    "next_type": pd.Series([], dtype=object),
+                    "n": pd.Series([], dtype="int64"),
+                }
+            )
+        same_user = uid[1:] == uid[:-1]  # pair (i, i+1) valid within a run
+        pairs = pd.DataFrame(
+            {"event_type": et[:-1][same_user], "next_type": et[1:][same_user]}
+        )
+        out = (
+            pairs.groupby(["event_type", "next_type"], dropna=False)
+            .size()
+            .rename("n")
+            .reset_index()
+        )
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    partials = (
+        ds.map_batches(part_key, batch_format="pyarrow")
+        .groupby("_pid")
+        .map_groups(pair_counts, batch_format="pandas")
+        .to_pandas()
+    )
+    if not len(partials) or "event_type" not in partials.columns:
+        return pd.DataFrame(
+            {
+                "event_type": pd.Series([], dtype=object),
+                "next_type": pd.Series([], dtype=object),
+                "n": pd.Series([], dtype="int64"),
+            }
+        )
+    out = (
+        partials.groupby(["event_type", "next_type"], dropna=False)["n"]
+        .sum()
+        .reset_index()
+    )
+    out["n"] = out["n"].astype("int64")
+    return out

@@ -1144,3 +1144,42 @@ def test_md5_2x64_scalar_matches_duckdb_vectorized():
     h1v, h2v = D._md5_2x64_vec(words)          # vectorized (over the gate)
     h1s, h2s = D._md5_2x64_vec(words[:50])     # scalar (under the gate)
     assert (h1v[:50] == h1s).all() and (h2v[:50] == h2s).all()
+
+
+def test_inverted_index_matches_bruteforce():
+    from scylla_cdc_source_connector_ray.functions.textops import (
+        BPE_TOKEN_RE,
+        inverted_index,
+    )
+    import re
+
+    rng = np.random.default_rng(3)
+    vocab = ["alpha", "beta", "g4mm4", "it's", "x!"]
+    texts = [
+        " ".join(rng.choice(vocab, rng.integers(0, 12))) or None for _ in range(80)
+    ] + ["", None]
+    df = pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64), "text": texts})
+    got = (
+        inverted_index(ray.data.from_pandas(df), num_partitions=7)
+        .to_pandas()
+        .sort_values("token")
+        .reset_index(drop=True)
+    )
+    # brute force: Python re over the same pattern
+    post = {}
+    for _, r in df.iterrows():
+        for tok in set(re.findall(BPE_TOKEN_RE, r["text"] or "")):
+            post.setdefault(tok, []).append(int(r["doc_id"]))
+    want = (
+        pd.DataFrame(
+            {
+                "token": list(post),
+                "df": [len(v) for v in post.values()],
+                "doc_ids": [",".join(map(str, sorted(v))) for v in post.values()],
+            }
+        )
+        .sort_values("token")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert (got["df"] > 1).any(), "multi-doc posting unexercised"

@@ -88,6 +88,7 @@ def test_random_event_soup_parity(tmp_path, seed):
             lambda: R.event_value_percentiles_cont(d).to_pandas(),
             O.EVENT_VALUE_PERCENTILES_CONT,
         ),
+        (lambda: R.event_transitions(d), O.EVENT_TRANSITIONS),
     ]
     for fn, sql in cases:
         got, want = _norm(fn()), _norm(_oracle(d, sql))

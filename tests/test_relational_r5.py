@@ -626,3 +626,75 @@ def test_redact_honours_text_col_name(tmp_path):
     out = redact(t, pattern=r"\bspark\b", text_col="body")
     assert out.column_names == ["doc_id", "body", "n_hits"]
     assert out["body"][0].as_py() == "[MASK] here"
+
+
+def test_event_transitions_null_types_ties_and_single_event_users(tmp_path):
+    from scylla_cdc_source_connector_ray.oracles import EVENT_TRANSITIONS
+
+    d = str(tmp_path)
+    rng = np.random.default_rng(17)
+    n = 400
+    events = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            # coarse ts -> many within-user ties; (ts, event_id) breaks them
+            "ts": pd.to_datetime("2026-01-01")
+            + pd.to_timedelta(rng.integers(0, 40, n), unit="m"),
+            "user_id": pd.array(
+                [None if i % 37 == 0 else int(rng.integers(0, 25)) for i in range(n)],
+                dtype="Int64",
+            ),
+            "event_type": pd.array(
+                [None if i % 11 == 0 else f"t{rng.integers(0, 4)}" for i in range(n)],
+                dtype=object,
+            ),
+            "value": rng.normal(size=n),
+            "props": [""] * n,
+        }
+    )
+    # a user with exactly one event: no pair emitted
+    events.loc[n - 1, "user_id"] = 999
+    pq.write_table(pa.Table.from_pandas(events, preserve_index=False), os.path.join(d, "events.parquet"))
+    got = _norm(R.event_transitions(d))
+    want = _norm(_oracle(d, EVENT_TRANSITIONS))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert got["next_type"].isna().any(), "NULL next_type group unexercised"
+
+
+def test_q4_order_priority_semi_join(tmp_path):
+    from scylla_cdc_source_connector_ray.oracles import Q4_ORDER_PRIORITY
+
+    d = str(tmp_path)
+    rng = np.random.default_rng(5)
+    n_o = 300
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": np.arange(n_o, dtype=np.int64),
+            "o_custkey": np.zeros(n_o, np.int64),
+            "o_orderstatus": ["O"] * n_o,
+            "o_totalprice": np.ones(n_o),
+            # half in-window, half out
+            "o_orderdate": pd.to_datetime("1996-01-01")
+            + pd.to_timedelta(rng.integers(0, 180, n_o), unit="D"),
+            "o_orderpriority": [f"{rng.integers(1, 4)}-P" for _ in range(n_o)],
+        }
+    )
+    li = pd.DataFrame(
+        {
+            "l_orderkey": rng.integers(0, n_o, 900).astype(np.int64),
+            "l_returnflag": rng.choice(["A", "N", "R"], 900),
+        }
+    )
+    for c in (
+        "l_partkey l_suppkey l_linenumber l_quantity l_extendedprice "
+        "l_discount l_tax l_linestatus l_shipdate"
+    ).split():
+        li[c] = 0
+    pq.write_table(pa.Table.from_pandas(orders, preserve_index=False), os.path.join(d, "orders.parquet"))
+    pq.write_table(pa.Table.from_pandas(li, preserve_index=False), os.path.join(d, "lineitem.parquet"))
+    con = duckdb.connect()
+    for t in ("orders", "lineitem"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{os.path.join(d, t + '.parquet')}'")
+    got = _norm(R.q4_order_priority(d).to_pandas())
+    want = _norm(con.sql(Q4_ORDER_PRIORITY).df())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
