@@ -1687,6 +1687,17 @@ def _q_token_topk(sf_dir: str):
     return token_topk(_docs(sf_dir), k=oracles.TOKEN_TOPK_K)
 
 
+def _q_quality_floor_by_source(sf_dir: str):
+    """Per-source exact-p75 quality floor (CCNet-style per-domain bucket):
+    grouped quantile → |sources| floors broadcast into the filter closure;
+    the corpus is scanned twice, never shuffled."""
+    from scylla_cdc_source_connector_ray.functions.corpus import (
+        quality_floor_by_source,
+    )
+
+    return quality_floor_by_source(_docs(sf_dir))
+
+
 def _q_inverted_index(sf_dir: str):
     """Full-corpus inverted index (token → df + ascending posting list):
     block-local (doc, token) dedup (a doc lives in one row, so block-unique
@@ -1897,6 +1908,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q4_order_priority": _q_relational("q4_order_priority"),
         "event_transitions": _q_relational("event_transitions"),
         "inverted_index": _q_inverted_index,
+        "quality_floor_by_source": _q_quality_floor_by_source,
         # --- driver-certified in rounds 1-4 ---
         "cdc_capture_flat": _q_cdc_capture_flat,
         "cdc_op_counts": _q_cdc_op_counts,
@@ -2085,4 +2097,5 @@ def oracle_sql() -> dict[str, str]:
         "q4_order_priority": oracles.Q4_ORDER_PRIORITY,
         "event_transitions": oracles.EVENT_TRANSITIONS,
         "inverted_index": oracles.INVERTED_INDEX,
+        "quality_floor_by_source": oracles.QUALITY_FLOOR_BY_SOURCE,
     }

@@ -176,3 +176,53 @@ def curation_chain(
     return top_k_per_group(
         deduped, [source_col], id_col, k=cap_per_source, descending=False
     )
+
+
+def quality_floor_by_source(
+    docs: ray.data.Dataset,
+    pct: int = 75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> ray.data.Dataset:
+    """Keep each source's top quality tier: documents at or above their OWN
+    source's exact ``pct``-th quality percentile (the CCNet-style per-domain
+    quality bucket — a global floor would keep only the best domains; a
+    per-source floor keeps the best OF EACH domain). NULL-source docs are
+    excluded on both sides (the SQL twin's equality join on source never
+    matches NULL).
+
+    Scale shape: per-source floors come from ONE grouped exact quantile
+    over (source, quality_micro) pairs — |sources| result rows — collected
+    to the driver and re-broadcast as a lookup in the filter stage's
+    closure; the corpus is scanned twice and never shuffled (the
+    quality_above_median pattern, grouped). At an unbounded source domain,
+    swap the exact kernel for grouped_quantiles_kll and ship the same
+    lookup."""
+    from ..stages.topk import grouped_quantiles
+
+    def scored_t(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t[source_col]))
+        return _quality_micro_table(t, text_col, [id_col, source_col])
+
+    scored = docs.map_batches(scored_t, batch_format="pyarrow")
+    floor_rows = grouped_quantiles(
+        scored.select_columns([source_col, "quality_micro"]),
+        keys=[source_col],
+        value_col="quality_micro",
+        quantiles=(pct,),
+    ).take_all()
+    floors = {r[source_col]: int(r[f"p{pct}"]) for r in floor_rows}
+    floors_ref = ray.put(floors)
+
+    class FloorFilter:
+        def __init__(self):
+            self.floors = ray.get(floors_ref)
+
+        def __call__(self, b: "pd.DataFrame") -> "pd.DataFrame":
+            if not len(b):
+                return b
+            thr = b[source_col].map(self.floors)
+            return b[b["quality_micro"] >= thr]
+
+    return scored.map_batches(FloorFilter, batch_format="pandas", concurrency=(1, 8))

@@ -142,20 +142,7 @@ def _md5_2x64_vec(texts: list[str]) -> tuple[np.ndarray, np.ndarray]:
             h1[i] = int.from_bytes(d[:8], "little")
             h2[i] = int.from_bytes(d[8:], "little")
         return h1, h2
-    global _MD5_CON
-    if _MD5_CON is None:
-        import duckdb
-
-        _MD5_CON = duckdb.connect()
-        _MD5_CON.execute("SET threads=1")
-    wt = pa.table({"w": pa.array(texts, type=pa.string())})
-    _MD5_CON.register("_seg_texts", wt)
-    try:
-        t = _MD5_CON.execute(
-            "SELECT md5_number_upper(w) AS u, md5_number_lower(w) AS l FROM _seg_texts"
-        ).fetch_arrow_table()
-    finally:
-        _MD5_CON.unregister("_seg_texts")
+    t = _duck_md5(texts, "md5_number_upper(w) AS u, md5_number_lower(w) AS l")
     return (
         t["u"].to_numpy().astype(np.uint64),
         t["l"].to_numpy().astype(np.uint64),
@@ -216,6 +203,11 @@ def segment_dedup(
         ids = b[id_col].to_numpy(np.int64)
         if len(ids) and (ids.min() < 0 or ids.max() >= (1 << (63 - _SEG_IDX_BITS))):
             raise ValueError(f"{id_col} must fit [0, 2^43) for the packed ordering key")
+        if len(counts) and counts.max() > (1 << _SEG_IDX_BITS):
+            raise ValueError(
+                f"a document has {counts.max()} segments; the packed ordering "
+                f"key holds at most 2^{_SEG_IDX_BITS} — raise seg_words"
+            )
         packed = (np.repeat(ids, counts) << _SEG_IDX_BITS) | _ranges(counts)
         # block-local combiner: within-block duplicate segments collapse to
         # their min before anything crosses the exchange
@@ -267,8 +259,15 @@ def segment_dedup(
     def doc_rows(b: pd.DataFrame) -> pa.Table:
         # zero-word docs have no segments: the SQL twin's words CTE emits no
         # rows for them, so they are absent from the output on both sides
+        # (vectorized: has-a-word ⇔ non-empty after trimming the _WS_CHARS
+        # set — no per-doc word-list materialization on this pass)
         texts = b[text_col].fillna("")
-        nonempty = np.array([bool(_ws_split(t)) for t in texts], dtype=bool)
+        arr = pa.array(texts, type=pa.string())
+        nonempty = (
+            pc.greater(pc.utf8_length(pc.utf8_trim(arr, _WS_CHARS)), 0)
+            .to_numpy(zero_copy_only=False)
+            .astype(bool)
+        )
         ids = b[id_col].to_numpy(np.int64)[nonempty]
         return pa.table(
             {
@@ -305,6 +304,13 @@ def segment_dedup(
             assert seg[s] == -1, "kept segment without its document row"
             segs, counts = _segment_texts([texts[s] or ""], seg_words)
             kept = seg[s + 1 : e]
+            if len(kept) and kept[0] == -1:
+                # a second doc row in the run: Python's segs[-1] would wrap
+                # to the LAST segment and silently corrupt the output
+                raise ValueError(
+                    f"duplicate {ids[s]!r} rows in segment_dedup input — "
+                    "document ids must be unique"
+                )
             out_id.append(ids[s])
             out_text.append(" ".join(segs[j] for j in kept) if len(kept) else None)
             out_kept.append(len(kept))
@@ -336,9 +342,12 @@ _GRAM_B = np.uint64(1000003)  # polynomial base for the word-hash fold
 
 
 #: ASCII-whitespace splitter matching the oracle's RE2 ``\\s+``
-#: (regexp_split_to_array): Python ``str.split()`` also splits on Unicode
-#: whitespace (NBSP, \x1c-\x1f), which would diverge from DuckDB
-_WS_RE = re.compile(r"[ \t\n\r\f\v]+")
+#: (regexp_split_to_array): RE2's ``\s`` is exactly ``[\t\n\f\r ]`` — it
+#: does NOT include ``\v`` (verified: DuckDB regexp_matches(chr(11),'\s')
+#: is false), and Python ``str.split()`` also splits on Unicode whitespace
+#: (NBSP, \x1c-\x1f); both would diverge from the twin
+_WS_CHARS = " \t\n\r\f"
+_WS_RE = re.compile(f"[{_WS_CHARS}]+")
 
 
 def _ws_split(text: str) -> list[str]:
@@ -353,7 +362,27 @@ def _word_hash(word: str) -> int:
     return int.from_bytes(hashlib.md5(word.encode()).digest()[:8], "little") % _MERSENNE
 
 
-_MD5_CON = None  # process-local DuckDB connection for the vectorized word hash
+_MD5_CON = None  # process-local DuckDB connection for the vectorized md5 paths
+
+
+def _duck_md5(strings, cols_sql: str) -> pa.Table:
+    """One ``md5_number_*`` projection over a string column through the
+    shared per-worker single-threaded DuckDB connection (each Ray worker
+    owns one CPU slot). The ONE bootstrap both vectorized hash paths
+    (:func:`_word_hashes_vec`, :func:`_md5_2x64_vec`) share — connection
+    settings / registration quirks get fixed in one place."""
+    global _MD5_CON
+    if _MD5_CON is None:
+        import duckdb
+
+        _MD5_CON = duckdb.connect()
+        _MD5_CON.execute("SET threads=1")
+    wt = pa.table({"w": pa.array(list(strings), type=pa.string())})
+    _MD5_CON.register("_md5_in", wt)
+    try:
+        return _MD5_CON.execute(f"SELECT {cols_sql} FROM _md5_in").fetch_arrow_table()
+    finally:
+        _MD5_CON.unregister("_md5_in")
 
 
 #: below this many unique words the per-call DuckDB overhead (~2 ms) beats
@@ -373,23 +402,11 @@ def _word_hashes_vec(words) -> np.ndarray:
         return np.fromiter(
             (_word_hash(w) for w in words), dtype=np.uint64, count=len(words)
         )
-    global _MD5_CON
-    if _MD5_CON is None:
-        import duckdb
-
-        _MD5_CON = duckdb.connect()
-        _MD5_CON.execute("SET threads=1")
-    wt = pa.table({"w": pa.array(list(words), type=pa.string())})
-    _MD5_CON.register("_wh_words", wt)
-    try:
-        raw = (
-            _MD5_CON.execute("SELECT md5_number_upper(w) AS h FROM _wh_words")
-            .fetch_arrow_table()["h"]
-            .to_numpy()
-            .astype(np.uint64)
-        )
-    finally:
-        _MD5_CON.unregister("_wh_words")
+    raw = (
+        _duck_md5(words, "md5_number_upper(w) AS h")["h"]
+        .to_numpy()
+        .astype(np.uint64)
+    )
     return raw % np.uint64(_MERSENNE)
 
 

@@ -2243,3 +2243,28 @@ FROM pairs GROUP BY token
 
 
 INVERTED_INDEX = _inverted_index_sql()
+
+#: functions/corpus.py::quality_floor_by_source — per-source exact p75
+#: quality floor (CCNet-style per-domain bucket); shares the QUALITY_SCORE
+#: CTE and the engine's (n-1)*q//100 exact-rank convention; NULL-source
+#: docs excluded on both sides (equality join on source never matches NULL).
+QUALITY_FLOOR_BY_SOURCE = (
+    "WITH qscore AS (" + QUALITY_SCORE + """),
+qs AS (
+    SELECT q.doc_id, d.source, q.quality_micro
+    FROM qscore q JOIN documents d USING (doc_id)
+    WHERE d.source IS NOT NULL
+),
+r AS (
+    SELECT source, quality_micro,
+           row_number() OVER (PARTITION BY source ORDER BY quality_micro) - 1 AS i,
+           count(*) OVER (PARTITION BY source) AS n
+    FROM qs
+),
+fl AS (SELECT source, max(CASE WHEN i = (n - 1) * 75 // 100 THEN quality_micro END) AS f
+       FROM r GROUP BY source)
+SELECT qs.doc_id, qs.source, qs.quality_micro
+FROM qs JOIN fl USING (source)
+WHERE qs.quality_micro >= fl.f
+"""
+)

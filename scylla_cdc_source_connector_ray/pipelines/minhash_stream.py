@@ -119,9 +119,12 @@ class MinHashStreamRunner:
 
         pins = {
             "num_shards": self.num_shards,
+            # ws-re2: the shingle tokenizer's whitespace class is RE2's
+            # exact [\t\n\f\r ] (\v removed) — state written by the older
+            # \v-splitting tokenizer must fail loudly on resume
             "minhash_impl": f"{self.num_perm}/{self.ngram}/{self.seed}/{self.bands}"
             # the measured columns are replay identity too
-            f"/{self.text_col}/{self.order_col}",
+            f"/{self.text_col}/{self.order_col}/ws-re2",
             # sink files are named by input (file, row-group) slice since the
             # survivor pass stopped shuffling by doc-shard, and band state is
             # the splitmix-128 of the packed signature — a checkpoint written

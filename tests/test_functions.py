@@ -1183,3 +1183,79 @@ def test_inverted_index_matches_bruteforce():
     )
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
     assert (got["df"] > 1).any(), "multi-doc posting unexercised"
+
+
+def test_ws_split_matches_re2_whitespace_class():
+    # RE2's \s is exactly [\t\n\f\r ] — \v (0x0b) and unicode spaces are
+    # NOT whitespace there; the engine splitter must agree with the DuckDB
+    # twin character-for-character (\v once diverged silently)
+    import duckdb
+
+    probes = ["a\x0bb c", "x y", "p\tq\nr\fs\rt u", " lead trail ", "\x0b", ""]
+    for t in probes:
+        want = duckdb.sql(
+            "SELECT CASE WHEN t2 = '' THEN [] ELSE regexp_split_to_array(t2, '\\s+') END "
+            "FROM (SELECT regexp_replace(?, '^\\s+|\\s+$', '', 'g') AS t2)",
+            params=[t],
+        ).fetchone()[0]
+        assert D._ws_split(t) == want, (t, D._ws_split(t), want)
+
+
+def test_segment_dedup_vertical_tab_matches_oracle_convention():
+    # \x0b is NOT a word boundary on either side
+    df = pd.DataFrame({"doc_id": [0, 1], "text": ["a\x0bb c", "a\x0bb c"]})
+    got = (
+        D.segment_dedup(ray.data.from_pandas(df), seg_words=1)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got.iloc[0]["text_dedup"] == "a\x0bb c"
+    assert pd.isna(got.iloc[1]["text_dedup"]) and got.iloc[1]["n_segs_total"] == 2
+
+
+def test_segment_dedup_rejects_duplicate_doc_ids_and_seg_overflow():
+    dup = pd.DataFrame({"doc_id": [3, 3], "text": ["a b", "c d"]})
+    with pytest.raises(Exception, match="unique|duplicate"):
+        D.segment_dedup(ray.data.from_pandas(dup), seg_words=2).to_pandas()
+    big = pd.DataFrame({"doc_id": [0], "text": [" ".join(["w"] * ((1 << 20) + 2))]})
+    with pytest.raises(Exception, match="segments|seg_words"):
+        D.segment_dedup(ray.data.from_pandas(big), seg_words=1).to_pandas()
+
+
+def test_quality_floor_by_source_null_sources_and_ties(tmp_path):
+    import os
+    import duckdb
+    import pyarrow.parquet as pq
+    from scylla_cdc_source_connector_ray.functions.corpus import quality_floor_by_source
+    from scylla_cdc_source_connector_ray.oracles import QUALITY_FLOOR_BY_SOURCE
+
+    rng = np.random.default_rng(9)
+    n = 300
+    words = [" ".join(rng.choice(["the", "cat", "sat", "on!", "a"], rng.integers(0, 40))) for _ in range(n)]
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(n, dtype=np.int64),
+            "text": [None if i % 29 == 0 else words[i] for i in range(n)],
+            "lang": ["en"] * n,
+            "source": [None if i % 13 == 0 else f"s{i % 3}" for i in range(n)],
+            "n_chars": np.ones(n, np.int64),
+        }
+    )
+    d = str(tmp_path)
+    pq.write_table(pa.Table.from_pandas(docs, preserve_index=False), os.path.join(d, "documents.parquet"))
+    got = (
+        quality_floor_by_source(ray.data.read_parquet(os.path.join(d, "documents.parquet")))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{os.path.join(d, 'documents.parquet')}'")
+    want = con.sql(QUALITY_FLOOR_BY_SOURCE).df().sort_values("doc_id").reset_index(drop=True)
+    got["quality_micro"] = got["quality_micro"].astype("int64")
+    want["quality_micro"] = want["quality_micro"].astype("int64")
+    pd.testing.assert_frame_equal(got[["doc_id", "source", "quality_micro"]], want[["doc_id", "source", "quality_micro"]], check_dtype=False)
+    assert got["source"].notna().all()
+    # per-source floors differ from a global floor on this fixture
+    assert got.groupby("source")["quality_micro"].min().nunique() > 1
