@@ -1011,6 +1011,55 @@ def _q_dedup_segments(sf_dir: str):
     return segment_dedup(stream, seg_words=20)
 
 
+def _q_dedup_segment_stream(sf_dir: str):
+    """STREAMING segment dedup over the same synthesized stream as
+    `dedup_segments` (its oracle is reused verbatim): the doc-ordered
+    3×documents log split into 4 windows, consumed in 2 micro-batches with
+    per-shard checkpointed seen-segment state — batching must never change
+    the result, so the batch twin IS the oracle."""
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from scylla_cdc_source_connector_ray.pipelines.segment_stream import (
+        SegmentDedupStreamRunner,
+    )
+
+    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet")).select(
+        ["doc_id", "text"]
+    )
+    txt = pc.coalesce(docs["text"], "")
+    ids = docs["doc_id"]
+    suffixed = pa.table(
+        {
+            "doc_id": pc.add(ids, 1_000_000),
+            "text": pc.binary_join_element_wise(
+                txt, pc.cast(ids, pa.string()), " zz"
+            ),
+        }
+    )
+    exact = pa.table({"doc_id": pc.add(ids, 2_000_000), "text": txt})
+    t = pa.concat_tables(
+        [pa.table({"doc_id": ids, "text": txt}), suffixed, exact]
+    ).sort_by([("doc_id", "ascending")])
+    base, log = _scratch_window_log(t, "scylla_cdc_segment_stream", sf_dir)
+    runner = SegmentDedupStreamRunner(
+        log,
+        num_shards=8,
+        sink_dir=os.path.join(base, "out"),
+        checkpoint_dir=os.path.join(base, "ckpt"),
+        seg_words=20,
+    )
+    try:
+        runner.run(files_per_batch=2)
+        return runner.read_output()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def _q_dedup_exact_hashed(sf_dir: str):
     from scylla_cdc_source_connector_ray.functions.dedup import exact_dedup_hashed
 
@@ -1909,6 +1958,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_transitions": _q_relational("event_transitions"),
         "inverted_index": _q_inverted_index,
         "quality_floor_by_source": _q_quality_floor_by_source,
+        "dedup_segment_stream": _q_dedup_segment_stream,
         # --- driver-certified in rounds 1-4 ---
         "cdc_capture_flat": _q_cdc_capture_flat,
         "cdc_op_counts": _q_cdc_op_counts,
@@ -2098,4 +2148,6 @@ def oracle_sql() -> dict[str, str]:
         "event_transitions": oracles.EVENT_TRANSITIONS,
         "inverted_index": oracles.INVERTED_INDEX,
         "quality_floor_by_source": oracles.QUALITY_FLOOR_BY_SOURCE,
+        # batching must never change the result: the batch twin IS the oracle
+        "dedup_segment_stream": oracles.DEDUP_SEGMENTS,
     }

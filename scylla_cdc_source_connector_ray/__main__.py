@@ -253,6 +253,31 @@ def cmd_dedup_stream(args) -> int:
     return 0
 
 
+def cmd_segdedup_stream(args) -> int:
+    """Streaming segment-level (sub-document) dedup over a windowed document
+    log (checkpointed seen-segment state, exactly-once;
+    pipelines/segment_stream.py)."""
+    import ray
+
+    _init_ray(args)
+    from .pipelines.segment_stream import SegmentDedupStreamRunner
+
+    runner = SegmentDedupStreamRunner(
+        args.log_dir,
+        num_shards=args.num_shards,
+        sink_dir=args.out,
+        checkpoint_dir=args.checkpoint,
+        seg_words=args.seg_words,
+        text_col=args.text_col,
+        id_col=args.id_col,
+        num_parts=args.num_parts,
+    )
+    totals = _run_or_tail(runner, args)
+    print(json.dumps({"ok": True, **totals, "out": args.out, "checkpoint": args.checkpoint}))
+    ray.shutdown()
+    return 0
+
+
 def cmd_cap_stream(args) -> int:
     """Streaming per-key admission cap over a windowed document log
     (checkpointed per-key admitted counts, exactly-once;
@@ -448,6 +473,22 @@ def main(argv=None) -> int:
     dp.add_argument("--poll-ms", type=int, default=1000)
     dp.add_argument("--idle-polls", type=int, default=3)
     dp.set_defaults(fn=cmd_dedup_stream)
+    sgp = sub.add_parser("segdedup-stream", help="streaming segment-level (sub-document) exact dedup")
+    sgp.add_argument("--log-dir", required=True)
+    sgp.add_argument("--out", default="/tmp/scylla_cdc_ray/segdedup_out")
+    sgp.add_argument("--checkpoint", default="/tmp/scylla_cdc_ray/segdedup_ckpt")
+    sgp.add_argument("--num-shards", type=int, default=64)
+    sgp.add_argument("--num-parts", type=int, default=16)
+    sgp.add_argument("--seg-words", type=int, default=20)
+    sgp.add_argument("--num-cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
+    sgp.add_argument("--files-per-batch", type=int, default=4)
+    sgp.add_argument("--max-batches", type=int, default=None)
+    sgp.add_argument("--text-col", default="text")
+    sgp.add_argument("--id-col", default="doc_id")
+    sgp.add_argument("--tail", action="store_true", help="live tail: poll for new files")
+    sgp.add_argument("--poll-ms", type=int, default=1000)
+    sgp.add_argument("--idle-polls", type=int, default=3)
+    sgp.set_defaults(fn=cmd_segdedup_stream)
     dsp = sub.add_parser("distinct-stream", help="streaming exact distinct-per-window counter")
     dsp.add_argument("--log-dir", required=True)
     dsp.add_argument("--checkpoint", default="/tmp/scylla_cdc_ray/dist_ckpt")

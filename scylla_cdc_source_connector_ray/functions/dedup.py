@@ -187,31 +187,13 @@ def segment_dedup(
     (doc, seg_idx) pairs; the re-split + span selection is local to the
     partition. No ``Dataset.join`` (empty-partition finalize hazard on
     small inputs) and no driver-side collection. Assumes one doc's text
-    fits a task — the same bound every per-doc operator here carries."""
-    def _first_per_hash(h1, h2, pk):
-        """min ``pk`` per distinct (h1, h2), vectorized: lexsort puts the
-        smallest packed key first within each hash run."""
-        order = np.lexsort((pk, h2, h1))
-        h1, h2, pk = h1[order], h2[order], pk[order]
-        first = np.r_[True, (h1[1:] != h1[:-1]) | (h2[1:] != h2[:-1])]
-        return h1[first], h2[first], pk[first]
+    fits a task — the same bound every per-doc operator here carries.
 
+    The streaming variant (``pipelines/segment_stream.py``) reuses the SAME
+    module-level kernels (decision rows, unpack, doc rows, reassembly) with
+    checkpointed seen-segment state in place of the global groupby-min."""
     def decisions(b: pd.DataFrame) -> pa.Table:
-        texts = b[text_col].fillna("")
-        segs, counts = _segment_texts(texts.tolist(), seg_words)
-        h1, h2 = _md5_2x64_vec(segs)
-        ids = b[id_col].to_numpy(np.int64)
-        if len(ids) and (ids.min() < 0 or ids.max() >= (1 << (63 - _SEG_IDX_BITS))):
-            raise ValueError(f"{id_col} must fit [0, 2^43) for the packed ordering key")
-        if len(counts) and counts.max() > (1 << _SEG_IDX_BITS):
-            raise ValueError(
-                f"a document has {counts.max()} segments; the packed ordering "
-                f"key holds at most 2^{_SEG_IDX_BITS} — raise seg_words"
-            )
-        packed = (np.repeat(ids, counts) << _SEG_IDX_BITS) | _ranges(counts)
-        # block-local combiner: within-block duplicate segments collapse to
-        # their min before anything crosses the exchange
-        h1, h2, packed = _first_per_hash(h1.view(np.int64), h2.view(np.int64), packed)
+        h1, h2, packed = _seg_decision_arrays(b, text_col, id_col, seg_words)
         return pa.table(
             {
                 "_h1": pa.array(h1, pa.int64()),
@@ -228,7 +210,7 @@ def segment_dedup(
         )
 
     def winner_part(g: pd.DataFrame) -> pd.DataFrame:
-        h1, h2, pk = _first_per_hash(
+        h1, h2, pk = _first_pk_per_hash(
             g["_h1"].to_numpy(), g["_h2"].to_numpy(), g["_pk"].to_numpy()
         )
         return pd.DataFrame({"_keep": pd.Series(pk, dtype="int64")})
@@ -239,97 +221,149 @@ def segment_dedup(
         .map_groups(winner_part, batch_format="pandas")
     )
 
-    mask = np.int64((1 << _SEG_IDX_BITS) - 1)
-
     def unpack(t: pa.Table) -> pa.Table:
-        keep = t["_keep"].to_numpy(zero_copy_only=False)
-        doc = keep >> _SEG_IDX_BITS
-        return pa.table(
-            {
-                "doc_id": pa.array(doc, pa.int64()),
-                "seg_idx": pa.array(keep & mask, pa.int64()),
-                "text": pa.nulls(len(keep), pa.string()),
-                "_pid": pa.array(
-                    (doc.astype(np.uint64) * _SAMPLE_MIX) % np.uint64(num_parts),
-                    pa.int64(),
-                ),
-            }
-        )
-
-    def doc_rows(b: pd.DataFrame) -> pa.Table:
-        # zero-word docs have no segments: the SQL twin's words CTE emits no
-        # rows for them, so they are absent from the output on both sides
-        # (vectorized: has-a-word ⇔ non-empty after trimming the _WS_CHARS
-        # set — no per-doc word-list materialization on this pass)
-        texts = b[text_col].fillna("")
-        arr = pa.array(texts, type=pa.string())
-        nonempty = (
-            pc.greater(pc.utf8_length(pc.utf8_trim(arr, _WS_CHARS)), 0)
-            .to_numpy(zero_copy_only=False)
-            .astype(bool)
-        )
-        ids = b[id_col].to_numpy(np.int64)[nonempty]
-        return pa.table(
-            {
-                "doc_id": pa.array(ids, pa.int64()),
-                "seg_idx": pa.array(np.full(len(ids), -1, np.int64), pa.int64()),
-                "text": pa.array(texts[nonempty], pa.string()),
-                "_pid": pa.array(
-                    (ids.astype(np.uint64) * _SAMPLE_MIX) % np.uint64(num_parts),
-                    pa.int64(),
-                ),
-            }
-        )
-
-    def per_part(b: pd.DataFrame) -> pd.DataFrame:
-        if len(b) == 0:
-            return pd.DataFrame(
-                {
-                    "doc_id": pd.Series([], dtype="int64"),
-                    "text_dedup": pd.Series([], dtype="object"),
-                    "n_segs_kept": pd.Series([], dtype="int64"),
-                    "n_segs_total": pd.Series([], dtype="int64"),
-                }
-            )
-        b = b.sort_values(["doc_id", "seg_idx"])
-        ids = b["doc_id"].to_numpy()
-        seg = b["seg_idx"].to_numpy()
-        texts = b["text"].to_numpy()
-        starts = np.flatnonzero(np.r_[True, ids[1:] != ids[:-1]])
-        ends = np.r_[starts[1:], len(ids)]
-        out_id, out_text, out_kept, out_tot = [], [], [], []
-        for s, e in zip(starts, ends):
-            # seg_idx=-1 sorts the doc row first within its run; a kept pair
-            # without its doc row is impossible (same _pid function)
-            assert seg[s] == -1, "kept segment without its document row"
-            segs, counts = _segment_texts([texts[s] or ""], seg_words)
-            kept = seg[s + 1 : e]
-            if len(kept) and kept[0] == -1:
-                # a second doc row in the run: Python's segs[-1] would wrap
-                # to the LAST segment and silently corrupt the output
-                raise ValueError(
-                    f"duplicate {ids[s]!r} rows in segment_dedup input — "
-                    "document ids must be unique"
-                )
-            out_id.append(ids[s])
-            out_text.append(" ".join(segs[j] for j in kept) if len(kept) else None)
-            out_kept.append(len(kept))
-            out_tot.append(int(counts[0]))
-        return pd.DataFrame(
-            {
-                "doc_id": pd.Series(out_id, dtype="int64"),
-                "text_dedup": pd.Series(out_text, dtype="object"),
-                "n_segs_kept": pd.Series(out_kept, dtype="int64"),
-                "n_segs_total": pd.Series(out_tot, dtype="int64"),
-            }
+        return _seg_unpack_table(
+            t["_keep"].to_numpy(zero_copy_only=False), num_parts
         )
 
     kept = winners.map_batches(unpack, batch_format="pyarrow")
-    docs = ds.map_batches(doc_rows, batch_format="pandas")
+    docs = ds.map_batches(
+        lambda b: _seg_doc_rows_table(b, text_col, id_col, num_parts),
+        batch_format="pandas",
+    )
     return (
         kept.union(docs)
         .groupby("_pid")
-        .map_groups(per_part, batch_format="pandas")
+        .map_groups(lambda b: _seg_reassemble_part(b, seg_words), batch_format="pandas")
+    )
+
+
+def _first_pk_per_hash(h1, h2, pk):
+    """min ``pk`` per distinct (h1, h2), vectorized: lexsort puts the
+    smallest packed key first within each hash run."""
+    if len(h1) == 0:  # np.r_[True, ...] would index a len-1 mask into len-0
+        return h1, h2, pk
+    order = np.lexsort((pk, h2, h1))
+    h1, h2, pk = h1[order], h2[order], pk[order]
+    first = np.r_[True, (h1[1:] != h1[:-1]) | (h2[1:] != h2[:-1])]
+    return h1[first], h2[first], pk[first]
+
+
+def _seg_decision_arrays(
+    b: pd.DataFrame, text_col: str, id_col: str, seg_words: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per-block segment decision rows: (md5-h1, md5-h2, packed (doc,seg)
+    key) as int64 arrays, block-locally combined to the min packed key per
+    hash (within-block duplicate segments collapse before anything crosses
+    an exchange). ONE definition for the batch operator and the streaming
+    runner — their duplicate decisions must be identical."""
+    texts = b[text_col].fillna("")
+    segs, counts = _segment_texts(texts.tolist(), seg_words)
+    h1, h2 = _md5_2x64_vec(segs)
+    ids = b[id_col].to_numpy(np.int64)
+    if len(ids) and (ids.min() < 0 or ids.max() >= (1 << (63 - _SEG_IDX_BITS))):
+        raise ValueError(f"{id_col} must fit [0, 2^43) for the packed ordering key")
+    if len(counts) and counts.max() > (1 << _SEG_IDX_BITS):
+        raise ValueError(
+            f"a document has {counts.max()} segments; the packed ordering "
+            f"key holds at most 2^{_SEG_IDX_BITS} — raise seg_words"
+        )
+    packed = (np.repeat(ids, counts) << _SEG_IDX_BITS) | _ranges(counts)
+    return _first_pk_per_hash(h1.view(np.int64), h2.view(np.int64), packed)
+
+
+def _seg_unpack_table(keep: np.ndarray, num_parts: int) -> pa.Table:
+    """Kept packed keys → (doc_id, seg_idx, NULL text, reassembly _pid)."""
+    mask = np.int64((1 << _SEG_IDX_BITS) - 1)
+    doc = keep >> _SEG_IDX_BITS
+    return pa.table(
+        {
+            "doc_id": pa.array(doc, pa.int64()),
+            "seg_idx": pa.array(keep & mask, pa.int64()),
+            "text": pa.nulls(len(keep), pa.string()),
+            "_pid": pa.array(
+                (doc.astype(np.uint64) * _SAMPLE_MIX) % np.uint64(num_parts),
+                pa.int64(),
+            ),
+        }
+    )
+
+
+def _seg_doc_rows_table(
+    b: pd.DataFrame, text_col: str, id_col: str, num_parts: int
+) -> pa.Table:
+    """One (doc_id, seg_idx=-1, text) carrier row per non-empty document,
+    tagged with the SAME reassembly ``_pid`` as the kept pairs. Zero-word
+    docs have no segments: the SQL twin's words CTE emits no rows for them,
+    so they are absent from the output on both sides (vectorized:
+    has-a-word ⇔ non-empty after trimming the _WS_CHARS set — no per-doc
+    word-list materialization on this pass)."""
+    texts = b[text_col].fillna("")
+    arr = pa.array(texts, type=pa.string())
+    nonempty = (
+        pc.greater(pc.utf8_length(pc.utf8_trim(arr, _WS_CHARS)), 0)
+        .to_numpy(zero_copy_only=False)
+        .astype(bool)
+    )
+    ids = b[id_col].to_numpy(np.int64)[nonempty]
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "seg_idx": pa.array(np.full(len(ids), -1, np.int64), pa.int64()),
+            "text": pa.array(texts[nonempty], pa.string()),
+            "_pid": pa.array(
+                (ids.astype(np.uint64) * _SAMPLE_MIX) % np.uint64(num_parts),
+                pa.int64(),
+            ),
+        }
+    )
+
+
+def _seg_reassemble_part(b: pd.DataFrame, seg_words: int) -> pd.DataFrame:
+    """Partition-local reassembly: re-split each doc row's text with the
+    SAME boundaries as the decision pass and join the kept spans in order.
+    Expects doc rows (seg_idx = -1, text) unioned with kept pairs
+    (seg_idx ≥ 0, NULL text) sharing the partition key."""
+    if len(b) == 0:
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype="int64"),
+                "text_dedup": pd.Series([], dtype="object"),
+                "n_segs_kept": pd.Series([], dtype="int64"),
+                "n_segs_total": pd.Series([], dtype="int64"),
+            }
+        )
+    b = b.sort_values(["doc_id", "seg_idx"])
+    ids = b["doc_id"].to_numpy()
+    seg = b["seg_idx"].to_numpy()
+    texts = b["text"].to_numpy()
+    starts = np.flatnonzero(np.r_[True, ids[1:] != ids[:-1]])
+    ends = np.r_[starts[1:], len(ids)]
+    out_id, out_text, out_kept, out_tot = [], [], [], []
+    for s, e in zip(starts, ends):
+        # seg_idx=-1 sorts the doc row first within its run; a kept pair
+        # without its doc row is impossible (same _pid function)
+        assert seg[s] == -1, "kept segment without its document row"
+        segs, counts = _segment_texts([texts[s] or ""], seg_words)
+        kept = seg[s + 1 : e]
+        if len(kept) and kept[0] == -1:
+            # a second doc row in the run: Python's segs[-1] would wrap
+            # to the LAST segment and silently corrupt the output
+            raise ValueError(
+                f"duplicate {ids[s]!r} rows in segment_dedup input — "
+                "document ids must be unique"
+            )
+        out_id.append(ids[s])
+        out_text.append(" ".join(segs[j] for j in kept) if len(kept) else None)
+        out_kept.append(len(kept))
+        out_tot.append(int(counts[0]))
+    return pd.DataFrame(
+        {
+            "doc_id": pd.Series(out_id, dtype="int64"),
+            "text_dedup": pd.Series(out_text, dtype="object"),
+            "n_segs_kept": pd.Series(out_kept, dtype="int64"),
+            "n_segs_total": pd.Series(out_tot, dtype="int64"),
+        }
     )
 
 
