@@ -63,6 +63,29 @@ def run_microbatches(
                 "identity would change — keep it fixed or use a fresh "
                 "checkpoint/sink dir"
             )
+    # pins are also recorded BEFORE the first commit: a run that crashed
+    # mid-batch-0 left per-shard state/sink files on disk but no manifest,
+    # so the manifest check above cannot fire — a restart with a different
+    # files_per_batch would re-cut batch 0 smaller and shards absent from
+    # the new batch would keep STALE batch-0 state, silently dropping rows
+    # at batch 1. Same-pin restarts overwrite that state deterministically,
+    # so pinning (not wiping) is sufficient.
+    pins_path = os.path.join(ckpt.dir, "pins.json")
+    if last is None:
+        if os.path.exists(pins_path):
+            with open(pins_path) as f:
+                prev = json.load(f)
+            for k, mine in all_pins.items():
+                if prev.get(k) != mine:
+                    raise ValueError(
+                        f"a previous uncommitted run pinned {k}={prev.get(k)!r}, "
+                        f"this run has {mine!r}: its on-disk state would be "
+                        "misread — keep pins fixed or use a fresh "
+                        "checkpoint/sink dir"
+                    )
+        else:
+            os.makedirs(ckpt.dir, exist_ok=True)
+            _atomic_write(pins_path, json.dumps(all_pins, sort_keys=True).encode())
     consumed = last["consumed_files"] if last else 0
     # consumption is positional over the SORTED listing, which requires the
     # CDC-log contract that window file names arrive in monotone order: a

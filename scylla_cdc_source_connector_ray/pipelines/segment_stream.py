@@ -35,6 +35,7 @@ import pyarrow.parquet as pq
 import ray.data
 
 from ..state.checkpoint import Checkpoint
+from .dedup_stream import _member128
 
 
 class SegmentDedupStreamRunner:
@@ -144,6 +145,7 @@ class SegmentDedupStreamRunner:
         ckpt_dir = self.ckpt.dir
         sink_dir = self.sink_dir
         state_kind = self.STATE_KIND
+        self._check_monotone_ids(batch_id, bfiles)
 
         def decisions(b: pd.DataFrame) -> pa.Table:
             h1, h2, pk = _seg_decision_arrays(b, text_col, id_col, seg_words)
@@ -211,7 +213,7 @@ class SegmentDedupStreamRunner:
                 )
             out = _seg_reassemble_part(b.drop(columns=["_pid"]), seg_words)
             out = out.sort_values("doc_id", kind="mergesort")
-            pid = int(b["_pid"].iloc[0]) if len(b) else 0
+            pid = int(b["_pid"].iloc[0])
             d = os.path.join(sink_dir, f"batch-{batch_id:06d}")
             os.makedirs(d, exist_ok=True)
             pq.write_table(
@@ -253,6 +255,48 @@ class SegmentDedupStreamRunner:
         )
         return stats
 
+    def _check_monotone_ids(self, batch_id: int, bfiles: list[str]) -> None:
+        """Fail loudly when a batch's min doc id does not exceed every prior
+        batch's max — the monotone-id ingest contract the stream≡batch
+        equivalence rests on. A duplicate id arriving in a LATER batch would
+        otherwise emit a second output row for the same doc (the batch
+        operator raises instead). Footer stats only (no data read); the
+        running max rides the checkpoint as a one-row ``idrg`` state on
+        shard 0, so the guard survives kill-resume. Files without id stats
+        skip the check for that boundary (carried max unchanged)."""
+        lo = hi = None
+        for f in bfiles:
+            md = pq.ParquetFile(f).metadata
+            try:
+                ci = md.schema.names.index(self.id_col)
+            except ValueError:
+                return
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(ci).statistics
+                if st is None or not st.has_min_max:
+                    continue
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+        prev_path = self.ckpt.latest_state_path(0, before_batch=batch_id, kind="idrg")
+        prev_max = None
+        if prev_path:
+            col = pq.read_table(prev_path)["max_id"]
+            prev_max = col[0].as_py() if len(col) else None
+        if prev_max is not None and lo is not None and lo <= prev_max:
+            raise ValueError(
+                f"batch {batch_id} contains doc ids from {lo} but an earlier "
+                f"batch reached {prev_max}: window files must carry "
+                f"monotonically increasing {self.id_col} (a repeated id would "
+                "emit duplicate output rows)"
+            )
+        carried = hi if hi is not None else prev_max
+        self.ckpt.write_state(
+            0,
+            batch_id,
+            pa.table({"max_id": pa.array([carried], pa.int64())}),
+            kind="idrg",
+        )
+
     # --------------------------------------------------------------- output
     def read_output(self) -> pa.Table:
         from ._microbatch import read_committed_output
@@ -277,20 +321,8 @@ _OUT_SCHEMA = pa.schema(
     ]
 )
 
-
-def _member128_i64(
-    s1: np.ndarray, s2: np.ndarray, h1: np.ndarray, h2: np.ndarray
-) -> np.ndarray:
-    """Exact membership of (h1, h2) in state sorted by (s1, s2) — int64
-    twin of ``dedup_stream._member128`` (the decision keys here stay int64
-    end-to-end because they ride Arrow tables)."""
-    out = np.zeros(len(h1), dtype=bool)
-    if len(s1) == 0 or len(h1) == 0:
-        return out
-    lo = np.searchsorted(s1, h1, "left")
-    hi = np.searchsorted(s1, h1, "right")
-    single = (hi - lo) == 1
-    out[single] = s2[lo[single]] == h2[single]
-    for i in np.flatnonzero((hi - lo) > 1):
-        out[i] = h2[i] in s2[lo[i] : hi[i]]
-    return out
+#: the sorted-state membership probe is dtype-agnostic (searchsorted +
+#: within-run equality): ONE definition, shared with the text-level runner
+#: (state here is int64 end-to-end because the keys ride Arrow tables;
+#: each runner sorts and probes with its own dtype consistently)
+_member128_i64 = _member128

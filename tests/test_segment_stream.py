@@ -134,3 +134,41 @@ def test_zero_word_docs_absent_and_within_doc_dups(tmp_path):
     assert got.iloc[0]["text_dedup"] == "a b"
     assert pd.isna(got.iloc[1]["text_dedup"]) and got.iloc[1]["n_segs_kept"] == 0
     assert got.iloc[2]["text_dedup"] == "c d"
+
+
+def test_precommit_pin_change_fails_loudly(tmp_path):
+    # a run that crashed before its FIRST commit left shard state but no
+    # manifest; restarting with a different files_per_batch would re-cut
+    # batch 0 and misread that state — the pre-commit pins file must refuse
+    df = _corpus(13, n=20)
+    base = str(tmp_path)
+    log = _write_log(df, base)
+    r = _runner(base, log)
+    res = r.run(files_per_batch=4, crash_before_commit_at=0)
+    assert res["crashed"] and res["batches"] == 0
+    r2 = _runner(base, log)
+    with pytest.raises(ValueError, match="uncommitted run pinned"):
+        r2.run(files_per_batch=1)
+    # same pins resume is fine and completes
+    r3 = _runner(base, log)
+    r3.run(files_per_batch=4)
+    want = _sorted_pd(segment_dedup(ray.data.from_pandas(df), seg_words=5))
+    pd.testing.assert_frame_equal(_sorted_pd(r3.read_output()), want)
+
+
+def test_non_monotone_ids_fail_loudly(tmp_path):
+    # window 1 re-uses window 0's ids: the batch operator raises on the
+    # concatenated input; the stream must not silently emit duplicate rows
+    base = str(tmp_path)
+    log = os.path.join(base, "log")
+    os.makedirs(log)
+    a = pd.DataFrame({"doc_id": np.array([0, 1], np.int64), "text": ["a b", "c d"]})
+    b = pd.DataFrame({"doc_id": np.array([1, 2], np.int64), "text": ["e f", "g h"]})
+    for i, df in enumerate((a, b)):
+        pq.write_table(
+            pa.Table.from_pandas(df, preserve_index=False),
+            os.path.join(log, f"window-{i:05d}.parquet"),
+        )
+    r = _runner(base, log)
+    with pytest.raises(ValueError, match="monotonically increasing"):
+        r.run(files_per_batch=1)
