@@ -350,6 +350,20 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
 
         timed("dedup_stream_transcripts", _dedup_stream)
 
+        # segment-level dedup over the same 2 windows: decision plane +
+        # reassembly at transcript volume (documents is tiny at every sf)
+        from scylla_cdc_source_connector_ray.functions.dedup import segment_dedup
+
+        seg_files = [os.path.join(dlog, f) for f in sorted(os.listdir(dlog))]
+        timed(
+            "segment_dedup_transcripts",
+            lambda: segment_dedup(
+                ray.data.read_parquet(seg_files, columns=["seq", "text"]),
+                seg_words=10,
+                id_col="seq",
+            ).count(),
+        )
+
     if os.path.exists(emb_path):
         qdf = ray.data.read_parquet(emb_path).limit(16).to_pandas()
         timed(

@@ -133,8 +133,11 @@ def _md5_2x64_vec(texts: list[str]) -> tuple[np.ndarray, np.ndarray]:
     exact segment dedup: 128 bits ⇒ collision-free by the same assumption
     ``exact_dedup_hashed`` already makes, so segment TEXT never has to cross
     the decision exchange. Vectorized through the shared per-worker DuckDB
-    connection past ``_VEC_HASH_MIN`` (same size gate as the word hash)."""
+    connection past ``_VEC_HASH_MIN`` (same size gate as the word hash).
+    Accepts a list or an Arrow string array (zero-copy into DuckDB)."""
     if len(texts) < _VEC_HASH_MIN:
+        if isinstance(texts, (pa.Array, pa.ChunkedArray)):
+            texts = texts.to_pylist()
         h1 = np.empty(len(texts), dtype=np.uint64)
         h2 = np.empty(len(texts), dtype=np.uint64)
         for i, s in enumerate(texts):
@@ -151,9 +154,10 @@ def _md5_2x64_vec(texts: list[str]) -> tuple[np.ndarray, np.ndarray]:
 
 def _segment_texts(texts, seg_words: int) -> tuple[list[str], np.ndarray]:
     """Per-doc fixed-span word segments: ``' '.join(words[j*S:(j+1)*S])`` for
-    each doc, plus the per-doc segment counts. One definition for both the
-    decision pass and the reassembly pass — the two MUST cut identical
-    boundaries or reassembly picks the wrong spans."""
+    each doc, plus the per-doc segment counts. SCALAR REFERENCE — the hot
+    path is :func:`_segment_strings_vec` (pinned equal by a parity test);
+    the two MUST cut identical boundaries or reassembly picks the wrong
+    spans."""
     segs: list[str] = []
     counts = np.zeros(len(texts), dtype=np.int64)
     for i, t in enumerate(texts):
@@ -163,6 +167,33 @@ def _segment_texts(texts, seg_words: int) -> tuple[list[str], np.ndarray]:
         for j in range(n):
             segs.append(" ".join(ws[j * seg_words : (j + 1) * seg_words]))
     return segs, counts
+
+
+def _segment_strings_vec(texts, seg_words: int) -> tuple[pa.Array, np.ndarray]:
+    """Vectorized :func:`_segment_texts`: polars ``extract_all`` over the
+    complement of ``_WS_CHARS`` (Rust regex — a negated literal-char class,
+    so Unicode whitespace and ``\\v`` stay INSIDE words exactly like
+    ``_ws_split``), Arrow ``list_flatten`` for the word stream, and one
+    ``binary_join`` over segment-boundary offsets (every ``seg_words``-th
+    within-doc word position). No per-doc Python; returns (segment strings
+    as an Arrow array, per-doc segment counts)."""
+    import polars as pl
+
+    s = pl.Series(list(texts) if not isinstance(texts, pl.Series) else texts)
+    wa = s.cast(pl.String).fill_null("").str.extract_all(_WS_TOKEN_RE).to_arrow()
+    nwords = pc.list_value_length(wa).cast(pa.int64()).to_numpy(zero_copy_only=False)
+    flat = pc.list_flatten(wa)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    nseg = (nwords + seg_words - 1) // seg_words
+    pos = _ranges(nwords)  # within-doc word positions, concatenated
+    starts = np.flatnonzero((pos % seg_words) == 0)
+    offsets = np.empty(len(starts) + 1, np.int64)
+    offsets[:-1] = starts
+    offsets[-1] = len(flat)
+    lists = pa.LargeListArray.from_arrays(pa.array(offsets, pa.int64()), flat)
+    segs = pc.binary_join(lists, pa.scalar(" ", flat.type))
+    return segs, nseg
 
 
 def segment_dedup(
@@ -192,6 +223,11 @@ def segment_dedup(
     The streaming variant (``pipelines/segment_stream.py``) reuses the SAME
     module-level kernels (decision rows, unpack, doc rows, reassembly) with
     checkpointed seen-segment state in place of the global groupby-min."""
+    # few/unsplittable input blocks would fuse segmentation+md5 onto a
+    # couple of cores; a shuffle-free repartition slices them first (57 s →
+    # 17 s on a 2-file 2M-doc transcript read). Coarse bound = num_parts.
+    ds = ds.repartition(num_parts, shuffle=False)
+
     def decisions(b: pd.DataFrame) -> pa.Table:
         h1, h2, packed = _seg_decision_arrays(b, text_col, id_col, seg_words)
         return pa.table(
@@ -226,7 +262,13 @@ def segment_dedup(
             t["_keep"].to_numpy(zero_copy_only=False), num_parts
         )
 
-    kept = winners.map_batches(unpack, batch_format="pyarrow")
+    # the 256-group winner stage emits ~256 TINY blocks; feeding them raw
+    # into the reassembly groupby anti-scales Ray's sort shuffle (the
+    # round-1 many-small-blocks pathology: 92 s → 17 s on a 2M-doc
+    # transcript corpus with this one shuffle-free coalesce)
+    kept = winners.map_batches(unpack, batch_format="pyarrow").repartition(
+        num_parts, shuffle=False
+    )
     docs = ds.map_batches(
         lambda b: _seg_doc_rows_table(b, text_col, id_col, num_parts),
         batch_format="pandas",
@@ -258,7 +300,7 @@ def _seg_decision_arrays(
     an exchange). ONE definition for the batch operator and the streaming
     runner — their duplicate decisions must be identical."""
     texts = b[text_col].fillna("")
-    segs, counts = _segment_texts(texts.tolist(), seg_words)
+    segs, counts = _segment_strings_vec(texts, seg_words)
     h1, h2 = _md5_2x64_vec(segs)
     ids = b[id_col].to_numpy(np.int64)
     if len(ids) and (ids.min() < 0 or ids.max() >= (1 << (63 - _SEG_IDX_BITS))):
@@ -323,7 +365,9 @@ def _seg_reassemble_part(b: pd.DataFrame, seg_words: int) -> pd.DataFrame:
     """Partition-local reassembly: re-split each doc row's text with the
     SAME boundaries as the decision pass and join the kept spans in order.
     Expects doc rows (seg_idx = -1, text) unioned with kept pairs
-    (seg_idx ≥ 0, NULL text) sharing the partition key."""
+    (seg_idx ≥ 0, NULL text) sharing the partition key. Fully vectorized:
+    one segmentation pass over the partition's docs, one ``take`` of the
+    kept spans, one ``binary_join`` per doc group — no per-doc Python."""
     if len(b) == 0:
         return pd.DataFrame(
             {
@@ -336,33 +380,47 @@ def _seg_reassemble_part(b: pd.DataFrame, seg_words: int) -> pd.DataFrame:
     b = b.sort_values(["doc_id", "seg_idx"])
     ids = b["doc_id"].to_numpy()
     seg = b["seg_idx"].to_numpy()
-    texts = b["text"].to_numpy()
+    is_doc = seg == -1
     starts = np.flatnonzero(np.r_[True, ids[1:] != ids[:-1]])
-    ends = np.r_[starts[1:], len(ids)]
-    out_id, out_text, out_kept, out_tot = [], [], [], []
-    for s, e in zip(starts, ends):
-        # seg_idx=-1 sorts the doc row first within its run; a kept pair
-        # without its doc row is impossible (same _pid function)
-        assert seg[s] == -1, "kept segment without its document row"
-        segs, counts = _segment_texts([texts[s] or ""], seg_words)
-        kept = seg[s + 1 : e]
-        if len(kept) and kept[0] == -1:
-            # a second doc row in the run: Python's segs[-1] would wrap
-            # to the LAST segment and silently corrupt the output
-            raise ValueError(
-                f"duplicate {ids[s]!r} rows in segment_dedup input — "
-                "document ids must be unique"
-            )
-        out_id.append(ids[s])
-        out_text.append(" ".join(segs[j] for j in kept) if len(kept) else None)
-        out_kept.append(len(kept))
-        out_tot.append(int(counts[0]))
+    docs_per_run = np.add.reduceat(is_doc.astype(np.int64), starts)
+    if (docs_per_run > 1).any():
+        # a second doc row in a run would have sent Python's segs[-1]
+        # wrapping to the LAST segment and silently corrupted the output
+        bad = ids[starts[docs_per_run > 1][0]]
+        raise ValueError(
+            f"duplicate {bad!r} rows in segment_dedup input — "
+            "document ids must be unique"
+        )
+    # seg_idx=-1 sorts the doc row first within its run; a kept pair
+    # without its doc row is impossible (same _pid function)
+    assert (docs_per_run == 1).all(), "kept segment without its document row"
+    doc_idx = np.flatnonzero(is_doc)  # == starts, one per run
+    doc_ids = ids[doc_idx].astype(np.int64)
+    texts = pd.Series(b["text"].to_numpy()[doc_idx]).fillna("")
+    segs_all, nseg = _segment_strings_vec(texts, seg_words)
+    base = np.zeros(len(nseg) + 1, np.int64)
+    np.cumsum(nseg, out=base[1:])
+    kept_doc = ids[~is_doc]
+    kept_seg = seg[~is_doc]
+    di = np.searchsorted(doc_ids, kept_doc)  # doc_ids sorted (b sorted)
+    kept_strings = pc.take(segs_all, pa.array(base[di] + kept_seg, pa.int64()))
+    if isinstance(kept_strings, pa.ChunkedArray):
+        kept_strings = kept_strings.combine_chunks()
+    kcnt = np.bincount(di, minlength=len(doc_ids)).astype(np.int64)
+    koff = np.zeros(len(doc_ids) + 1, np.int64)
+    np.cumsum(kcnt, out=koff[1:])
+    joined = pc.binary_join(
+        pa.LargeListArray.from_arrays(pa.array(koff, pa.int64()), kept_strings),
+        pa.scalar(" ", kept_strings.type),
+    )
+    # zero-kept docs emit NULL, not "" (binary_join of an empty list)
+    out_text = pc.if_else(pa.array(kcnt > 0), joined, pa.nulls(len(kcnt), joined.type))
     return pd.DataFrame(
         {
-            "doc_id": pd.Series(out_id, dtype="int64"),
-            "text_dedup": pd.Series(out_text, dtype="object"),
-            "n_segs_kept": pd.Series(out_kept, dtype="int64"),
-            "n_segs_total": pd.Series(out_tot, dtype="int64"),
+            "doc_id": pd.Series(doc_ids, dtype="int64"),
+            "text_dedup": pd.Series(out_text.to_pandas(), dtype="object"),
+            "n_segs_kept": pd.Series(kcnt, dtype="int64"),
+            "n_segs_total": pd.Series(nseg, dtype="int64"),
         }
     )
 
@@ -382,6 +440,9 @@ _GRAM_B = np.uint64(1000003)  # polynomial base for the word-hash fold
 #: (NBSP, \x1c-\x1f); both would diverge from the twin
 _WS_CHARS = " \t\n\r\f"
 _WS_RE = re.compile(f"[{_WS_CHARS}]+")
+#: complement class for the vectorized tokenizers (Rust regex): a word is a
+#: maximal run of anything NOT in _WS_CHARS — same split as _ws_split
+_WS_TOKEN_RE = f"[^{_WS_CHARS}]+"
 
 
 def _ws_split(text: str) -> list[str]:
@@ -411,7 +472,11 @@ def _duck_md5(strings, cols_sql: str) -> pa.Table:
 
         _MD5_CON = duckdb.connect()
         _MD5_CON.execute("SET threads=1")
-    wt = pa.table({"w": pa.array(list(strings), type=pa.string())})
+    if isinstance(strings, pa.ChunkedArray):
+        strings = strings.combine_chunks()
+    if not isinstance(strings, pa.Array):
+        strings = pa.array(list(strings), type=pa.string())
+    wt = pa.table({"w": strings})
     _MD5_CON.register("_md5_in", wt)
     try:
         return _MD5_CON.execute(f"SELECT {cols_sql} FROM _md5_in").fetch_arrow_table()

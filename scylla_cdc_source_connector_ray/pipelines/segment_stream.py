@@ -242,6 +242,9 @@ class SegmentDedupStreamRunner:
                 ),
                 batch_format="pyarrow",
             )
+            # coalesce the per-shard tiny blocks before the reassembly
+            # shuffle (many-small-blocks sort pathology; see segment_dedup)
+            .repartition(num_parts, shuffle=False)
         )
         docs = ds.map_batches(
             lambda b: _seg_doc_rows_table(b, text_col, id_col, num_parts),

@@ -1259,3 +1259,20 @@ def test_quality_floor_by_source_null_sources_and_ties(tmp_path):
     assert got["source"].notna().all()
     # per-source floors differ from a global floor on this fixture
     assert got.groupby("source")["quality_micro"].min().nunique() > 1
+
+
+def test_segment_strings_vec_matches_scalar_reference():
+    # the vectorized segmenter (polars extract_all + arrow binary_join) must
+    # cut byte-identical spans to the scalar _segment_texts, including on
+    # \v (NOT whitespace here), unicode spaces (NBSP stays inside words),
+    # and empty/whitespace-only docs
+    rng = np.random.default_rng(7)
+    pieces = ["ab", "c\x0bd", "e f", "g!", "", "  ", "\t", "h\nj", "k"]
+    texts = [
+        "".join(rng.choice(pieces, rng.integers(0, 25))) for _ in range(200)
+    ] + ["", "   ", None, "one two three four five six"]
+    for S in (1, 3, 7):
+        want_segs, want_counts = D._segment_texts([t or "" for t in texts], S)
+        got_segs, got_counts = D._segment_strings_vec(pd.Series(texts, dtype=object), S)
+        assert got_segs.to_pylist() == want_segs, S
+        assert (got_counts == want_counts).all(), S
