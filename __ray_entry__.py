@@ -1747,6 +1747,18 @@ def _q_quality_floor_by_source(sf_dir: str):
     return quality_floor_by_source(_docs(sf_dir))
 
 
+def _q_fingerprint_winnow(sf_dir: str):
+    """Winnowing fingerprint SET per document (Schleimer et al. SIGMOD'03):
+    distinct window-min gram hashes. ZERO shuffles — a doc lives in one row,
+    so block-local distinct pairs are globally distinct; one vectorized pass
+    per batch (shared positional-gram kernel + numpy sliding window-min)."""
+    from scylla_cdc_source_connector_ray.functions.textops import (
+        winnow_fingerprints,
+    )
+
+    return winnow_fingerprints(_docs(sf_dir).select_columns(["doc_id", "text"]))
+
+
 def _q_inverted_index(sf_dir: str):
     """Full-corpus inverted index (token → df + ascending posting list):
     block-local (doc, token) dedup (a doc lives in one row, so block-unique
@@ -1959,6 +1971,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "inverted_index": _q_inverted_index,
         "quality_floor_by_source": _q_quality_floor_by_source,
         "dedup_segment_stream": _q_dedup_segment_stream,
+        "fingerprint_winnow": _q_fingerprint_winnow,
         # --- driver-certified in rounds 1-4 ---
         "cdc_capture_flat": _q_cdc_capture_flat,
         "cdc_op_counts": _q_cdc_op_counts,
@@ -2148,6 +2161,7 @@ def oracle_sql() -> dict[str, str]:
         "event_transitions": oracles.EVENT_TRANSITIONS,
         "inverted_index": oracles.INVERTED_INDEX,
         "quality_floor_by_source": oracles.QUALITY_FLOOR_BY_SOURCE,
+        "fingerprint_winnow": oracles.WINNOW_FINGERPRINT,
         # batching must never change the result: the batch twin IS the oracle
         "dedup_segment_stream": oracles.DEDUP_SEGMENTS,
     }

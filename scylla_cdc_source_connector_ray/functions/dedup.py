@@ -600,6 +600,31 @@ def _batch_gram_hashes_lens(
     return grams, offsets, lens
 
 
+def _batch_gram_positional(texts, n: int) -> tuple[np.ndarray, np.ndarray]:
+    """Positional n-gram hashes — duplicates kept, document order preserved:
+    the winnowing input. Same word hash + polynomial fold as
+    :func:`_batch_gram_hashes_lens`'s full-window branch WITHOUT the per-doc
+    set dedup; docs with fewer than ``n`` words contribute no grams (no full
+    window — mirrored by the SQL twin's ``WHERE L >= n``). Returns
+    (flat gram hashes, per-doc gram counts)."""
+    words_per_doc = [_ws_split(t.lower()) for t in texts]
+    lens = np.array([len(w) for w in words_per_doc], dtype=np.int64)
+    D = len(lens)
+    counts = np.maximum(lens - n + 1, 0)
+    if not counts.any():
+        return np.zeros(0, dtype=np.uint64), counts
+    flat_words = [w for ws in words_per_doc for w in ws]
+    codes, uniques = pd.factorize(np.asarray(flat_words, dtype=object), sort=False)
+    wh = _word_hashes_vec(uniques)[codes]
+    word_off = np.zeros(D + 1, dtype=np.int64)
+    np.cumsum(lens, out=word_off[1:])
+    starts = np.repeat(word_off[:-1], counts) + _ranges(counts)
+    h = wh[starts].copy()
+    for j in range(1, n):
+        h = _addmod(h, wh[starts + j])
+    return h, counts
+
+
 def _ranges(counts: np.ndarray) -> np.ndarray:
     """[0..c0), [0..c1), ... concatenated (vectorized arange per segment)."""
     total = int(counts.sum())

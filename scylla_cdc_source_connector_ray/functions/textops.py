@@ -187,6 +187,64 @@ def rolling_fingerprint(batch: pd.DataFrame, text_col: str = "text", k: int = 8)
     return batch
 
 
+def winnow_fingerprints(
+    ds: ray.data.Dataset,
+    ngram: int = 3,
+    window: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03):
+    per doc, the DISTINCT set of window-minimum ``ngram``-hashes over every
+    ``window`` consecutive positional grams — the local-algorithm guarantee
+    that any shared run of ``window + ngram - 1`` words between two documents
+    shares at least one fingerprint, at ~1/window the storage of the full
+    gram set (``rolling_fingerprint`` keeps only the global min; this is the
+    real fingerprint SET the plagiarism/near-dup literature indexes).
+
+    Scale shape: ZERO shuffles. A document lives in one input row, so
+    block-local distinct (doc, fp) pairs are globally distinct (the
+    ``inverted_index`` argument); each batch is one vectorized pass —
+    positional gram hashes from the shared kernel
+    (:func:`.dedup._batch_gram_positional`, md5 once per unique word), the
+    sliding window-min via a numpy stride view, boundary-crossing windows
+    masked by comparing the doc index at both window ends. Docs with fewer
+    than ``ngram + window - 1`` words emit no fingerprints (no complete
+    window), exactly like the SQL twin's ``i >= window`` filter."""
+    from .dedup import _batch_gram_positional
+
+    def fps(b: pd.DataFrame) -> pa.Table:
+        empty = pa.table(
+            {"doc_id": pa.array([], pa.int64()), "fp": pa.array([], pa.int64())}
+        )
+        if not len(b):
+            return empty
+        grams, counts = _batch_gram_positional(
+            b[text_col].fillna("").tolist(), ngram
+        )
+        if len(grams) < window:
+            return empty
+        ids = b[id_col].to_numpy(np.int64)
+        doc_of = np.repeat(np.arange(len(counts)), counts)
+        mins = np.lib.stride_tricks.sliding_window_view(grams, window).min(axis=1)
+        valid = doc_of[: len(mins)] == doc_of[window - 1 :]
+        v_doc = doc_of[: len(mins)][valid]
+        v_min = mins[valid]
+        order = np.lexsort((v_min, v_doc))
+        v_doc, v_min = v_doc[order], v_min[order]
+        keep = np.ones(len(v_doc), dtype=bool)
+        keep[1:] = (v_doc[1:] != v_doc[:-1]) | (v_min[1:] != v_min[:-1])
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[v_doc[keep]], pa.int64()),
+                # gram hashes live below 2^61 — int64-safe by construction
+                "fp": pa.array(v_min[keep].astype(np.int64), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(fps, batch_format="pandas")
+
+
 def token_count_ds(ds: ray.data.Dataset, text_col: str = "text") -> ray.data.Dataset:
     return ds.map_batches(lambda b: text_stats(b, text_col), batch_format="pyarrow")
 

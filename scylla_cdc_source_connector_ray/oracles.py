@@ -691,6 +691,35 @@ DEDUP_MINHASH_LSH = (
     + "\nSELECT a, b, jaccard_micro FROM jac WHERE jaccard_micro >= 700000\n"
 )
 
+#: winnowing fingerprint set (Schleimer et al. SIGMOD'03) twin
+#: (functions.textops.winnow_fingerprints): POSITIONAL grams (same d/w/h
+#: prefix as the shingles CTE, full n-windows only — docs shorter than
+#: ngram + window - 1 words emit nothing on both sides), per-doc window-min
+#: over every WINNOW_W consecutive grams, then DISTINCT (doc, fp)
+_WINNOW_W = 4
+WINNOW_FINGERPRINT = f"""
+WITH d AS (SELECT doc_id, trim(lower(coalesce(text, ''))) AS t FROM documents),
+w AS (SELECT doc_id,
+        CASE WHEN t = '' THEN [] ELSE regexp_split_to_array(t, '\\s+') END AS ws
+      FROM d),
+h AS (SELECT doc_id,
+        list_transform(ws, x -> CAST(md5_number_upper(x) AS HUGEINT) % {_M}) AS wh,
+        len(ws) AS L
+      FROM w),
+idx AS (SELECT doc_id, wh, unnest(generate_series(1, L - {_NGRAM} + 1)) AS i
+        FROM h WHERE L >= {_NGRAM}),
+g AS (SELECT doc_id, i,
+        ((wh[i] * {_B} + wh[i+1]) % {_M} * {_B} + wh[i+2]) % {_M} AS gh
+      FROM idx),
+win AS (SELECT doc_id, i,
+        min(gh) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN {_WINNOW_W - 1} PRECEDING AND CURRENT ROW) AS fp
+        FROM g)
+SELECT DISTINCT doc_id, CAST(fp AS BIGINT) AS fp
+FROM win WHERE i >= {_WINNOW_W}
+ORDER BY doc_id, fp
+"""
+
 #: within-document repetition twin (functions.textops.repetition_stats):
 #: same word-hash + fold gram definition as the shingles CTE, at n=2, but
 #: WITHOUT the per-doc distinct — total windows vs distinct windows per doc

@@ -1261,6 +1261,44 @@ def test_quality_floor_by_source_null_sources_and_ties(tmp_path):
     assert got.groupby("source")["quality_micro"].min().nunique() > 1
 
 
+def test_winnow_fingerprints_brute_force():
+    # vectorized winnowing (sliding window-min over positional grams) vs an
+    # O(n*w) scalar reference, incl. short docs (< n words -> no grams;
+    # < n+w-1 words -> grams but no complete window), empties, NULLs, and
+    # heavy word repetition (duplicate fingerprints must collapse per doc)
+    from scylla_cdc_source_connector_ray.functions.textops import winnow_fingerprints
+
+    N, W = 3, 4
+    rng = np.random.default_rng(11)
+    vocab = ["aa", "bb", "cc", "dd", "ee"]
+    texts = [
+        " ".join(rng.choice(vocab, rng.integers(0, 14))) for _ in range(120)
+    ] + ["", None, "aa aa aa aa aa aa aa aa aa aa", "aa bb", "aa bb cc"]
+    ids = list(range(len(texts)))
+
+    want = set()
+    for i, t in zip(ids, texts):
+        words = D._ws_split((t or "").lower())
+        if len(words) < N:
+            continue
+        grams = []
+        for s in range(len(words) - N + 1):
+            h = 0
+            for w_ in words[s : s + N]:
+                h = (h * int(D._GRAM_B) + D._word_hash(w_)) % D._MERSENNE
+            grams.append(h)
+        for e in range(W - 1, len(grams)):
+            want.add((i, min(grams[e - W + 1 : e + 1])))
+
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64"), "text": texts})
+    ).repartition(5)
+    got = winnow_fingerprints(ds, ngram=N, window=W).to_pandas()
+    assert set(zip(got["doc_id"], got["fp"])) == want
+    # distinct per doc: no duplicate (doc, fp) rows
+    assert not got.duplicated().any()
+
+
 def test_segment_strings_vec_matches_scalar_reference():
     # the vectorized segmenter (polars extract_all + arrow binary_join) must
     # cut byte-identical spans to the scalar _segment_texts, including on
