@@ -1759,6 +1759,20 @@ def _q_fingerprint_winnow(sf_dir: str):
     return winnow_fingerprints(_docs(sf_dir).select_columns(["doc_id", "text"]))
 
 
+def _q_model_quality_filter(sf_dir: str):
+    """Batched model inference — the broadcast-weights pattern: a linear
+    quality classifier's weights ship once via ray.put, each scoring actor
+    pulls them in __init__ and scores whole batches vectorized; per-batch
+    partial sums mean only |sources|-sized rows reach the exchange
+    (functions/inference.py). Integer-exact so the SQL twin (generated from
+    the SAME weight constants) matches bit-for-bit."""
+    from scylla_cdc_source_connector_ray.functions.inference import (
+        model_quality_filter,
+    )
+
+    return model_quality_filter(_docs(sf_dir).select_columns(["source", "text"]))
+
+
 def _q_inverted_index(sf_dir: str):
     """Full-corpus inverted index (token → df + ascending posting list):
     block-local (doc, token) dedup (a doc lives in one row, so block-unique
@@ -1972,6 +1986,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_floor_by_source": _q_quality_floor_by_source,
         "dedup_segment_stream": _q_dedup_segment_stream,
         "fingerprint_winnow": _q_fingerprint_winnow,
+        "purchase_error_daily_join": _q_relational("purchase_error_daily_join"),
+        "event_value_winsorized": _q_relational("event_value_winsorized"),
+        "model_quality_filter": _q_model_quality_filter,
         # --- driver-certified in rounds 1-4 ---
         "cdc_capture_flat": _q_cdc_capture_flat,
         "cdc_op_counts": _q_cdc_op_counts,
@@ -2162,6 +2179,9 @@ def oracle_sql() -> dict[str, str]:
         "inverted_index": oracles.INVERTED_INDEX,
         "quality_floor_by_source": oracles.QUALITY_FLOOR_BY_SOURCE,
         "fingerprint_winnow": oracles.WINNOW_FINGERPRINT,
+        "purchase_error_daily_join": oracles.PURCHASE_ERROR_DAILY_JOIN,
+        "event_value_winsorized": oracles.EVENT_VALUE_WINSORIZED,
+        "model_quality_filter": oracles.MODEL_QUALITY_FILTER,
         # batching must never change the result: the batch twin IS the oracle
         "dedup_segment_stream": oracles.DEDUP_SEGMENTS,
     }

@@ -2297,3 +2297,95 @@ FROM qs JOIN fl USING (source)
 WHERE qs.quality_micro >= fl.f
 """
 )
+
+
+#: pipelines/relational.py::purchase_error_daily_join — FULL OUTER
+#: co-partitioned hash join of two per-(user, day) pre-aggregates; both
+#: outer directions fire (~40% orphans per side on the synthetic log).
+#: Counts/sums COALESCEd to 0 exactly as the Ray side fills post-join.
+PURCHASE_ERROR_DAILY_JOIN = """
+WITH e AS (
+    SELECT user_id, epoch_us(ts) // 86400000000 AS day, event_type,
+           CAST(round(value * 100) AS BIGINT) AS cents
+    FROM events
+),
+a AS (SELECT user_id, day, CAST(count(*) AS BIGINT) AS n_purchase,
+             CAST(sum(cents) AS BIGINT) AS purchase_cents
+      FROM e WHERE event_type = 'purchase' GROUP BY 1, 2),
+b AS (SELECT user_id, day, CAST(count(*) AS BIGINT) AS n_error,
+             CAST(sum(cents) AS BIGINT) AS error_cents
+      FROM e WHERE event_type = 'error' GROUP BY 1, 2)
+SELECT coalesce(a.user_id, b.user_id) AS user_id,
+       coalesce(a.day, b.day) AS day,
+       coalesce(a.n_purchase, 0) AS n_purchase,
+       coalesce(a.purchase_cents, 0) AS purchase_cents,
+       coalesce(b.n_error, 0) AS n_error,
+       coalesce(b.error_cents, 0) AS error_cents
+FROM a FULL OUTER JOIN b ON a.user_id = b.user_id AND a.day = b.day
+"""
+
+
+#: pipelines/relational.py::event_value_winsorized — grouped winsorized mean:
+#: clamp to the exact [p5, p95] order statistics (the shared (n-1)*q//100
+#: convention over floor(value*1e6) micro-ints), then average; the mean is
+#: one double division rounded half-away to integer micro-units.
+EVENT_VALUE_WINSORIZED = """
+WITH v AS (
+    SELECT event_type, CAST(floor(value * 1000000) AS BIGINT) AS vm
+    FROM events WHERE value IS NOT NULL
+),
+r AS (
+    SELECT event_type, vm,
+           row_number() OVER (PARTITION BY event_type ORDER BY vm) - 1 AS i,
+           count(*) OVER (PARTITION BY event_type) AS n
+    FROM v
+),
+c AS (
+    SELECT event_type,
+           max(CASE WHEN i = (n - 1) * 5 // 100 THEN vm END) AS lo_vm,
+           max(CASE WHEN i = (n - 1) * 95 // 100 THEN vm END) AS hi_vm
+    FROM r GROUP BY event_type
+)
+SELECT v.event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       max(c.lo_vm) AS lo_vm,
+       max(c.hi_vm) AS hi_vm,
+       CAST(round(CAST(sum(least(greatest(v.vm, c.lo_vm), c.hi_vm)) AS DOUBLE)
+                  / count(*)) AS BIGINT) AS winsor_mean_vm
+FROM v JOIN c USING (event_type)
+GROUP BY v.event_type
+"""
+
+
+def _model_quality_filter_sql() -> str:
+    """Generated from the SAME weights/cap/threshold constants the engine's
+    broadcast model uses (functions/inference.py) — zero-drift twin, like
+    LangId.oracle_sql()."""
+    from .functions.inference import CHAR_CAP, DEFAULT_THRESHOLD, DEFAULT_WEIGHTS
+
+    w = DEFAULT_WEIGHTS
+    return rf"""
+WITH s AS (
+    SELECT source,
+           coalesce(length(text), 0) AS ch,
+           coalesce(length(regexp_extract_all(text, '\S+')), 0) AS w,
+           coalesce(length(regexp_extract_all(text, '[.,;:!?]')), 0) AS p,
+           coalesce(length(regexp_extract_all(text, '\b(the|and|of|a|to|in|is)\b')), 0) AS st
+    FROM documents
+),
+sc AS (
+    SELECT source,
+           {w['stat_words']} * w + {w['stat_punct']} * p + {w['stat_stop']} * st
+           + {w['stat_chars']} * least(ch, {CHAR_CAP}) AS score
+    FROM s
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_total,
+       CAST(count(*) FILTER (WHERE score >= {DEFAULT_THRESHOLD}) AS BIGINT) AS n_kept,
+       CAST(coalesce(sum(score) FILTER (WHERE score >= {DEFAULT_THRESHOLD}), 0) AS BIGINT)
+           AS kept_score_sum
+FROM sc GROUP BY source
+"""
+
+
+MODEL_QUALITY_FILTER = _model_quality_filter_sql()

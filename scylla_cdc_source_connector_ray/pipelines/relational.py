@@ -1373,3 +1373,156 @@ def event_transitions(sf_dir: str, num_parts: int = 64) -> "pd.DataFrame":
     )
     out["n"] = out["n"].astype("int64")
     return out
+
+
+def purchase_error_daily_join(sf_dir: str, num_partitions: int = 8) -> ray.data.Dataset:
+    """FULL OUTER co-partitioned hash join (the last join type in the
+    §2.4 family): per-(user, day) purchase activity joined against error
+    activity — each side has rows the other lacks (~40% orphans per side on
+    the synthetic log), so both outer directions fire. Counts/sums are
+    COALESCEd to 0 post-join (an orphan row is still observable: a real
+    group always has n >= 1).
+
+    Scale shape: both sides are pre-aggregated per (user, day) BEFORE the
+    join (the exchange ships one row per active user-day, not per event),
+    then stages/join.py::full_outer_join co-partitions the two aggregates
+    once. Money is integer cents so partials are exact."""
+    import pyarrow as pa
+
+    from ray.data.aggregate import Count
+
+    from ..stages.join import full_outer_join
+
+    def side(event_type: str, prefix: str) -> ray.data.Dataset:
+        ev = _read(sf_dir, "events", columns=["user_id", "ts", "event_type", "value"])
+
+        def prep(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.equal(t["event_type"], event_type))
+            ts_us = t["ts"].cast(pa.timestamp("us")).cast(pa.int64())
+            # integer division — exact; ts is post-epoch so trunc == floor
+            # (the DuckDB twin's `epoch_us(ts) // 86400000000`)
+            day = pc.divide(ts_us, pa.scalar(86_400_000_000, pa.int64()))
+            cents = _round_sql(pc.multiply(t["value"], 100.0)).cast(pa.int64())
+            return pa.table({"user_id": t["user_id"], "day": day, "cents": cents})
+
+        return (
+            ev.map_batches(prep, batch_format="pyarrow")
+            .groupby(["user_id", "day"])
+            .aggregate(
+                Count(alias_name=f"n_{prefix}"),
+                Sum("cents", alias_name=f"{prefix}_cents"),
+            )
+        )
+
+    out = full_outer_join(
+        side("purchase", "purchase"),
+        side("error", "error"),
+        on=("user_id", "day"),
+        num_partitions=num_partitions,
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        zero = pa.scalar(0, pa.int64())
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "day": t["day"],
+                "n_purchase": pc.fill_null(t["n_purchase"].cast(pa.int64()), zero),
+                "purchase_cents": pc.fill_null(t["purchase_cents"].cast(pa.int64()), zero),
+                "n_error": pc.fill_null(t["n_error"].cast(pa.int64()), zero),
+                "error_cents": pc.fill_null(t["error_cents"].cast(pa.int64()), zero),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def event_value_winsorized(
+    sf_dir: str, lo_q: int = 5, hi_q: int = 95
+) -> ray.data.Dataset:
+    """Grouped WINSORIZED mean — the robust-statistics pattern every
+    quality-score aggregation wants at web scale (a handful of garbage
+    documents must not drag a source's mean): per event_type, clamp values
+    to the exact [p5, p95] order statistics, then average.
+
+    Two passes over the (projected) input, zero corpus shuffles: pass 1 is
+    the shared exact-quantile exchange of (key, vm) pairs
+    (stages/topk.py::grouped_quantiles, (n-1)*q//100 convention); the
+    |types|-row cutoff table broadcasts into pass 2, which folds clipped
+    partial sums per batch. Values are micro-ints (floor(value*1e6), the
+    EVENT_VALUE_QUANTILES convention) so everything downstream is integer-
+    exact; the mean is emitted in micro-units (DuckDB-parity half-away
+    rounding of one double division)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ray.data.aggregate import Count
+
+    from ..stages.topk import grouped_quantiles
+
+    def micro(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["value"]))
+        vm = pc.floor(pc.multiply(t["value"], 1e6)).cast(pa.int64())
+        return pa.table({"event_type": t["event_type"], "vm": vm})
+
+    ev = _read(sf_dir, "events", columns=["event_type", "value"])
+    cuts = (
+        grouped_quantiles(
+            ev.map_batches(micro, batch_format="pyarrow"),
+            keys=["event_type"],
+            value_col="vm",
+            quantiles=(lo_q, hi_q),
+        )
+        .to_pandas()  # |event types| rows — a true small result
+        .set_index("event_type")
+    )
+    lo_map = cuts[f"p{lo_q}"].to_dict()
+    hi_map = cuts[f"p{hi_q}"].to_dict()
+    ref = ray.put((lo_map, hi_map))
+
+    class ClipFold:
+        def __init__(self):
+            self.lo, self.hi = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pd.DataFrame:
+            t = micro(t)
+            df = pd.DataFrame(
+                {
+                    "event_type": t["event_type"].to_pandas().astype(object),
+                    "vm": t["vm"].to_numpy(zero_copy_only=False),
+                }
+            )
+            lo = df["event_type"].map(self.lo).to_numpy(np.int64)
+            hi = df["event_type"].map(self.hi).to_numpy(np.int64)
+            df["vm"] = np.clip(df["vm"].to_numpy(np.int64), lo, hi)
+            g = df.groupby("event_type", sort=False)["vm"]
+            out = g.agg(clip_sum="sum", n="size").reset_index()
+            out["clip_sum"] = out["clip_sum"].astype("int64")
+            out["n"] = out["n"].astype("int64")
+            return out
+
+    totals = (
+        ev.map_batches(ClipFold, batch_format="pyarrow", concurrency=(1, 8))
+        .groupby("event_type")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("clip_sum", alias_name="clip_sum"),
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        et = t["event_type"].to_pandas()
+        n = t["n"].to_numpy(zero_copy_only=False).astype("float64")
+        s = t["clip_sum"].to_numpy(zero_copy_only=False).astype("float64")
+        mean_vm = _round_sql(pa.array(s / n, pa.float64())).cast(pa.int64())
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "n": t["n"].cast(pa.int64()),
+                "lo_vm": pa.array([lo_map[x] for x in et], pa.int64()),
+                "hi_vm": pa.array([hi_map[x] for x in et], pa.int64()),
+                "winsor_mean_vm": mean_vm,
+            }
+        )
+
+    return totals.map_batches(finish, batch_format="pyarrow")

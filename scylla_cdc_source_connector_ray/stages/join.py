@@ -555,6 +555,81 @@ def interval_join(
     return tagged.groupby(_PART_COL).map_groups(join_group, batch_format="pandas")
 
 
+def full_outer_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    on: str | tuple[str, ...],
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """FULL OUTER co-partitioned hash join (multi-key): unmatched rows from
+    BOTH sides survive with NULL payload from the other side. Key columns
+    must share names on both sides (rename upstream); payload column names
+    must be disjoint.
+
+    Why not ``Dataset.join(join_type='full_outer')``: Ray's hash-shuffle
+    join aggregator builds a partition that received no shards from one side
+    as a SCHEMA-LESS empty table (``ray/data/_internal/execution/operators/
+    join.py::finalize`` → ``ArrowBlockBuilder().build()``), and the Arrow
+    join then dies with "No match ... for key field" — any small or skewed
+    input whose hash leaves one side of a partition empty crashes. The
+    tagged-union shape sidesteps it structurally: groupby only materializes
+    partitions that exist, the union pins ONE schema for both sides, and the
+    per-partition Arrow join always sees typed (possibly 0-row) tables.
+
+    Scale shape: identical to the other ordered/relational joins here — both
+    (pre-projected) inputs cross the one keyed exchange exactly once, each
+    partition joins independently (pyarrow hash join, keys coalesced)."""
+    keys = [on] if isinstance(on, str) else list(on)
+    if num_partitions is None:
+        num_partitions = default_join_partitions()
+
+    ls, rs = _arrow_schema(left), _arrow_schema(right)
+    for reserved in (_SIDE_COL, _PART_COL):
+        if reserved in ls.names or reserved in rs.names:
+            raise ValueError(f"input dataset already has a {reserved!r} column")
+    for k in keys:
+        if k not in ls.names or k not in rs.names:
+            raise ValueError(f"join key {k!r} must exist on both sides")
+    left_payload = [n for n in ls.names if n not in keys]
+    right_payload = [n for n in rs.names if n not in keys]
+    clash = set(left_payload) & set(right_payload)
+    if clash:
+        raise ValueError(f"payload columns must be disjoint, both sides have {sorted(clash)}")
+    target = pa.schema(
+        [
+            *[ls.field(k) for k in keys],
+            *[ls.field(n) for n in left_payload],
+            *[rs.field(n) for n in right_payload],
+            pa.field(_SIDE_COL, pa.int8()),
+        ]
+    )
+
+    def tag(side: int):
+        def fn(t: pa.Table) -> pa.Table:
+            t = t.append_column(
+                _SIDE_COL, pa.array(np.full(t.num_rows, side, np.int8))
+            )
+            t = _null_pad(t, target)
+            return t.append_column(
+                _PART_COL, _part_of(t[keys[0]], num_partitions)
+            )
+
+        return fn
+
+    def per_part(g: pa.Table) -> pa.Table:
+        side = g[_SIDE_COL].combine_chunks()
+        l = g.filter(pc.equal(side, 0)).select([*keys, *left_payload])
+        r = g.filter(pc.equal(side, 1)).select([*keys, *right_payload])
+        return l.combine_chunks().join(
+            r.combine_chunks(), keys=keys, join_type="full outer"
+        ).select(target.names[:-1])
+
+    tagged = left.map_batches(tag(0), batch_format="pyarrow").union(
+        right.map_batches(tag(1), batch_format="pyarrow")
+    )
+    return tagged.groupby(_PART_COL).map_groups(per_part, batch_format="pyarrow")
+
+
 def semi_anti_join(
     left: ray.data.Dataset,
     right: ray.data.Dataset,

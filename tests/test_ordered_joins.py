@@ -252,3 +252,67 @@ def test_bloom_prefilter_join_exact_and_pruning():
     p1, p2 = _bloom_hashes(probe)
     fpr = _bloom_test(words, p1, p2, kh, m).mean()
     assert fpr < 0.05, fpr
+
+
+def test_full_outer_join_matches_pandas_outer_merge():
+    from scylla_cdc_source_connector_ray.stages.join import full_outer_join
+
+    left = pd.DataFrame(
+        {"k": np.array([1, 2, 3, 3], np.int64),
+         "d": np.array([0, 0, 0, 1], np.int64),
+         "la": np.array([10, 20, 30, 31], np.int64)}
+    )
+    right = pd.DataFrame(
+        {"k": np.array([2, 3, 4], np.int64),
+         "d": np.array([0, 1, 0], np.int64),
+         "rb": np.array([5, 6, 7], np.int64)}
+    )
+    got = (
+        full_outer_join(
+            ray.data.from_pandas(left), ray.data.from_pandas(right),
+            on=("k", "d"), num_partitions=4,
+        )
+        .to_pandas()
+        .sort_values(["k", "d"]).reset_index(drop=True)
+    )
+    want = (
+        left.merge(right, on=["k", "d"], how="outer")
+        .sort_values(["k", "d"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got.astype("float64"), want.astype("float64")
+    )
+    # both outer directions fired
+    assert got["la"].isna().any() and got["rb"].isna().any()
+
+
+def test_full_outer_join_survives_one_sided_partitions():
+    """The case Ray's native full_outer join crashes on (schema-less empty
+    partition): a 1-row left side against a larger right side at many
+    partitions — most partitions see only one side."""
+    from scylla_cdc_source_connector_ray.stages.join import full_outer_join
+
+    left = pd.DataFrame({"k": np.array([5], np.int64), "la": np.array([1], np.int64)})
+    right = pd.DataFrame(
+        {"k": np.arange(20, dtype=np.int64), "rb": np.arange(20, dtype=np.int64)}
+    )
+    got = (
+        full_outer_join(
+            ray.data.from_pandas(left), ray.data.from_pandas(right),
+            on="k", num_partitions=8,
+        )
+        .to_pandas()
+        .sort_values("k").reset_index(drop=True)
+    )
+    assert len(got) == 20
+    assert got.loc[got["k"] == 5, "la"].notna().all()
+    assert got.loc[got["k"] != 5, "la"].isna().all()
+
+
+def test_full_outer_join_rejects_clashing_payload():
+    from scylla_cdc_source_connector_ray.stages.join import full_outer_join
+
+    a = ray.data.from_pandas(pd.DataFrame({"k": [1], "x": [1]}))
+    b = ray.data.from_pandas(pd.DataFrame({"k": [1], "x": [2]}))
+    with pytest.raises(ValueError, match="disjoint"):
+        full_outer_join(a, b, on="k")

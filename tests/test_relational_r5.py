@@ -698,3 +698,108 @@ def test_q4_order_priority_semi_join(tmp_path):
     got = _norm(R.q4_order_priority(d).to_pandas())
     want = _norm(con.sql(Q4_ORDER_PRIORITY).df())
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+# --- round-5 continuation: full-outer join, winsorized mean, model filter ---
+
+
+def _write_events(d, events: pd.DataFrame):
+    pq.write_table(
+        pa.Table.from_pandas(events, preserve_index=False),
+        os.path.join(d, "events.parquet"),
+    )
+
+
+def test_purchase_error_full_outer_orphans(tmp_path):
+    """Both outer directions: purchase-only (user 1), error-only (user 2),
+    matched (user 3), and a same-user different-day orphan pair (user 4)."""
+    from scylla_cdc_source_connector_ray.oracles import PURCHASE_ERROR_DAILY_JOIN
+
+    d = str(tmp_path)
+    base = pd.Timestamp("2026-01-01")
+    ev = pd.DataFrame(
+        {
+            "event_id": np.arange(7, dtype=np.int64),
+            "ts": [base, base, base, base, base,
+                   base + pd.Timedelta(days=3), base + pd.Timedelta(days=4)],
+            "user_id": np.array([1, 2, 3, 3, 3, 4, 4], np.int64),
+            "event_type": ["purchase", "error", "purchase", "purchase",
+                           "error", "purchase", "error"],
+            # 0.125*100 = 12.5: the half-away rounding tie
+            "value": [0.125, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0],
+            "props": [""] * 7,
+        }
+    )
+    _write_events(d, ev)
+    got = _norm(R.purchase_error_daily_join(d, num_partitions=2).to_pandas())
+    want = _norm(_oracle(d, PURCHASE_ERROR_DAILY_JOIN))
+    pd.testing.assert_frame_equal(got, want, check_dtype=True)
+    by_user = got.set_index(["user_id", "day"])
+    day0 = (base - pd.Timestamp(0)).days
+    assert by_user.loc[(1, day0), "n_error"] == 0  # left orphan
+    assert by_user.loc[(2, day0), "n_purchase"] == 0  # right orphan
+    assert by_user.loc[(1, day0), "purchase_cents"] == 13  # 12.5 away from 0
+    assert by_user.loc[(3, day0), "n_purchase"] == 2
+    assert len(by_user.loc[4]) == 2  # same user, disjoint days -> two rows
+
+
+def test_event_value_winsorized_clamps_outliers(tmp_path):
+    from scylla_cdc_source_connector_ray.oracles import EVENT_VALUE_WINSORIZED
+
+    d = str(tmp_path)
+    rng = np.random.default_rng(7)
+    n = 400
+    vals = np.round(rng.uniform(1, 10, n), 2)
+    vals[:4] = [1e5, -1e5, 9e4, 8e4]  # outliers the clamp must absorb
+    ev = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "ts": pd.Timestamp("2026-01-01") + pd.to_timedelta(np.arange(n), "s"),
+            "user_id": (np.arange(n) % 5).astype(np.int64),
+            "event_type": np.where(np.arange(n) % 2 == 0, "a", "b"),
+            "value": vals,
+            "props": [""] * n,
+        }
+    )
+    ev.loc[10, "value"] = None  # NULL dropped like the SQL aggregate
+    _write_events(d, ev)
+    got = _norm(R.event_value_winsorized(d).to_pandas())
+    want = _norm(_oracle(d, EVENT_VALUE_WINSORIZED))
+    pd.testing.assert_frame_equal(got, want, check_dtype=True)
+    # the winsorized mean must sit inside the clamp interval
+    assert (got["winsor_mean_vm"] >= got["lo_vm"]).all()
+    assert (got["winsor_mean_vm"] <= got["hi_vm"]).all()
+
+
+def test_model_quality_filter_matches_generated_twin(tmp_path):
+    """Engine score (broadcast int64 weights, one matmul per batch) vs the
+    SQL twin GENERATED from the same weight constants; the crafted corpus
+    straddles the threshold so the filter actually splits."""
+    from scylla_cdc_source_connector_ray.functions.inference import (
+        DEFAULT_THRESHOLD,
+        model_quality_filter,
+    )
+    from scylla_cdc_source_connector_ray.oracles import MODEL_QUALITY_FILTER
+
+    d = str(tmp_path)
+    rich = "the cat and the dog, of course, went to the house in the garden! " * 12
+    poor = "zzz " * 5
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(6, dtype=np.int64),
+            "text": [rich, poor, rich + poor, poor, rich, None],
+            "lang": ["en"] * 6,
+            "source": ["web", "web", "web", "wiki", "wiki", "wiki"],
+            "n_chars": np.ones(6, np.int64),
+        }
+    )
+    pq.write_table(
+        pa.Table.from_pandas(docs, preserve_index=False),
+        os.path.join(d, "documents.parquet"),
+    )
+    ds = ray.data.read_parquet(os.path.join(d, "documents.parquet"), columns=["source", "text"])
+    got = _norm(model_quality_filter(ds, threshold=DEFAULT_THRESHOLD).to_pandas())
+    want = _norm(_oracle(d, MODEL_QUALITY_FILTER))
+    pd.testing.assert_frame_equal(got, want, check_dtype=True)
+    web = got.set_index("source").loc["web"]
+    assert 0 < web["n_kept"] < web["n_total"]  # the threshold splits
