@@ -1759,6 +1759,30 @@ def _q_fingerprint_winnow(sf_dir: str):
     return winnow_fingerprints(_docs(sf_dir).select_columns(["doc_id", "text"]))
 
 
+def _q_sample_weighted(sf_dir: str):
+    """Weighted deterministic sampling: keep-rate proportional to n_chars
+    (clamped nibble buckets of 16) — importance sampling with the shared
+    no-shuffle, no-RNG _nibble_of rule (functions/dedup.py::weighted_sample)."""
+    from scylla_cdc_source_connector_ray.functions.dedup import weighted_sample
+
+    return weighted_sample(
+        _docs(sf_dir).select_columns(["doc_id", "source", "n_chars"]),
+        id_col="doc_id",
+        weight_col="n_chars",
+    )
+
+
+def _q_embedding_quantize(sf_dir: str):
+    """Per-vector max-abs int8 quantization summaries (the compression pass
+    before ANN indexing): arrow list flatten + segment max + one rounding
+    kernel per batch, zero shuffles (functions/similarity.py)."""
+    from scylla_cdc_source_connector_ray.functions.similarity import (
+        embedding_quantize,
+    )
+
+    return embedding_quantize(_emb(sf_dir))
+
+
 def _q_model_quality_filter(sf_dir: str):
     """Batched model inference — the broadcast-weights pattern: a linear
     quality classifier's weights ship once via ray.put, each scoring actor
@@ -1989,6 +2013,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "purchase_error_daily_join": _q_relational("purchase_error_daily_join"),
         "event_value_winsorized": _q_relational("event_value_winsorized"),
         "model_quality_filter": _q_model_quality_filter,
+        "sample_weighted": _q_sample_weighted,
+        "embedding_quantize": _q_embedding_quantize,
         # --- driver-certified in rounds 1-4 ---
         "cdc_capture_flat": _q_cdc_capture_flat,
         "cdc_op_counts": _q_cdc_op_counts,
@@ -2182,6 +2208,8 @@ def oracle_sql() -> dict[str, str]:
         "purchase_error_daily_join": oracles.PURCHASE_ERROR_DAILY_JOIN,
         "event_value_winsorized": oracles.EVENT_VALUE_WINSORIZED,
         "model_quality_filter": oracles.MODEL_QUALITY_FILTER,
+        "sample_weighted": oracles.SAMPLE_WEIGHTED,
+        "embedding_quantize": oracles.EMBEDDING_QUANTIZE,
         # batching must never change the result: the batch twin IS the oracle
         "dedup_segment_stream": oracles.DEDUP_SEGMENTS,
     }

@@ -2174,3 +2174,37 @@ def stratified_sample(
         return batch[nib < limits]
 
     return ds.map_batches(keep, batch_format="pandas")
+
+
+def weighted_sample(
+    ds: ray.data.Dataset,
+    id_col: str,
+    weight_col: str,
+    divisor: int = 100,
+    min_buckets: int = 1,
+    max_buckets: int = 8,
+) -> ray.data.Dataset:
+    """WEIGHTED deterministic sample: per-row keep-rate proportional to a
+    weight column — keep iff ``nibble(id) < clamp(weight // divisor,
+    min_buckets, max_buckets)`` of 16. The importance-sampling knob of a
+    100 TB curation pass (keep long/high-quality documents at a higher rate
+    than boilerplate) with the same no-shuffle, no-RNG, reproducible
+    ``_nibble_of`` rule as the other samplers. NULL weights drop the row
+    (SQL comparison semantics)."""
+    if not 1 <= min_buckets <= max_buckets <= 16:
+        raise ValueError(
+            f"need 1 <= min_buckets <= max_buckets <= 16, got {min_buckets}..{max_buckets}"
+        )
+    if divisor < 1:
+        raise ValueError(f"divisor must be >= 1, got {divisor}")
+
+    def keep(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch[batch[weight_col].notna()]
+        rate = np.clip(
+            batch[weight_col].to_numpy(dtype=np.int64) // divisor,
+            min_buckets,
+            max_buckets,
+        )
+        return batch[_nibble_of(batch[id_col]) < rate]
+
+    return ds.map_batches(keep, batch_format="pandas")

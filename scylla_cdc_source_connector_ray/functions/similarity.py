@@ -353,3 +353,58 @@ def gram_matrix(
     return level1.repartition(1, shuffle=False).map_batches(
         sum_partials, batch_format="pyarrow", batch_size=None
     )
+
+
+def embedding_quantize(ds: ray.data.Dataset, levels: int = 127) -> ray.data.Dataset:
+    """Per-vector max-abs scalar quantization — the int8 compression pass a
+    100 TB vector corpus runs before ANN indexing (4x smaller than float32,
+    dot products in integer SIMD). ``q_i = round(levels * x_i / maxabs)``
+    (half-away, the SQL round), all-zero vectors quantize to all zeros.
+
+    Emits per-vector summary columns instead of the (huge) code list so the
+    result is exactly SQL-twin-comparable: ``n_dims``, ``maxabs`` (the
+    scale), ``q_sum`` / ``q_norm`` (sum and sum-of-squares of the int codes
+    — integer-exact under any partitioning). The codes themselves are a
+    `.cast(int8)` away in a real pipeline; the summaries pin the math.
+
+    Zero shuffles: a vector lives in one row, one vectorized pass per batch
+    (arrow list flatten + ``np.maximum.reduceat`` segment max — no per-row
+    Python)."""
+
+    def quantize(t: pa.Table) -> pa.Table:
+        emb = t["embedding"].combine_chunks()
+        flat = emb.flatten().to_numpy(zero_copy_only=False)
+        offs = emb.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(emb)
+        lens = offs[1:] - offs[:-1]
+        # per-vector max |x|: float32 reduce exactly as the SQL max(abs(x))
+        absf = np.abs(flat.astype(np.float32, copy=False))
+        maxabs = np.zeros(n, dtype=np.float32)
+        nonempty = lens > 0
+        if nonempty.any():
+            seg = np.maximum.reduceat(absf, offs[:-1][nonempty])
+            maxabs[nonempty] = seg
+        scale = maxabs.astype(np.float64)
+        denom = np.repeat(np.where(scale == 0.0, 1.0, scale), lens)
+        import pyarrow.compute as pc
+
+        ratio = float(levels) * (flat.astype(np.float64) / denom)
+        # the repo-wide SQL-parity rounding (ties half-away, like round())
+        rounded = pc.round(
+            pa.array(ratio, pa.float64()), round_mode="half_towards_infinity"
+        ).to_numpy(zero_copy_only=False)
+        q = np.where(np.repeat(scale == 0.0, lens), 0.0, rounded).astype(np.int64)
+        grp = np.repeat(np.arange(n, dtype=np.int64), lens)
+        q_sum = np.bincount(grp, weights=q, minlength=n).astype(np.int64)
+        q_norm = np.bincount(grp, weights=q * q, minlength=n).astype(np.int64)
+        return pa.table(
+            {
+                "vec_id": t["vec_id"],
+                "n_dims": pa.array(lens, pa.int64()),
+                "maxabs": pa.array(scale, pa.float64()),
+                "q_sum": pa.array(q_sum, pa.int64()),
+                "q_norm": pa.array(q_norm, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(quantize, batch_format="pyarrow")

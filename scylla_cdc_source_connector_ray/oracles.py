@@ -2389,3 +2389,43 @@ FROM sc GROUP BY source
 
 
 MODEL_QUALITY_FILTER = _model_quality_filter_sql()
+
+
+#: functions/dedup.py::weighted_sample — importance sampling: keep-rate
+#: proportional to n_chars (clamped buckets of 16), same integer-mix nibble
+#: rule as the other deterministic samplers.
+SAMPLE_WEIGHTED = f"""
+SELECT doc_id, source, n_chars FROM documents
+WHERE n_chars IS NOT NULL
+  AND {_nibble_sql('doc_id')} < least(greatest(n_chars // 100, 1), 8)
+"""
+
+
+#: functions/similarity.py::embedding_quantize — per-vector max-abs int8
+#: quantization summaries: q_i = round(127 * x/maxabs) half-away over
+#: DOUBLE-widened float32 operands, all-zero vectors -> all-zero codes.
+EMBEDDING_QUANTIZE = """
+WITH u AS (
+    SELECT vec_id, unnest(embedding) AS x FROM embeddings
+),
+m AS (
+    -- from the list column directly (NOT via unnest) so 0-dim vectors
+    -- survive with n_dims 0 / maxabs 0, exactly like the engine
+    SELECT vec_id, CAST(len(embedding) AS BIGINT) AS n_dims,
+           CAST(coalesce(list_max(list_transform(embedding, x -> abs(x))), 0)
+                AS DOUBLE) AS maxabs
+    FROM embeddings
+),
+q AS (
+    SELECT u.vec_id,
+           CASE WHEN m.maxabs = 0 THEN 0
+                ELSE CAST(round(127 * (CAST(u.x AS DOUBLE) / m.maxabs)) AS BIGINT)
+           END AS qi
+    FROM u JOIN m USING (vec_id)
+)
+SELECT m.vec_id, m.n_dims, m.maxabs,
+       CAST(coalesce(sum(q.qi), 0) AS BIGINT) AS q_sum,
+       CAST(coalesce(sum(q.qi * q.qi), 0) AS BIGINT) AS q_norm
+FROM m LEFT JOIN q USING (vec_id)
+GROUP BY m.vec_id, m.n_dims, m.maxabs
+"""

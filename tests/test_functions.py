@@ -1314,3 +1314,69 @@ def test_segment_strings_vec_matches_scalar_reference():
         got_segs, got_counts = D._segment_strings_vec(pd.Series(texts, dtype=object), S)
         assert got_segs.to_pylist() == want_segs, S
         assert (got_counts == want_counts).all(), S
+
+
+def test_weighted_sample_matches_nibble_rule_and_drops_null_weights():
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(200, dtype=np.int64),
+            "source": ["s"] * 200,
+            "n_chars": np.r_[
+                np.repeat([50, 150, 450, 2000], 49), [0, 99, 800], [-5]
+            ].astype("float64"),
+        }
+    )
+    df.loc[7, "n_chars"] = None  # NULL weight row must drop (SQL semantics)
+    got = (
+        D.weighted_sample(
+            ray.data.from_pandas(df), id_col="doc_id", weight_col="n_chars"
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    ok = df[df["n_chars"].notna()].copy()
+    rate = np.clip(ok["n_chars"].to_numpy(np.int64) // 100, 1, 8)
+    want = ok[D._nibble_of(ok["doc_id"]) < rate].reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+    assert 7 not in set(got["doc_id"])
+    # higher weight => keep rate must not decrease (within this fixture)
+    kept = got.merge(df, on="doc_id")
+    r_low = (kept["n_chars_x"] == 50).sum() / 49
+    r_high = (kept["n_chars_x"] == 2000).sum() / 49
+    assert r_high > r_low
+
+
+def test_embedding_quantize_matches_duckdb_twin(tmp_path):
+    import os
+
+    from scylla_cdc_source_connector_ray.oracles import EMBEDDING_QUANTIZE
+
+    rng = np.random.default_rng(11)
+    vecs = [rng.standard_normal(8).astype(np.float32) for _ in range(60)]
+    vecs[3] = np.zeros(4, dtype=np.float32)  # all-zero vector -> all-zero codes
+    vecs[4] = np.array([], dtype=np.float32)  # empty vector
+    vecs[5] = np.array([-1.0, 1.0, 0.5], dtype=np.float32)  # exact +/-127 ends
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(60, dtype=np.int64)),
+            "embedding": pa.array([v.tolist() for v in vecs], pa.list_(pa.float32())),
+            "label": pa.array(np.zeros(60, dtype=np.int32)),
+        }
+    )
+    path = str(tmp_path / "embeddings.parquet")
+    pq.write_table(t, path)
+    got = (
+        S.embedding_quantize(ray.data.read_parquet(path))
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW embeddings AS SELECT * FROM '{path}'")
+    want = con.sql(EMBEDDING_QUANTIZE).df().sort_values("vec_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=True)
+    z = got.set_index("vec_id")
+    assert z.loc[3, ["q_sum", "q_norm"]].tolist() == [0, 0]
+    assert z.loc[4, "n_dims"] == 0 and z.loc[4, "maxabs"] == 0.0
+    assert z.loc[5, "q_norm"] == 127 * 127 * 2 + 64 * 64  # -127, 127, 64
