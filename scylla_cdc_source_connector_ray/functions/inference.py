@@ -26,7 +26,6 @@ import pyarrow as pa
 
 import ray
 import ray.data
-from ray.data.aggregate import Sum
 
 from .textops import text_stats
 
@@ -84,10 +83,12 @@ def model_quality_filter(
     ds: ray.data.Dataset,
     weights: dict[str, int] | None = None,
     threshold: int = DEFAULT_THRESHOLD,
-) -> ray.data.Dataset:
+) -> pd.DataFrame:
     """Per-source acceptance stats of the model filter ``score >= threshold``:
     ``(source, n_total, n_kept, kept_score_sum)``. The scoring stage emits
-    per-batch partial sums, so only |sources|-sized rows reach the exchange."""
+    per-batch partial sums; the |sources|-per-batch partials are merged
+    driver-side (the event_transitions precedent — a Ray sort-aggregate over
+    64 twenty-row blocks costs more than the whole scoring pass)."""
     ref = ray.put(dict(weights or DEFAULT_WEIGHTS))
 
     class ScoreAndFold(LinearScorer):
@@ -119,12 +120,29 @@ def model_quality_filter(
             out["kept_score_sum"] = out["kept_score_sum"].astype("int64")
             return out
 
-    return (
-        ds.map_batches(ScoreAndFold, batch_format="pyarrow", concurrency=(1, 8))
-        .groupby("source")
-        .aggregate(
-            Sum("n_total", alias_name="n_total"),
-            Sum("n_kept", alias_name="n_kept"),
-            Sum("kept_score_sum", alias_name="kept_score_sum"),
+    partials = ds.map_batches(
+        # regex counting dominates — let the pool scale wider than the
+        # light enrichment stages' (1, 8) default
+        ScoreAndFold,
+        batch_format="pyarrow",
+        concurrency=(1, 16),
+    ).to_pandas()  # |sources| rows per batch — a true small result
+    if not len(partials):
+        return pd.DataFrame(
+            {
+                "source": pd.Series([], dtype=object),
+                "n_total": pd.Series([], dtype="int64"),
+                "n_kept": pd.Series([], dtype="int64"),
+                "kept_score_sum": pd.Series([], dtype="int64"),
+            }
         )
+    out = (
+        partials.groupby("source", dropna=False)[
+            ["n_total", "n_kept", "kept_score_sum"]
+        ]
+        .sum()
+        .reset_index()
     )
+    for c in ("n_total", "n_kept", "kept_score_sum"):
+        out[c] = out[c].astype("int64")
+    return out

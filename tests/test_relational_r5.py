@@ -798,7 +798,7 @@ def test_model_quality_filter_matches_generated_twin(tmp_path):
         os.path.join(d, "documents.parquet"),
     )
     ds = ray.data.read_parquet(os.path.join(d, "documents.parquet"), columns=["source", "text"])
-    got = _norm(model_quality_filter(ds, threshold=DEFAULT_THRESHOLD).to_pandas())
+    got = _norm(model_quality_filter(ds, threshold=DEFAULT_THRESHOLD))
     want = _norm(_oracle(d, MODEL_QUALITY_FILTER))
     pd.testing.assert_frame_equal(got, want, check_dtype=True)
     web = got.set_index("source").loc["web"]
