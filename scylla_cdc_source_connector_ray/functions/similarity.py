@@ -373,8 +373,14 @@ def embedding_quantize(ds: ray.data.Dataset, levels: int = 127) -> ray.data.Data
 
     def quantize(t: pa.Table) -> pa.Table:
         emb = t["embedding"].combine_chunks()
+        if emb.null_count:
+            raise ValueError(
+                "embedding_quantize: NULL embedding rows are not supported "
+                "(filter or fill upstream)"
+            )
         flat = emb.flatten().to_numpy(zero_copy_only=False)
         offs = emb.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        offs = offs - offs[0]  # sliced list arrays start at a nonzero offset
         n = len(emb)
         lens = offs[1:] - offs[:-1]
         # per-vector max |x|: float32 reduce exactly as the SQL max(abs(x))
