@@ -578,7 +578,12 @@ def full_outer_join(
 
     Scale shape: identical to the other ordered/relational joins here — both
     (pre-projected) inputs cross the one keyed exchange exactly once, each
-    partition joins independently (pyarrow hash join, keys coalesced)."""
+    partition joins independently (pyarrow hash join, keys coalesced).
+
+    NULL keys follow SQL semantics: a NULL key never matches (each NULL-key
+    row emits as an unmatched outer row — pyarrow's join behavior, pinned by
+    test). The exchange routes all NULL-first-key rows to one partition via
+    the pinned shard hash, so they stay co-located but unpaired."""
     keys = [on] if isinstance(on, str) else list(on)
     if num_partitions is None:
         num_partitions = default_join_partitions()

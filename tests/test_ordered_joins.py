@@ -316,3 +316,30 @@ def test_full_outer_join_rejects_clashing_payload():
     b = ray.data.from_pandas(pd.DataFrame({"k": [1], "x": [2]}))
     with pytest.raises(ValueError, match="disjoint"):
         full_outer_join(a, b, on="k")
+
+
+def test_full_outer_join_null_keys_never_match():
+    """SQL semantics: a NULL key matches nothing — each NULL-key row emits
+    as an unmatched outer row from its own side (pyarrow join behavior,
+    pinned here so an engine swap can't silently change it)."""
+    from scylla_cdc_source_connector_ray.stages.join import full_outer_join
+
+    left = pa.table(
+        {"k": pa.array([1, None, 3], pa.int64()), "la": pa.array([10, 20, 30], pa.int64())}
+    )
+    right = pa.table(
+        {"k": pa.array([None, 3, 4], pa.int64()), "rb": pa.array([5, 6, 7], pa.int64())}
+    )
+    got = (
+        full_outer_join(
+            ray.data.from_arrow(left), ray.data.from_arrow(right),
+            on="k", num_partitions=3,
+        )
+        .to_pandas()
+        .sort_values(["la", "rb"], na_position="last")
+        .reset_index(drop=True)
+    )
+    assert len(got) == 5  # 1-unmatched, NULL-left, 3-matched, NULL-right, 4-unmatched
+    nulls = got[got["k"].isna()]
+    assert len(nulls) == 2
+    assert (nulls["la"].isna() ^ nulls["rb"].isna()).all()  # never paired
