@@ -14,8 +14,9 @@ per-source aggregates are exact under any partitioning. A real float model
 drops in unchanged (the kernel is one dot product either way); only the
 oracle's equality guarantee would soften to a tolerance.
 
-Scale shape (100 TB): pure map + a |sources|-row groupby of partial sums —
-the corpus never shuffles; weights move once per actor, not per batch.
+Scale shape (100 TB): pure map emitting |sources|-row partial sums per
+batch, merged driver-side — the corpus never shuffles and nothing crosses
+an exchange; weights move once per actor, not per batch.
 """
 
 from __future__ import annotations
