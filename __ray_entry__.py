@@ -1759,6 +1759,44 @@ def _q_fingerprint_winnow(sf_dir: str):
     return winnow_fingerprints(_docs(sf_dir).select_columns(["doc_id", "text"]))
 
 
+def _q_curation_chain_stream(sf_dir: str):
+    """The FULL curation chain (repetition -> decontam -> dedup -> cap) as
+    ONE checkpointed exactly-once streaming runner
+    (pipelines/curation_stream.py): documents split into a 4-window log,
+    consumed in 2 micro-batches with per-shard seen-hash AND admission-count
+    state. With a doc_id-ordered log the streamed result equals the batch
+    chain, so the SQL twin is the batch CURATION_CHAIN oracle verbatim."""
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from scylla_cdc_source_connector_ray.pipelines.curation_stream import (
+        CurationStreamRunner,
+    )
+
+    docs = (
+        pq.read_table(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text", "source"],
+        )
+        .sort_by([("doc_id", "ascending")])
+    )
+    base, log = _scratch_window_log(docs, "scylla_cdc_curation_stream", sf_dir)
+    runner = CurationStreamRunner(
+        log,
+        num_shards=8,
+        sink_dir=os.path.join(base, "out"),
+        checkpoint_dir=os.path.join(base, "ckpt"),
+        cap_k=10,
+    )
+    try:
+        runner.run(files_per_batch=2)
+        return runner.read_output()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def _q_sample_weighted(sf_dir: str):
     """Weighted deterministic sampling: keep-rate proportional to n_chars
     (clamped nibble buckets of 16) — importance sampling with the shared
@@ -2015,6 +2053,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "model_quality_filter": _q_model_quality_filter,
         "sample_weighted": _q_sample_weighted,
         "embedding_quantize": _q_embedding_quantize,
+        "curation_chain_stream": _q_curation_chain_stream,
         # --- driver-certified in rounds 1-4 ---
         "cdc_capture_flat": _q_cdc_capture_flat,
         "cdc_op_counts": _q_cdc_op_counts,
@@ -2210,6 +2249,7 @@ def oracle_sql() -> dict[str, str]:
         "model_quality_filter": oracles.MODEL_QUALITY_FILTER,
         "sample_weighted": oracles.SAMPLE_WEIGHTED,
         "embedding_quantize": oracles.EMBEDDING_QUANTIZE,
+        "curation_chain_stream": oracles.CURATION_CHAIN,
         # batching must never change the result: the batch twin IS the oracle
         "dedup_segment_stream": oracles.DEDUP_SEGMENTS,
     }

@@ -302,6 +302,34 @@ def cmd_cap_stream(args) -> int:
     return 0
 
 
+def cmd_curation_stream(args) -> int:
+    """Streaming curation chain (repetition -> decontamination -> exact
+    dedup -> per-source cap) as ONE checkpointed exactly-once runner
+    (pipelines/curation_stream.py)."""
+    import ray
+
+    _init_ray(args)
+    from .pipelines.curation_stream import CurationStreamRunner
+
+    runner = CurationStreamRunner(
+        args.log_dir,
+        num_shards=args.num_shards,
+        sink_dir=args.out,
+        checkpoint_dir=args.checkpoint,
+        max_dup_micro=args.max_dup_micro,
+        cap_k=args.cap,
+        text_col=args.text_col,
+        id_col=args.id_col,
+        source_col=args.source_col,
+    )
+    totals = runner.run(
+        files_per_batch=args.files_per_batch, max_batches=args.max_batches
+    )
+    print(json.dumps({"ok": True, **totals, "out": args.out, "checkpoint": args.checkpoint}))
+    ray.shutdown()
+    return 0
+
+
 def cmd_hh_stream(args) -> int:
     """Streaming SpaceSaving heavy hitters over a windowed document log
     (one checkpointed m-counter summary; pipelines/hh_stream.py)."""
@@ -524,6 +552,20 @@ def main(argv=None) -> int:
     kp.add_argument("--poll-ms", type=int, default=1000)
     kp.add_argument("--idle-polls", type=int, default=3)
     kp.set_defaults(fn=cmd_cap_stream)
+    cu = sub.add_parser("curation-stream", help="streaming curation chain (filter+decontam+dedup+cap), exactly-once")
+    cu.add_argument("--log-dir", required=True)
+    cu.add_argument("--out", default="/tmp/scylla_cdc_ray/cur_out")
+    cu.add_argument("--checkpoint", default="/tmp/scylla_cdc_ray/cur_ckpt")
+    cu.add_argument("--cap", type=int, default=10, help="max admitted docs per source")
+    cu.add_argument("--max-dup-micro", type=int, default=60000)
+    cu.add_argument("--text-col", default="text")
+    cu.add_argument("--id-col", default="doc_id")
+    cu.add_argument("--source-col", default="source")
+    cu.add_argument("--num-shards", type=int, default=64)
+    cu.add_argument("--num-cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
+    cu.add_argument("--files-per-batch", type=int, default=4)
+    cu.add_argument("--max-batches", type=int, default=None)
+    cu.set_defaults(fn=cmd_curation_stream)
     hp = sub.add_parser("hh-stream", help="streaming SpaceSaving heavy-hitter tokens")
     hp.add_argument("--log-dir", required=True)
     hp.add_argument("--checkpoint", default="/tmp/scylla_cdc_ray/hh_ckpt")

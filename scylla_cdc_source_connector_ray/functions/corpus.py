@@ -16,6 +16,7 @@ rate applies to unique documents).
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -104,6 +105,29 @@ def quality_above_median(
     )
 
 
+def make_repetition_filter(
+    max_dup_micro: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+):
+    """Per-batch Gopher-style repetition filter (keep docs whose duplicate
+    2-gram fraction <= max_dup_micro ppm), projected to the curation
+    columns. Shared by the batch ``curation_chain`` and the streaming
+    ``CurationStreamRunner`` so the two can never drift."""
+    from .textops import repetition_stats
+
+    def rep_filter(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return b[[id_col, text_col, source_col]]
+        stats = repetition_stats(b, ngram=2, text_col=text_col, id_col=id_col)
+        ok = stats[stats["dup_micro"] <= max_dup_micro][id_col]
+        keep = b[id_col].isin(set(ok.tolist()))
+        return b.loc[keep, [id_col, text_col, source_col]]
+
+    return rep_filter
+
+
 class _DecontamFilter:
     """Contamination FILTER form of ``textops.ContaminationFlagger``: drops
     flagged rows instead of emitting flags (blocklist built once per actor,
@@ -144,20 +168,12 @@ def curation_chain(
     cap reuses ``top_k_per_group`` (partial prune before its one keyed
     exchange). Stage order is the conventional cheapest-reduction-first."""
     from .dedup import first_row_per_key, with_content_hash
-    from .textops import repetition_stats
     from ..stages.topk import top_k_per_group
 
-    import pandas as pd
-
-    def rep_filter(b: pd.DataFrame) -> pd.DataFrame:
-        if len(b) == 0:
-            return b[[id_col, text_col, source_col]]
-        stats = repetition_stats(b, ngram=2, text_col=text_col, id_col=id_col)
-        ok = stats[stats["dup_micro"] <= max_dup_micro][id_col]
-        keep = b[id_col].isin(set(ok.tolist()))
-        return b.loc[keep, [id_col, text_col, source_col]]
-
-    filtered = docs.map_batches(rep_filter, batch_format="pandas")
+    filtered = docs.map_batches(
+        make_repetition_filter(max_dup_micro, text_col, id_col, source_col),
+        batch_format="pandas",
+    )
     clean = filtered.map_batches(
         _DecontamFilter,
         batch_format="pandas",
