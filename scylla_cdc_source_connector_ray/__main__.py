@@ -322,9 +322,7 @@ def cmd_curation_stream(args) -> int:
         id_col=args.id_col,
         source_col=args.source_col,
     )
-    totals = runner.run(
-        files_per_batch=args.files_per_batch, max_batches=args.max_batches
-    )
+    totals = _run_or_tail(runner, args)
     print(json.dumps({"ok": True, **totals, "out": args.out, "checkpoint": args.checkpoint}))
     ray.shutdown()
     return 0
@@ -565,6 +563,9 @@ def main(argv=None) -> int:
     cu.add_argument("--num-cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
     cu.add_argument("--files-per-batch", type=int, default=4)
     cu.add_argument("--max-batches", type=int, default=None)
+    cu.add_argument("--tail", action="store_true", help="live tail: poll for new files")
+    cu.add_argument("--poll-ms", type=int, default=1000)
+    cu.add_argument("--idle-polls", type=int, default=3)
     cu.set_defaults(fn=cmd_curation_stream)
     hp = sub.add_parser("hh-stream", help="streaming SpaceSaving heavy-hitter tokens")
     hp.add_argument("--log-dir", required=True)
