@@ -343,3 +343,42 @@ def test_full_outer_join_null_keys_never_match():
     nulls = got[got["k"].isna()]
     assert len(nulls) == 2
     assert (nulls["la"].isna() ^ nulls["rb"].isna()).all()  # never paired
+
+
+def test_full_outer_join_random_property():
+    """Randomized multi-key equality vs pandas outer merge (non-null keys;
+    NULL-key semantics pinned separately above)."""
+    rng = np.random.default_rng(42)
+    for trial in range(3):
+        nl, nr = rng.integers(0, 40, 2)
+        left = pd.DataFrame(
+            {
+                "k": rng.integers(0, 8, nl).astype(np.int64),
+                "d": rng.integers(0, 3, nl).astype(np.int64),
+                "la": np.arange(nl, dtype=np.int64),
+            }
+        ).drop_duplicates(["k", "d"])  # aggregate-shaped sides: unique keys
+        right = pd.DataFrame(
+            {
+                "k": rng.integers(0, 8, nr).astype(np.int64),
+                "d": rng.integers(0, 3, nr).astype(np.int64),
+                "rb": np.arange(nr, dtype=np.int64),
+            }
+        ).drop_duplicates(["k", "d"])
+        if len(left) == 0 or len(right) == 0:
+            continue  # empty Dataset loses schema through from_pandas
+        from scylla_cdc_source_connector_ray.stages.join import full_outer_join
+
+        got = (
+            full_outer_join(
+                ray.data.from_pandas(left), ray.data.from_pandas(right),
+                on=("k", "d"), num_partitions=4,
+            )
+            .to_pandas()
+            .sort_values(["k", "d"]).reset_index(drop=True).astype("float64")
+        )
+        want = (
+            left.merge(right, on=["k", "d"], how="outer")
+            .sort_values(["k", "d"]).reset_index(drop=True).astype("float64")
+        )
+        pd.testing.assert_frame_equal(got, want)

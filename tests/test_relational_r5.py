@@ -803,3 +803,40 @@ def test_model_quality_filter_matches_generated_twin(tmp_path):
     pd.testing.assert_frame_equal(got, want, check_dtype=True)
     web = got.set_index("source").loc["web"]
     assert 0 < web["n_kept"] < web["n_total"]  # the threshold splits
+
+
+def test_score_documents_appends_exact_score(tmp_path):
+    """The non-aggregated inference API: score column equals the explicit
+    weight formula over the text_stats counts."""
+    from scylla_cdc_source_connector_ray.functions.inference import (
+        CHAR_CAP,
+        DEFAULT_WEIGHTS,
+        score_documents,
+    )
+    from scylla_cdc_source_connector_ray.functions.textops import text_stats
+
+    d = str(tmp_path)
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(4, dtype=np.int64),
+            "text": ["the cat and the dog!", "zz", None, "a " * 600],
+            "lang": ["en"] * 4,
+            "source": ["w"] * 4,
+            "n_chars": np.ones(4, np.int64),
+        }
+    )
+    pq.write_table(
+        pa.Table.from_pandas(docs, preserve_index=False),
+        os.path.join(d, "documents.parquet"),
+    )
+    ds = ray.data.read_parquet(os.path.join(d, "documents.parquet"))
+    got = score_documents(ds).to_pandas().sort_values("doc_id")
+    stats = text_stats(pa.Table.from_pandas(docs, preserve_index=False)).to_pandas()
+    want = (
+        DEFAULT_WEIGHTS["stat_words"] * stats["stat_words"]
+        + DEFAULT_WEIGHTS["stat_punct"] * stats["stat_punct"]
+        + DEFAULT_WEIGHTS["stat_stop"] * stats["stat_stop"]
+        + DEFAULT_WEIGHTS["stat_chars"] * np.minimum(stats["stat_chars"], CHAR_CAP)
+    )
+    assert got["score"].tolist() == want.tolist()
+    assert got["score"].dtype == np.int64
