@@ -1759,6 +1759,42 @@ def _q_fingerprint_winnow(sf_dir: str):
     return winnow_fingerprints(_docs(sf_dir).select_columns(["doc_id", "text"]))
 
 
+def _q_dedup_embedding_lsh_stream(sf_dir: str):
+    """Streaming arrival-order SRP-LSH suppression over the embeddings
+    table as a 4-window log in 2 micro-batches: a vector is admitted only
+    if no earlier vector shares a (table, signature) key — state is the
+    sorted int64 key set per shard, exact by construction (no hashing).
+    Oracle: the one-anti-join rule over the shared hyperplane literals."""
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from scylla_cdc_source_connector_ray.pipelines.embedding_stream import (
+        EmbeddingLshStreamRunner,
+    )
+
+    emb = (
+        pq.read_table(
+            os.path.join(sf_dir, "embeddings.parquet"),
+            columns=["vec_id", "embedding"],
+        )
+        .sort_by([("vec_id", "ascending")])
+    )
+    base, log = _scratch_window_log(emb, "scylla_cdc_emb_stream", sf_dir)
+    runner = EmbeddingLshStreamRunner(
+        log,
+        num_shards=8,
+        sink_dir=os.path.join(base, "out"),
+        checkpoint_dir=os.path.join(base, "ckpt"),
+    )
+    try:
+        runner.run(files_per_batch=2)
+        return runner.read_output().select(["vec_id"])
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def _q_curation_chain_stream(sf_dir: str):
     """The FULL curation chain (repetition -> decontam -> dedup -> cap) as
     ONE checkpointed exactly-once streaming runner
@@ -2054,6 +2090,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_weighted": _q_sample_weighted,
         "embedding_quantize": _q_embedding_quantize,
         "curation_chain_stream": _q_curation_chain_stream,
+        "dedup_embedding_lsh_stream": _q_dedup_embedding_lsh_stream,
         # --- driver-certified in rounds 1-4 ---
         "cdc_capture_flat": _q_cdc_capture_flat,
         "cdc_op_counts": _q_cdc_op_counts,
@@ -2250,6 +2287,7 @@ def oracle_sql() -> dict[str, str]:
         "sample_weighted": oracles.SAMPLE_WEIGHTED,
         "embedding_quantize": oracles.EMBEDDING_QUANTIZE,
         "curation_chain_stream": oracles.CURATION_CHAIN,
+        "dedup_embedding_lsh_stream": oracles.EMBEDDING_LSH_STREAM,
         # batching must never change the result: the batch twin IS the oracle
         "dedup_segment_stream": oracles.DEDUP_SEGMENTS,
     }

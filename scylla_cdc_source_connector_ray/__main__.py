@@ -328,6 +328,31 @@ def cmd_curation_stream(args) -> int:
     return 0
 
 
+def cmd_emb_stream(args) -> int:
+    """Streaming arrival-order SRP-LSH embedding near-dup filter
+    (pipelines/embedding_stream.py)."""
+    import ray
+
+    _init_ray(args)
+    from .pipelines.embedding_stream import EmbeddingLshStreamRunner
+
+    runner = EmbeddingLshStreamRunner(
+        args.log_dir,
+        num_shards=args.num_shards,
+        sink_dir=args.out,
+        checkpoint_dir=args.checkpoint,
+        vec_col=args.vec_col,
+        order_col=args.order_col,
+        n_tables=args.n_tables,
+        n_planes=args.n_planes,
+        dim=args.dim,
+    )
+    totals = _run_or_tail(runner, args)
+    print(json.dumps({"ok": True, **totals, "out": args.out, "checkpoint": args.checkpoint}))
+    ray.shutdown()
+    return 0
+
+
 def cmd_hh_stream(args) -> int:
     """Streaming SpaceSaving heavy hitters over a windowed document log
     (one checkpointed m-counter summary; pipelines/hh_stream.py)."""
@@ -567,6 +592,23 @@ def main(argv=None) -> int:
     cu.add_argument("--poll-ms", type=int, default=1000)
     cu.add_argument("--idle-polls", type=int, default=3)
     cu.set_defaults(fn=cmd_curation_stream)
+    ep = sub.add_parser("emb-stream", help="streaming SRP-LSH embedding near-dup filter")
+    ep.add_argument("--log-dir", required=True)
+    ep.add_argument("--out", default="/tmp/scylla_cdc_ray/emb_out")
+    ep.add_argument("--checkpoint", default="/tmp/scylla_cdc_ray/emb_ckpt")
+    ep.add_argument("--vec-col", default="embedding")
+    ep.add_argument("--order-col", default="vec_id")
+    ep.add_argument("--n-tables", type=int, default=4)
+    ep.add_argument("--n-planes", type=int, default=8)
+    ep.add_argument("--dim", type=int, default=64)
+    ep.add_argument("--num-shards", type=int, default=64)
+    ep.add_argument("--num-cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
+    ep.add_argument("--files-per-batch", type=int, default=4)
+    ep.add_argument("--max-batches", type=int, default=None)
+    ep.add_argument("--tail", action="store_true", help="live tail: poll for new files")
+    ep.add_argument("--poll-ms", type=int, default=1000)
+    ep.add_argument("--idle-polls", type=int, default=3)
+    ep.set_defaults(fn=cmd_emb_stream)
     hp = sub.add_parser("hh-stream", help="streaming SpaceSaving heavy-hitter tokens")
     hp.add_argument("--log-dir", required=True)
     hp.add_argument("--checkpoint", default="/tmp/scylla_cdc_ray/hh_ckpt")

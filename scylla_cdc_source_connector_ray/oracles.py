@@ -2429,3 +2429,26 @@ SELECT m.vec_id, m.n_dims, m.maxabs,
 FROM m LEFT JOIN q USING (vec_id)
 GROUP BY m.vec_id, m.n_dims, m.maxabs
 """
+
+
+#: pipelines/embedding_stream.py::EmbeddingLshStreamRunner — arrival-order
+#: SRP-LSH candidate suppression: a vector is dropped iff ANY earlier vector
+#: (lower vec_id) shares a (table, signature) key; earlier vectors count
+#: whether or not they were themselves kept (one anti-join, order-robust).
+#: Hyperplane literals shared with the batch DEDUP_EMBEDDING_LSH twin.
+EMBEDDING_LSH_STREAM = f"""
+WITH planes(t, p, vec) AS (VALUES {_lsh_plane_values()}),
+sig AS (
+    SELECT e.vec_id, pl.t,
+           CAST(sum(CASE WHEN list_dot_product(CAST(e.embedding AS DOUBLE[]), pl.vec) > 0
+                         THEN 1 << pl.p ELSE 0 END) AS BIGINT) AS s
+    FROM embeddings e CROSS JOIN planes pl
+    GROUP BY e.vec_id, pl.t
+),
+collided AS (
+    SELECT DISTINCT a.vec_id
+    FROM sig a JOIN sig b ON a.t = b.t AND a.s = b.s AND b.vec_id < a.vec_id
+)
+SELECT e.vec_id FROM embeddings e
+WHERE e.vec_id NOT IN (SELECT vec_id FROM collided)
+"""
