@@ -350,6 +350,31 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
 
         timed("dedup_stream_transcripts", _dedup_stream)
 
+        # the COMPOSED streaming curation chain over the same 2 windows:
+        # repetition filter + decontam + dedup + per-role cap through one
+        # exactly-once runner — measures the whole-chain state machinery at
+        # transcript volume (added round 5; keys are additive, older BENCH
+        # files simply lack it)
+        from scylla_cdc_source_connector_ray.pipelines.curation_stream import (
+            CurationStreamRunner,
+        )
+
+        def _curation_stream():
+            base = f"{scratch}/custream_run"
+            shutil.rmtree(base, ignore_errors=True)
+            CurationStreamRunner(
+                dlog,
+                num_shards=num_shards,
+                sink_dir=f"{base}/out",
+                checkpoint_dir=f"{base}/ckpt",
+                text_col="text",
+                id_col="seq",
+                source_col="role",
+                cap_k=100_000,
+            ).run(files_per_batch=1)
+
+        timed("curation_stream_transcripts", _curation_stream)
+
         # segment-level dedup over the same 2 windows: decision plane +
         # reassembly at transcript volume (documents is tiny at every sf)
         from scylla_cdc_source_connector_ray.functions.dedup import segment_dedup

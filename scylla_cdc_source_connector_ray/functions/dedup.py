@@ -545,24 +545,46 @@ def _batch_gram_hashes(texts, n: int) -> tuple[np.ndarray, np.ndarray]:
     return flat, offsets
 
 
+def _batch_word_hashes(texts) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """The TOKENIZE+HASH half of :func:`_batch_gram_hashes_lens`: lower +
+    RE2-class whitespace split + md5-per-unique-word (the expensive pass).
+    Returns (word hash per occurrence, per-doc word counts, word offsets
+    len D+1). Callers needing several n-gram views of one batch (the fused
+    repetition+decontamination filter) pay this ONCE and fold each view
+    with :func:`_fold_gram_view`."""
+    words_per_doc = [_ws_split(t.lower()) for t in texts]
+    lens = np.array([len(w) for w in words_per_doc], dtype=np.int64)
+    D = len(lens)
+    word_off = np.zeros(D + 1, dtype=np.int64)
+    np.cumsum(lens, out=word_off[1:])
+    flat_words = [w for ws in words_per_doc for w in ws]
+    if not flat_words:
+        return np.zeros(0, dtype=np.uint64), lens, word_off
+    codes, uniques = pd.factorize(np.asarray(flat_words, dtype=object), sort=False)
+    wh = _word_hashes_vec(uniques)[codes]  # per occurrence, already mod M
+    return wh, lens, word_off
+
+
 def _batch_gram_hashes_lens(
     texts, n: int
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """As :func:`_batch_gram_hashes`, additionally returning the per-doc WORD
     counts — callers that need window totals (repetition scoring) must not
     re-run the lower+regex tokenization this function already paid for."""
-    words_per_doc = [_ws_split(t.lower()) for t in texts]
-    lens = np.array([len(w) for w in words_per_doc], dtype=np.int64)
+    wh, lens, word_off = _batch_word_hashes(texts)
+    grams, offsets = _fold_gram_view(wh, lens, word_off, n)
+    return grams, offsets, lens
+
+
+def _fold_gram_view(
+    wh: np.ndarray, lens: np.ndarray, word_off: np.ndarray, n: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """The FOLD half: n-gram polynomial fold + per-doc dedup over a
+    pre-tokenized batch (cheap numpy; no Python loops). Returns (flat
+    per-doc-unique gram hashes, doc offsets len D+1)."""
     D = len(lens)
-    flat_words = [w for ws in words_per_doc for w in ws]
-    if not flat_words:
-        return np.zeros(0, dtype=np.uint64), np.zeros(D + 1, dtype=np.int64), lens
-    codes, uniques = pd.factorize(np.asarray(flat_words, dtype=object), sort=False)
-    uh = _word_hashes_vec(uniques)
-    wh = uh[codes]  # word hash per occurrence, already mod M
-    doc_of_word = np.repeat(np.arange(D), lens)
-    word_off = np.zeros(D + 1, dtype=np.int64)
-    np.cumsum(lens, out=word_off[1:])
+    if len(wh) == 0:
+        return np.zeros(0, dtype=np.uint64), np.zeros(D + 1, dtype=np.int64)
 
     # full n-windows: starts whose window stays inside one doc (L >= n)
     full = lens >= n
@@ -597,7 +619,7 @@ def _batch_gram_hashes_lens(
     grams, gdoc = grams[keep], gdoc[keep]
     offsets = np.zeros(D + 1, dtype=np.int64)
     np.cumsum(np.bincount(gdoc, minlength=D), out=offsets[1:])
-    return grams, offsets, lens
+    return grams, offsets
 
 
 def _batch_gram_positional(texts, n: int) -> tuple[np.ndarray, np.ndarray]:

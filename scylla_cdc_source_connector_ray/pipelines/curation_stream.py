@@ -144,7 +144,7 @@ class CurationStreamRunner:
 
     # -------------------------------------------------------------- batches
     def _process_batch(self, batch_id: int, bfiles: list[str]) -> list[dict]:
-        from ..functions.corpus import _DecontamFilter, make_repetition_filter
+        from ..functions.corpus import RepDecontamFilter
         from ..schema import shard_of
 
         text_col, id_col, source_col = self.text_col, self.id_col, self.source_col
@@ -153,9 +153,6 @@ class CurationStreamRunner:
         sink_dir = self.sink_dir
         seen_kind, cap_kind = self.SEEN_KIND, self.CAP_KIND
 
-        rep_filter = make_repetition_filter(
-            self.max_dup_micro, text_col, id_col, source_col
-        )
 
         def hash_route(b: pd.DataFrame) -> pd.DataFrame:
             # text is consumed HERE: only (hash words, id, source) cross the
@@ -326,12 +323,17 @@ class CurationStreamRunner:
         ds = ray.data.read_parquet(bfiles, override_num_blocks=2 * num_shards)
         ds = ds.repartition(2 * num_shards, shuffle=False)
         return (
-            ds.map_batches(rep_filter, batch_format="pandas")
-            .map_batches(
-                _DecontamFilter,
+            ds.map_batches(
+                RepDecontamFilter,
                 batch_format="pandas",
-                concurrency=(1, 4),
-                fn_constructor_kwargs={"text_col": text_col, "id_col": id_col},
+                # one actor pool for the whole gram-hashing front-end
+                concurrency=(1, 16),
+                fn_constructor_kwargs={
+                    "max_dup_micro": self.max_dup_micro,
+                    "text_col": text_col,
+                    "id_col": id_col,
+                    "source_col": source_col,
+                },
             )
             .map_batches(hash_route, batch_format="pandas")
             .groupby("_shard")
