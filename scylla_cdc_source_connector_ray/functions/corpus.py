@@ -167,50 +167,6 @@ class RepDecontamFilter:
         return b.loc[keep, cols]
 
 
-def make_repetition_filter(
-    max_dup_micro: int,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    source_col: str = "source",
-):
-    """Per-batch Gopher-style repetition filter (keep docs whose duplicate
-    2-gram fraction <= max_dup_micro ppm), projected to the curation
-    columns. Shared by the batch ``curation_chain`` and the streaming
-    ``CurationStreamRunner`` so the two can never drift."""
-    from .textops import repetition_stats
-
-    def rep_filter(b: pd.DataFrame) -> pd.DataFrame:
-        if len(b) == 0:
-            return b[[id_col, text_col, source_col]]
-        stats = repetition_stats(b, ngram=2, text_col=text_col, id_col=id_col)
-        ok = stats[stats["dup_micro"] <= max_dup_micro][id_col]
-        keep = b[id_col].isin(set(ok.tolist()))
-        return b.loc[keep, [id_col, text_col, source_col]]
-
-    return rep_filter
-
-
-class _DecontamFilter:
-    """Contamination FILTER form of ``textops.ContaminationFlagger``: drops
-    flagged rows instead of emitting flags (blocklist built once per actor,
-    rows never leave the task)."""
-
-    def __init__(
-        self, ngram: int = 3, text_col: str = "text", id_col: str = "doc_id"
-    ):
-        from .textops import ContaminationFlagger
-
-        self._flag = ContaminationFlagger(
-            ngram=ngram, text_col=text_col, id_col=id_col
-        )
-
-    def __call__(self, b):
-        if len(b) == 0:
-            return b
-        flags = self._flag(b)
-        return b[flags["contaminated"].to_numpy() == 0]
-
-
 def curation_chain(
     docs: ray.data.Dataset,
     max_dup_micro: int = 60_000,
