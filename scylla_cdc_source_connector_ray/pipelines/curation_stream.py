@@ -230,7 +230,16 @@ class CurationStreamRunner:
                     }
                 )
             key = t[source_col]
-            if pa.types.is_large_string(key.type):
+            # an all-null pandas block types source as NULL; a large_string
+            # block as large_string — normalize both to string so the
+            # saturated-set is_in cast and the state schema stay stable
+            if pa.types.is_null(key.type):
+                t = t.set_column(
+                    t.schema.get_field_index(source_col),
+                    source_col,
+                    pa.nulls(t.num_rows, pa.string()),
+                )
+            elif pa.types.is_large_string(key.type):
                 t = t.set_column(
                     t.schema.get_field_index(source_col),
                     source_col,

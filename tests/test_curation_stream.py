@@ -128,3 +128,27 @@ def test_resume_pin_guard(tmp_path):
     r.run(files_per_batch=2, max_batches=1)
     with pytest.raises(ValueError, match="cap_k"):
         _runner(tmp, log, name="p", cap_k=7).run(files_per_batch=2)
+
+
+def test_null_sources_flow_through_chain(tmp_path):
+    """NULL source docs: pass the filters, dedup normally, and form ONE cap
+    group (SQL PARTITION BY treats NULL as an ordinary group)."""
+    tmp = str(tmp_path)
+    rng = np.random.default_rng(11)
+    words = np.array([f"w{i}" for i in range(40)], dtype=object)
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(12, dtype=np.int64),
+            # distinct words per doc: all 2-grams unique -> repetition passes
+            "text": [" ".join(rng.permutation(words)[:9]) for _ in range(12)],
+            "source": [None if i % 3 == 0 else "s" for i in range(12)],
+        }
+    )
+    log = _write_log(tmp, df, nf=2)
+    r = _runner(tmp, log, name="n", cap_k=2)
+    r.run(files_per_batch=1)
+    out = r.read_output().to_pandas()
+    nulls = out[out["source"].isna()]
+    assert len(nulls) == 2 and sorted(nulls["rank"]) == [1, 2]  # capped as one group
+    named = out[out["source"] == "s"]
+    assert len(named) == 2 and sorted(named["rank"]) == [1, 2]
