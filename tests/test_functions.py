@@ -1316,6 +1316,32 @@ def test_segment_strings_vec_matches_scalar_reference():
         assert (got_counts == want_counts).all(), S
 
 
+def test_batch_word_hashes_vec_matches_scalar_reference():
+    # the vectorized tokenizer (polars to_lowercase+extract_all + arrow
+    # dictionary_encode) must produce the identical (hash stream, lens,
+    # offsets) as the per-doc Python reference — incl. Unicode full case
+    # mapping (İ → i+combining dot, ẞ → ß, final sigma), \v and NBSP
+    # staying INSIDE words, and empty/whitespace-only docs
+    rng = np.random.default_rng(11)
+    vocab = np.array(
+        ["ab", "c\x0bd", "e f", "İstanbul", "STRASSE", "ẞ", "ΣΟΦΟΣ",
+         "MiXeD", "ÇĞÜ", "ﬁlm", "x!", "42", "word"],
+        dtype=object,
+    )
+    texts = [
+        " ".join(rng.choice(vocab, rng.integers(0, 12))) for _ in range(300)
+    ] + ["", "   ", "\t\n", "one two three"]
+    want = D._batch_word_hashes_ref(texts)
+    got = D._batch_word_hashes(texts)
+    for w, g in zip(want, got):
+        assert np.array_equal(w, g)
+    # positional grams route through the same tokenizer
+    for n in (1, 2, 3):
+        wg, wc = D._batch_gram_positional(texts, n)
+        assert len(wg) == int(np.maximum(want[1] - n + 1, 0).sum())
+        assert np.array_equal(wc, np.maximum(want[1] - n + 1, 0))
+
+
 def test_weighted_sample_matches_nibble_rule_and_drops_null_weights():
     df = pd.DataFrame(
         {
