@@ -904,6 +904,21 @@ def _q_quality_repetition(sf_dir: str):
     )
 
 
+def _q_unigram_surprise(sf_dir: str):
+    """Unigram-LM surprise (CCNet perplexity-filter analogue): train
+    add-one unigram counts over the corpus (one vocab-bounded exchange),
+    broadcast the model, score every doc in integer micro-units."""
+    import ray.data
+
+    from scylla_cdc_source_connector_ray.functions.textops import unigram_surprise
+
+    return unigram_surprise(
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+    )
+
+
 def _q_decontaminate(sf_dir: str):
     """Benchmark decontamination: flag docs sharing any word 3-gram with
     the fixed benchmark phrase set (broadcast blocklist, np.isin probe)."""
@@ -2162,6 +2177,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": _q_lang_id,
         "multimodal_frame_plan": _q_multimodal_frame_plan,
         "multimodal_resize_dims": _q_multimodal_resize_dims,
+        "quality_unigram_surprise": _q_unigram_surprise,
     }
 
 
@@ -2256,6 +2272,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": oracles.LANG_ID,
         "multimodal_frame_plan": oracles.MULTIMODAL_FRAME_PLAN,
         "multimodal_resize_dims": oracles.MULTIMODAL_RESIZE_DIMS,
+        "quality_unigram_surprise": oracles.UNIGRAM_SURPRISE,
         "dedup_minhash_lsh": oracles.DEDUP_MINHASH_LSH,
         "dedup_ngram_jaccard": oracles.DEDUP_NGRAM_JACCARD,
         "dedup_clusters": oracles.DEDUP_CLUSTERS,

@@ -726,3 +726,141 @@ def inverted_index(
         .groupby("_pid")
         .map_groups(postings, batch_format="pandas")
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM surprise: the CCNet perplexity-filter analogue, integer-exact
+# ---------------------------------------------------------------------------
+class UnigramScorer:
+    """Actor-pool scoring stage for :func:`unigram_surprise`: the broadcast
+    model (sorted word-hash vocabulary + counts + totals) is fetched from
+    the object store ONCE per actor; each batch tokenizes through the
+    shared vectorized kernel and scores with numpy lookups only."""
+
+    def __init__(self, model_ref, text_col: str, id_col: str):
+        import ray
+
+        wh, counts, n_total, v_size = ray.get(model_ref)
+        self.wh = wh  # sorted uint64 vocabulary hashes
+        self.counts = counts  # uint64 corpus counts, aligned with wh
+        self.scale = np.uint64((int(n_total) + int(v_size)) * 1_000_000)
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        from .dedup import _batch_word_hashes
+
+        ids = t[self.id_col]
+        texts = pl.from_arrow(
+            t[self.text_col].combine_chunks()
+            if isinstance(t[self.text_col], pa.ChunkedArray)
+            else t[self.text_col]
+        )
+        wh, lens, word_off = _batch_word_hashes(texts)
+        if len(wh):
+            idx = np.searchsorted(self.wh, wh)
+            # OOV (only possible under a truncated max_vocab model) scores
+            # with count 0 — the add-one prior alone
+            idx_c = np.minimum(idx, len(self.wh) - 1)
+            c = np.where(self.wh[idx_c] == wh, self.counts[idx_c], np.uint64(0))
+            ip = self.scale // (c + np.uint64(1))  # inverse add-one prob, micro
+            doc_sum = np.add.reduceat(
+                np.concatenate([ip, np.zeros(1, np.uint64)]),
+                np.minimum(word_off[:-1], len(ip)),
+            )
+            doc_sum[lens == 0] = 0
+        else:
+            doc_sum = np.zeros(len(lens), dtype=np.uint64)
+        surprise = np.where(
+            lens > 0, doc_sum // np.maximum(lens, 1).astype(np.uint64), 0
+        ).astype(np.int64)
+        return pa.table(
+            {
+                self.id_col: ids,
+                "n_words": pa.array(lens, pa.int64()),
+                "surprise_micro": pa.array(surprise, pa.int64()),
+            }
+        )
+
+
+def unigram_surprise(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_vocab: int | None = None,
+) -> ray.data.Dataset:
+    """Unigram language-model surprise per document — the integer-exact
+    analogue of CCNet's KenLM perplexity filter (train a small LM on the
+    corpus/reference, score every document, gate on the score). Reference
+    semantics: scylla-cdc-source-connector has no text-quality surface; this is
+    north-star curation API (SURVEY §2 "beyond the reference" family).
+
+    Model: add-one-smoothed unigram over the corpus itself. Per token
+    ``ip = (N + V) * 1_000_000 // (c(w) + 1)`` (inverse probability in
+    micro-units, integer), per document ``surprise_micro = Σip // L`` —
+    monotone in unigram perplexity but exact-integer end to end, so the
+    DuckDB twin matches by construction (no libm log divergence). Empty
+    docs score 0 with ``n_words`` 0. Tokens/hashes are the shared gram
+    kernel (lower + ``_WS_CHARS`` split + md5 mod 2^61-1).
+
+    Scale shape (100 TB): pass 1 pre-aggregates (word-hash, count) per
+    block — the one keyed exchange carries unique-words-per-block rows,
+    never tokens — and the model reaches the driver vocabulary-bounded
+    (the token_topk cost family; ``max_vocab`` keeps the top-``max_vocab``
+    counts (count DESC, hash ASC) and lets the tail score as OOV when the
+    full vocabulary would not fit a broadcast — approximate then, exact
+    and SQL-gated at ``None``). Pass 2 broadcasts the model via
+    ``ray.put`` once and scores in an actor pool; per-batch work is the
+    vectorized tokenizer + one searchsorted. Overflow bound: requires
+    ``(N + V) * 1e6 < 2^63`` (N ≈ 9.2e12 corpus tokens per model; shard
+    the model's training slice past that)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from .dedup import _batch_word_hashes
+
+    def partial_counts(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        texts = pl.from_arrow(
+            t[text_col].combine_chunks()
+            if isinstance(t[text_col], pa.ChunkedArray)
+            else t[text_col]
+        )
+        wh, _, _ = _batch_word_hashes(texts)
+        u, c = np.unique(wh, return_counts=True)
+        return pa.table(
+            {"wh": pa.array(u.astype(np.int64)), "c": pa.array(c.astype(np.int64))}
+        )
+
+    totals = (
+        ds.map_batches(partial_counts, batch_format="pyarrow")
+        .groupby("wh")
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+    )
+    n_total = int(totals["c"].sum())
+    v_size = len(totals)
+    if max_vocab is not None and v_size > max_vocab:
+        totals = totals.sort_values(
+            ["c", "wh"], ascending=[False, True], kind="mergesort"
+        ).head(max_vocab)
+    totals = totals.sort_values("wh", kind="mergesort")
+    wh = totals["wh"].to_numpy().astype(np.uint64)
+    counts = totals["c"].to_numpy().astype(np.uint64)
+    if (n_total + v_size) * 1_000_000 >= 1 << 63:
+        raise ValueError("unigram_surprise: corpus too large for the integer "
+                         "micro-unit scale; train the model on a slice")
+    model_ref = ray.put((wh, counts, n_total, v_size))
+    return ds.map_batches(
+        UnigramScorer,
+        fn_constructor_kwargs={
+            "model_ref": model_ref,
+            "text_col": text_col,
+            "id_col": id_col,
+        },
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )

@@ -2452,3 +2452,29 @@ collided AS (
 SELECT e.vec_id FROM embeddings e
 WHERE e.vec_id NOT IN (SELECT vec_id FROM collided)
 """
+
+
+#: unigram-LM surprise twin (functions.textops.unigram_surprise, full-vocab
+#: mode): add-one-smoothed inverse probability in integer micro-units —
+#: per token ip = (N+V)*1e6 // (c+1), per doc surprise = sum(ip) // L. All
+#: integer arithmetic (HUGEINT), so the engine matches bit-exactly with no
+#: libm-log divergence; empty docs score 0 with n_words 0.
+UNIGRAM_SURPRISE = f"""
+WITH d AS (SELECT doc_id, trim(lower(coalesce(text, ''))) AS t FROM documents),
+w AS (SELECT doc_id,
+        CASE WHEN t = '' THEN [] ELSE regexp_split_to_array(t, '\\s+') END AS ws
+      FROM d),
+tok AS (SELECT doc_id,
+          unnest(list_transform(ws, x -> CAST(md5_number_upper(x) AS HUGEINT) % {_M})) AS wh
+        FROM w WHERE len(ws) > 0),
+counts AS (SELECT wh, count(*) AS c FROM tok GROUP BY wh),
+tot AS (SELECT sum(c) AS n, count(*) AS v FROM counts),
+scored AS (SELECT t.doc_id, count(*) AS L,
+                  sum((tot.n + tot.v) * 1000000 // (c.c + 1)) AS s
+           FROM tok t JOIN counts c USING (wh) CROSS JOIN tot
+           GROUP BY t.doc_id)
+SELECT dd.doc_id,
+       CAST(coalesce(s.L, 0) AS BIGINT) AS n_words,
+       CAST(coalesce(s.s // s.L, 0) AS BIGINT) AS surprise_micro
+FROM documents dd LEFT JOIN scored s ON s.doc_id = dd.doc_id
+"""

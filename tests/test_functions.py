@@ -1406,3 +1406,61 @@ def test_embedding_quantize_matches_duckdb_twin(tmp_path):
     assert z.loc[3, ["q_sum", "q_norm"]].tolist() == [0, 0]
     assert z.loc[4, "n_dims"] == 0 and z.loc[4, "maxabs"] == 0.0
     assert z.loc[5, "q_norm"] == 127 * 127 * 2 + 64 * 64  # -127, 127, 64
+
+
+def test_unigram_surprise_brute_force_and_max_vocab():
+    from scylla_cdc_source_connector_ray.functions.textops import unigram_surprise
+
+    texts = [
+        "the cat sat on the mat",
+        "the the the",
+        "rare unique tokens here",
+        "",
+        "   ",
+        None,
+        "the cat",
+    ]
+    ids = list(range(len(texts)))
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": ids, "text": pd.Series(texts, dtype=object)})
+    ).repartition(3)
+    got = (
+        unigram_surprise(ds)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+    # brute-force reference: add-one inverse probability in micro units
+    from collections import Counter
+
+    tok = [D._ws_split((t or "").lower()) for t in texts]
+    cnt = Counter(w for ws in tok for w in ws)
+    N, V = sum(cnt.values()), len(cnt)
+    for i, ws in enumerate(tok):
+        row = got.loc[i]
+        assert row["n_words"] == len(ws)
+        if not ws:
+            assert row["surprise_micro"] == 0
+        else:
+            want = sum((N + V) * 1_000_000 // (cnt[w] + 1) for w in ws) // len(ws)
+            assert row["surprise_micro"] == want, texts[i]
+    # repeated common words are less surprising than rare ones
+    assert got.loc[1, "surprise_micro"] < got.loc[2, "surprise_micro"]
+
+    # max_vocab: only the top-2 words keep counts; everything else is OOV
+    # (count 0 -> the add-one prior alone, the maximal per-token surprise)
+    got2 = (
+        unigram_surprise(ds, max_vocab=2)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    top2 = dict(sorted(cnt.items(), key=lambda kv: (-kv[1], D._word_hash(kv[0])))[:2])
+    for i, ws in enumerate(tok):
+        if not ws:
+            continue
+        want = sum(
+            (N + V) * 1_000_000 // (top2.get(w, 0) + 1) for w in ws
+        ) // len(ws)
+        assert got2.loc[i, "surprise_micro"] == want, texts[i]
