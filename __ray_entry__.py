@@ -919,6 +919,23 @@ def _q_unigram_surprise(sf_dir: str):
     )
 
 
+def _q_dedup_substrings(sf_dir: str):
+    """Repeated-substring span removal (Lee et al. ACL'22 analogue): every
+    word 8-gram occurrence after the corpus-wide first covers its span;
+    uncovered words re-join. Gram-keyed decision exchange (24 B/instance,
+    within-block repeats short-circuit), doc-keyed reassembly."""
+    import ray.data
+
+    from scylla_cdc_source_connector_ray.functions.dedup import substring_dedup
+
+    return substring_dedup(
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        ),
+        k=8,
+    )
+
+
 def _q_decontaminate(sf_dir: str):
     """Benchmark decontamination: flag docs sharing any word 3-gram with
     the fixed benchmark phrase set (broadcast blocklist, np.isin probe)."""
@@ -2178,6 +2195,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_frame_plan": _q_multimodal_frame_plan,
         "multimodal_resize_dims": _q_multimodal_resize_dims,
         "quality_unigram_surprise": _q_unigram_surprise,
+        "dedup_substrings": _q_dedup_substrings,
     }
 
 
@@ -2273,6 +2291,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_frame_plan": oracles.MULTIMODAL_FRAME_PLAN,
         "multimodal_resize_dims": oracles.MULTIMODAL_RESIZE_DIMS,
         "quality_unigram_surprise": oracles.UNIGRAM_SURPRISE,
+        "dedup_substrings": oracles.SUBSTRING_DEDUP,
         "dedup_minhash_lsh": oracles.DEDUP_MINHASH_LSH,
         "dedup_ngram_jaccard": oracles.DEDUP_NGRAM_JACCARD,
         "dedup_clusters": oracles.DEDUP_CLUSTERS,

@@ -426,6 +426,186 @@ def _seg_reassemble_part(b: pd.DataFrame, seg_words: int) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# repeated-substring span removal — the Lee et al. (ACL'22 "Deduplicating
+# Training Data Makes Language Models Better") analogue over word k-grams:
+# every k-word span whose k-gram occurs anywhere EARLIER in the corpus
+# (ordered by (doc_id, position)) is cut; the global first occurrence stays.
+# ---------------------------------------------------------------------------
+
+
+def substring_dedup(
+    ds: ray.data.Dataset,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_parts: int = 64,
+    num_gram_parts: int = 256,
+) -> ray.data.Dataset:
+    """Sub-document repeated-substring removal: for every word ``k``-gram
+    with more than one occurrence corpus-wide, all occurrences except the
+    global first (min (doc_id, position)) mark their ``k``-word span as
+    duplicate; covered words are removed and the survivors re-joined in
+    order. Output per non-empty doc: ``(doc_id, text_dedup, n_words_kept,
+    n_words_total)``, ``text_dedup`` NULL when everything was covered.
+    Grams are computed on lowered text (the shared gram kernel); the cut
+    spans re-join the ORIGINAL-case words (case mapping never produces
+    whitespace, so positions align).
+
+    Scale shape (100 TB): substring dedup is inherently global over token
+    INSTANCES (Lee et al. build a corpus-wide suffix array); here the
+    decision plane is 24 B per gram instance through ONE coarse gram-keyed
+    exchange — minus within-block repeats, which short-circuit straight to
+    the reassembly exchange as local cuts (on duplicate-heavy corpora, the
+    case that matters, most instances never reach the gram exchange). Text
+    crosses only the doc-keyed reassembly exchange, once, exactly like
+    :func:`segment_dedup` (same carrier/reassembly kernels). Both
+    exchanges are coarse hash partitions, never per-key dispatch."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+
+    def decisions(b: pd.DataFrame) -> pa.Table:
+        texts = b[text_col].fillna("")
+        gh, counts = _batch_gram_positional(list(texts), k)
+        ids = b[id_col].to_numpy(np.int64)
+        if len(ids) and (ids.min() < 0 or ids.max() >= (1 << (63 - _SEG_IDX_BITS))):
+            raise ValueError(f"{id_col} must fit [0, 2^43) for the packed key")
+        if len(counts) and counts.max() >= (1 << _SEG_IDX_BITS):
+            raise ValueError(
+                f"a document has {counts.max()} gram positions; the packed "
+                f"key holds at most 2^{_SEG_IDX_BITS} — split the document"
+            )
+        pk = (np.repeat(ids, counts) << _SEG_IDX_BITS) | _ranges(counts)
+        order = np.lexsort((pk, gh))
+        gh, pk = gh[order], pk[order]
+        first = np.ones(len(gh), dtype=bool)
+        first[1:] = gh[1:] != gh[:-1]
+        # block-first occurrences compete globally; later in-block repeats
+        # are ALREADY cuts (global min <= block min) and route straight to
+        # their reassembly partition, skipping the gram exchange
+        ship_gh = gh[first].view(np.int64)
+        ship_pk = pk[first]
+        cut_pk = pk[~first]
+        cut_doc = (cut_pk >> _SEG_IDX_BITS).astype(np.uint64)
+        return pa.table(
+            {
+                "_gh": pa.array(
+                    np.concatenate([ship_gh, np.full(len(cut_pk), -1, np.int64)])
+                ),
+                "_pk": pa.array(np.concatenate([ship_pk, cut_pk])),
+                "_hpid": pa.array(
+                    np.concatenate(
+                        [
+                            (gh[first] * _SAMPLE_MIX) % np.uint64(num_gram_parts),
+                            np.uint64(num_gram_parts)
+                            + (cut_doc * _SAMPLE_MIX) % np.uint64(num_parts),
+                        ]
+                    ).astype(np.int64)
+                ),
+            }
+        )
+
+    def gram_part(g: pd.DataFrame) -> pa.Table:
+        if len(g) == 0:
+            return _seg_unpack_table(np.zeros(0, np.int64), num_parts)
+        pk = g["_pk"].to_numpy()
+        if int(g["_hpid"].iloc[0]) >= num_gram_parts:
+            return _seg_unpack_table(pk, num_parts)  # pre-decided local cuts
+        gh = g["_gh"].to_numpy()
+        order = np.lexsort((pk, gh))
+        gh, pk = gh[order], pk[order]
+        first = np.ones(len(gh), dtype=bool)
+        first[1:] = gh[1:] != gh[:-1]
+        return _seg_unpack_table(pk[~first], num_parts)
+
+    cuts = (
+        ds.map_batches(decisions, batch_format="pandas")
+        .groupby("_hpid")
+        .map_groups(gram_part, batch_format="pandas")
+        .repartition(num_parts, shuffle=False)  # many tiny winner blocks
+    )
+    docs = ds.map_batches(
+        lambda b: _seg_doc_rows_table(b, text_col, id_col, num_parts),
+        batch_format="pandas",
+    )
+    return (
+        cuts.union(docs)
+        .groupby("_pid")
+        .map_groups(
+            lambda b: _substring_reassemble_part(b, k), batch_format="pandas"
+        )
+    )
+
+
+def _substring_reassemble_part(b: pd.DataFrame, k: int) -> pd.DataFrame:
+    """Partition-local span cutting: re-split each doc row's text into words
+    (the segment kernel at span 1), mark every word covered by a cut gram's
+    ``[pos, pos+k)`` window via one difference-array pass, and re-join the
+    uncovered words per doc. Same input contract as
+    :func:`_seg_reassemble_part` (doc rows ``seg_idx=-1`` unioned with cut
+    rows ``seg_idx`` = 0-based gram position, shared ``_pid``)."""
+    if len(b) == 0:
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype="int64"),
+                "text_dedup": pd.Series([], dtype="object"),
+                "n_words_kept": pd.Series([], dtype="int64"),
+                "n_words_total": pd.Series([], dtype="int64"),
+            }
+        )
+    b = b.sort_values(["doc_id", "seg_idx"])
+    ids = b["doc_id"].to_numpy()
+    pos = b["seg_idx"].to_numpy()
+    is_doc = pos == -1
+    starts = np.flatnonzero(np.r_[True, ids[1:] != ids[:-1]])
+    docs_per_run = np.add.reduceat(is_doc.astype(np.int64), starts)
+    if (docs_per_run != 1).any():
+        bad = ids[starts[(docs_per_run != 1).argmax()]]
+        raise ValueError(
+            f"substring_dedup: doc {bad!r} has {docs_per_run.max()} carrier "
+            "rows — document ids must be unique (or a cut lost its doc row)"
+        )
+    doc_idx = np.flatnonzero(is_doc)
+    doc_ids = ids[doc_idx].astype(np.int64)
+    texts = pd.Series(b["text"].to_numpy()[doc_idx]).fillna("")
+    words, nw = _segment_strings_vec(texts, 1)  # span 1 == the words
+    base = np.zeros(len(nw) + 1, np.int64)
+    np.cumsum(nw, out=base[1:])
+    total = int(base[-1])
+    cut_doc = ids[~is_doc]
+    cut_pos = pos[~is_doc]
+    di = np.searchsorted(doc_ids, cut_doc)  # doc_ids sorted (b sorted)
+    diff = np.zeros(total + 1, np.int64)
+    np.add.at(diff, base[di] + cut_pos, 1)
+    np.add.at(diff, base[di] + np.minimum(cut_pos + k, nw[di]), -1)
+    kept = np.cumsum(diff[:-1]) <= 0
+    kcnt = (
+        np.add.reduceat(kept.astype(np.int64), base[:-1])
+        if total
+        else np.zeros(len(nw), np.int64)
+    )
+    kcnt[nw == 0] = 0  # reduceat artifacts on empty docs (carrier rows are
+    # non-empty by construction, but keep the kernel total)
+    koff = np.zeros(len(doc_ids) + 1, np.int64)
+    np.cumsum(kcnt, out=koff[1:])
+    kept_words = words.filter(pa.array(kept))
+    if isinstance(kept_words, pa.ChunkedArray):
+        kept_words = kept_words.combine_chunks()
+    joined = pc.binary_join(
+        pa.LargeListArray.from_arrays(pa.array(koff, pa.int64()), kept_words),
+        pa.scalar(" ", kept_words.type),
+    )
+    out_text = pc.if_else(pa.array(kcnt > 0), joined, pa.nulls(len(kcnt), joined.type))
+    return pd.DataFrame(
+        {
+            "doc_id": pd.Series(doc_ids, dtype="int64"),
+            "text_dedup": pd.Series(out_text.to_pandas(), dtype="object"),
+            "n_words_kept": pd.Series(kcnt, dtype="int64"),
+            "n_words_total": pd.Series(nw, dtype="int64"),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
 # shingles + MinHash
 # ---------------------------------------------------------------------------
 

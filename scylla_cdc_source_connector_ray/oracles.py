@@ -2478,3 +2478,59 @@ SELECT dd.doc_id,
        CAST(coalesce(s.s // s.L, 0) AS BIGINT) AS surprise_micro
 FROM documents dd LEFT JOIN scored s ON s.doc_id = dd.doc_id
 """
+
+
+def _substring_fold_expr(k: int) -> str:
+    """k-term polynomial gram fold over wh[i..i+k-1], mod applied per step —
+    textually mirrors dedup._addmod's fold order."""
+    e = "wh[i]"
+    for j in range(1, k):
+        e = f"({e} * {_B} + wh[i+{j}]) % {_M}"
+    return e
+
+
+def substring_dedup_sql(k: int = 8) -> str:
+    """Twin of functions.dedup.substring_dedup over documents: every word
+    k-gram occurrence after the global first (ORDER BY doc_id, position)
+    covers its k-word span; uncovered words re-join in order. All-integer
+    gram hashes (the shared md5 word hash + polynomial fold), exact."""
+    return f"""
+WITH d AS (SELECT doc_id,
+             regexp_replace(lower(coalesce(text, '')), '^\\s+|\\s+$', '', 'g') AS t,
+             regexp_replace(coalesce(text, ''), '^\\s+|\\s+$', '', 'g') AS t0
+           FROM documents),
+w AS (SELECT doc_id,
+        CASE WHEN t = '' THEN [] ELSE regexp_split_to_array(t, '\\s+') END AS ws,
+        CASE WHEN t0 = '' THEN [] ELSE regexp_split_to_array(t0, '\\s+') END AS ws0
+      FROM d),
+h AS (SELECT doc_id, ws0,
+        list_transform(ws, x -> CAST(md5_number_upper(x) AS HUGEINT) % {_M}) AS wh,
+        len(ws) AS L
+      FROM w),
+g AS (SELECT doc_id, i, {_substring_fold_expr(k)} AS gh
+      FROM (SELECT doc_id, wh, L, unnest(generate_series(1, L - {k} + 1)) AS i
+            FROM h WHERE L >= {k})),
+cuts AS (SELECT doc_id, i FROM (
+           SELECT doc_id, i,
+                  row_number() OVER (PARTITION BY gh ORDER BY doc_id, i) AS rn
+           FROM g) WHERE rn > 1),
+ks AS (SELECT unnest(generate_series(0, {k - 1})) AS j),
+covered AS (SELECT DISTINCT doc_id, i + j AS widx FROM cuts CROSS JOIN ks),
+wordsx AS (SELECT doc_id, unnest(ws0) AS word,
+                  unnest(generate_series(1, len(ws0))) AS widx
+           FROM w WHERE len(ws0) > 0),
+kept AS (SELECT x.doc_id, x.widx, x.word FROM wordsx x
+         WHERE NOT EXISTS (SELECT 1 FROM covered c
+                           WHERE c.doc_id = x.doc_id AND c.widx = x.widx)),
+agg AS (SELECT doc_id, string_agg(word, ' ' ORDER BY widx) AS text_dedup,
+               count(*) AS n_kept
+        FROM kept GROUP BY doc_id),
+tot AS (SELECT doc_id, len(ws0) AS n_total FROM w WHERE len(ws0) > 0)
+SELECT t.doc_id, a.text_dedup,
+       CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_words_kept,
+       CAST(t.n_total AS BIGINT) AS n_words_total
+FROM tot t LEFT JOIN agg a USING (doc_id)
+"""
+
+
+SUBSTRING_DEDUP = substring_dedup_sql(8)

@@ -1464,3 +1464,63 @@ def test_unigram_surprise_brute_force_and_max_vocab():
             (N + V) * 1_000_000 // (top2.get(w, 0) + 1) for w in ws
         ) // len(ws)
         assert got2.loc[i, "surprise_micro"] == want, texts[i]
+
+
+def test_substring_dedup_brute_force():
+    from scylla_cdc_source_connector_ray.functions.dedup import substring_dedup
+
+    texts = [
+        "a b c d e f g h i j",
+        "x y a b c d e f g h i j z",  # re-occurrence of doc 0's grams
+        "unique words only here now",
+        "a b c a b c a b c",  # within-doc repeats (block-local cut path)
+        "",
+        "   ",
+        "short",
+        "A B C d e",  # case-folded gram matches doc 0; original case kept
+    ]
+    ids = list(range(len(texts)))
+    K = 3
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": ids, "text": pd.Series(texts, dtype=object)})
+    ).repartition(3)
+    got = (
+        substring_dedup(ds, k=K)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+    # brute force: first occurrence (doc, pos) of each k-gram survives;
+    # every later occurrence covers [pos, pos+K)
+    tok = [D._ws_split((t or "").lower()) for t in texts]
+
+    def gram(ws, i):
+        h = 0
+        for w in ws[i : i + K]:
+            h = (h * int(D._GRAM_B) + D._word_hash(w)) % D._MERSENNE
+        return h
+
+    occ = {}
+    for d, ws in enumerate(tok):
+        for p in range(len(ws) - K + 1):
+            occ.setdefault(gram(ws, p), []).append((d, p))
+    cuts = {}
+    for lst in occ.values():
+        for d, p in sorted(lst)[1:]:
+            cuts.setdefault(d, []).append(p)
+    out_ids = set(got["doc_id"])
+    for d, t in enumerate(texts):
+        ws0 = D._ws_split(t or "")
+        if not ws0:
+            assert d not in out_ids  # empty docs are absent on both sides
+            continue
+        covered = np.zeros(len(ws0), bool)
+        for p in cuts.get(d, []):
+            covered[p : p + K] = True
+        keptw = [w for w, c in zip(ws0, covered) if not c]
+        row = got[got["doc_id"] == d].iloc[0]
+        assert row["n_words_total"] == len(ws0)
+        assert row["n_words_kept"] == len(keptw)
+        want = " ".join(keptw) if keptw else None
+        assert (row["text_dedup"] if pd.notna(row["text_dedup"]) else None) == want
