@@ -389,6 +389,20 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
             ).count(),
         )
 
+        # repeated-substring span removal over the same 2 windows: the
+        # heaviest dedup shape (one decision row per word-gram INSTANCE —
+        # ~word count — through the gram exchange; added round 5, additive)
+        from scylla_cdc_source_connector_ray.functions.dedup import substring_dedup
+
+        timed(
+            "substring_dedup_transcripts",
+            lambda: substring_dedup(
+                ray.data.read_parquet(seg_files, columns=["seq", "text"]),
+                k=8,
+                id_col="seq",
+            ).count(),
+        )
+
     if os.path.exists(emb_path):
         qdf = ray.data.read_parquet(emb_path).limit(16).to_pandas()
         timed(
