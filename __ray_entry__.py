@@ -919,6 +919,23 @@ def _q_unigram_surprise(sf_dir: str):
     )
 
 
+def _q_decontaminate_cross(sf_dir: str):
+    """Cross-dataset decontamination: blocklist grams built DISTRIBUTED
+    from a benchmark dataset (here the doc_id<20 slice standing in for an
+    eval suite), broadcast once, corpus probed per batch (never shuffled)."""
+    import ray.data
+
+    from scylla_cdc_source_connector_ray.functions.textops import (
+        decontaminate_against,
+    )
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    bench = docs.filter(expr="doc_id < 20")
+    return decontaminate_against(docs, bench)
+
+
 def _q_dedup_substrings(sf_dir: str):
     """Repeated-substring span removal (Lee et al. ACL'22 analogue): every
     word 8-gram occurrence after the corpus-wide first covers its span;
@@ -2196,6 +2213,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_resize_dims": _q_multimodal_resize_dims,
         "quality_unigram_surprise": _q_unigram_surprise,
         "dedup_substrings": _q_dedup_substrings,
+        "decontaminate_cross": _q_decontaminate_cross,
     }
 
 
@@ -2292,6 +2310,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_resize_dims": oracles.MULTIMODAL_RESIZE_DIMS,
         "quality_unigram_surprise": oracles.UNIGRAM_SURPRISE,
         "dedup_substrings": oracles.SUBSTRING_DEDUP,
+        "decontaminate_cross": oracles.DECONTAMINATE_CROSS,
         "dedup_minhash_lsh": oracles.DEDUP_MINHASH_LSH,
         "dedup_ngram_jaccard": oracles.DEDUP_NGRAM_JACCARD,
         "dedup_clusters": oracles.DEDUP_CLUSTERS,

@@ -634,6 +634,81 @@ class ContaminationFlagger:
         )
 
 
+class GramSetFlagger:
+    """As :class:`ContaminationFlagger`, but the gram set arrives as a
+    broadcast object-store ref (built from an arbitrary benchmark DATASET
+    by :func:`decontaminate_against`) instead of deterministic literals."""
+
+    def __init__(self, gram_ref, ngram: int, text_col: str, id_col: str):
+        import ray
+
+        self.bench = ray.get(gram_ref)
+        self.ngram = ngram
+        self.text_col = text_col
+        self.id_col = id_col
+
+    __call__ = ContaminationFlagger.__call__
+
+
+def decontaminate_against(
+    docs: ray.data.Dataset,
+    bench: ray.data.Dataset,
+    ngram: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    max_bench_grams: int = 50_000_000,
+) -> ray.data.Dataset:
+    """Benchmark decontamination against an arbitrary benchmark DATASET —
+    the production form of :class:`ContaminationFlagger` (whose blocklist
+    is fixed literals): flag every corpus doc sharing any word ``ngram``
+    with any benchmark doc. Emits (``id_col``, n_hits = distinct
+    contaminated shingles, contaminated 0/1) for every corpus doc.
+
+    Scale shape (100 TB): the benchmark side is SMALL by nature (eval
+    suites, not corpora) — its distinct gram hashes are built distributed
+    (per-block unique partials), collected once (8 B/gram, guarded by
+    ``max_bench_grams`` ≈ the ngram-join broadcast budget), and broadcast
+    via ``ray.put``; the corpus never shuffles and is probed per batch
+    with one vectorized ``np.isin``. A benchmark past the budget is the
+    signal to use the gram-keyed join path (``ngram_jaccard_dedup``'s
+    ``vocab_mode='join'`` shape) instead of a broadcast."""
+    import ray
+
+    from .dedup import _batch_gram_hashes
+
+    def bench_partial(t: pa.Table) -> pa.Table:
+        flat, _ = _batch_gram_hashes(
+            list(pd.Series(t[bench_text_col].to_pandas()).fillna("")), ngram
+        )
+        return pa.table({"gh": pa.array(np.unique(flat).astype(np.int64))})
+
+    gh = (
+        bench.map_batches(bench_partial, batch_format="pyarrow")
+        .to_pandas()["gh"]
+        .to_numpy()
+        .astype(np.uint64)
+    )
+    gset = np.unique(gh)
+    if len(gset) > max_bench_grams:
+        raise ValueError(
+            f"benchmark has {len(gset)} distinct grams > budget "
+            f"{max_bench_grams}; use a gram-keyed join instead of a broadcast"
+        )
+    gram_ref = ray.put(gset)
+    return docs.map_batches(
+        GramSetFlagger,
+        fn_constructor_kwargs={
+            "gram_ref": gram_ref,
+            "ngram": ngram,
+            "text_col": text_col,
+            "id_col": id_col,
+        },
+        batch_format="pandas",
+        concurrency=(1, 8),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Regex redaction (PII-shaped masking transform)
 # ---------------------------------------------------------------------------

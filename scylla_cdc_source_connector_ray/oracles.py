@@ -2534,3 +2534,22 @@ FROM tot t LEFT JOIN agg a USING (doc_id)
 
 
 SUBSTRING_DEDUP = substring_dedup_sql(8)
+
+
+#: cross-dataset decontamination twin (textops.decontaminate_against):
+#: blocklist = distinct 3-grams of the benchmark slice (doc_id < 20 of the
+#: same table — a stand-in for a separate eval-suite table); every doc
+#: appears, n_hits = distinct shared shingles
+DECONTAMINATE_CROSS = (
+    _SHINGLES_CTE
+    + """,
+bench AS (SELECT DISTINCT gh FROM shingles WHERE doc_id < 20),
+hits AS (SELECT s.doc_id, count(*) AS n_hits
+         FROM shingles s JOIN bench b ON b.gh = s.gh GROUP BY s.doc_id)
+SELECT dd.doc_id,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(CASE WHEN coalesce(h.n_hits, 0) > 0 THEN 1 ELSE 0 END AS BIGINT)
+           AS contaminated
+FROM documents dd LEFT JOIN hits h ON h.doc_id = dd.doc_id
+"""
+)

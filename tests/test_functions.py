@@ -1524,3 +1524,45 @@ def test_substring_dedup_brute_force():
         assert row["n_words_kept"] == len(keptw)
         want = " ".join(keptw) if keptw else None
         assert (row["text_dedup"] if pd.notna(row["text_dedup"]) else None) == want
+
+
+def test_decontaminate_against_dataset():
+    from scylla_cdc_source_connector_ray.functions.textops import (
+        decontaminate_against,
+    )
+
+    docs = ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2, 3],
+                "text": pd.Series(
+                    [
+                        "alpha beta gamma delta",
+                        "no shared phrases at all",
+                        "xx alpha beta gamma yy",  # shares the bench 3-gram
+                        "",
+                    ],
+                    dtype=object,
+                ),
+            }
+        )
+    )
+    bench = ray.data.from_pandas(
+        pd.DataFrame(
+            {"bid": [0], "text": pd.Series(["alpha beta gamma"], dtype=object)}
+        )
+    )
+    got = (
+        decontaminate_against(docs, bench)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(got["contaminated"]) == [1, 0, 1, 0]
+    assert got.loc[0, "n_hits"] == 1 and got.loc[2, "n_hits"] == 1
+
+    # budget guard fails loudly
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="budget"):
+        decontaminate_against(docs, bench, max_bench_grams=0)
