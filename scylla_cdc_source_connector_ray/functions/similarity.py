@@ -203,7 +203,10 @@ def ann_ivf(
 
 
 def grouped_centroid_sums(
-    ds: ray.data.Dataset, index: IVFIndex, scale: int = 1_000_000
+    ds: ray.data.Dataset,
+    index: IVFIndex,
+    scale: int = 1_000_000,
+    normalized: bool = False,
 ) -> ray.data.Dataset:
     """Grouped VECTOR aggregation: per-bucket dimension-wise sums + counts of
     the raw embeddings — the k-means update step (new centroid = sum/n) and
@@ -224,7 +227,12 @@ def grouped_centroid_sums(
     n_buckets = len(index.centroids)
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
-        M = _stack(b["embedding"].values)  # raw values, NOT normalized
+        # raw values by default (the SQL-gated mode); ``normalized=True``
+        # sums unit vectors instead — the spherical k-means update step
+        # (:func:`kmeans_fit`), same integer-grid order-free exactness
+        M = _stack(b["embedding"].values)
+        if normalized:
+            M = _normalize(M)
         Q = np.floor(M * float(scale)).astype(np.int64)
         buckets = b["bucket"].to_numpy(dtype=np.int64)
         d = Q.shape[1]
@@ -414,3 +422,46 @@ def embedding_quantize(ds: ray.data.Dataset, levels: int = 127) -> ray.data.Data
         )
 
     return ds.map_batches(quantize, batch_format="pyarrow")
+
+
+def kmeans_fit(
+    ds: ray.data.Dataset, k: int = 8, iters: int = 5, scale: int = 1_000_000
+) -> IVFIndex:
+    """Distributed FULL-CORPUS Lloyd's k-means (spherical/cosine, the IVF
+    convention) — the iterative-algorithm pattern the Dataset API cannot
+    express in one lineage: the driver holds only the k×d centroid matrix;
+    each iteration broadcasts it (``ray.put`` inside ``assign_batches``),
+    assigns every vector distributed, and reduces the update step through
+    :func:`grouped_centroid_sums`'s shuffle-free integer-grid merge tree.
+
+    Determinism: member vectors are floored to the ``scale`` integer grid
+    before summing, so the per-cluster sums are independent of block
+    boundaries and summation order — re-running with ANY repartitioning
+    yields bit-identical centroids (property-tested). Empty clusters keep
+    their previous centroid. Init = the corpus's first ``k`` vectors
+    (deterministic given file order), normalized.
+
+    Scale shape (100 TB): per iteration the corpus streams once; only
+    ``blocks × k × d`` integer partial rows move (vectors never cross an
+    exchange), and the driver state is k×d floats. iters is a fixed small
+    constant — total cost is iters corpus scans, each embarrassingly
+    parallel."""
+    head = ds.limit(k).to_pandas()
+    if len(head) < k:
+        raise ValueError(f"k={k} but the dataset has only {len(head)} vectors")
+    idx = IVFIndex(n_centroids=k)
+    idx.centroids = _normalize(_stack(head["embedding"].values))
+    d = idx.centroids.shape[1]
+    for _ in range(iters):
+        g = grouped_centroid_sums(ds, idx, scale=scale, normalized=True).to_pandas()
+        S = np.zeros((k, d), dtype=np.float64)
+        n = np.zeros(k, dtype=np.int64)
+        b = g["bucket"].to_numpy()
+        dm = g["dim"].to_numpy()
+        S[b, dm] = g["sum_q"].to_numpy() / float(scale)
+        n[b] = g["n"].to_numpy()  # n repeats per dim; last write wins, equal
+        newC = idx.centroids.copy()
+        nz = n > 0
+        newC[nz] = S[nz] / n[nz, None]
+        idx.centroids = _normalize(newC)
+    return idx

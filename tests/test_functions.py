@@ -1566,3 +1566,52 @@ def test_decontaminate_against_dataset():
 
     with _pytest.raises(ValueError, match="budget"):
         decontaminate_against(docs, bench, max_bench_grams=0)
+
+
+def test_kmeans_fit_converges_and_is_split_invariant():
+    from scylla_cdc_source_connector_ray.functions.similarity import (
+        IVFIndex,
+        kmeans_fit,
+    )
+
+    # three well-separated directional blobs
+    rng = np.random.default_rng(3)
+    centers = np.eye(3)
+    vecs, labels = [], []
+    for c in range(3):
+        for _ in range(40):
+            v = centers[c] + rng.normal(0, 0.05, 3)
+            vecs.append(v)
+            labels.append(c)
+    # ensure the first 3 rows (the deterministic init) span the 3 blobs
+    order = np.r_[0, 40, 80, np.delete(np.arange(120), [0, 40, 80])]
+    df = pd.DataFrame(
+        {
+            "vec_id": np.arange(120, dtype=np.int64),
+            "embedding": pd.Series([vecs[i] for i in order], dtype=object),
+        }
+    )
+    truth = np.array([labels[i] for i in order])
+    ds = ray.data.from_pandas(df).repartition(4)
+    idx = kmeans_fit(ds, k=3, iters=4)
+
+    # each centroid should align with exactly one blob center
+    sims = idx.centroids @ centers.T
+    assert (sims.max(axis=1) > 0.99).all()
+    assert sorted(sims.argmax(axis=1)) == [0, 1, 2]
+    # and the distributed assignment recovers the blobs
+    got = idx.assign_batches(ds).to_pandas().sort_values("vec_id")
+    pred = got["bucket"].to_numpy()
+    mapping = {b: np.bincount(truth[pred == b]).argmax() for b in range(3)}
+    assert (np.array([mapping[b] for b in pred]) == truth).mean() == 1.0
+
+    # split invariance: a different partitioning gives BIT-identical
+    # centroids (integer-grid partial sums are order-free)
+    idx2 = kmeans_fit(ray.data.from_pandas(df).repartition(11), k=3, iters=4)
+    assert np.array_equal(idx.centroids, idx2.centroids)
+
+    # too-few vectors fails loudly
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="k=5"):
+        kmeans_fit(ray.data.from_pandas(df.head(3)), k=5)
