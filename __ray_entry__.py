@@ -1109,6 +1109,40 @@ def _q_dedup_segment_stream(sf_dir: str):
         shutil.rmtree(base, ignore_errors=True)
 
 
+def _q_dedup_substring_stream(sf_dir: str):
+    """STREAMING repeated-substring span removal over the doc-ordered
+    documents table split into 4 windows, consumed in 2 micro-batches with
+    per-shard checkpointed seen-gram state — batching must never change the
+    result, so the batch twin (SUBSTRING_DEDUP) is the oracle verbatim."""
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from scylla_cdc_source_connector_ray.pipelines.substring_stream import (
+        SubstringDedupStreamRunner,
+    )
+
+    t = (
+        pq.read_table(os.path.join(sf_dir, "documents.parquet"))
+        .select(["doc_id", "text"])
+        .sort_by([("doc_id", "ascending")])
+    )
+    base, log = _scratch_window_log(t, "scylla_cdc_substring_stream", sf_dir)
+    runner = SubstringDedupStreamRunner(
+        log,
+        num_shards=8,
+        sink_dir=os.path.join(base, "out"),
+        checkpoint_dir=os.path.join(base, "ckpt"),
+        k=8,
+    )
+    try:
+        runner.run(files_per_batch=2)
+        return runner.read_output()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def _q_dedup_exact_hashed(sf_dir: str):
     from scylla_cdc_source_connector_ray.functions.dedup import exact_dedup_hashed
 
@@ -2214,6 +2248,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_unigram_surprise": _q_unigram_surprise,
         "dedup_substrings": _q_dedup_substrings,
         "decontaminate_cross": _q_decontaminate_cross,
+        "dedup_substring_stream": _q_dedup_substring_stream,
     }
 
 
@@ -2311,6 +2346,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_unigram_surprise": oracles.UNIGRAM_SURPRISE,
         "dedup_substrings": oracles.SUBSTRING_DEDUP,
         "decontaminate_cross": oracles.DECONTAMINATE_CROSS,
+        "dedup_substring_stream": oracles.SUBSTRING_DEDUP,
         "dedup_minhash_lsh": oracles.DEDUP_MINHASH_LSH,
         "dedup_ngram_jaccard": oracles.DEDUP_NGRAM_JACCARD,
         "dedup_clusters": oracles.DEDUP_CLUSTERS,
