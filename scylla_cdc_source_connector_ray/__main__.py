@@ -278,6 +278,31 @@ def cmd_segdedup_stream(args) -> int:
     return 0
 
 
+def cmd_subdedup_stream(args) -> int:
+    """Streaming repeated-substring span removal over a windowed document
+    log (checkpointed seen-gram state, exactly-once;
+    pipelines/substring_stream.py)."""
+    import ray
+
+    _init_ray(args)
+    from .pipelines.substring_stream import SubstringDedupStreamRunner
+
+    runner = SubstringDedupStreamRunner(
+        args.log_dir,
+        num_shards=args.num_shards,
+        sink_dir=args.out,
+        checkpoint_dir=args.checkpoint,
+        k=args.k,
+        text_col=args.text_col,
+        id_col=args.id_col,
+        num_parts=args.num_parts,
+    )
+    totals = _run_or_tail(runner, args)
+    print(json.dumps({"ok": True, **totals, "out": args.out, "checkpoint": args.checkpoint}))
+    ray.shutdown()
+    return 0
+
+
 def cmd_cap_stream(args) -> int:
     """Streaming per-key admission cap over a windowed document log
     (checkpointed per-key admitted counts, exactly-once;
@@ -540,6 +565,22 @@ def main(argv=None) -> int:
     sgp.add_argument("--poll-ms", type=int, default=1000)
     sgp.add_argument("--idle-polls", type=int, default=3)
     sgp.set_defaults(fn=cmd_segdedup_stream)
+    sbp = sub.add_parser("subdedup-stream", help="streaming repeated-substring span removal (word k-grams)")
+    sbp.add_argument("--log-dir", required=True)
+    sbp.add_argument("--out", default="/tmp/scylla_cdc_ray/subdedup_out")
+    sbp.add_argument("--checkpoint", default="/tmp/scylla_cdc_ray/subdedup_ckpt")
+    sbp.add_argument("--num-shards", type=int, default=64)
+    sbp.add_argument("--num-parts", type=int, default=16)
+    sbp.add_argument("--k", type=int, default=8)
+    sbp.add_argument("--num-cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
+    sbp.add_argument("--files-per-batch", type=int, default=4)
+    sbp.add_argument("--max-batches", type=int, default=None)
+    sbp.add_argument("--text-col", default="text")
+    sbp.add_argument("--id-col", default="doc_id")
+    sbp.add_argument("--tail", action="store_true", help="live tail: poll for new files")
+    sbp.add_argument("--poll-ms", type=int, default=1000)
+    sbp.add_argument("--idle-polls", type=int, default=3)
+    sbp.set_defaults(fn=cmd_subdedup_stream)
     dsp = sub.add_parser("distinct-stream", help="streaming exact distinct-per-window counter")
     dsp.add_argument("--log-dir", required=True)
     dsp.add_argument("--checkpoint", default="/tmp/scylla_cdc_ray/dist_ckpt")
