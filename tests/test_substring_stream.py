@@ -123,3 +123,48 @@ def test_non_monotone_ids_fail_loudly(tmp_path):
     r = _runner(str(tmp_path), log, "a")
     with pytest.raises(ValueError, match="monoton"):
         r.run(files_per_batch=1)
+
+
+def test_randomized_split_invariance_and_brute_force(tmp_path):
+    """Random corpora: batch op == brute force, and the STREAM result is
+    invariant to window fan-out (1-file vs 4-file logs)."""
+    from scylla_cdc_source_connector_ray.functions.dedup import (
+        _GRAM_B,
+        _MERSENNE,
+        _word_hash,
+        _ws_split,
+    )
+
+    for seed in (21, 22):
+        df = _corpus(seed, n=25)
+        want = _batch_ref(df)
+
+        # brute force vs the batch operator
+        tok = [_ws_split((t or "").lower()) for t in df["text"]]
+        occ = {}
+        for d, ws in enumerate(tok):
+            for p in range(len(ws) - K + 1):
+                h = 0
+                for w in ws[p : p + K]:
+                    h = (h * int(_GRAM_B) + _word_hash(w)) % _MERSENNE
+                occ.setdefault(h, []).append((d, p))
+        cuts = {}
+        for lst in occ.values():
+            for d, p in sorted(lst)[1:]:
+                cuts.setdefault(d, []).append(p)
+        for _, row in want.iterrows():
+            d = int(row["doc_id"])
+            ws0 = _ws_split(df.loc[d, "text"] or "")
+            covered = np.zeros(len(ws0), bool)
+            for p in cuts.get(d, []):
+                covered[p : p + K] = True
+            assert row["n_words_kept"] == int((~covered).sum())
+
+        # stream over different window fan-outs
+        for nf, tag in ((1, f"s{seed}a"), (4, f"s{seed}b")):
+            base = os.path.join(str(tmp_path), tag)
+            os.makedirs(base)
+            log = _write_log(df, base, nf=nf)
+            r = _runner(base, log, tag)
+            r.run(files_per_batch=2)
+            pd.testing.assert_frame_equal(_sorted_pd(r.read_output()), want)
