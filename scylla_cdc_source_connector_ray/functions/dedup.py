@@ -462,6 +462,10 @@ def substring_dedup(
     exchanges are coarse hash partitions, never per-key dispatch."""
     if k < 1:
         raise ValueError("k must be >= 1")
+    # few/unsplittable input blocks would fuse tokenize+fold onto a couple
+    # of cores (the segment_dedup lesson: 57 s → 17 s on a 2-file read);
+    # a shuffle-free repartition slices them first
+    ds = ds.repartition(num_parts, shuffle=False)
 
     def decisions(b: pd.DataFrame) -> pa.Table:
         texts = b[text_col].fillna("")
