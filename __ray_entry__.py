@@ -936,6 +936,22 @@ def _q_decontaminate_cross(sf_dir: str):
     return decontaminate_against(docs, bench)
 
 
+def _q_search_bm25(sf_dir: str):
+    """BM25 ranking of every doc matching the query terms: pass 1 reduces
+    the corpus to a handful of integer stats (N, total words, per-term df),
+    pass 2 broadcasts (idf, avgdl) and scores per batch."""
+    import ray.data
+
+    from scylla_cdc_source_connector_ray.functions.textops import search_bm25
+
+    return search_bm25(
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        ),
+        terms=("table", "scan", "window"),
+    )
+
+
 def _q_dedup_substrings(sf_dir: str):
     """Repeated-substring span removal (Lee et al. ACL'22 analogue): every
     word 8-gram occurrence after the corpus-wide first covers its span;
@@ -2249,6 +2265,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_substrings": _q_dedup_substrings,
         "decontaminate_cross": _q_decontaminate_cross,
         "dedup_substring_stream": _q_dedup_substring_stream,
+        "search_bm25": _q_search_bm25,
     }
 
 
@@ -2347,6 +2364,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_substrings": oracles.SUBSTRING_DEDUP,
         "decontaminate_cross": oracles.DECONTAMINATE_CROSS,
         "dedup_substring_stream": oracles.SUBSTRING_DEDUP,
+        "search_bm25": oracles.SEARCH_BM25,
         "dedup_minhash_lsh": oracles.DEDUP_MINHASH_LSH,
         "dedup_ngram_jaccard": oracles.DEDUP_NGRAM_JACCARD,
         "dedup_clusters": oracles.DEDUP_CLUSTERS,

@@ -939,3 +939,112 @@ def unigram_surprise(
         batch_format="pyarrow",
         concurrency=(1, 8),
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranking — the retrieval scorer over the inverted-index family
+# ---------------------------------------------------------------------------
+def search_bm25(
+    ds: ray.data.Dataset,
+    terms: tuple[str, ...],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> ray.data.Dataset:
+    """BM25 score of every document matching ANY query term — the ranking
+    half of the retrieval stack (:func:`inverted_index` builds the index;
+    this scores). Output per matching doc: (``id_col``, n_terms = distinct
+    query terms present, score = Σ_t idf_t · tf·(k1+1)/(tf + k1·(1−b+b·L/avgdl)),
+    rounded to 6 dp), with idf = ln((N − df + 0.5)/(df + 0.5)), N/avgdl over
+    ALL docs. Tokens are the shared gram kernel (lower + ``_WS_CHARS``
+    split); term matching is word equality.
+
+    Scale shape (100 TB): pass 1 reduces the corpus to (2 + |terms|) integer
+    partial rows per block (doc/word totals + per-term document frequencies)
+    — the stats reach the driver as a handful of ints, never rows. Pass 2
+    broadcasts (terms, idf, avgdl) by closure and scores each batch with one
+    tokenize + |terms| vectorized equality folds; only matching (doc, score)
+    rows leave. Float caveat: idf/score are float64 with the same operation
+    ORDER as the SQL twin; the 6-dp round absorbs libm ulp differences (the
+    ann-gate precedent)."""
+    from .dedup import _batch_word_hashes, _word_hash
+
+    tlist = sorted({t.lower() for t in terms})
+    if not tlist:
+        raise ValueError("at least one query term required")
+    th = np.array([_word_hash(t) for t in tlist], dtype=np.uint64)
+
+    def stats_partial(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        texts = pl.from_arrow(
+            t[text_col].combine_chunks()
+            if isinstance(t[text_col], pa.ChunkedArray)
+            else t[text_col]
+        )
+        wh, lens, word_off = _batch_word_hashes(texts)
+        doc_of = np.repeat(np.arange(len(lens)), lens)
+        dfs = np.zeros(len(tlist), dtype=np.int64)
+        for i, h in enumerate(th):
+            m = wh == h
+            dfs[i] = len(np.unique(doc_of[m]))
+        keys = ["_docs", "_words", *tlist]
+        vals = np.concatenate(
+            [[len(lens), int(lens.sum())], dfs]
+        ).astype(np.int64)
+        return pa.table({"key": pa.array(keys, pa.string()), "val": pa.array(vals)})
+
+    agg = (
+        ds.map_batches(stats_partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("key")["val"]
+        .sum()
+    )
+    N = int(agg["_docs"])
+    W = int(agg["_words"])
+    if N == 0 or W == 0:
+        raise ValueError("empty corpus")
+    avgdl = W / N
+    dfs = np.array([int(agg.get(t, 0)) for t in tlist], dtype=np.float64)
+    idf = np.log((N - dfs + 0.5) / (dfs + 0.5))
+
+    def score(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        texts = pl.from_arrow(
+            t[text_col].combine_chunks()
+            if isinstance(t[text_col], pa.ChunkedArray)
+            else t[text_col]
+        )
+        wh, lens, word_off = _batch_word_hashes(texts)
+        D = len(lens)
+        doc_of = np.repeat(np.arange(D), lens)
+        sc = np.zeros(D, dtype=np.float64)
+        nt = np.zeros(D, dtype=np.int64)
+        L = lens.astype(np.float64)
+        for i, h in enumerate(th):
+            tf = np.bincount(doc_of[wh == h], minlength=D).astype(np.float64)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                contrib = (
+                    idf[i]
+                    * tf
+                    * (k1 + 1.0)
+                    / (tf + k1 * (1.0 - b + b * L / avgdl))
+                )
+            hit = tf > 0
+            sc[hit] += contrib[hit]
+            nt += hit
+        keep = nt > 0
+        ids = t[id_col].combine_chunks() if isinstance(
+            t[id_col], pa.ChunkedArray
+        ) else t[id_col]
+        return pa.table(
+            {
+                id_col: ids.filter(pa.array(keep)),
+                "n_terms": pa.array(nt[keep], pa.int64()),
+                "score": pa.array(np.round(sc[keep], 6), pa.float64()),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")

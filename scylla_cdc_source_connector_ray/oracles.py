@@ -2553,3 +2553,39 @@ SELECT dd.doc_id,
 FROM documents dd LEFT JOIN hits h ON h.doc_id = dd.doc_id
 """
 )
+
+
+def search_bm25_sql(terms: tuple[str, ...], k1: float = 1.2, b: float = 0.75) -> str:
+    """Twin of textops.search_bm25: same tokenizer CTE, same formula with
+    the same operation order; the 6-dp round on both sides absorbs libm
+    ulp differences (the ann-gate float precedent)."""
+    values = ", ".join(f"('{t}')" for t in sorted({t.lower() for t in terms}))
+    return f"""
+WITH d AS (SELECT doc_id,
+             regexp_replace(lower(coalesce(text, '')), '^\\s+|\\s+$', '', 'g') AS t
+           FROM documents),
+w AS (SELECT doc_id,
+        CASE WHEN t = '' THEN [] ELSE regexp_split_to_array(t, '\\s+') END AS ws
+      FROM d),
+stats AS (SELECT count(*) AS n, sum(len(ws)) AS wtot FROM w),
+ln AS (SELECT doc_id, len(ws) AS l FROM w),
+tok AS (SELECT doc_id, unnest(ws) AS word FROM w WHERE len(ws) > 0),
+q(term) AS (VALUES {values}),
+tf AS (SELECT doc_id, term, count(*) AS tf
+       FROM tok JOIN q ON word = term GROUP BY doc_id, term),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+scored AS (SELECT tf.doc_id,
+                  count(*) AS n_terms,
+                  sum(ln((stats.n - df.df + 0.5) / (df.df + 0.5))
+                      * tf.tf * ({k1} + 1.0)
+                      / (tf.tf + {k1} * (1.0 - {b} + {b} * ln.l
+                                         / (stats.wtot / stats.n)))) AS score
+           FROM tf JOIN df USING (term) JOIN ln USING (doc_id)
+           CROSS JOIN stats
+           GROUP BY tf.doc_id)
+SELECT doc_id, CAST(n_terms AS BIGINT) AS n_terms, round(score, 6) AS score
+FROM scored
+"""
+
+
+SEARCH_BM25 = search_bm25_sql(("table", "scan", "window"))

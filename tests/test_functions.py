@@ -1615,3 +1615,56 @@ def test_kmeans_fit_converges_and_is_split_invariant():
 
     with _pytest.raises(ValueError, match="k=5"):
         kmeans_fit(ray.data.from_pandas(df.head(3)), k=5)
+
+
+def test_search_bm25_brute_force():
+    from scylla_cdc_source_connector_ray.functions.textops import search_bm25
+
+    texts = [
+        "table scan fast table",
+        "window sort merge",
+        "no match here",
+        "table table table table",
+        "",
+        "scan window table",
+    ]
+    df = pd.DataFrame(
+        {"doc_id": np.arange(len(texts), dtype=np.int64),
+         "text": pd.Series(texts, dtype=object)}
+    )
+    terms = ("table", "scan", "window")
+    got = (
+        search_bm25(ray.data.from_pandas(df).repartition(3), terms)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # brute force
+    import math
+
+    tok = [t.lower().split() for t in texts]
+    N = len(tok)
+    W = sum(len(w) for w in tok)
+    avgdl = W / N
+    want = {}
+    for d, ws in enumerate(tok):
+        s, nt = 0.0, 0
+        for t in sorted(set(terms)):
+            tf = ws.count(t)
+            if tf == 0:
+                continue
+            dfc = sum(1 for w2 in tok if t in w2)
+            idf = math.log((N - dfc + 0.5) / (dfc + 0.5))
+            s += idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * len(ws) / avgdl))
+            nt += 1
+        if nt:
+            want[d] = (nt, round(s, 6))
+    assert set(got["doc_id"]) == set(want)
+    for _, row in got.iterrows():
+        nt, s = want[int(row["doc_id"])]
+        assert row["n_terms"] == nt
+        assert abs(row["score"] - s) < 1e-9
+    # more matched terms / higher tf rank sensibly: doc 5 (all 3 terms)
+    # scores above doc 1 (one term)
+    sc = got.set_index("doc_id")["score"]
+    assert sc[5] > sc[1]
