@@ -936,6 +936,18 @@ def _q_decontaminate_cross(sf_dir: str):
     return decontaminate_against(docs, bench)
 
 
+def _q_gopher_rules(sf_dir: str):
+    """Gopher document-quality rule subset (word-count / mean-word-length /
+    alpha-fraction bounds), map-only, integer micro-units."""
+    import ray.data
+
+    from scylla_cdc_source_connector_ray.functions.textops import gopher_rules
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(gopher_rules, batch_format="pyarrow")
+
+
 def _q_search_bm25(sf_dir: str):
     """BM25 ranking of every doc matching the query terms: pass 1 reduces
     the corpus to a handful of integer stats (N, total words, per-term df),
@@ -2266,6 +2278,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate_cross": _q_decontaminate_cross,
         "dedup_substring_stream": _q_dedup_substring_stream,
         "search_bm25": _q_search_bm25,
+        "quality_gopher_rules": _q_gopher_rules,
     }
 
 
@@ -2365,6 +2378,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate_cross": oracles.DECONTAMINATE_CROSS,
         "dedup_substring_stream": oracles.SUBSTRING_DEDUP,
         "search_bm25": oracles.SEARCH_BM25,
+        "quality_gopher_rules": oracles.GOPHER_RULES,
         "dedup_minhash_lsh": oracles.DEDUP_MINHASH_LSH,
         "dedup_ngram_jaccard": oracles.DEDUP_NGRAM_JACCARD,
         "dedup_clusters": oracles.DEDUP_CLUSTERS,

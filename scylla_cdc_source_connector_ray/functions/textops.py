@@ -1048,3 +1048,78 @@ def search_bm25(
         )
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality rules (Rae et al. 2021 §A1.1 subset, integer-exact)
+# ---------------------------------------------------------------------------
+def gopher_rules(
+    batch: pa.Table,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 5,
+    max_words: int = 200_000,
+    min_mean_wlen_micro: int = 2_000_000,
+    max_mean_wlen_micro: int = 10_000_000,
+    min_alpha_frac_micro: int = 800_000,
+) -> pa.Table:
+    """The Gopher document-quality rule subset that needs only the word
+    stream (Rae et al. 2021, appendix A1.1): word-count bounds, mean word
+    length bounds, and the fraction of words containing an alphabetic
+    character. All statistics in integer micro-units so the DuckDB twin is
+    bit-exact. Emits every doc: (id, n_words, mean_wlen_micro,
+    alpha_frac_micro, gopher_keep 0/1); empty docs fail the word-count
+    bound with zeroed stats.
+
+    Scale shape: map-only (one vectorized tokenize + two arrow kernels per
+    batch); nothing crosses an exchange."""
+    import polars as pl
+
+    txt = (
+        batch[text_col].combine_chunks()
+        if isinstance(batch[text_col], pa.ChunkedArray)
+        else batch[text_col]
+    )
+    wa = (
+        pl.Series(pl.from_arrow(txt))
+        .cast(pl.String)
+        .fill_null("")
+        .str.extract_all(r"[^ \t\n\r\f]+")
+        .to_arrow()
+    )
+    n_words = pc.list_value_length(wa).cast(pa.int64()).to_numpy(zero_copy_only=False)
+    flat = pc.list_flatten(wa)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    doc_of = np.repeat(np.arange(len(n_words)), n_words)
+    wlen = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.int64)
+    alpha = (
+        pc.match_substring_regex(flat, "[a-zA-Z]")
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    sum_len = np.bincount(doc_of, weights=wlen, minlength=len(n_words)).astype(
+        np.int64
+    )
+    n_alpha = np.bincount(doc_of, weights=alpha, minlength=len(n_words)).astype(
+        np.int64
+    )
+    nz = np.maximum(n_words, 1)
+    mean_wlen = np.where(n_words > 0, sum_len * 1_000_000 // nz, 0)
+    alpha_frac = np.where(n_words > 0, n_alpha * 1_000_000 // nz, 0)
+    keep = (
+        (n_words >= min_words)
+        & (n_words <= max_words)
+        & (mean_wlen >= min_mean_wlen_micro)
+        & (mean_wlen <= max_mean_wlen_micro)
+        & (alpha_frac >= min_alpha_frac_micro)
+    )
+    return pa.table(
+        {
+            id_col: batch[id_col],
+            "n_words": pa.array(n_words, pa.int64()),
+            "mean_wlen_micro": pa.array(mean_wlen, pa.int64()),
+            "alpha_frac_micro": pa.array(alpha_frac, pa.int64()),
+            "gopher_keep": pa.array(keep.astype(np.int64), pa.int64()),
+        }
+    )

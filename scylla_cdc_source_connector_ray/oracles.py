@@ -2589,3 +2589,38 @@ FROM scored
 
 
 SEARCH_BM25 = search_bm25_sql(("table", "scan", "window"))
+
+
+#: Gopher quality-rule twin (textops.gopher_rules, default thresholds):
+#: word-count bounds, mean word length, alpha-word fraction — all integer
+#: micro-units. Word lengths are Unicode codepoint counts on both sides
+#: (arrow utf8_length == DuckDB length on VARCHAR).
+GOPHER_RULES = r"""
+WITH d AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
+w AS (SELECT doc_id,
+        CASE WHEN regexp_replace(t, '^[ \t\n\r\f]+|[ \t\n\r\f]+$', '', 'g') = ''
+             THEN []
+             ELSE regexp_split_to_array(
+                    regexp_replace(t, '^[ \t\n\r\f]+|[ \t\n\r\f]+$', '', 'g'),
+                    '[ \t\n\r\f]+')
+        END AS ws
+      FROM d),
+tok AS (SELECT doc_id, unnest(ws) AS word FROM w WHERE len(ws) > 0),
+st AS (SELECT doc_id, count(*) AS n, sum(length(word)) AS sl,
+              sum(CASE WHEN regexp_matches(word, '[a-zA-Z]') THEN 1 ELSE 0 END) AS na
+       FROM tok GROUP BY doc_id),
+alldocs AS (SELECT w.doc_id,
+                coalesce(st.n, 0) AS n,
+                CASE WHEN coalesce(st.n, 0) > 0 THEN st.sl * 1000000 // st.n ELSE 0 END AS mw,
+                CASE WHEN coalesce(st.n, 0) > 0 THEN st.na * 1000000 // st.n ELSE 0 END AS af
+         FROM w LEFT JOIN st ON st.doc_id = w.doc_id)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_words,
+       CAST(mw AS BIGINT) AS mean_wlen_micro,
+       CAST(af AS BIGINT) AS alpha_frac_micro,
+       CAST(CASE WHEN n >= 5 AND n <= 200000
+                  AND mw >= 2000000 AND mw <= 10000000
+                  AND af >= 800000
+             THEN 1 ELSE 0 END AS BIGINT) AS gopher_keep
+FROM alldocs
+"""

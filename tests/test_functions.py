@@ -1668,3 +1668,31 @@ def test_search_bm25_brute_force():
     # scores above doc 1 (one term)
     sc = got.set_index("doc_id")["score"]
     assert sc[5] > sc[1]
+
+
+def test_gopher_rules_brute_force():
+    from scylla_cdc_source_connector_ray.functions.textops import gopher_rules
+
+    texts = [
+        "the quick brown fox jumps over things",  # keep
+        "a b c d e f g h",  # mean word length 1 -> drop
+        "12 34 56 78 90 11 22",  # no alpha -> drop
+        "hi",  # too few words -> drop
+        "",  # empty -> drop
+        "supercalifragilisticexpialidocious " * 6,  # mean wlen > 10 -> drop
+        "ok words mix 77 here too yes",  # alpha 6/7 = 0.857 -> keep
+    ]
+    batch = pa.table(
+        {
+            "doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    got = gopher_rules(batch).to_pandas()
+    assert list(got["gopher_keep"]) == [1, 0, 0, 0, 0, 0, 1]
+    # exact integer stats
+    ws = texts[0].split()
+    assert got.loc[0, "n_words"] == len(ws)
+    assert got.loc[0, "mean_wlen_micro"] == sum(map(len, ws)) * 1_000_000 // len(ws)
+    assert got.loc[6, "alpha_frac_micro"] == 6 * 1_000_000 // 7
+    assert got.loc[4, "n_words"] == 0 and got.loc[4, "mean_wlen_micro"] == 0
