@@ -1075,6 +1075,8 @@ def gopher_rules(
     batch); nothing crosses an exchange."""
     import polars as pl
 
+    from .dedup import _WS_TOKEN_RE
+
     txt = (
         batch[text_col].combine_chunks()
         if isinstance(batch[text_col], pa.ChunkedArray)
@@ -1084,7 +1086,7 @@ def gopher_rules(
         pl.Series(pl.from_arrow(txt))
         .cast(pl.String)
         .fill_null("")
-        .str.extract_all(r"[^ \t\n\r\f]+")
+        .str.extract_all(_WS_TOKEN_RE)
         .to_arrow()
     )
     n_words = pc.list_value_length(wa).cast(pa.int64()).to_numpy(zero_copy_only=False)
