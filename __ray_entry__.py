@@ -936,6 +936,14 @@ def _q_decontaminate_cross(sf_dir: str):
     return decontaminate_against(docs, bench)
 
 
+def _q_event_sessionize(sf_dir: str):
+    """Per-event session-id assignment (1h gap): one coarse user-keyed
+    exchange, per-partition lexsort + cumsum-minus-base fold."""
+    from scylla_cdc_source_connector_ray.pipelines.relational import sessionize
+
+    return sessionize(sf_dir)
+
+
 def _q_gopher_rules(sf_dir: str):
     """Gopher document-quality rule subset (word-count / mean-word-length /
     alpha-fraction bounds), map-only, integer micro-units."""
@@ -2279,6 +2287,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_substring_stream": _q_dedup_substring_stream,
         "search_bm25": _q_search_bm25,
         "quality_gopher_rules": _q_gopher_rules,
+        "event_sessionize": _q_event_sessionize,
     }
 
 
@@ -2379,6 +2388,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_substring_stream": oracles.SUBSTRING_DEDUP,
         "search_bm25": oracles.SEARCH_BM25,
         "quality_gopher_rules": oracles.GOPHER_RULES,
+        "event_sessionize": oracles.SESSIONIZE,
         "dedup_minhash_lsh": oracles.DEDUP_MINHASH_LSH,
         "dedup_ngram_jaccard": oracles.DEDUP_NGRAM_JACCARD,
         "dedup_clusters": oracles.DEDUP_CLUSTERS,

@@ -2624,3 +2624,22 @@ SELECT doc_id,
              THEN 1 ELSE 0 END AS BIGINT) AS gopher_keep
 FROM alldocs
 """
+
+
+#: per-event session-id assignment twin (pipelines.relational.sessionize,
+#: 1-hour gap): lag-gap session breaks, running count per user; total order
+#: (ts, event_id) makes the assignment deterministic
+SESSIONIZE = """
+WITH e AS (SELECT event_id, user_id, ts FROM events
+           WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+l AS (SELECT event_id, user_id, ts,
+        CASE WHEN lag(ts) OVER w IS NULL
+              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 3600000000
+             THEN 1 ELSE 0 END AS new_sess
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT event_id, user_id,
+       CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id,
+       CAST(new_sess AS BIGINT) AS is_session_start
+FROM l
+"""

@@ -1546,3 +1546,70 @@ def event_value_winsorized(
         )
 
     return totals.map_batches(finish, batch_format="pyarrow")
+
+
+def sessionize(sf_dir: str, gap_us: int = 3_600_000_000, num_parts: int = 64) -> ray.data.Dataset:
+    """Per-event SESSION-ID assignment — the assignment form of the
+    session-window aggregate (``win_session`` collapses sessions to rows;
+    this labels every event with its 1-based per-user session number and a
+    session-start flag, the feature every funnel/retention pipeline joins
+    back onto raw events).
+
+    Semantics: sessions break when the gap to the user's previous event
+    (ordered by ts, event_id — a total order) exceeds ``gap_us``; the first
+    event of a user starts session 1. NULL user/ts rows are excluded on
+    both sides (SQL's NULL partition would pool them into one lag chain).
+
+    Scale shape: ONE exchange keyed by a coarse user partition (the
+    ``user_gap_stats`` shape — ``num_parts`` groups, never per-user
+    dispatch); inside each partition a single (user, ts, event_id) lexsort,
+    one vectorized diff with run-boundary masking, and a cumsum-minus-base
+    fold assign every session id. Output rows never exceed input rows and
+    carry three int64 columns."""
+    import numpy as np
+    import pyarrow as pa
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+
+    def part_key(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.is_valid(t["user_id"]), pc.is_valid(t["ts"])))
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column("_pid", pa.array(_user_pid(uid, num_parts), pa.int64()))
+
+    def assign(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame(
+                {
+                    "event_id": pd.Series([], dtype="int64"),
+                    "user_id": pd.Series([], dtype="int64"),
+                    "session_id": pd.Series([], dtype="int64"),
+                    "is_session_start": pd.Series([], dtype="int64"),
+                }
+            )
+        b = b.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        ts = b["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        uid = b["user_id"].to_numpy()
+        first = np.ones(len(b), bool)
+        if len(b) > 1:
+            first[1:] = uid[1:] != uid[:-1]
+        gap = np.zeros(len(b), np.int64)
+        gap[1:] = ts[1:] - ts[:-1]
+        new_sess = (first | (gap > gap_us)).astype(np.int64)
+        s = np.cumsum(new_sess)
+        starts = np.flatnonzero(first)
+        run_id = np.cumsum(first) - 1
+        base = (s[starts] - 1)[run_id]
+        return pd.DataFrame(
+            {
+                "event_id": b["event_id"].to_numpy().astype("int64"),
+                "user_id": uid.astype("int64"),
+                "session_id": (s - base).astype("int64"),
+                "is_session_start": new_sess,
+            }
+        )
+
+    return (
+        ds.map_batches(part_key, batch_format="pyarrow")
+        .groupby("_pid")
+        .map_groups(assign, batch_format="pandas")
+    )

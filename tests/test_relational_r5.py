@@ -840,3 +840,40 @@ def test_score_documents_appends_exact_score(tmp_path):
     )
     assert got["score"].tolist() == want.tolist()
     assert got["score"].dtype == np.int64
+
+
+def test_sessionize_brute_force(tmp_path):
+    # synthetic events with known session structure + ties + NULLs
+    ts = pd.to_datetime(
+        [
+            "2024-01-01 00:00:00",  # u1 s1
+            "2024-01-01 00:30:00",  # u1 s1 (gap 30m <= 1h)
+            "2024-01-01 02:00:00",  # u1 s2 (gap 1.5h)
+            "2024-01-01 02:00:00",  # u1 s2 tie -> event_id order
+            "2024-01-01 00:00:00",  # u2 s1
+            "2024-01-02 00:00:00",  # u2 s2
+            None,  # dropped (NULL ts)
+            "2024-01-01 00:00:00",  # dropped (NULL user)
+        ]
+    )
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(8, dtype=np.int64),
+            "user_id": pd.array([1, 1, 1, 1, 2, 2, 1, None], dtype="Int64"),
+            "ts": ts,
+            "event_type": ["x"] * 8,
+            "value": [0.0] * 8,
+            "props": ["{}"] * 8,
+        }
+    )
+    d = os.path.join(str(tmp_path), "events.parquet")
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False), d)
+    got = (
+        R.sessionize(str(tmp_path))
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    assert list(got["event_id"]) == [0, 1, 2, 3, 4, 5]
+    assert list(got["session_id"]) == [1, 1, 2, 2, 1, 2]
+    assert list(got["is_session_start"]) == [1, 0, 1, 0, 1, 1]
