@@ -944,6 +944,41 @@ def _q_event_sessionize(sf_dir: str):
     return sessionize(sf_dir)
 
 
+def _q_event_sessionize_stream(sf_dir: str):
+    """STREAMING session-id assignment over the events table written as a
+    (ts, event_id)-sorted 4-window log, consumed in 2 micro-batches with
+    per-user (last_ts, session_count) checkpointed state — batching must
+    never change the assignment, so the batch twin IS the oracle."""
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from scylla_cdc_source_connector_ray.pipelines.session_stream import (
+        SessionStreamRunner,
+    )
+
+    t = (
+        pq.read_table(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["event_id", "user_id", "ts"],
+        )
+        .sort_by([("ts", "ascending"), ("event_id", "ascending")])
+    )
+    base, log = _scratch_window_log(t, "scylla_cdc_session_stream", sf_dir)
+    runner = SessionStreamRunner(
+        log,
+        num_shards=8,
+        sink_dir=os.path.join(base, "out"),
+        checkpoint_dir=os.path.join(base, "ckpt"),
+    )
+    try:
+        runner.run(files_per_batch=2)
+        return runner.read_output()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def _q_gopher_rules(sf_dir: str):
     """Gopher document-quality rule subset (word-count / mean-word-length /
     alpha-fraction bounds), map-only, integer micro-units."""
@@ -2288,6 +2323,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_bm25": _q_search_bm25,
         "quality_gopher_rules": _q_gopher_rules,
         "event_sessionize": _q_event_sessionize,
+        "event_sessionize_stream": _q_event_sessionize_stream,
     }
 
 
@@ -2389,6 +2425,7 @@ def oracle_sql() -> dict[str, str]:
         "search_bm25": oracles.SEARCH_BM25,
         "quality_gopher_rules": oracles.GOPHER_RULES,
         "event_sessionize": oracles.SESSIONIZE,
+        "event_sessionize_stream": oracles.SESSIONIZE,
         "dedup_minhash_lsh": oracles.DEDUP_MINHASH_LSH,
         "dedup_ngram_jaccard": oracles.DEDUP_NGRAM_JACCARD,
         "dedup_clusters": oracles.DEDUP_CLUSTERS,

@@ -303,6 +303,31 @@ def cmd_subdedup_stream(args) -> int:
     return 0
 
 
+def cmd_session_stream(args) -> int:
+    """Streaming per-event session-id assignment over a ts-windowed event
+    log (checkpointed per-user (last_ts, session_count) state, exactly-once;
+    pipelines/session_stream.py)."""
+    import ray
+
+    _init_ray(args)
+    from .pipelines.session_stream import SessionStreamRunner
+
+    runner = SessionStreamRunner(
+        args.log_dir,
+        num_shards=args.num_shards,
+        sink_dir=args.out,
+        checkpoint_dir=args.checkpoint,
+        gap_us=args.gap_us,
+        user_col=args.user_col,
+        ts_col=args.ts_col,
+        id_col=args.id_col,
+    )
+    totals = _run_or_tail(runner, args)
+    print(json.dumps({"ok": True, **totals, "out": args.out, "checkpoint": args.checkpoint}))
+    ray.shutdown()
+    return 0
+
+
 def cmd_cap_stream(args) -> int:
     """Streaming per-key admission cap over a windowed document log
     (checkpointed per-key admitted counts, exactly-once;
@@ -581,6 +606,22 @@ def main(argv=None) -> int:
     sbp.add_argument("--poll-ms", type=int, default=1000)
     sbp.add_argument("--idle-polls", type=int, default=3)
     sbp.set_defaults(fn=cmd_subdedup_stream)
+    ssp = sub.add_parser("session-stream", help="streaming per-event session-id assignment (gap rule)")
+    ssp.add_argument("--log-dir", required=True)
+    ssp.add_argument("--out", default="/tmp/scylla_cdc_ray/session_out")
+    ssp.add_argument("--checkpoint", default="/tmp/scylla_cdc_ray/session_ckpt")
+    ssp.add_argument("--num-shards", type=int, default=64)
+    ssp.add_argument("--gap-us", type=int, default=3_600_000_000)
+    ssp.add_argument("--num-cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
+    ssp.add_argument("--files-per-batch", type=int, default=4)
+    ssp.add_argument("--max-batches", type=int, default=None)
+    ssp.add_argument("--user-col", default="user_id")
+    ssp.add_argument("--ts-col", default="ts")
+    ssp.add_argument("--id-col", default="event_id")
+    ssp.add_argument("--tail", action="store_true", help="live tail: poll for new files")
+    ssp.add_argument("--poll-ms", type=int, default=1000)
+    ssp.add_argument("--idle-polls", type=int, default=3)
+    ssp.set_defaults(fn=cmd_session_stream)
     dsp = sub.add_parser("distinct-stream", help="streaming exact distinct-per-window counter")
     dsp.add_argument("--log-dir", required=True)
     dsp.add_argument("--checkpoint", default="/tmp/scylla_cdc_ray/dist_ckpt")
